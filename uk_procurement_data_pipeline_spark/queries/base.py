@@ -1,0 +1,61 @@
+"""Query registry plumbing for the driver contract (__spark_entry__.py).
+
+Each QuerySpec pairs a PySpark program with (where expressible) an ANSI-SQL
+oracle string that DuckDB runs on the identical parquet tables. The driver
+compares row count + schema + order-insensitive value hash, so every spec
+must be: (a) set-deterministic — the returned *set* of rows is unique, with
+explicit tiebreaks on any top-k; (b) value-deterministic across engines —
+see functions/exact.py for the double-sum strategy; (c) alias-complete —
+every computed column aliased identically in both programs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
+    survey: str  # SURVEY.md §2 operator IDs this query covers
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, *, oracle: str | None, survey: str, doc: str = ""
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query function to the global registry."""
+
+    def wrap(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, survey=survey, doc=doc)
+        return fn
+
+    return wrap
+
+
+def registry() -> dict[str, QuerySpec]:
+    # Import theme modules lazily so registration happens exactly once.
+    from uk_procurement_data_pipeline_spark.queries import (  # noqa: F401
+        arrays_text,
+        dedup,
+        events,
+        multimodal,
+        ref_pipeline,
+        relational,
+        similarity,
+        windows,
+    )
+
+    return dict(_REGISTRY)

@@ -1,0 +1,424 @@
+"""Relational core queries (SURVEY.md §2.2 P*, §2.3 J5-J7, §2.4 A7-A9,
+§2.7 O4, §2.8 U1/U3).
+
+The reference never joins tables or aggregates (SURVEY.md §2.3/§2.4); this
+surface is [DRIVER]-mandated over the TPC-H-ish star schema. Scale notes
+per query: small dimensions are broadcast explicitly (no shuffle for the
+dim side); the lineitem-orders join is the only genuinely large-large join
+and shuffles on the join key, which is also the natural bucketing key for
+a production layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.functions.exact import (
+    dec,
+    exact_avg,
+    exact_sum,
+    oracle_avg,
+    oracle_sum,
+)
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_REV_SQL = "l_extendedprice * (1.0 - l_discount)"
+
+
+def _rev():
+    """l_extendedprice * (1 - l_discount): the product is computed in IEEE
+    double (bit-identical in Spark and DuckDB), then widened for exact sums.
+    (A function, not a module constant — Column exprs need a live session.)"""
+    return F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+
+
+@register(
+    name="pricing_summary",
+    survey="A7 F-arith P-filters",
+    doc="TPC-H Q1 shape: scan-side filter, 6-group hash agg, exact sums/avgs.",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {oracle_sum('l_quantity')} AS sum_qty,
+               {oracle_sum('l_extendedprice')} AS sum_base_price,
+               {oracle_sum(_REV_SQL)} AS sum_disc_price,
+               {oracle_sum(_REV_SQL + ' * (1.0 + l_tax)')} AS sum_charge,
+               {oracle_avg('l_quantity')} AS avg_qty,
+               {oracle_avg('l_extendedprice')} AS avg_price,
+               {oracle_avg('l_discount')} AS avg_disc,
+               COUNT(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    charge = _rev() * (F.lit(1.0) + F.col("l_tax"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        exact_sum("l_quantity", "sum_qty"),
+        exact_sum("l_extendedprice", "sum_base_price"),
+        exact_sum(_rev(), "sum_disc_price"),
+        exact_sum(charge, "sum_charge"),
+        exact_avg("l_quantity", "avg_qty"),
+        exact_avg("l_extendedprice", "avg_price"),
+        exact_avg("l_discount", "avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    name="revenue_by_region",
+    survey="J5 A7 O4",
+    doc="Flagship 5-way star join: lineitem⋈orders⋈customer⋈nation⋈region, "
+    "dims broadcast, one shuffle on the fact join key.",
+    oracle=f"""
+        SELECT r_name, {oracle_sum(_REV_SQL)} AS revenue, COUNT(*) AS n_items
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .agg(exact_sum(_rev(), "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+@register(
+    name="top_orders_by_revenue",
+    survey="J5 A7 O4",
+    doc="TPC-H Q3 shape: segment filter, join, agg, deterministic top-10.",
+    oracle=f"""
+        SELECT o_orderkey, o_orderdate, o_orderpriority,
+               {oracle_sum(_REV_SQL)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-01-01'
+          AND l_shipdate  > TIMESTAMP '1996-01-01'
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1996-01-01").cast("timestamp")
+    )
+    orders = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    bldg = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(bldg), orders.o_custkey == bldg.c_custkey, "left_semi")
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(exact_sum(_rev(), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    name="order_priority_semi",
+    survey="J7 A7",
+    doc="TPC-H Q4 shape: EXISTS-correlated subquery as a left-semi join.",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-01-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+    """,
+)
+def order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    name="customers_without_orders",
+    survey="J7",
+    doc="Left-anti join: customers that never placed an order.",
+    oracle="""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    name="orders_per_customer",
+    survey="J7 A7",
+    doc="Left outer join + agg: order count and exact spend per customer, "
+    "zero-filled for order-less customers.",
+    oracle=f"""
+        SELECT c_custkey,
+               COUNT(o_orderkey) AS n_orders,
+               COALESCE({oracle_sum('o_totalprice')}, 0.0) AS total_spend
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+)
+def orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(exact_sum("o_totalprice"), F.lit(0.0)).alias("total_spend"),
+        )
+    )
+
+
+@register(
+    name="suppliers_in_region",
+    survey="J5 J7",
+    doc="Nested IN-subquery as chained left-semi joins over broadcast dims.",
+    oracle="""
+        SELECT s_suppkey, s_name, s_acctbal
+        FROM supplier
+        WHERE s_nationkey IN (
+            SELECT n_nationkey FROM nation
+            WHERE n_regionkey IN (
+                SELECT r_regionkey FROM region WHERE r_name = 'EUROPE'))
+    """,
+)
+def suppliers_in_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    nation_eu = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey, "left_semi"
+    )
+    return supplier.join(
+        F.broadcast(nation_eu), supplier.s_nationkey == nation_eu.n_nationkey, "left_semi"
+    ).select("s_suppkey", "s_name", "s_acctbal")
+
+
+@register(
+    name="distinct_customers_per_status",
+    survey="A8",
+    doc="COUNT(DISTINCT) + plain count in one agg.",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(DISTINCT o_custkey) AS n_customers,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_customers_per_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    name="union_parts_tagged",
+    survey="U1",
+    doc="unionByName of two filtered projections with a literal tag column "
+    "(the correct semantics for the reference's header-once append, 3:51-56).",
+    oracle="""
+        SELECT p_partkey, p_brand, 'small' AS size_class FROM part WHERE p_size <= 10
+        UNION ALL
+        SELECT p_partkey, p_brand, 'large' AS size_class FROM part WHERE p_size >= 45
+    """,
+)
+def union_parts_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part")
+    small = part.where(F.col("p_size") <= 10).select(
+        "p_partkey", "p_brand", F.lit("small").alias("size_class")
+    )
+    large = part.where(F.col("p_size") >= 45).select(
+        "p_partkey", "p_brand", F.lit("large").alias("size_class")
+    )
+    return small.unionByName(large)
+
+
+@register(
+    name="repeat_customers_intersect",
+    survey="U3",
+    doc="INTERSECT (distinct semantics): customers ordering in both 1995 and 1996.",
+    oracle="""
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        INTERSECT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def repeat_customers_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    y95 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y96 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y95.intersect(y96)
+
+
+@register(
+    name="churned_customers_except",
+    survey="U3",
+    doc="EXCEPT (distinct): customers ordering in 1995 but not 1996.",
+    oracle="""
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+        EXCEPT
+        SELECT o_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+    """,
+)
+def churned_customers_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    y95 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    y96 = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_custkey")
+    return y95.subtract(y96)
+
+
+@register(
+    name="global_top_orders",
+    survey="O4",
+    doc="Global deterministic top-k (TakeOrderedAndProject — no full sort).",
+    oracle="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 20
+    """,
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@register(
+    name="rollup_revenue_region_nation",
+    survey="A9 J5",
+    doc="ROLLUP over (region, nation) with exact revenue.",
+    oracle=f"""
+        SELECT r_name, n_name, {oracle_sum(_REV_SQL)} AS revenue
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(exact_sum(_rev(), "revenue"))
+
+
+@register(
+    name="cube_order_counts",
+    survey="A9",
+    doc="CUBE over (status, priority).",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    name="grouping_sets_spend",
+    survey="A9",
+    doc="Explicit GROUPING SETS via Spark SQL text (the engine keeps every "
+    "operator reachable from both DataFrame and SQL, SURVEY.md §3.4).",
+    oracle=f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {oracle_sum('o_totalprice')} AS total_spend
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderstatus, o_orderpriority,
+               {oracle_sum('o_totalprice')} AS total_spend
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
