@@ -9,6 +9,7 @@ reference has no declared schema anywhere — the engine always does).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = [
     "region",
@@ -31,6 +32,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table from an sf directory."""
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects. Read the nanos as long and truncate to micros —
+        # exactly what DuckDB does when it lowers ns to its µs TIMESTAMP
+        # (verified: …275999ns → …275µs), so both engines see identical
+        # values. The conf is dynamic (SQLConf), safe to set on the
+        # driver's session at call time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

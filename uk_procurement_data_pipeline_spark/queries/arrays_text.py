@@ -1,1 +1,282 @@
-"""(queries land here incrementally)"""
+"""Array higher-order-function and text-analysis queries.
+
+Covers the reference's array-fold surface (SURVEY.md §2.4 A1-A5, §2.9
+F17-F21, §2.7 O2/O3) — the idiomatic Spark translation of `pipe_join`
+(2a_extract_contracts_finder.py:147-150), `_join_unique`
+(2b_extract_find_a_tender_XMLs.py:13-15) and the first-match scans
+(2a:75-144) — plus the [NORTH-STAR] text-analysis operators (language-ID
+heuristic, quality scoring, token stats, md5-chain fingerprinting) over
+the `documents` table.
+
+Everything here is built-in column expressions (whole-stage codegen, no
+Python in the hot path); per-row array work never shuffles, so it scales
+linearly with partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_TOKENS = "split(text, ' ')"  # Spark-side tokens expression
+_DTOKENS = "string_split(text, ' ')"  # DuckDB-side tokens expression
+
+# Tiny literal stopword sets for the language-ID heuristic (UD4). The
+# fixture vocabulary is synthetic; the operator shape — array_intersect
+# against per-language lexicons, argmax with a deterministic tie order —
+# is what matters.
+_LEXICON = {
+    "en": ["the", "a", "of", "and", "order", "key"],
+    "fr": ["le", "la", "et", "merge", "slow"],
+    "de": ["der", "die", "und", "batch", "window"],
+    "es": ["el", "la", "y", "filter", "row"],
+    "zh": ["de", "shi", "le", "vector", "hash"],
+}
+
+
+def _arr_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _arr_spark(words: list[str]) -> str:
+    return "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+
+
+@register(
+    name="doc_token_profile",
+    survey="A1 A2 F17 F21 O2 O3",
+    doc="Per-document token folds: the reference's pipe_join ('|'-join of a "
+    "slice, 2a:147-150) and _join_unique (sorted-distinct ';'-join, 2b:13-15) "
+    "as pure array expressions.",
+    oracle=f"""
+        SELECT doc_id,
+               len({_DTOKENS}) AS n_tokens,
+               len(list_distinct({_DTOKENS})) AS n_distinct,
+               {_DTOKENS}[1] AS first_token,
+               {_DTOKENS}[-1] AS last_token,
+               array_to_string(list_sort(list_distinct({_DTOKENS})), ';') AS uniq_sorted,
+               array_to_string({_DTOKENS}[1:5], '|') AS first5_pipe
+        FROM documents
+    """,
+)
+def doc_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"size({_TOKENS}) AS n_tokens",
+        f"size(array_distinct({_TOKENS})) AS n_distinct",
+        f"element_at({_TOKENS}, 1) AS first_token",
+        f"element_at({_TOKENS}, -1) AS last_token",
+        f"array_join(array_sort(array_distinct({_TOKENS})), ';') AS uniq_sorted",
+        f"array_join(slice({_TOKENS}, 1, 5), '|') AS first5_pipe",
+    )
+
+
+@register(
+    name="doc_token_hof",
+    survey="F17 F18 F19 F20 A5",
+    doc="Higher-order functions: aggregate (fold), filter, exists, and a "
+    "transform-over-index bigram build with flatten-style dedup (A5).",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(list_sum(list_transform({_DTOKENS}, t -> length(t))) AS BIGINT)
+                   AS total_chars,
+               len(list_filter({_DTOKENS}, t -> length(t) > 4)) AS n_long,
+               list_contains({_DTOKENS}, 'spark') AS has_spark,
+               len(list_distinct(list_transform(
+                   generate_series(1, len({_DTOKENS}) - 1),
+                   i -> {_DTOKENS}[i] || ' ' || {_DTOKENS}[i+1]))) AS n_distinct_bigrams
+        FROM documents
+    """,
+)
+def doc_token_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"aggregate({_TOKENS}, 0L, (acc, t) -> acc + length(t)) AS total_chars",
+        f"size(filter({_TOKENS}, t -> length(t) > 4)) AS n_long",
+        f"exists({_TOKENS}, t -> t = 'spark') AS has_spark",
+        f"""size(array_distinct(transform(
+            sequence(1, size({_TOKENS}) - 1),
+            i -> concat(element_at({_TOKENS}, i), ' ', element_at({_TOKENS}, i + 1)))))
+            AS n_distinct_bigrams""",
+    )
+
+
+@register(
+    name="wordcount_top20",
+    survey="F17 A7 O4",
+    doc="The classic: explode tokens, count, deterministic top-20.",
+    oracle=f"""
+        SELECT token, COUNT(*) AS n
+        FROM (SELECT unnest({_DTOKENS}) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n DESC, token
+        LIMIT 20
+    """,
+)
+def wordcount_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(_TOKENS)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token"))
+        .limit(20)
+    )
+
+
+@register(
+    name="first_match_pluck",
+    survey="J3 O3 A4 P6",
+    doc="First-match-by-predicate over an array (the reference's "
+    "first-documentType scan 2a:104-117 and first-non-null address scan "
+    "2a:120-144): element_at(filter(...), 1) + coalesce fallback.",
+    oracle=f"""
+        SELECT doc_id,
+               list_filter({_DTOKENS}, t -> t LIKE 's%')[1] AS first_s_token,
+               COALESCE(list_filter({_DTOKENS}, t -> length(t) > 6)[1],
+                        '<none>') AS first_long_or_default
+        FROM documents
+    """,
+)
+def first_match_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"try_element_at(filter({_TOKENS}, t -> t LIKE 's%'), 1) AS first_s_token",
+        f"""coalesce(try_element_at(filter({_TOKENS}, t -> length(t) > 6), 1),
+                     '<none>') AS first_long_or_default""",
+    )
+
+
+@register(
+    name="lang_id_heuristic",
+    survey="UD4 F18 F19",
+    doc="Language-ID by lexicon overlap: array_intersect sizes per language, "
+    "argmax with deterministic tie order (en>fr>de>es>zh).",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {", ".join(
+                       f"len(list_intersect(list_distinct({_DTOKENS}), {_arr_sql(w)})) AS hits_{l}"
+                       for l, w in _LEXICON.items())}
+            FROM documents)
+        SELECT doc_id, lang,
+               CASE GREATEST(hits_en, hits_fr, hits_de, hits_es, hits_zh)
+                    WHEN hits_en THEN 'en' WHEN hits_fr THEN 'fr'
+                    WHEN hits_de THEN 'de' WHEN hits_es THEN 'es'
+                    ELSE 'zh' END AS predicted_lang,
+               hits_en, hits_fr, hits_de, hits_es, hits_zh
+        FROM scored
+    """,
+)
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit_exprs = [
+        f"size(array_intersect(array_distinct({_TOKENS}), {_arr_spark(w)})) AS hits_{l}"
+        for l, w in _LEXICON.items()
+    ]
+    scored = load(spark, sf_dir, "documents").selectExpr("doc_id", "lang", *hit_exprs)
+    return scored.selectExpr(
+        "doc_id",
+        "lang",
+        """CASE greatest(hits_en, hits_fr, hits_de, hits_es, hits_zh)
+                WHEN hits_en THEN 'en' WHEN hits_fr THEN 'fr'
+                WHEN hits_de THEN 'de' WHEN hits_es THEN 'es'
+                ELSE 'zh' END AS predicted_lang""",
+        "hits_en",
+        "hits_fr",
+        "hits_de",
+        "hits_es",
+        "hits_zh",
+    )
+
+
+@register(
+    name="text_quality_score",
+    survey="UD4",
+    doc="Quality scoring: char/token counts, mean token length, stopword "
+    "ratio, composite score — all integer-derived doubles (exact in both "
+    "engines).",
+    oracle=f"""
+        SELECT doc_id,
+               length(text) AS n_chars_measured,
+               len({_DTOKENS}) AS n_tokens,
+               CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                   / CAST(len({_DTOKENS}) AS DOUBLE) AS mean_token_len,
+               CAST(len(list_filter({_DTOKENS},
+                        t -> list_contains({_arr_sql(_LEXICON['en'])}, t))) AS DOUBLE)
+                   / CAST(len({_DTOKENS}) AS DOUBLE) AS stopword_ratio,
+               ROUND(
+                   LEAST(CAST(len({_DTOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.5
+                   + CAST(len(list_distinct({_DTOKENS})) AS DOUBLE)
+                     / CAST(len({_DTOKENS}) AS DOUBLE) * 0.5, 6) AS quality_score
+        FROM documents
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    en = _arr_spark(_LEXICON["en"])
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "length(text) AS n_chars_measured",
+        f"size({_TOKENS}) AS n_tokens",
+        f"""CAST(length(replace(text, ' ', '')) AS DOUBLE)
+            / CAST(size({_TOKENS}) AS DOUBLE) AS mean_token_len""",
+        f"""CAST(size(filter({_TOKENS},
+                 t -> array_contains({en}, t))) AS DOUBLE)
+            / CAST(size({_TOKENS}) AS DOUBLE) AS stopword_ratio""",
+        f"""ROUND(
+            LEAST(CAST(size({_TOKENS}) AS DOUBLE) / 100.0, 1.0) * 0.5
+            + CAST(size(array_distinct({_TOKENS})) AS DOUBLE)
+              / CAST(size({_TOKENS}) AS DOUBLE) * 0.5, 6) AS quality_score""",
+    )
+
+
+@register(
+    name="doc_fingerprint",
+    survey="UD4 F17",
+    doc="Order-sensitive document fingerprint: md5 hash-chain fold over "
+    "tokens (rolling-hash analog; md5 hex is identical across engines).",
+    oracle=f"""
+        SELECT doc_id,
+               list_reduce(list_prepend('', {_DTOKENS}),
+                           (acc, t) -> md5(acc || t)) AS fingerprint
+        FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"aggregate({_TOKENS}, '', (acc, t) -> md5(concat(acc, t))) AS fingerprint",
+    )
+
+
+@register(
+    name="token_stats_per_source",
+    survey="UD4 A7 A8",
+    doc="Corpus token statistics per source: doc/token/distinct-token counts "
+    "and exact mean tokens per doc.",
+    oracle=f"""
+        SELECT source,
+               COUNT(DISTINCT doc_id) AS n_docs,
+               COUNT(*) AS total_tokens,
+               COUNT(DISTINCT token) AS distinct_tokens,
+               CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT doc_id) AS DOUBLE)
+                   AS mean_tokens_per_doc
+        FROM (SELECT source, doc_id, unnest({_DTOKENS}) AS token FROM documents)
+        GROUP BY source
+    """,
+)
+def token_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = (
+        load(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.explode(F.expr(_TOKENS)).alias("token"))
+    )
+    return exploded.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("total_tokens"),
+        F.countDistinct("token").alias("distinct_tokens"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id").cast("double")).alias(
+            "mean_tokens_per_doc"
+        ),
+    )
