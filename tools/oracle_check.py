@@ -73,9 +73,17 @@ def check_one(spark, con, spec, sf_dir: str) -> tuple[bool, str, float]:
 
 def main() -> int:
     args = sys.argv[1:]
-    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
-    names = [a for a in args if "/" not in a]
+    sf_dir = "/root/testdata/sf0.01"
+    names = []
     reg = registry()
+    for a in args:
+        if Path(a).is_dir():
+            sf_dir = a
+        elif a in reg:
+            names.append(a)
+        else:
+            print(f"unknown query or sf dir {a!r}; registered: {sorted(reg)}")
+            return 2
     if names:
         reg = {n: reg[n] for n in names}
     spark = get_spark("oracle-check", master="local[8]", shuffle_partitions=8)

@@ -24,8 +24,10 @@ TABLES = [
     "embeddings",
 ]
 
-# Small dimensions that should always be broadcast in joins (SURVEY.md §2.3 J5).
-BROADCAST_TABLES = {"region", "nation", "supplier", "part", "customer"}
+# Fixed-cardinality dimensions that are always safe to broadcast (SURVEY.md
+# §2.3 J5). customer/part/supplier grow with SF and must NOT be force-broadcast
+# — at the 100 TB design point they are tens of GB; AQE picks their strategy.
+BROADCAST_TABLES = {"region", "nation"}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -37,10 +39,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reader rejects. Read the nanos as long and truncate to micros —
         # exactly what DuckDB does when it lowers ns to its µs TIMESTAMP
         # (verified: …275999ns → …275µs), so both engines see identical
-        # values. The conf is dynamic (SQLConf), safe to set on the
-        # driver's session at call time.
+        # values. The conf is dynamic (SQLConf); the parquet relation
+        # captures it during schema resolution, so force analysis with
+        # df.schema and then RESTORE the previous value — no session-wide
+        # leak into unrelated nanos-parquet reads (ADVICE r01).
+        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+            df.schema  # force schema resolution while the conf is set
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
         return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 

@@ -97,9 +97,13 @@ def doc_token_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"aggregate({_TOKENS}, 0L, (acc, t) -> acc + length(t)) AS total_chars",
         f"size(filter({_TOKENS}, t -> length(t) > 4)) AS n_long",
         f"exists({_TOKENS}, t -> t = 'spark') AS has_spark",
-        f"""size(array_distinct(transform(
+        # Guard: for a 1-token doc sequence(1,0) is the DESCENDING [1,0] in
+        # Spark (element_at(...,0) raises), while DuckDB generate_series(1,0)
+        # is empty → 0 bigrams. Pin both engines to 0 (ADVICE r01).
+        f"""if(size({_TOKENS}) < 2, 0,
+            size(array_distinct(transform(
             sequence(1, size({_TOKENS}) - 1),
-            i -> concat(element_at({_TOKENS}, i), ' ', element_at({_TOKENS}, i + 1)))))
+            i -> concat(element_at({_TOKENS}, i), ' ', element_at({_TOKENS}, i + 1))))))
             AS n_distinct_bigrams""",
     )
 

@@ -93,7 +93,9 @@ def revenue_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        # customer scales with SF — let AQE pick its join strategy; only the
+        # fixed-cardinality dims (nation=25, region=5 rows) are forced.
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("r_name")
@@ -129,7 +131,7 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     bldg = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(bldg), orders.o_custkey == bldg.c_custkey, "left_semi")
+        .join(bldg, orders.o_custkey == bldg.c_custkey, "left_semi")
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(exact_sum(_rev(), "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
@@ -376,7 +378,7 @@ def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region")
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
@@ -403,8 +405,8 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="grouping_sets_spend",
     survey="A9",
-    doc="Explicit GROUPING SETS via Spark SQL text (the engine keeps every "
-    "operator reachable from both DataFrame and SQL, SURVEY.md §3.4).",
+    doc="Explicit GROUPING SETS via DataFrame.groupingSets (Spark 4) — no "
+    "temp-view side effect on the shared session (ADVICE r01).",
     oracle=f"""
         SELECT o_orderstatus, o_orderpriority,
                {oracle_sum('o_totalprice')} AS total_spend
@@ -413,12 +415,9 @@ def cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouping_sets_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        f"""
-        SELECT o_orderstatus, o_orderpriority,
-               {oracle_sum('o_totalprice')} AS total_spend
-        FROM orders
-        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-        """
-    )
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupingSets(
+        [[F.col("o_orderstatus")], [F.col("o_orderpriority")], []],
+        F.col("o_orderstatus"),
+        F.col("o_orderpriority"),
+    ).agg(exact_sum("o_totalprice", "total_spend"))

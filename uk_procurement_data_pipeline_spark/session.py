@@ -38,6 +38,9 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # NOTE: driver memory only takes effect if THIS process starts the
+        # JVM; under getOrCreate against a live session it is silently
+        # ignored — set SPARK_SUBMIT_OPTS for externally-launched JVMs.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
