@@ -1,0 +1,82 @@
+"""Per-query wall-time benchmark over the registered query catalog.
+
+Runs every entry in the driver contract's ``queries()`` registry at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line on stdout:
+
+    {"metric": "total_query_wall", "value": <sum sec>, "unit": "sec",
+     "queries": {"<name>": <sec>, ...}, "sf": <float>, ...}
+
+Timing forces FULL execution with the built-in `noop` sink (every row is
+computed and serialized, nothing is collected to the driver), which is the
+standard Spark benchmarking pattern — `.count()` would let Catalyst prune
+the plan to a count-star. Progress goes to stderr; stdout carries only the
+JSON line so the driver can parse it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from uk_procurement_data_pipeline_spark.queries import registry  # noqa: E402
+from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
+
+
+def _sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
+    return float(m.group(1)) if m else -1.0
+
+
+def run_query(spark, spec, sf_dir: str) -> float:
+    df = spec.fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark("uk-procurement-pipeline-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    reg = registry()
+    # JVM/codegen warmup: one tiny end-to-end job, untimed.
+    warm = next(iter(reg.values()))
+    warm.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name, spec in reg.items():
+        try:
+            secs = run_query(spark, spec, sf_dir)
+            timings[name] = round(secs, 3)
+            print(f"  {name:40s} {secs:7.3f}s", file=sys.stderr)
+        except Exception as e:  # noqa: BLE001 — a broken query must not hide the rest
+            errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
+            print(f"  {name:40s} ERROR {errors[name]}", file=sys.stderr)
+
+    result = {
+        "metric": "total_query_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(sf_dir),
+        "n_queries": len(timings),
+        "cpus": int(cpus),
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    return 1 if errors else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
