@@ -52,6 +52,7 @@ def registry() -> dict[str, QuerySpec]:
         dedup,
         events,
         multimodal,
+        nested,
         ref_pipeline,
         relational,
         similarity,
