@@ -1,1 +1,167 @@
-"""(queries land here incrementally)"""
+"""Deduplication operators over ``documents`` (SURVEY.md §2.5 D2/D3,
+[NORTH-STAR] LLM-pipeline dedup).
+
+D2 exact dedup: content hash + ``row_number`` keyed dedup with tombstone
+status columns — the scale form of the reference's ``seen_uris`` loop
+(2a_extract_contracts_finder.py:226-243), which KEEPS duplicates flagged
+rather than dropping them.
+
+D3 MinHash near-dup: shingle → K md5-minhash signature → banded LSH keys →
+equi-join on (band, key) → exact-Jaccard refine. Never all-pairs: the only
+join is on band keys, so at 100 TB the shuffle is proportional to data
+size, not its square. md5 is used as the hash family because it is
+bit-identical in Spark and DuckDB, making the whole pipeline (including
+which candidate pairs surface) oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+# --- shared expression fragments (Spark SQL / DuckDB SQL) -------------------
+_PFX = "array_join(slice(split(text, ' '), 1, 10), ' ')"
+_D_PFX = "array_to_string(string_split(text, ' ')[1:10], ' ')"
+
+# distinct 3-token shingles
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+    " i -> concat_ws(' ', element_at(split(text,' '), i),"
+    " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))))"
+)
+_D_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),"
+    " i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1]"
+    " || ' ' || string_split(text,' ')[i+2]))"
+)
+
+_K = 12  # minhash signature length
+_BANDS = 4  # LSH bands (of K/BANDS rows each)
+_ROWS = _K // _BANDS
+
+
+@register(
+    name="exact_dedup_docs",
+    survey="D2 W1 E2 F8",
+    doc="Exact/content-hash dedup with tombstones (the scale form of ref "
+    "2a:226-243): sha256 full-text hash; keyed rank over a normalized "
+    "10-token-prefix key; duplicates kept and flagged, not dropped. One "
+    "window shuffle on a high-cardinality key.",
+    oracle=f"""
+        SELECT doc_id,
+               sha256(text) AS content_hash,
+               md5({_D_PFX}) AS norm_key,
+               ROW_NUMBER() OVER (PARTITION BY md5({_D_PFX}) ORDER BY doc_id)
+                   AS rank_in_group,
+               COUNT(*) OVER (PARTITION BY md5({_D_PFX})) AS n_in_group,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY md5({_D_PFX})
+                                            ORDER BY doc_id) = 1
+                    THEN 'ok' ELSE 'near_duplicate_prefix' END AS status
+        FROM documents
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "sha2(text, 256) AS content_hash",
+        f"md5({_PFX}) AS norm_key",
+    )
+    w = Window.partitionBy("norm_key").orderBy("doc_id")
+    return docs.select(
+        "doc_id",
+        "content_hash",
+        "norm_key",
+        F.row_number().over(w).alias("rank_in_group"),
+        F.count(F.lit(1)).over(Window.partitionBy("norm_key")).alias("n_in_group"),
+        F.when(F.row_number().over(w) == 1, "ok")
+        .otherwise("near_duplicate_prefix")
+        .alias("status"),
+    )
+
+
+@register(
+    name="minhash_near_dup",
+    survey="D3 J9-pattern F17 F18 A5",
+    doc="MinHash+LSH near-duplicate pairs: 3-token shingles, K=12 md5 "
+    "minhashes, 4 banded keys, candidate equi-join on (band, key) — never "
+    "all-pairs — then exact-Jaccard refine at 0.8. Both engines compute the "
+    "identical hash family, so the surfaced pairs match exactly.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        sg AS (
+            SELECT doc_id, sh,
+                   list_transform(generate_series(0, {_K - 1}),
+                       i -> list_min(list_transform(sh,
+                            s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
+            FROM d),
+        b AS (
+            SELECT doc_id, t.i AS band_idx,
+                   md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
+                                       '|')) AS band_key
+            FROM sg, generate_series(0, {_BANDS - 1}) t(i)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
+            FROM b a JOIN b z
+              ON a.band_idx = z.band_idx AND a.band_key = z.band_key
+             AND a.doc_id < z.doc_id)
+        SELECT cand.doc_a, cand.doc_b,
+               CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE)
+                   AS jaccard
+        FROM cand
+        JOIN d da ON cand.doc_a = da.doc_id
+        JOIN d db ON cand.doc_b = db.doc_id
+        WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE)
+              >= 0.8
+    """,
+)
+def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    d = docs.selectExpr("doc_id", f"{_SHINGLES} AS sh")
+    sg = d.selectExpr(
+        "doc_id",
+        "sh",
+        f"""transform(sequence(0, {_K - 1}),
+              i -> array_min(transform(sh,
+                   s -> md5(concat(CAST(i AS STRING), ':', s))))) AS sig""",
+    )
+    bands = sg.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {_BANDS - 1}),
+                      b -> struct(b AS band_idx,
+                                  md5(concat_ws('|', slice(sig, b*{_ROWS}+1, {_ROWS})))
+                                      AS band_key))"""
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+    a, z = bands.alias("a"), bands.alias("z")
+    cand = (
+        a.join(
+            z,
+            (F.col("a.band_idx") == F.col("z.band_idx"))
+            & (F.col("a.band_key") == F.col("z.band_key"))
+            & (F.col("a.doc_id") < F.col("z.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("z.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    )
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.8)
+    )

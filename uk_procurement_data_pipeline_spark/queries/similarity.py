@@ -1,1 +1,152 @@
-"""(queries land here incrementally)"""
+"""Similarity search over ``embeddings`` (SURVEY.md §2.3 J9, [NORTH-STAR]).
+
+Two paths, as the north star mandates:
+
+* ``cosine_topk_bruteforce`` — the oracle-able baseline: broadcast the
+  (small) query set against all vectors and fold the dot product with
+  ``zip_with``/``aggregate``. Correct at any scale where the QUERY side is
+  small (the candidate side streams; nothing is collected), but its cost is
+  |Q|×N — the baseline, not the scale path.
+* ``ann_lsh_bucketed`` — the 100 TB path: sign-bit LSH buckets (axis-aligned
+  random-hyperplane family) turn the similarity join into a bucket
+  equi-join; cosine is refined only within buckets. Shuffle is linear in
+  data size; recall is tunable by bucket bits / multi-probe.
+
+Determinism across engines: float32 → double casts are exact; both engines
+fold the product arrays sequentially (Spark ``aggregate``, DuckDB
+``list_reduce``), so dot products, norms, and cosines are bit-identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_TOPK = 5
+_BUCKET_BITS = 4  # sign bits of the leading dims -> 2^4 buckets
+
+# sequential-fold dot product between two float arrays, as double
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+_D_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+_SIGN_BUCKET = (
+    "concat_ws('', transform(slice({v}, 1, " + str(_BUCKET_BITS) + "),"
+    " x -> if(x >= 0, '1', '0')))"
+)
+_D_SIGN_BUCKET = (
+    "array_to_string(list_transform({v}[1:" + str(_BUCKET_BITS) + "],"
+    " x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+)
+
+
+@register(
+    name="cosine_topk_bruteforce",
+    survey="J9 UD4 W1",
+    doc="Brute-force cosine top-k: broadcast query vectors (vec_id % 100 = 0) "
+    "against all embeddings, sequential-fold dot/norms, row_number top-5 per "
+    "query with deterministic (cos DESC, id) tiebreak.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS nrm
+            FROM embeddings),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+            FROM e WHERE vec_id % 100 = 0),
+        p AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_D_DOT.format(a='qv', b='embedding')} / (qn * e.nrm) AS cosine
+            FROM q JOIN e ON e.vec_id <> q.query_id),
+        r AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM p)
+        SELECT query_id, neighbor_id, cosine, rn AS rank
+        FROM r WHERE rn <= {_TOPK}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm",
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS qv", "nrm AS qn"
+    )
+    pairs = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).selectExpr(
+        "query_id",
+        "vec_id AS neighbor_id",
+        f"{_DOT.format(a='qv', b='embedding')} / (qn * nrm) AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _TOPK)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@register(
+    name="ann_lsh_bucketed",
+    survey="J9 UD4 W1 A10",
+    doc="ANN scale path: sign-bit LSH bucket key (axis-aligned hyperplane "
+    "family), candidate equi-join WITHIN buckets only, cosine refine, top-3 "
+    "per query. The similarity join shuffles on bucket keys — linear, never "
+    "all-pairs (SURVEY §4.3 watchlist).",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS nrm,
+                   {_D_SIGN_BUCKET.format(v='embedding')} AS bucket
+            FROM embeddings),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
+            FROM e WHERE vec_id % 100 = 0),
+        p AS (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   {_D_DOT.format(a='qv', b='embedding')} / (qn * e.nrm) AS cosine
+            FROM q JOIN e ON q.bucket = e.bucket AND e.vec_id <> q.query_id),
+        r AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM p)
+        SELECT query_id, neighbor_id, cosine, rn AS rank
+        FROM r WHERE rn <= 3
+    """,
+)
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm",
+        f"{_SIGN_BUCKET.format(v='embedding')} AS bucket",
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS qv", "nrm AS qn", "bucket"
+    )
+    pairs = e.join(
+        q.withColumnRenamed("bucket", "qbucket"),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).selectExpr(
+        "query_id",
+        "vec_id AS neighbor_id",
+        f"{_DOT.format(a='qv', b='embedding')} / (qn * nrm) AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
