@@ -1,1 +1,210 @@
-"""(queries land here incrementally)"""
+"""Event-time windowing over the ``events`` stream fixture (SURVEY.md
+§2.10 ST1-ST2 in batch mode, §2.9 F12-F15 date functions).
+
+The reference's notion of streaming is a calendar-day incremental loop
+(2b_extract_find_a_tender_XMLs.py:502-509); its Spark translation is
+event-time windows. ``window()`` / ``session_window()`` are identical in
+batch and streaming mode, so these queries are oracle-checked in batch and
+re-used verbatim by the streaming tests (tests/test_streaming.py) under
+``readStream`` + ``trigger(availableNow=True)`` with watermarks.
+
+Window starts/ends are emitted as explicit columns (DuckDB ``time_bucket``
+aligns to the same epoch origin as Spark's tumbling windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.functions.exact import exact_sum, oracle_sum
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+
+@register(
+    name="events_tumbling_window",
+    survey="ST1 A7 F15",
+    doc="Tumbling 10-minute event-time window aggregation (batch form; the "
+    "streaming form is the same expression behind a watermark).",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+                   AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {oracle_sum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum("value", "sum_value"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    name="events_sliding_window",
+    survey="ST1 A7",
+    doc="Sliding window (10 min length, 5 min slide): each event lands in "
+    "two windows; oracle is the union of the two tumbling phases.",
+    oracle="""
+        WITH phases AS (
+            SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, value
+            FROM events
+            UNION ALL
+            SELECT time_bucket(INTERVAL '10 minutes', ts, INTERVAL '5 minutes')
+                       AS window_start, value
+            FROM events)
+        SELECT window_start,
+               window_start + INTERVAL '10 minutes' AS window_end,
+               COUNT(*) AS n_events
+        FROM phases
+        GROUP BY 1, 2
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    name="events_session_window",
+    survey="ST2 W2 A7",
+    doc="Session windows per user with a 5-minute gap (batch form). Oracle "
+    "is the classic gaps-and-islands rewrite; Spark's session end is "
+    "last-event + gap.",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             > INTERVAL '5 minutes'
+                        OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events),
+        sessions AS (
+            SELECT user_id, ts, value,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged)
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '5 minutes' AS session_end,
+               COUNT(*) AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    name="monthly_event_calendar",
+    survey="F13 F12 F15 J7 A7",
+    doc="Month-sequence generator (ref 2a:153-161 month_sequence) left-joined "
+    "with per-month event counts: explode(sequence(...)), date_format month "
+    "names (ref 1b:19-32 MONTH_NAMES), zero-filled months.",
+    oracle="""
+        WITH months AS (
+            SELECT unnest(generate_series(DATE '2024-01-01', DATE '2024-12-01',
+                                          INTERVAL 1 MONTH)) AS month_start),
+        per_month AS (
+            SELECT date_trunc('month', ts) AS m, COUNT(*) AS n
+            FROM events GROUP BY 1)
+        SELECT strftime(month_start, '%Y-%m-%d') AS month_start,
+               monthname(month_start) AS month_name,
+               EXTRACT(year FROM month_start) AS year,
+               EXTRACT(month FROM month_start) AS month,
+               COALESCE(n, 0) AS n_events
+        FROM months LEFT JOIN per_month ON CAST(month_start AS TIMESTAMP) = m
+    """,
+)
+def monthly_event_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    months = load(spark, sf_dir, "region").limit(1).selectExpr(  # 1-row seed
+        "explode(sequence(DATE '2024-01-01', DATE '2024-12-01', INTERVAL 1 MONTH))"
+        " AS month_start"
+    )
+    per_month = ev.groupBy(F.date_trunc("month", "ts").alias("m")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        months.join(per_month, months.month_start.cast("timestamp") == per_month.m, "left")
+        .select(
+            F.date_format("month_start", "yyyy-MM-dd").alias("month_start"),
+            F.date_format("month_start", "MMMM").alias("month_name"),
+            F.year("month_start").cast("long").alias("year"),
+            F.month("month_start").cast("long").alias("month"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    name="daily_activity_gaps",
+    survey="F14 F15 A7 J7",
+    doc="Day-sequence generator (the reference's daily loop 2b:502-509 as "
+    "data): explode(sequence(min_day, max_day, 1 day)) x per-day counts, "
+    "surfacing zero-activity days.",
+    oracle="""
+        WITH bounds AS (
+            SELECT CAST(MIN(ts) AS DATE) AS d0, CAST(MAX(ts) AS DATE) AS d1
+            FROM events),
+        days AS (
+            SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+            FROM bounds),
+        per_day AS (
+            SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY 1)
+        SELECT strftime(days.day, '%Y-%m-%d') AS day,
+               COALESCE(n, 0) AS n_events,
+               COALESCE(n_users, 0) AS n_users
+        FROM days LEFT JOIN per_day ON days.day = CAST(per_day.day AS DATE)
+    """,
+)
+def daily_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    days = ev.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    ).selectExpr("explode(sequence(d0, d1, INTERVAL 1 DAY)) AS day")
+    per_day = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n"), F.countDistinct("user_id").alias("n_users")
+    )
+    return (
+        days.join(per_day, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.coalesce("n_users", F.lit(0)).alias("n_users"),
+        )
+    )
