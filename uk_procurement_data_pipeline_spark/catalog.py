@@ -57,6 +57,20 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Redistribute a DataFrame across all cores before CPU-heavy per-row work.
+
+    The fixture parquet files are single-row-group, so Spark scans each as
+    ONE partition regardless of maxPartitionBytes (a row group is the unit
+    of parquet splitting) — and any expensive expression chain then runs on
+    one core. At production scale inputs arrive in many row groups and this
+    is a no-op-sized round-robin shuffle of the raw rows; it must be applied
+    BEFORE the expensive projection so the work lands post-shuffle.
+    """
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register fixture tables as temp views (for spark.sql-based queries)."""
     for name in tables or TABLES:

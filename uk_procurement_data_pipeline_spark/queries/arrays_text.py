@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.catalog import load, spread
 from uk_procurement_data_pipeline_spark.queries.base import register
 
 _TOKENS = "split(text, ' ')"  # Spark-side tokens expression
@@ -92,7 +92,7 @@ def doc_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def doc_token_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "documents").selectExpr(
+    return spread(load(spark, sf_dir, "documents")).selectExpr(
         "doc_id",
         f"aggregate({_TOKENS}, 0L, (acc, t) -> acc + length(t)) AS total_chars",
         f"size(filter({_TOKENS}, t -> length(t) > 4)) AS n_long",

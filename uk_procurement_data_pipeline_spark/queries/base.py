@@ -55,6 +55,7 @@ def registry() -> dict[str, QuerySpec]:
         nested,
         ref_pipeline,
         relational,
+        scalars,
         similarity,
         windows,
     )

@@ -6,12 +6,15 @@ status columns — the scale form of the reference's ``seen_uris`` loop
 (2a_extract_contracts_finder.py:226-243), which KEEPS duplicates flagged
 rather than dropping them.
 
-D3 MinHash near-dup: shingle → K md5-minhash signature → banded LSH keys →
-equi-join on (band, key) → exact-Jaccard refine. Never all-pairs: the only
-join is on band keys, so at 100 TB the shuffle is proportional to data
-size, not its square. md5 is used as the hash family because it is
-bit-identical in Spark and DuckDB, making the whole pipeline (including
-which candidate pairs surface) oracle-checkable.
+D3 MinHash near-dup: shingle → ONE md5 per shingle lowered to a 32-bit int
+→ K affine minhashes ((a_i*h + b_i) mod p, cheap int ops) → banded LSH
+keys → equi-join on (band, key) → exact-Jaccard refine. Never all-pairs:
+the only join is on band keys, so at 100 TB the shuffle is proportional to
+data size, not its square. md5 + hex→int is the base hash because it is
+bit-identical in Spark (conv(substr(md5,1,8),16,10)) and DuckDB
+('0x'||substr(md5,1,8) cast), making the whole pipeline — including which
+candidate pairs surface — oracle-checkable, while the K-fold expansion
+stays in 64-bit integer arithmetic instead of K md5 calls per shingle.
 """
 
 from __future__ import annotations
@@ -19,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.catalog import load, spread
 from uk_procurement_data_pipeline_spark.queries.base import register
 
 # --- shared expression fragments (Spark SQL / DuckDB SQL) -------------------
@@ -41,6 +44,44 @@ _D_SHINGLES = (
 _K = 12  # minhash signature length
 _BANDS = 4  # LSH bands (of K/BANDS rows each)
 _ROWS = _K // _BANDS
+_P = 2147483647  # Mersenne prime 2^31-1; a*h+b stays < 2^62 (no overflow)
+# Fixed affine hash family (a_i odd < 2^31). Shared literals => identical
+# signatures in both engines.
+_AB = [
+    (1664525, 1013904223),
+    (22695477, 1),
+    (1103515245, 12345),
+    (134775813, 1),
+    (214013, 2531011),
+    (69069, 1234567),
+    (1103515221, 11),
+    (48271, 0),
+    (16807, 17),
+    (1588635695, 3),
+    (69621, 95),
+    (1181783497, 7),
+]
+assert len(_AB) == _K
+
+# base hash: first 8 md5 hex chars -> 32-bit int, bit-identical across engines
+_HS = "transform(sh, s -> cast(conv(substr(md5(s), 1, 8), 16, 10) AS bigint))"
+_D_HS = "list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT))"
+
+_SIG = (
+    "array("
+    + ", ".join(
+        f"array_min(transform(hs, h -> ({a}L * h + {b}L) % {_P}))" for a, b in _AB
+    )
+    + ")"
+)
+_D_SIG = (
+    "["
+    + ", ".join(
+        f"list_min(list_transform(hs, h -> (CAST({a} AS BIGINT) * h + {b}) % {_P}))"
+        for a, b in _AB
+    )
+    + "]"
+)
 
 
 @register(
@@ -85,19 +126,17 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="minhash_near_dup",
     survey="D3 J9-pattern F17 F18 A5",
-    doc="MinHash+LSH near-duplicate pairs: 3-token shingles, K=12 md5 "
-    "minhashes, 4 banded keys, candidate equi-join on (band, key) — never "
-    "all-pairs — then exact-Jaccard refine at 0.8. Both engines compute the "
-    "identical hash family, so the surfaced pairs match exactly.",
+    doc="MinHash+LSH near-duplicate pairs: 3-token shingles, one md5 per "
+    "shingle lowered to int, K=12 affine minhashes, 4 banded keys, candidate "
+    "equi-join on (band, key) — never all-pairs — then exact-Jaccard refine "
+    "at 0.8. Both engines compute the identical hash family, so the surfaced "
+    "pairs match exactly.",
     oracle=f"""
         WITH d AS (
             SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
         sg AS (
-            SELECT doc_id, sh,
-                   list_transform(generate_series(0, {_K - 1}),
-                       i -> list_min(list_transform(sh,
-                            s -> md5(CAST(i AS VARCHAR) || ':' || s)))) AS sig
-            FROM d),
+            SELECT doc_id, sh, {_D_SIG} AS sig
+            FROM (SELECT doc_id, sh, {_D_HS} AS hs FROM d)),
         b AS (
             SELECT doc_id, t.i AS band_idx,
                    md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
@@ -121,14 +160,10 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = spread(load(spark, sf_dir, "documents"))
     d = docs.selectExpr("doc_id", f"{_SHINGLES} AS sh")
-    sg = d.selectExpr(
-        "doc_id",
-        "sh",
-        f"""transform(sequence(0, {_K - 1}),
-              i -> array_min(transform(sh,
-                   s -> md5(concat(CAST(i AS STRING), ':', s))))) AS sig""",
+    sg = d.selectExpr("doc_id", "sh", f"{_HS} AS hs").selectExpr(
+        "doc_id", "sh", f"{_SIG} AS sig"
     )
     bands = sg.select(
         "doc_id",
@@ -136,8 +171,9 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(
                 f"""transform(sequence(0, {_BANDS - 1}),
                       b -> struct(b AS band_idx,
-                                  md5(concat_ws('|', slice(sig, b*{_ROWS}+1, {_ROWS})))
-                                      AS band_key))"""
+                                  md5(concat_ws('|', transform(
+                                      slice(sig, b*{_ROWS}+1, {_ROWS}),
+                                      x -> cast(x AS string)))) AS band_key))"""
             )
         ).alias("band"),
     ).select("doc_id", "band.band_idx", "band.band_key")
