@@ -51,6 +51,7 @@ def registry() -> dict[str, QuerySpec]:
         arrays_text,
         dedup,
         events,
+        ingest,
         multimodal,
         nested,
         ref_pipeline,
@@ -58,6 +59,7 @@ def registry() -> dict[str, QuerySpec]:
         scalars,
         similarity,
         windows,
+        xml_notices,
     )
 
     return dict(_REGISTRY)

@@ -1,0 +1,120 @@
+"""Ingest-stage and Python-UDF-surface queries (SURVEY.md §2.11 UD1/UD5,
+§2.9 F22, §2.12 E2).
+
+These are the engine's sanctioned Python islands: the HTTP fetch stage
+(`mapInPandas`, UD1 — the reference's 2a:32-48 retry loop) and a grouped
+`applyInPandas` op (UD5). Both are Arrow-batched and emit results a DuckDB
+oracle reproduces exactly — the fake transport's payload is a pure md5
+function of the URI, and the grouped op returns integer/date outputs only
+(pandas float arithmetic is never hash-compared).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load, spread
+from uk_procurement_data_pipeline_spark.queries.base import register
+from uk_procurement_data_pipeline_spark.sources.http_fetch import (
+    fake_transport,
+    fetch_json_stage,
+)
+
+_PAYLOAD_SCHEMA = "uri string, ocid string, amount bigint"
+
+
+def _no_sleep(_: float) -> None:
+    """Skip retry backoff for the deterministic fake (failures never heal)."""
+
+
+@register(
+    name="fetch_json_notices",
+    survey="UD1 S4 F22 E2 P6",
+    doc="The reference's fetch loop (2a:32-48 + 2a:246-254) as a "
+    "mapInPandas stage: batched fetch with retry + status columns, then "
+    "declarative from_json extraction. Offline fake transport derives the "
+    "payload from md5(uri), so the oracle recomputes every field.",
+    oracle="""
+        WITH u AS (
+            SELECT 'https://example.org/api/notice/' || o_orderkey AS uri,
+                   substr(md5('https://example.org/api/notice/' || o_orderkey),
+                          1, 1) = '0' AS failed
+            FROM orders WHERE o_orderkey % 20 = 0)
+        SELECT uri,
+               CASE WHEN failed THEN NULL
+                    ELSE 'ocds-' || substr(md5(uri), 1, 12) END AS ocid,
+               CASE WHEN failed THEN NULL
+                    ELSE CAST(('0x' || substr(md5(uri), 13, 6)) AS BIGINT)
+                    END AS amount,
+               CASE WHEN failed THEN 'fetch_failed_or_invalid_json'
+                    ELSE 'ok' END AS status
+        FROM u
+    """,
+)
+def fetch_json_notices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    uris = (
+        spread(load(spark, sf_dir, "orders"))
+        .where("o_orderkey % 20 = 0")
+        .selectExpr("concat('https://example.org/api/notice/', o_orderkey) AS uri")
+    )
+    fetched = fetch_json_stage(uris, transport=fake_transport, sleep=_no_sleep)
+    parsed = fetched.withColumn("j", F.from_json("payload", _PAYLOAD_SCHEMA))
+    return parsed.select(
+        "uri",
+        F.col("j.ocid").alias("ocid"),
+        F.col("j.amount").alias("amount"),
+        "status",
+    )
+
+
+_SPAN_SCHEMA = (
+    "o_custkey bigint, n_orders bigint, first_date string, last_date string, "
+    "max_gap_days bigint"
+)
+
+
+def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-customer order-history profile (pure-pandas grouped map)."""
+    d = pdf.sort_values(["o_orderdate", "o_orderkey"])["o_orderdate"]
+    gaps = d.diff().dt.days.dropna()
+    return pd.DataFrame(
+        {
+            "o_custkey": [pdf["o_custkey"].iloc[0]],
+            "n_orders": [len(pdf)],
+            "first_date": [d.iloc[0].strftime("%Y-%m-%d")],
+            "last_date": [d.iloc[-1].strftime("%Y-%m-%d")],
+            "max_gap_days": [int(gaps.max()) if len(gaps) else 0],
+        }
+    )
+
+
+@register(
+    name="customer_order_spans",
+    survey="UD5 A7 W2 F15",
+    doc="Grouped-map applyInPandas (UD5): per-customer order-history span "
+    "profile computed in pandas — integer/date outputs only, so the window-"
+    "function oracle matches exactly. One shuffle on o_custkey.",
+    oracle="""
+        WITH g AS (
+            SELECT o_custkey, o_orderdate,
+                   o_orderdate - LAG(o_orderdate) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS gap
+            FROM orders)
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
+               strftime(MAX(o_orderdate), '%Y-%m-%d') AS last_date,
+               COALESCE(MAX(CAST(datepart('day', gap) AS BIGINT)), 0)
+                   AS max_gap_days
+        FROM g
+        GROUP BY o_custkey
+    """,
+)
+def customer_order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate"
+    )
+    return orders.groupBy("o_custkey").applyInPandas(_order_spans, schema=_SPAN_SCHEMA)

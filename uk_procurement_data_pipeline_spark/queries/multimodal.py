@@ -1,1 +1,170 @@
-"""(queries land here incrementally)"""
+"""Multimodal column plumbing (SURVEY.md §2.11 UD4, [NORTH-STAR]).
+
+Media assets are opaque ``binary`` columns plus a typed metadata struct —
+the pattern a 100 TB training-data pipeline needs: the bytes stay
+unparsed through shuffles and pruning; only explicitly-invoked Arrow
+stages touch them. The container has no image/audio codecs, so the
+*decode* step is stubbed (`decode_media` raises NotImplementedError; a
+deterministic fake is injectable for tests) while everything Spark-side —
+schema, batch shape, partitioning, UDF signatures — is real and tested
+(tests/test_multimodal.py).
+
+``documents.text`` stands in for the raw asset: payload = utf-8 bytes,
+so every derived value is reproducible in the oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401
+
+from uk_procurement_data_pipeline_spark.catalog import load, spread
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+# binary payload + typed metadata (media_type/format tagged at ingest)
+ASSET_DDL = (
+    "doc_id bigint, payload binary, media_type string, fmt string, n_bytes bigint"
+)
+
+FEATURE_SCHEMA = "doc_id bigint, n_bytes bigint, byte_hist array<bigint>"
+_HIST_BUCKETS = 8
+
+DECODE_SCHEMA = "doc_id bigint, width int, height int, n_frames int"
+
+# (doc_id, payload bytes) -> (width, height, n_frames)
+Decoder = Callable[[int, bytes], tuple[int, int, int]]
+
+
+def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest shape: opaque payload column + metadata struct columns."""
+    return load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "encode(text, 'utf-8') AS payload",
+        "'text' AS media_type",
+        "'utf-8' AS fmt",
+        "octet_length(encode(text, 'utf-8')) AS n_bytes",
+    )
+
+
+def byte_histogram_features(assets: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the payload bytes.
+
+    A stand-in for embed/resize/frame-sample: per-asset bucketed byte
+    histogram (integer counts — deterministic). The batch shape (one
+    row in → one row out, vector column out) matches what a real codec
+    stage produces.
+    """
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "n_bytes": [], "byte_hist": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                hist = [0] * _HIST_BUCKETS
+                for b in buf:
+                    hist[b * _HIST_BUCKETS // 256] += 1
+                out["doc_id"].append(doc_id)
+                out["n_bytes"].append(len(buf))
+                out["byte_hist"].append(hist)
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        featurize, schema=FEATURE_SCHEMA
+    )
+
+
+def fake_decoder(doc_id: int, payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decoder: dimensions derived from the bytes."""
+    return (len(payload) % 640 + 1, len(payload) % 480 + 1, doc_id % 30 + 1)
+
+
+def real_decoder(doc_id: int, payload: bytes) -> tuple[int, int, int]:
+    """Actual media decode — requires codec libs absent from this
+    container. STUB: wire Pillow/ffmpeg here when available."""
+    raise NotImplementedError(
+        "media decoding requires image/audio libraries not installed here; "
+        "inject fake_decoder (tests) or a codec-backed Decoder (production)"
+    )
+
+
+def decode_media(assets: DataFrame, decoder: Decoder = real_decoder) -> DataFrame:
+    """Decode stage with injectable codec; plumbing (schema, batching,
+    error-free row mapping) is identical for the real and fake decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "n_frames": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, n = decoder(int(doc_id), bytes(payload))
+                out["doc_id"].append(doc_id)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(n)
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+@register(
+    name="binary_meta_profile",
+    survey="UD4 F7 A7 P6",
+    doc="Opaque-binary metadata profile: byte length, content digest, "
+    "magic-byte prefix (the hex head a format sniffer would dispatch on), "
+    "all computed JVM-side on the binary payload — no Python in this path.",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS content_sha,
+               substr(hex(encode(text)), 1, 8) AS magic_hex,
+               'text' AS media_type
+        FROM documents
+    """,
+)
+def binary_meta_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return assets_from_documents(spark, sf_dir).selectExpr(
+        "doc_id",
+        "octet_length(payload) AS n_bytes",
+        "sha2(payload, 256) AS content_sha",
+        "substr(hex(payload), 1, 8) AS magic_hex",
+        "media_type",
+    )
+
+
+@register(
+    name="byte_histogram_profile",
+    survey="UD4 A7",
+    doc="Arrow feature-extraction stage over binary payloads (mapInPandas, "
+    "one row -> one histogram vector). Integer outputs; oracle recomputes "
+    "the bucketed byte histogram from the utf-8 text bytes in SQL.",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id,
+                   unnest(generate_series(1, octet_length(encode(text)))) AS i,
+                   encode(text) AS raw
+            FROM documents),
+        codes AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(hex(raw), i * 2 - 1, 2)) AS INT) AS code
+            FROM b)
+        SELECT doc_id,
+               code * {_HIST_BUCKETS} // 256 AS bucket,
+               COUNT(*) AS n
+        FROM codes
+        GROUP BY 1, 2
+    """,
+)
+def byte_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = byte_histogram_features(
+        spread(assets_from_documents(spark, sf_dir))
+    )
+    return (
+        feats.select(
+            "doc_id",
+            F.posexplode("byte_hist").alias("bucket", "n"),
+        )
+        .where(F.col("n") > 0)
+        .select("doc_id", F.col("bucket").cast("long"), F.col("n").cast("long"))
+    )

@@ -1,0 +1,57 @@
+"""CSV source with declared schema and error tolerance (SURVEY.md §2.1 S1,
+§2.12 E1/E3/E4).
+
+The reference reads daily CSVs with pandas, skipping unreadable files with
+a log line (2a_extract_contracts_finder.py:212-216) and deriving the day
+key from the filename (2a:63-72). Spark-first shape: schema-declared
+PERMISSIVE read where malformed lines land in a corrupt-record column
+(rows, not exceptions), lineage from ``_metadata.file_path``, and the
+filename→date key as a derived column — so "skip and log" becomes "keep
+and flag", queryable like any other data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CORRUPT_COL = "_corrupt_record"
+
+
+def read_csv_tolerant(
+    spark: SparkSession, path_glob: str, schema_ddl: str, header: bool = True
+) -> DataFrame:
+    """S1/E1/E3: PERMISSIVE csv scan; malformed rows become flagged rows."""
+    schema = f"{schema_ddl}, {CORRUPT_COL} string"
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .csv(path_glob)
+    )
+
+
+def with_lineage(df: DataFrame) -> DataFrame:
+    """E4: source file + stable within-file row id (ref 2a:496-497).
+
+    ``_metadata`` is the modern ``input_file_name()``;
+    ``monotonically_increasing_id`` encodes (partition, row) — unique and
+    stable for a given read, exactly the reference's ``row_index`` role.
+    """
+    return df.select(
+        "*",
+        F.col("_metadata.file_path").alias("source_file"),
+        F.monotonically_increasing_id().alias("row_index"),
+    )
+
+
+def file_date_key(df: DataFrame, col: str = "source_file") -> DataFrame:
+    """J4: derive the (year, month, day) partition key from the filename."""
+    pat = r"(\d{4})-(\d{2})-(\d{2})"
+    return df.select(
+        "*",
+        F.regexp_extract(col, pat, 1).cast("int").alias("file_year"),
+        F.regexp_extract(col, pat, 2).cast("int").alias("file_month"),
+        F.regexp_extract(col, pat, 3).cast("int").alias("file_day"),
+    )

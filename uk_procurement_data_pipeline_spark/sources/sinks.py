@@ -1,0 +1,59 @@
+"""Sinks (SURVEY.md §2.1 S6/S7/S8, §2.12 E5).
+
+The reference writes one Excel file per day (2a:654, 2b:498), appends
+daily frames to a single CSV with header-once bookkeeping
+(3_merge_to_two.py:41-57), and downloads raw bytes to dated paths
+(1a:152-157). Spark-first equivalents: partitioned parquet (per-day file
+== one partition), a single overwrite CSV write after union (header-once
+bookkeeping disappears), and a foreachPartition binary writer for the
+landing zone. ``observe`` attaches row-count metrics to any write (E5 —
+the reference's tqdm/progress counts as queryable metrics).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """S7: the engine's canonical sink — partition pruning on read-back."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def write_csv_merged(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """S8: merged CSV output (ref 3:41-57). One header, no append
+    bookkeeping — the union happened upstream. coalesce(1) mirrors the
+    reference's single-file contract; drop it for sharded output at scale."""
+    df.coalesce(1).write.mode(mode).option("header", True).csv(path)
+
+
+def write_binary_files(
+    df: DataFrame, out_dir: str, name_col: str = "name", payload_col: str = "payload"
+) -> None:
+    """S6: landing-zone byte sink via foreachPartition (ref 1a:152-157).
+
+    Executor-side writes, one file per row; out_dir must be a shared
+    filesystem (object store in production, local dir under local[*]).
+    """
+    out = str(out_dir)
+
+    def write_partition(rows) -> None:
+        base = Path(out)
+        base.mkdir(parents=True, exist_ok=True)
+        for row in rows:
+            target = base / row[name_col]
+            target.parent.mkdir(parents=True, exist_ok=True)
+            target.write_bytes(row[payload_col])
+
+    df.select(name_col, payload_col).foreachPartition(write_partition)
+
+
+def observed_count(df: DataFrame, name: str = "sink") -> tuple[DataFrame, Observation]:
+    """E5: attach row/null-free metrics; read obs.get after an action."""
+    obs = Observation(name)
+    return df.observe(obs, F.count(F.lit(1)).alias("n_rows")), obs
