@@ -1,0 +1,141 @@
+"""Golden-file tests for the reference pipeline's heart (SURVEY.md §5.2
+item 3): miniature OCDS JSON and TED/UK-2023 XML documents under
+tests/fixtures/ flattened to pinned expected values. These pin the exact
+semantics of the ~110-column flatten (ref 2a:257-643) and the dual-dialect
+XML extraction (ref 2b:193-249 / 2b:374-429) where the DuckDB oracle
+can't follow (file reads, xpath)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+# OCDS release schema — the subset of fields the golden doc exercises
+OCDS_DDL = """
+    ocid string, date string, tag array<string>,
+    buyer struct<id string, name string>,
+    parties array<struct<id string, name string, roles array<string>,
+        address struct<postalCode string, region string, countryName string>>>,
+    tender struct<id string, title string, status string,
+        value struct<amount double, currency string>,
+        documents array<struct<id string, documentType string, url string>>>,
+    awards array<struct<id string, status string,
+        value struct<amount double, currency string>,
+        suppliers array<struct<id string, name string>>,
+        items array<struct<id string,
+            classification struct<scheme string, id string>,
+            deliveryAddresses array<struct<postalCode string, region string>>>>>>
+"""
+
+
+def _release(spark, fixtures_dir):
+    raw = spark.read.text(str(fixtures_dir / "ocds_release.json"), wholetext=True)
+    return raw.select(F.from_json("value", OCDS_DDL).alias("r"))
+
+
+def test_ocds_flatten_golden(spark, fixtures_dir):
+    flat = _release(spark, fixtures_dir).selectExpr(
+        "r.ocid AS ocid",
+        # J1 keyed first-match (ref 2a:82-91 find_buyer_party)
+        "element_at(filter(r.parties, p -> p.id = r.buyer.id), 1).address.postalCode"
+        " AS buyer_postcode",
+        # J2 role-membership filter (ref 2a:94-101 find_supplier_parties)
+        """array_join(transform(filter(r.parties,
+            p -> array_contains(p.roles, 'supplier')), p -> p.name), '|')
+            AS suppliers_pipe""",
+        # J3 predicate first-match (ref 2a:104-117)
+        """element_at(filter(r.tender.documents,
+            d -> d.documentType = 'tenderNotice'), 1).url AS tender_notice_url""",
+        # F20 two-level flatten + A2 distinct-sorted (ref 2a:360-367)
+        """array_join(array_sort(array_distinct(transform(
+            flatten(transform(r.awards, a -> flatten(transform(a.items,
+                i -> i.deliveryAddresses)))), ad -> ad.postalCode))), ';')
+            AS delivery_postcodes""",
+        # F17+A1 pipe_join over award suppliers (ref 2a:423-449)
+        """array_join(flatten(transform(r.awards,
+            a -> transform(a.suppliers, s -> s.id))), '|') AS award_supplier_ids""",
+        # A5 flatten+dedupe roles
+        """array_join(array_sort(array_distinct(flatten(
+            transform(r.parties, p -> p.roles)))), ';') AS all_roles""",
+        "r.tender.value.amount AS tender_amount",
+        "size(r.awards) AS n_awards",
+    )
+    row = flat.first()
+    assert row["ocid"] == "ocds-b5fd17-001"
+    assert row["buyer_postcode"] == "EC1A 1AA"
+    assert row["suppliers_pipe"] == "Alpha Ltd|Beta Plc"
+    assert row["tender_notice_url"] == "http://x/t"
+    assert row["delivery_postcodes"] == "EC1A 1AA;N1 9GU;SE1 7PB"
+    assert row["award_supplier_ids"] == "GB-COH-111|GB-COH-222"
+    assert row["all_roles"] == "buyer;supplier;tenderer"
+    assert row["tender_amount"] == 125000.0
+    assert row["n_awards"] == 1
+
+
+def test_ocds_null_guarded_access(spark, fixtures_dir):
+    # P6: parties without an address dot-path to null, not an error
+    flat = _release(spark, fixtures_dir).selectExpr(
+        "transform(r.parties, p -> p.address.region) AS regions"
+    )
+    assert flat.first()["regions"] == ["London", None, None, None]
+
+
+def _xml_df(spark, fixtures_dir, name):
+    raw = spark.read.text(str(fixtures_dir / name), wholetext=True)
+    return raw.select(F.col("value").alias("xml"))
+
+
+def test_uk2023_xml_golden(spark, fixtures_dir):
+    row = (
+        _xml_df(spark, fixtures_dir, "uk2023_notice.xml")
+        .selectExpr(
+            "xpath_string(xml, '/UK4_2023/id') AS notice_id",
+            "xpath_string(xml, '/UK4_2023/NOTICE_TYPE/@CODE') AS form_code",
+            "xpath_string(xml, \"/UK4_2023/ORGANISATION[@ROLE='buyer']/NAME\")"
+            " AS buyer_name",
+            "xpath_string(xml, '//NUTS/@CODE') AS nuts",
+            "CAST(xpath_string(xml,"
+            " \"//VALUE[@TYPE='ESTIMATED_TOTAL']/text()\") AS BIGINT) AS est_value",
+            "CAST(xpath_string(xml, \"//VALUE[@TYPE='AWARDED']/text()\") AS BIGINT)"
+            " AS awarded_value",
+            "xpath_string(xml, \"//URI_DOC[@LG='EN']/text()\") AS doc_url",
+            'regexp_extract(xml, \'xmlns="([^"]+)"\', 1) AS ns_uri',
+        )
+        .first()
+    )
+    assert row["notice_id"] == "fat-2024-0042"
+    assert row["form_code"] == "UK4"
+    assert row["buyer_name"] == "City Council"
+    assert row["nuts"] == "UKI3"
+    assert row["est_value"] == 125000 and row["awarded_value"] == 120000
+    assert row["doc_url"] == "http://example.org/notice/42"
+    assert row["ns_uri"] == "urn:fat:uk2023"
+
+
+def test_ted_xml_golden_and_dialect_union(spark, fixtures_dir):
+    # U2: both dialects parse into ONE schema then unionByName
+    uk = _xml_df(spark, fixtures_dir, "uk2023_notice.xml").selectExpr(
+        "xpath_string(xml, '/UK4_2023/id') AS notice_id",
+        "'UK2023' AS dialect",
+        "CAST(xpath_string(xml, \"//VALUE[@TYPE='ESTIMATED_TOTAL']/text()\")"
+        " AS BIGINT) AS est_value",
+        "xpath_string(xml, '//TD_DOCUMENT_TYPE/@CODE') AS td_code",
+    )
+    ted = _xml_df(spark, fixtures_dir, "ted_notice.xml").selectExpr(
+        "xpath_string(xml, '/TED_EXPORT/id') AS notice_id",
+        "'TED' AS dialect",
+        "CAST(xpath_string(xml, \"//VALUE[@TYPE='ESTIMATED_TOTAL']/text()\")"
+        " AS BIGINT) AS est_value",
+        "xpath_string(xml, '//TD_DOCUMENT_TYPE/@CODE') AS td_code",
+    )
+    both = {r["dialect"]: r for r in uk.unionByName(ted).collect()}
+    assert both["UK2023"]["notice_id"] == "fat-2024-0042"
+    assert both["TED"]["notice_id"] == "ted-123456-2024"
+    assert both["TED"]["est_value"] == 90000
+    assert both["TED"]["td_code"] == "7"  # F26 attribute extraction
+    assert both["UK2023"]["td_code"] == ""  # absent path -> empty string
+    # F27 dispatch: root tag decides the parser family
+    probe = _xml_df(spark, fixtures_dir, "ted_notice.xml").selectExpr(
+        "CASE WHEN xpath_boolean(xml, '/UK4_2023') OR xpath_boolean(xml, '/UK7_2023')"
+        " THEN 'UK2023' ELSE 'TED' END AS family"
+    )
+    assert probe.first()["family"] == "TED"

@@ -1,0 +1,69 @@
+"""Sinks + observability (S6/S7/S8, E5): write/read round-trips, partition
+pruning on read-back, header handling, executor-side binary writes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.sources.sinks import (
+    observed_count,
+    write_binary_files,
+    write_csv_merged,
+    write_partitioned_parquet,
+)
+
+
+def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    write_partitioned_parquet(orders, out, ["year"])
+
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+
+    pruned = back.where("year = 1995")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    # partition pruning must reach the scan: only the 1995 directory is read
+    assert "PartitionFilters" in plan and "1995" in plan
+    assert pruned.count() == orders.where("year = 1995").count()
+
+
+def test_partitioned_write_is_one_dir_per_key(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = tmp_path / "py"
+    write_partitioned_parquet(orders, str(out), ["year"])
+    years = {d.name for d in out.iterdir() if d.name.startswith("year=")}
+    expect = {
+        f"year={r['year']}" for r in orders.select("year").distinct().collect()
+    }
+    assert years == expect
+
+
+def test_csv_merged_single_file_single_header(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, name string")
+    out = tmp_path / "merged"
+    write_csv_merged(df, str(out))
+    parts = list(out.glob("part-*.csv"))
+    assert len(parts) == 1  # S8: one merged file
+    lines = parts[0].read_text().strip().splitlines()
+    assert lines[0] == "id,name" and len(lines) == 3  # header once
+
+
+def test_binary_file_sink_writes_payload_bytes(spark, tmp_path):
+    rows = [("2024/03/a.bin", bytearray(b"\x00\x01")), ("2024/03/b.bin", bytearray(b"xyz"))]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    out = tmp_path / "landing"
+    write_binary_files(df, str(out), "name", "payload")
+    assert (out / "2024/03/a.bin").read_bytes() == b"\x00\x01"
+    assert (out / "2024/03/b.bin").read_bytes() == b"xyz"
+
+
+def test_observed_count_metric(spark, sf_dir):
+    df = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    observed, obs = observed_count(df, "ingest")
+    n = observed.count()
+    assert obs.get["n_rows"] == n > 0  # E5: metric matches the action

@@ -1,0 +1,111 @@
+"""Structured Streaming (ST1-ST5): batch==stream equivalence for windowed
+aggregation, watermark config, stateful dedup, and exactly-once
+availableNow file ingest. Uses the events fixture replayed through a temp
+directory as the 'arriving files' source."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.streaming.events_stream import (
+    read_events_stream,
+    run_available_now,
+    session_counts,
+    stream_dedup,
+    windowed_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, sf_dir, tmp_path_factory):
+    """Events fixture split into two 'daily arrival' parquet files."""
+    from uk_procurement_data_pipeline_spark.catalog import load
+
+    d = tmp_path_factory.mktemp("stream_src")
+    ev = load(spark, sf_dir, "events")  # handles the fixture's nanos ts
+    a, b = ev.randomSplit([0.5, 0.5], seed=7)
+    a.coalesce(1).write.parquet(str(d / "day1"))
+    b.coalesce(1).write.parquet(str(d / "day2"))
+    return d
+
+
+def _read_all(spark, stream_src):
+    return read_events_stream(spark, str(stream_src / "day*"))
+
+
+def test_stream_windowed_counts_equal_batch(spark, stream_src, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(windowed_counts(_read_all(spark, stream_src)), out, ckpt)
+
+    got = spark.read.parquet(out)
+    batch = (
+        spark.read.parquet(str(stream_src / "day*"))
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+        )
+    )
+    # Append mode emits a window only once the watermark passes its end;
+    # windows inside the final 10-minute horizon stay in state at stream
+    # end. So: stream ⊆ batch, and the only batch windows missing from the
+    # stream are those the watermark had not yet released.
+    assert got.subtract(batch).count() == 0
+    max_ts = spark.read.parquet(str(stream_src / "day*")).agg(F.max("ts")).first()[0]
+    withheld = batch.subtract(got)
+    assert withheld.count() < batch.count() * 0.01  # only the tail
+    late_bound = [
+        r
+        for r in withheld.collect()
+        if not (r["window_end"].timestamp() > max_ts.timestamp() - 600)
+    ]
+    assert late_bound == []
+
+
+def test_stream_session_counts_schema_and_totals(spark, stream_src, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(session_counts(_read_all(spark, stream_src)), out, ckpt)
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {"user_id", "session_start", "session_end", "n_events"}
+    total = got.agg(F.sum("n_events")).first()[0]
+    n_src = spark.read.parquet(str(stream_src / "day*")).count()
+    # sessions still open inside the final watermark horizon stay in state
+    assert 0.98 * n_src <= total <= n_src
+
+
+def test_stream_dedup_drops_duplicate_event_ids(spark, tmp_path):
+    src = tmp_path / "dup_src"
+    rows = [
+        (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+        (1, "2024-01-01 10:00:30", 1, "click", 1.0, "{}"),  # dup id within watermark
+        (2, "2024-01-01 10:01:00", 1, "view", 2.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.coalesce(1).write.parquet(str(src / "f1"))
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, str(src / "f*"))
+    run_available_now(stream_dedup(stream), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 2  # ST4: second event_id=1 dropped
+    assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
+
+
+def test_available_now_is_exactly_once_per_file(spark, stream_src, tmp_path):
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    stream = _read_all(spark, stream_src)
+    passthrough = stream.select("event_id")
+    run_available_now(passthrough, out, ckpt)
+    n1 = spark.read.parquet(out).count()
+    # re-trigger with the same checkpoint: no files re-processed (ST5)
+    run_available_now(passthrough, out, ckpt)
+    n2 = spark.read.parquet(out).count()
+    assert n1 == n2 == spark.read.parquet(str(stream_src / "day*")).count()

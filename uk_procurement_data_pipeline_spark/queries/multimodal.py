@@ -45,7 +45,7 @@ def assets_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encode(text, 'utf-8') AS payload",
         "'text' AS media_type",
         "'utf-8' AS fmt",
-        "octet_length(encode(text, 'utf-8')) AS n_bytes",
+        "CAST(octet_length(encode(text, 'utf-8')) AS BIGINT) AS n_bytes",
     )
 
 

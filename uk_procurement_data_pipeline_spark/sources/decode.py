@@ -13,6 +13,7 @@ import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 UTF8 = "utf-8"
 FALLBACK = "latin-1"
@@ -28,12 +29,12 @@ def try_decode_bytes(raw: bytes | None) -> tuple[str | None, str | None]:
         return raw.decode(FALLBACK, errors="replace"), FALLBACK
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def try_decode(raw: pd.Series) -> pd.Series:
     return raw.map(lambda b: try_decode_bytes(b)[0])
 
 
-@pandas_udf("string")
+@pandas_udf(StringType())
 def decode_encoding_used(raw: pd.Series) -> pd.Series:
     """Which encoding decoded each value — a lineage/quality column (E4)."""
     return raw.map(lambda b: try_decode_bytes(b)[1])
