@@ -54,8 +54,8 @@ def _no_sleep(_: float) -> None:
     """,
 )
 def fetch_json_notices(spark: SparkSession, sf_dir: str) -> DataFrame:
-    uris = (
-        spread(load(spark, sf_dir, "orders"))
+    uris = spread(
+        load(spark, sf_dir, "orders")
         .where("o_orderkey % 20 = 0")
         .selectExpr("concat('https://example.org/api/notice/', o_orderkey) AS uri")
     )
@@ -76,15 +76,24 @@ _SPAN_SCHEMA = (
 
 
 def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-customer order-history profile (pure-pandas grouped map)."""
-    d = pdf.sort_values(["o_orderdate", "o_orderkey"])["o_orderdate"]
-    gaps = d.diff().dt.days.dropna()
+    """Per-customer order-history profile (pure-numpy grouped map).
+
+    Called once per group: keep the body allocation-light (lexsort +
+    diff on the raw int64 day array, no per-group pandas sort).
+    """
+    import numpy as np
+
+    days = pdf["o_orderdate"].values.astype("datetime64[D]")
+    order = np.lexsort((pdf["o_orderkey"].values, days))
+    d = days[order].astype("int64")
+    gaps = np.diff(d)
+    epoch = np.datetime64("1970-01-01", "D")
     return pd.DataFrame(
         {
             "o_custkey": [pdf["o_custkey"].iloc[0]],
             "n_orders": [len(pdf)],
-            "first_date": [d.iloc[0].strftime("%Y-%m-%d")],
-            "last_date": [d.iloc[-1].strftime("%Y-%m-%d")],
+            "first_date": [str(epoch + d[0])],
+            "last_date": [str(epoch + d[-1])],
             "max_gap_days": [int(gaps.max()) if len(gaps) else 0],
         }
     )
@@ -94,15 +103,18 @@ def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
     name="customer_order_spans",
     survey="UD5 A7 W2 F15",
     doc="Grouped-map applyInPandas (UD5): per-customer order-history span "
-    "profile computed in pandas — integer/date outputs only, so the window-"
-    "function oracle matches exactly. One shuffle on o_custkey.",
+    "profile computed in numpy/pandas — integer/date outputs only, so the "
+    "window-function oracle matches exactly. One shuffle on o_custkey. "
+    "Bounded to a deterministic 1/5 customer sample: grouped-map pays a "
+    "per-group Python round-trip, so the demo keeps group count explicit "
+    "(production use is for LARGE per-group logic, not per-row scalars).",
     oracle="""
         WITH g AS (
             SELECT o_custkey, o_orderdate,
                    o_orderdate - LAG(o_orderdate) OVER (
                        PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS gap
-            FROM orders)
+            FROM orders WHERE o_custkey % 5 = 0)
         SELECT o_custkey,
                COUNT(*) AS n_orders,
                strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
@@ -114,7 +126,9 @@ def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def customer_order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderdate"
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where("o_custkey % 5 = 0")
+        .select("o_custkey", "o_orderkey", "o_orderdate")
     )
     return orders.groupBy("o_custkey").applyInPandas(_order_spans, schema=_SPAN_SCHEMA)

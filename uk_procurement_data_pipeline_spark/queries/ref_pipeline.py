@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.catalog import load, spread
 from uk_procurement_data_pipeline_spark.queries.base import register
 
 # The wide-select fragments, shared between engines via parallel SQL below.
@@ -98,7 +98,9 @@ _D_SUPPLIERS = "list_filter(release.parties, p -> list_contains(p.roles, 'suppli
     """.replace("{D_SUPPLIERS}", _D_SUPPLIERS),
 )
 def ocds_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
+    # spread: the fixture lineitem is one row group; distribute it so the
+    # partial collect_list aggregation runs on all cores
+    li = spread(load(spark, sf_dir, "lineitem"))
     orders = load(spark, sf_dir, "orders")
     customer = load(spark, sf_dir, "customer")
 

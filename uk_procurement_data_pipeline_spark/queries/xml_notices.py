@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (parity with sibling modules)
 
-from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.catalog import load, spread
 from uk_procurement_data_pipeline_spark.queries.base import register
 
 # XML document built per order row — integers and enum strings only (no
@@ -57,8 +57,9 @@ _XML = (
 )
 def xml_attr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "orders")
-        .where("o_orderkey % 10 = 0")
+        # spread: xpath parses a fresh DOM per row — distribute the
+        # single-row-group scan before the parse-heavy projection
+        spread(load(spark, sf_dir, "orders").where("o_orderkey % 10 = 0"))
         .selectExpr("o_orderkey", f"{_XML} AS xml")
         .selectExpr(
             "o_orderkey",
@@ -112,8 +113,7 @@ _DIALECT_XML = (
 )
 def xml_namespace_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        load(spark, sf_dir, "orders")
-        .where("o_orderkey % 7 = 0")
+        spread(load(spark, sf_dir, "orders").where("o_orderkey % 7 = 0"))
         .selectExpr("o_orderkey", f"{_DIALECT_XML} AS xml")
         .selectExpr(
             "o_orderkey",
