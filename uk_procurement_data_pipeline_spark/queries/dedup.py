@@ -201,3 +201,198 @@ def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= 0.8)
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash dedup (32-bit fingerprint, keyed grouping)
+# ---------------------------------------------------------------------------
+_BITS = 32
+
+# per-token 32-bit hash (same cross-engine base hash as the minhash family)
+_TOK_HS = (
+    "transform(array_distinct(split(text, ' ')),"
+    " t -> cast(conv(substr(md5(t), 1, 8), 16, 10) AS bigint))"
+)
+_D_TOK_HS = (
+    "list_transform(list_distinct(string_split(text, ' ')),"
+    " t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))"
+)
+
+# fingerprint: bit b set iff the sum of per-token votes (+1 if the token
+# hash has bit b, else -1) is positive
+_FP = f"""aggregate(transform(sequence(0, {_BITS - 1}),
+        b -> if(aggregate(hs, 0L,
+                          (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)
+                  ) > 0, shiftleft(1L, b), 0L)),
+        0L, (a, x) -> a + x)"""
+_D_FP = f"""CAST(list_sum(list_transform(generate_series(0, {_BITS - 1}),
+        b -> CASE WHEN list_sum(list_transform(hs,
+                       h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+                  THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)"""
+
+
+@register(
+    name="simhash_dedup",
+    survey="D3 D2 W1 E2 UD4",
+    doc="SimHash dedup: 32-bit majority-vote fingerprint over token hashes, "
+    "then keyed first-wins grouping on the fingerprint with tombstone "
+    "status (the D1 contract applied to a similarity hash). Output is "
+    "LINEAR in documents — the pair-listing form of near-dup detection is "
+    "minhash_near_dup; simhash's strength at 100 TB is that grouping needs "
+    "one window shuffle on the fingerprint, no candidate join at all.",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, {_D_FP} AS fp
+            FROM (SELECT doc_id, {_D_TOK_HS} AS hs FROM documents))
+        SELECT doc_id, fp,
+               ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id)
+                   AS rank_in_group,
+               COUNT(*) OVER (PARTITION BY fp) AS n_in_group,
+               CASE WHEN ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) = 1
+                    THEN 'ok' ELSE 'simhash_duplicate' END AS status
+        FROM f
+    """,
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    f = docs.selectExpr("doc_id", f"{_TOK_HS} AS hs").selectExpr(
+        "doc_id", f"{_FP} AS fp"
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return f.select(
+        "doc_id",
+        "fp",
+        F.row_number().over(w).alias("rank_in_group"),
+        F.count(F.lit(1)).over(Window.partitionBy("fp")).alias("n_in_group"),
+        F.when(F.row_number().over(w) == 1, "ok")
+        .otherwise("simhash_duplicate")
+        .alias("status"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Character n-gram Jaccard near-dup (prefix-blocked)
+# ---------------------------------------------------------------------------
+_GRAM_N = 4
+_PFX_CHARS = 240  # grams computed over a normalized prefix, bounding cost
+
+_GRAMS = (
+    f"array_distinct(transform("
+    f" sequence(1, greatest(length(substr(lower(text), 1, {_PFX_CHARS})) - {_GRAM_N - 1}, 1)),"
+    f" i -> substr(substr(lower(text), 1, {_PFX_CHARS}), i, {_GRAM_N})))"
+)
+_D_GRAMS = (
+    f"list_distinct(list_transform("
+    f" generate_series(1, greatest(length(substr(lower(text), 1, {_PFX_CHARS})) - {_GRAM_N - 1}, 1)),"
+    f" i -> substr(substr(lower(text), 1, {_PFX_CHARS}), i, {_GRAM_N})))"
+)
+
+
+@register(
+    name="ngram_jaccard_dedup",
+    survey="D3 F7 F17",
+    doc="Character 4-gram Jaccard near-dup over a normalized 240-char "
+    "prefix, blocked on md5 of the first 16 chars (near-dup docs in this "
+    "corpus share their head) — block equi-join then exact Jaccard refine "
+    "at 0.7; never all-pairs.",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, md5(substr(lower(text), 1, 16)) AS blk,
+                   {_D_GRAMS} AS grams
+            FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                   / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                          AS DOUBLE) AS jaccard
+        FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                  / CAST(len(list_distinct(list_concat(a.grams, b.grams)))
+                         AS DOUBLE) >= 0.7
+    """,
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    g = docs.selectExpr(
+        "doc_id", "md5(substr(lower(text), 1, 16)) AS blk", f"{_GRAMS} AS grams"
+    )
+    a = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("blk"), F.col("grams").alias("ga")
+    )
+    b = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("blk").alias("blk_b"),
+        F.col("grams").alias("gb"),
+    )
+    jac = (
+        F.size(F.array_intersect("ga", "gb")).cast("double")
+        / F.size(F.array_union("ga", "gb")).cast("double")
+    )
+    return (
+        a.join(b, (a.blk == b.blk_b) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= 0.7)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup (sign-bucket blocked)
+# ---------------------------------------------------------------------------
+# demo threshold calibrated to the synthetic fixture embeddings (near-random,
+# max within-bucket cosine ~0.51); a real near-dup corpus would use ~0.95
+_COS_THRESHOLD = 0.4
+_NDUP_BITS = 4
+
+_E_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+_DE_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+
+
+@register(
+    name="embedding_near_dup",
+    survey="D3 J9 UD4",
+    doc="Embedding-cosine near-duplicate pairs: sign-bit LSH bucket on the "
+    "leading dims (high-cosine pairs land in the same bucket with high "
+    "probability), symmetric candidate equi-join within buckets, "
+    "sequential-fold cosine refine. Linear shuffle, never all-pairs.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_DE_DOT.format(a='embedding', b='embedding')}) AS nrm,
+                   array_to_string(list_transform(embedding[1:{_NDUP_BITS}],
+                       x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')
+                       AS bucket
+            FROM embeddings)
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               {_DE_DOT.format(a='a.embedding', b='b.embedding')}
+                   / (a.nrm * b.nrm) AS cosine
+        FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE {_DE_DOT.format(a='a.embedding', b='b.embedding')}
+                  / (a.nrm * b.nrm) >= {_COS_THRESHOLD}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_E_DOT.format(a='embedding', b='embedding')}) AS nrm",
+        f"""concat_ws('', transform(slice(embedding, 1, {_NDUP_BITS}),
+             x -> if(x >= 0, '1', '0'))) AS bucket""",
+    )
+    a = e.select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+    )
+    cos = F.expr(_E_DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    return (
+        a.join(b, (a.bucket == b.bucket_b) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .where(F.col("cosine") >= _COS_THRESHOLD)
+    )

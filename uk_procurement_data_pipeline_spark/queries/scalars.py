@@ -227,6 +227,41 @@ def priority_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    name="brand_names_collected",
+    survey="A1 A2 A3 P1 A7",
+    doc="Table-level collect-to-delimited-list (the group-agg form of ref "
+    "2a:147-150 pipe_join / 2b:13-15 _join_unique): per brand, all part "
+    "names pipe-joined in sorted order plus the distinct-sorted type list; "
+    "null-dropping projection first (P1, ref 2a:222).",
+    oracle="""
+        SELECT p_brand,
+               array_to_string(list_sort(list(p_name)), '|') AS names_pipe,
+               array_to_string(list_sort(list_distinct(list(p_type))), ';')
+                   AS types_uniq,
+               COUNT(*) AS n_parts
+        FROM part
+        WHERE p_name IS NOT NULL
+        GROUP BY p_brand
+    """,
+)
+def brand_names_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").isNotNull())
+        .groupBy("p_brand")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("p_name")), "|").alias(
+                "names_pipe"
+            ),
+            F.array_join(F.sort_array(F.collect_set("p_type")), ";").alias(
+                "types_uniq"
+            ),
+            F.count(F.lit(1)).alias("n_parts"),
+        )
+    )
+
+
+@register(
     name="events_asof_value",
     survey="J8 W2 F15",
     doc="As-of join (SURVEY §2.3 J8): each 'click' event picks up the value "

@@ -46,6 +46,26 @@ def with_lineage(df: DataFrame) -> DataFrame:
     )
 
 
+def read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """S2: Excel scan. The reference reads daily .xlsx (3_merge_to_two.py:47)
+    purely as a toolchain artifact; the engine's canonical interchange is
+    parquet (SURVEY.md §2.1 S2). Real .xlsx fidelity needs the
+    com.crealytics:spark-excel connector jar, absent from this environment —
+    fail fast with guidance rather than silently mis-reading."""
+    try:
+        return (
+            spark.read.format("com.crealytics.spark.excel")
+            .option("header", True)
+            .load(path)
+        )
+    except Exception as e:  # noqa: BLE001  — connector jar not on classpath
+        raise NotImplementedError(
+            "Excel scan requires the com.crealytics:spark-excel connector "
+            "(--packages com.crealytics:spark-excel_2.13:<ver>); convert the "
+            "workbook to parquet/csv for this environment"
+        ) from e
+
+
 def file_date_key(df: DataFrame, col: str = "source_file") -> DataFrame:
     """J4: derive the (year, month, day) partition key from the filename."""
     pat = r"(\d{4})-(\d{2})-(\d{2})"
