@@ -75,26 +75,41 @@ _SPAN_SCHEMA = (
 )
 
 
+_BUCKETS = 256
+
+
 def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-customer order-history profile (pure-numpy grouped map).
+    """Order-history profile for every customer in one coarse bucket.
 
-    Called once per group: keep the body allocation-light (lexsort +
-    diff on the raw int64 day array, no per-group pandas sort).
+    The applyInPandas scale pattern: Spark groups on a COARSE bucket key
+    (o_custkey % 256) so the per-group Python round-trip is paid 256
+    times, not once per customer; the fine per-customer grouping happens
+    vectorized inside pandas.
     """
-    import numpy as np
-
-    days = pdf["o_orderdate"].values.astype("datetime64[D]")
-    order = np.lexsort((pdf["o_orderkey"].values, days))
-    d = days[order].astype("int64")
-    gaps = np.diff(d)
-    epoch = np.datetime64("1970-01-01", "D")
+    df = pdf.sort_values(["o_custkey", "o_orderdate", "o_orderkey"])
+    days = df["o_orderdate"].values.astype("datetime64[D]").astype("int64")
+    df = df.assign(_day=days)
+    gap = df.groupby("o_custkey")["_day"].diff()
+    agg = df.assign(_gap=gap).groupby("o_custkey").agg(
+        n_orders=("_day", "size"),
+        first_day=("_day", "min"),
+        last_day=("_day", "max"),
+        max_gap_days=("_gap", "max"),
+    )
+    epoch = pd.Timestamp("1970-01-01")
     return pd.DataFrame(
         {
-            "o_custkey": [pdf["o_custkey"].iloc[0]],
-            "n_orders": [len(pdf)],
-            "first_date": [str(epoch + d[0])],
-            "last_date": [str(epoch + d[-1])],
-            "max_gap_days": [int(gaps.max()) if len(gaps) else 0],
+            "o_custkey": agg.index.values,
+            "n_orders": agg["n_orders"].values,
+            "first_date": [
+                (epoch + pd.Timedelta(days=int(d))).strftime("%Y-%m-%d")
+                for d in agg["first_day"]
+            ],
+            "last_date": [
+                (epoch + pd.Timedelta(days=int(d))).strftime("%Y-%m-%d")
+                for d in agg["last_day"]
+            ],
+            "max_gap_days": agg["max_gap_days"].fillna(0).astype("int64").values,
         }
     )
 
@@ -103,18 +118,18 @@ def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
     name="customer_order_spans",
     survey="UD5 A7 W2 F15",
     doc="Grouped-map applyInPandas (UD5): per-customer order-history span "
-    "profile computed in numpy/pandas — integer/date outputs only, so the "
-    "window-function oracle matches exactly. One shuffle on o_custkey. "
-    "Bounded to a deterministic 1/5 customer sample: grouped-map pays a "
-    "per-group Python round-trip, so the demo keeps group count explicit "
-    "(production use is for LARGE per-group logic, not per-row scalars).",
+    "profile — integer/date outputs only, so the window-function oracle "
+    "matches exactly. Spark groups on a coarse bucket (o_custkey % 256) and "
+    "pandas does the fine per-customer groupby inside each call, so the "
+    "per-group Python round-trip is paid per bucket, not per customer. One "
+    "shuffle on the bucket key.",
     oracle="""
         WITH g AS (
             SELECT o_custkey, o_orderdate,
                    o_orderdate - LAG(o_orderdate) OVER (
                        PARTITION BY o_custkey
                        ORDER BY o_orderdate, o_orderkey) AS gap
-            FROM orders WHERE o_custkey % 5 = 0)
+            FROM orders)
         SELECT o_custkey,
                COUNT(*) AS n_orders,
                strftime(MIN(o_orderdate), '%Y-%m-%d') AS first_date,
@@ -126,9 +141,7 @@ def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def customer_order_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = (
-        load(spark, sf_dir, "orders")
-        .where("o_custkey % 5 = 0")
-        .select("o_custkey", "o_orderkey", "o_orderdate")
+    orders = load(spark, sf_dir, "orders").selectExpr(
+        "o_custkey", "o_orderkey", "o_orderdate", f"o_custkey % {_BUCKETS} AS bucket"
     )
-    return orders.groupBy("o_custkey").applyInPandas(_order_spans, schema=_SPAN_SCHEMA)
+    return orders.groupBy("bucket").applyInPandas(_order_spans, schema=_SPAN_SCHEMA)

@@ -213,6 +213,46 @@ def props_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    name="props_shape_guard",
+    survey="P8 E1 E2 F22",
+    doc="Type/shape guard (ref 2a:363-364 skip-non-dict, 2b:484-488 error "
+    "rows): a deterministic 1/97 slice of props is corrupted in-query, then "
+    "guarded extraction turns malformed/mis-shaped payloads into flagged "
+    "rows instead of failures — Spark from_json nulls the field, DuckDB "
+    "json_valid + TRY_CAST reproduce the identical null set.",
+    oracle="""
+        WITH c AS (
+            SELECT event_id,
+                   CASE WHEN event_id % 97 = 0 THEN 'x' || props
+                        ELSE props END AS raw
+            FROM events),
+        p AS (
+            SELECT event_id, raw,
+                   CASE WHEN json_valid(raw)
+                        THEN TRY_CAST(json_extract_string(raw, '$.k') AS BIGINT)
+                        END AS k
+            FROM c)
+        SELECT event_id, k,
+               CASE WHEN k IS NULL THEN 'invalid_or_shape_mismatch'
+                    ELSE 'ok' END AS status
+        FROM p
+    """,
+)
+def props_shape_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_id",
+        "CASE WHEN event_id % 97 = 0 THEN concat('x', props) ELSE props END AS raw",
+    )
+    return ev.selectExpr(
+        "event_id", "from_json(raw, 'k BIGINT').k AS k"
+    ).selectExpr(
+        "event_id",
+        "k",
+        "CASE WHEN k IS NULL THEN 'invalid_or_shape_mismatch' ELSE 'ok' END AS status",
+    )
+
+
+@register(
     name="dialect_union_notices",
     survey="U2 U1 F2",
     doc="Two-dialect union into one schema (TED vs UK2023 parsers emitting "
