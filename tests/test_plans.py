@@ -10,6 +10,7 @@ import contextlib
 import io
 
 import pytest
+from pyspark.sql import functions as F
 
 from uk_procurement_data_pipeline_spark.queries import registry
 
@@ -87,6 +88,38 @@ def test_no_python_in_relational_hot_paths(spark, sf_dir, name):
     plan = plan_of(spark, sf_dir, name)
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas"):
         assert marker not in plan
+
+
+def test_bucketed_join_needs_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing pre-partitions both sides on the join key at WRITE time,
+    so the join plan has zero shuffle — the co-located-join strategy for
+    repeated large-large joins at 100 TB (SURVEY §2.3 J6)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS bdb LOCATION '{tmp_path}/bdb'")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        (
+            orders.write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .mode("overwrite").format("parquet").saveAsTable("bdb.orders_b")
+        )
+        (
+            customer.write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .mode("overwrite").format("parquet").saveAsTable("bdb.customer_b")
+        )
+        j = spark.table("bdb.orders_b").join(
+            spark.table("bdb.customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "hashpartitioning" not in plan, plan
+        assert j.count() == orders.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bdb.orders_b")
+        spark.sql("DROP TABLE IF EXISTS bdb.customer_b")
+        spark.sql("DROP DATABASE IF EXISTS bdb")
 
 
 def test_excel_scan_is_an_explicit_gate(spark, tmp_path):

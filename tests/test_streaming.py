@@ -99,6 +99,62 @@ def test_stream_dedup_drops_duplicate_event_ids(spark, tmp_path):
     assert sorted(r["event_id"] for r in got.collect()) == [1, 2]
 
 
+def test_apply_in_pandas_with_state_running_counts(spark, stream_src):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count whose state survives micro-batch boundaries — one file per
+    trigger forces multiple batches over the same keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from uk_procurement_data_pipeline_spark.streaming.events_stream import EVENTS_DDL
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src / "day*"))
+    )
+
+    def running_count(key, pdfs, state):
+        n = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        "user_id bigint, n bigint",
+        "n bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+    emitted: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # the LAST emission per user must equal the full batch count: state
+    # accumulated across batches instead of resetting
+    finals: dict = {}
+    for r in emitted:
+        finals[r["user_id"]] = r["n"]  # later batches overwrite
+    batch = {
+        r["user_id"]: r["n"]
+        for r in spark.read.parquet(str(stream_src / "day*"))
+        .groupBy("user_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert finals == batch
+    # multiple batches actually happened (else the state test is vacuous)
+    assert len(emitted) > len(finals)
+
+
 def test_available_now_is_exactly_once_per_file(spark, stream_src, tmp_path):
     out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     stream = _read_all(spark, stream_src)
