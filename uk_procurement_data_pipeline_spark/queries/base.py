@@ -57,6 +57,7 @@ def registry() -> dict[str, QuerySpec]:
         ref_pipeline,
         relational,
         scalars,
+        scrape,
         similarity,
         windows,
         xml_notices,

@@ -31,15 +31,27 @@ _D_SUPPLIERS = "list_filter(release.parties, p -> list_contains(p.roles, 'suppli
 
 @register(
     name="ocds_flatten_wide",
-    survey="P2 J1 J2 F20 F17 F18 F19 F21 A1 A2 A5 O3",
-    doc="Flagship wide flatten: nested release struct -> 18 flat columns in "
+    survey="P2 J1 J2 J3 F10 F12 F20 F17 F18 F19 F21 A1 A2 A5 O3",
+    doc="Flagship wide flatten: nested release struct -> 30 flat columns in "
     "one Project (the Spark form of ref 2a:257-643). Exercises keyed "
-    "first-match, role filter, pipe_join, two-level flatten, head plucks.",
+    "first-match, role filter, document-type first-match, code->category "
+    "mapping, month names, pipe_join folds, head/rest CPV split, two-level "
+    "address flatten, head plucks.",
     oracle="""
         WITH li_g AS (
             SELECT l_orderkey,
                    list(struct_pack(item_id := l_linenumber, part := l_partkey,
-                                    qty := l_quantity)
+                                    qty := l_quantity,
+                                    cls := struct_pack(
+                                        scheme := 'CPV',
+                                        id := CAST(45000000 + l_partkey % 100000
+                                                   AS VARCHAR)),
+                                    addrs := [struct_pack(
+                                        postalCode := 'PC' || CAST(l_linenumber AS VARCHAR),
+                                        region := CASE l_linenumber % 3
+                                                  WHEN 0 THEN 'London'
+                                                  WHEN 1 THEN 'Wales'
+                                                  ELSE 'Scotland' END)])
                         ORDER BY l_linenumber, l_partkey, l_quantity) AS items,
                    list_transform(
                        list_sort(list_distinct(list(l_suppkey))),
@@ -56,7 +68,16 @@ _D_SUPPLIERS = "list_filter(release.parties, p -> list_contains(p.roles, 'suppli
                 tender := struct_pack(status := o_orderstatus,
                                       amount := o_totalprice,
                                       currency := 'GBP',
-                                      items := items),
+                                      items := items,
+                                      documents := [
+                                          struct_pack(
+                                              doc_id := 'd1-' || CAST(o_orderkey AS VARCHAR),
+                                              documentType := 'tenderNotice',
+                                              url := 'http://n/' || CAST(o_orderkey AS VARCHAR)),
+                                          struct_pack(
+                                              doc_id := 'd2-' || CAST(o_orderkey AS VARCHAR),
+                                              documentType := 'awardNotice',
+                                              url := 'http://a/' || CAST(o_orderkey AS VARCHAR))]),
                 parties := list_prepend(
                     struct_pack(id := o_custkey, name := c_name,
                                 roles := ['buyer']),
@@ -93,7 +114,32 @@ _D_SUPPLIERS = "list_filter(release.parties, p -> list_contains(p.roles, 'suppli
                len(flatten(list_transform(release.awards, a -> a.suppliers)))
                    AS n_award_supplier_refs,
                list_sum(list_transform(release.awards, a -> a.amount))
-                   AS awards_total
+                   AS awards_total,
+               list_filter(release.tender.documents,
+                   d -> d.documentType = 'tenderNotice')[1].url
+                   AS tender_notice_url,
+               list_filter(release.tender.documents,
+                   d -> d.documentType = 'awardNotice')[1].url
+                   AS award_notice_url,
+               len(release.tender.documents) AS n_documents,
+               CASE release.tender.status WHEN 'O' THEN 'OPEN'
+                    WHEN 'F' THEN 'FULFILLED' WHEN 'P' THEN 'PENDING'
+                    ELSE 'OTHER' END AS status_category,
+               monthname(release.published) AS published_month,
+               release.tender.items[1].cls.id AS main_cpv,
+               COALESCE(array_to_string(list_transform(
+                   release.tender.items[2:],
+                   i -> i.cls.id), ';'), '') AS additional_cpvs,
+               array_to_string(list_sort(list_distinct(list_transform(
+                   flatten(list_transform(release.tender.items, i -> i.addrs)),
+                   ad -> ad.postalCode))), ';') AS delivery_postcodes,
+               array_to_string(list_sort(list_distinct(list_transform(
+                   flatten(list_transform(release.tender.items, i -> i.addrs)),
+                   ad -> ad.region))), ';') AS delivery_regions,
+               array_to_string(list_transform(release.tender.items,
+                   i -> CAST(CAST(i.qty AS BIGINT) AS VARCHAR)), '|') AS qty_pipe,
+               CAST(list_sum(list_transform(release.tender.items,
+                   i -> CAST(i.qty AS BIGINT))) AS BIGINT) AS total_qty
         FROM rel
     """.replace("{D_SUPPLIERS}", _D_SUPPLIERS),
 )
@@ -111,6 +157,17 @@ def ocds_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("l_linenumber").alias("item_id"),
                     F.col("l_partkey").alias("part"),
                     F.col("l_quantity").alias("qty"),
+                    F.expr(
+                        """struct('CPV' AS scheme,
+                           CAST(45000000 + l_partkey % 100000 AS STRING) AS id)"""
+                    ).alias("cls"),
+                    F.expr(
+                        """array(struct(
+                               concat('PC', CAST(l_linenumber AS STRING)) AS postalCode,
+                               CASE l_linenumber % 3 WHEN 0 THEN 'London'
+                                    WHEN 1 THEN 'Wales' ELSE 'Scotland' END
+                                   AS region))"""
+                    ).alias("addrs"),
                 )
             )
         ).alias("items"),
@@ -137,6 +194,15 @@ def ocds_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("o_totalprice").alias("amount"),
                     F.lit("GBP").alias("currency"),
                     F.col("items"),
+                    F.expr(
+                        """array(
+                           struct(concat('d1-', CAST(o_orderkey AS STRING)) AS doc_id,
+                                  'tenderNotice' AS documentType,
+                                  concat('http://n/', CAST(o_orderkey AS STRING)) AS url),
+                           struct(concat('d2-', CAST(o_orderkey AS STRING)) AS doc_id,
+                                  'awardNotice' AS documentType,
+                                  concat('http://a/', CAST(o_orderkey AS STRING)) AS url))"""
+                    ).alias("documents"),
                 ).alias("tender"),
                 F.expr(
                     """array_prepend(
@@ -181,4 +247,32 @@ def ocds_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
             AS n_award_supplier_refs""",
         """aggregate(release.awards, 0D, (acc, a) -> acc + a.amount)
             AS awards_total""",
+        # J3 predicate first-match over documents (ref 2a:104-117)
+        """element_at(filter(release.tender.documents,
+            d -> d.documentType = 'tenderNotice'), 1).url AS tender_notice_url""",
+        """element_at(filter(release.tender.documents,
+            d -> d.documentType = 'awardNotice'), 1).url AS award_notice_url""",
+        "size(release.tender.documents) AS n_documents",
+        # F10 code -> category mapping (ref 2b:26-38)
+        """CASE release.tender.status WHEN 'O' THEN 'OPEN'
+            WHEN 'F' THEN 'FULFILLED' WHEN 'P' THEN 'PENDING'
+            ELSE 'OTHER' END AS status_category""",
+        "date_format(release.published, 'MMMM') AS published_month",
+        # F21 head/rest split: first CPV = main, rest = additional (ref 2b:335-336)
+        "element_at(release.tender.items, 1).cls.id AS main_cpv",
+        """array_join(transform(slice(release.tender.items, 2,
+            greatest(size(release.tender.items) - 1, 0)),
+            i -> i.cls.id), ';') AS additional_cpvs""",
+        # F20/A2 two-level flatten + distinct-sorted (ref 2a:360-367)
+        """array_join(array_sort(array_distinct(transform(
+            flatten(transform(release.tender.items, i -> i.addrs)),
+            ad -> ad.postalCode))), ';') AS delivery_postcodes""",
+        """array_join(array_sort(array_distinct(transform(
+            flatten(transform(release.tender.items, i -> i.addrs)),
+            ad -> ad.region))), ';') AS delivery_regions""",
+        # A1 pipe_join fold (ref 2a:147-150)
+        """array_join(transform(release.tender.items,
+            i -> CAST(CAST(i.qty AS BIGINT) AS STRING)), '|') AS qty_pipe""",
+        """aggregate(release.tender.items, 0L,
+            (acc, i) -> acc + CAST(i.qty AS BIGINT)) AS total_qty""",
     )

@@ -1,0 +1,100 @@
+"""The scrape lifecycle (SURVEY.md §3.1, rows S5/P3/P7/F2) as dataflow.
+
+The reference's entry point 1 fetches a search page, extracts anchors,
+keeps those whose text exactly equals "Contracts Finder Notices MM YYYY"
+(1a_scrape_contracts_finder.py:61-82), normalizes relative hrefs against
+the host (1a:72-73), and derives the download filename (1a:85-90). Here
+the page HTML is CONSTRUCTED from fixture rows (like the XML queries:
+encode → extract differentially pins the extraction), anchors are pulled
+with regexp_extract_all + explode — the declarative form of the
+reference's BeautifulSoup loop — and the same filters/normalizations run
+as column expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401
+
+from uk_procurement_data_pipeline_spark.catalog import load, spread
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_HOST = "https://www.contractsfinder.service.gov.uk"
+
+# one search-results "page" per order row: two anchors, one relative (the
+# monthly-notices link the scrape wants), one absolute decoy
+_PAGE = (
+    "concat('<html><body>',"
+    " '<a href=\"/notices/', o_orderkey, '.csv\">Contracts Finder Notices ',"
+    "   lpad(CAST(month(o_orderdate) AS STRING), 2, '0'), ' ',"
+    "   year(o_orderdate), '</a>',"
+    " '<a href=\"https://other.example/x\">Unrelated link</a>',"
+    " '</body></html>')"
+)
+
+
+@register(
+    name="html_anchor_scrape",
+    survey="S5 P3 P7 F2 F4 F1 UD1-analog",
+    doc="Anchor extraction + exact-text filter + relative-URL "
+    "normalization (ref 1a:61-82, 1a:72-73): regexp_extract_all over the "
+    "page, explode to (href, text) rows, keep the exact-match anchor, "
+    "prefix the host when the href is relative.",
+    oracle=f"""
+        WITH page AS (
+            SELECT o_orderkey, o_orderdate,
+                   '<html><body>'
+                   || '<a href="/notices/' || o_orderkey
+                   || '.csv">Contracts Finder Notices '
+                   || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') || ' '
+                   || year(o_orderdate) || '</a>'
+                   || '<a href="https://other.example/x">Unrelated link</a>'
+                   || '</body></html>' AS html
+            FROM orders WHERE o_orderkey % 50 = 0),
+        anchors AS (
+            SELECT o_orderkey, o_orderdate,
+                   unnest(regexp_extract_all(html,
+                       '<a href="([^"]+)">([^<]+)</a>', 0)) AS a
+            FROM page),
+        parsed AS (
+            SELECT o_orderkey,
+                   regexp_extract(a, '<a href="([^"]+)">([^<]+)</a>', 1) AS href,
+                   regexp_extract(a, '<a href="([^"]+)">([^<]+)</a>', 2) AS text,
+                   'Contracts Finder Notices '
+                   || lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') || ' '
+                   || year(o_orderdate) AS target
+            FROM anchors)
+        SELECT o_orderkey, text,
+               CASE WHEN href LIKE '/%' THEN '{_HOST}' || href
+                    ELSE href END AS abs_url
+        FROM parsed
+        WHERE text = target
+    """,
+)
+def html_anchor_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = spread(
+        load(spark, sf_dir, "orders").where("o_orderkey % 50 = 0")
+    ).selectExpr("o_orderkey", "o_orderdate", f"{_PAGE} AS html")
+    anchors = pages.selectExpr(
+        "o_orderkey",
+        "o_orderdate",
+        r"""explode(regexp_extract_all(html,
+            '<a href="([^"]+)">([^<]+)</a>', 0)) AS a""",
+    )
+    parsed = anchors.selectExpr(
+        "o_orderkey",
+        "regexp_extract(a, '<a href=\"([^\"]+)\">([^<]+)</a>', 1) AS href",
+        "regexp_extract(a, '<a href=\"([^\"]+)\">([^<]+)</a>', 2) AS text",
+        "concat('Contracts Finder Notices ',"
+        " lpad(CAST(month(o_orderdate) AS STRING), 2, '0'), ' ',"
+        " year(o_orderdate)) AS target",
+    )
+    return (
+        parsed.where("text = target")
+        .selectExpr(
+            "o_orderkey",
+            "text",
+            f"CASE WHEN href LIKE '/%' THEN concat('{_HOST}', href)"
+            " ELSE href END AS abs_url",
+        )
+    )
