@@ -75,6 +75,53 @@ def xml_attr_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FROM_XML_DDL = (
+    "_id BIGINT, _status STRING, party STRUCT<_role: STRING>, "
+    "value ARRAY<STRUCT<_VALUE: BIGINT, _currency: STRING>>, "
+    "docs STRUCT<doc: ARRAY<STRUCT<_VALUE: STRING, _type: STRING>>>"
+)
+
+
+@register(
+    name="xml_from_xml_struct",
+    survey="F22 F23 F26 UD2 J3",
+    doc="Schema-declared XML decode via native from_xml (the declarative "
+    "form of the reference's ElementTree parser, ref 2b:434-446): one call "
+    "parses the whole notice into a typed struct — attributes as _-prefixed "
+    "fields, repeated elements as arrays — then pure struct navigation. An "
+    "independent parser from the xpath family, checked against the same "
+    "column-derived oracle.",
+    oracle="""
+        SELECT o_orderkey,
+               o_orderkey AS notice_id,
+               o_orderstatus AS status,
+               CASE WHEN o_orderkey % 2 = 0 THEN 'supplier'
+                    ELSE 'buyer' END AS party_role,
+               o_custkey AS gbp_value,
+               2 AS n_values,
+               'tenderNotice' AS first_doc_type
+        FROM orders
+        WHERE o_orderkey % 13 = 0
+    """,
+)
+def xml_from_xml_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spread(load(spark, sf_dir, "orders").where("o_orderkey % 13 = 0"))
+        .selectExpr("o_orderkey", f"{_XML} AS xml")
+        .selectExpr("o_orderkey", f"from_xml(xml, '{_FROM_XML_DDL}') AS n")
+        .selectExpr(
+            "o_orderkey",
+            "n._id AS notice_id",
+            "n._status AS status",
+            "n.party._role AS party_role",
+            "element_at(filter(n.value, v -> v._currency = 'GBP'), 1)._VALUE"
+            " AS gbp_value",
+            "size(n.value) AS n_values",
+            "element_at(n.docs.doc, 1)._type AS first_doc_type",
+        )
+    )
+
+
 # Dialect-varying XML: root tag probed like the reference's 17-form-tag
 # cascade (2b:434-446); NUTS code appears under one of two namespace
 # generations (2b:85-94) probed with fallback.
