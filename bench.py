@@ -51,6 +51,11 @@ def main() -> int:
     # JVM/codegen warmup: one tiny end-to-end job, untimed.
     warm = next(iter(reg.values()))
     warm.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    # Python-worker warmup: daemon + Arrow worker startup otherwise lands in
+    # whichever mapInPandas/applyInPandas query happens to run first.
+    spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.mode("overwrite").format("noop").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -155,6 +155,49 @@ def test_asof_join_no_prior_purchase_is_null(spark):
     assert out[4] is None  # user with no purchases at all
 
 
+# --- skew-safe salted aggregation -------------------------------------------
+
+def test_salted_aggregation_matches_direct(spark):
+    from uk_procurement_data_pipeline_spark.functions.skew import salted_sum_count
+
+    # 90% of rows share one hot key — the shape that funnels one reducer
+    rows = [("hot" if i % 10 else f"k{i}", i * 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "key string, v double")
+    got = {
+        r["key"]: (r["sum_value"], r["n"])
+        for r in salted_sum_count(df, "key", "v", salt_n=8).collect()
+    }
+    want = {
+        r["key"]: (r["s"], r["n"])
+        for r in df.groupBy("key")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_try_decode_never_raises_hypothesis():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uk_procurement_data_pipeline_spark.sources.decode import try_decode_bytes
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=64))
+    def check(raw: bytes):
+        text, enc = try_decode_bytes(raw)
+        assert isinstance(text, str)
+        assert enc in ("utf-8", "latin-1")
+        # utf-8-decodable inputs must NOT take the lossy fallback
+        try:
+            raw.decode("utf-8")
+            assert enc == "utf-8" and text == raw.decode("utf-8")
+        except UnicodeDecodeError:
+            assert enc == "latin-1"
+
+    check()
+
+
 # --- set-op semantics pinned (verify-skill gotcha) --------------------------
 
 def test_subtract_is_set_except_not_multiset(spark):
