@@ -337,9 +337,13 @@ def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding-cosine near-dup (sign-bucket blocked)
 # ---------------------------------------------------------------------------
 # demo threshold calibrated to the synthetic fixture embeddings (near-random,
-# max within-bucket cosine ~0.51); a real near-dup corpus would use ~0.95
+# max within-bucket cosine ~0.51); a real near-dup corpus would use ~0.95.
+# Bucket bits must SCALE with data volume (within-bucket candidate pairs grow
+# quadratically in bucket occupancy): target log2(N / desired_bucket_rows),
+# e.g. ~20 bits at 1e9 vectors, multi-probe for recall. 6 bits fits the
+# fixture scale.
 _COS_THRESHOLD = 0.4
-_NDUP_BITS = 4
+_NDUP_BITS = 6
 
 _E_DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
