@@ -262,6 +262,45 @@ def brand_names_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    name="events_value_band_join",
+    survey="J8 J5 A7 F28",
+    doc="Range/interval join (the range half of SURVEY J8): events joined "
+    "to a small value-band dimension on lo <= value < hi. The band table "
+    "is broadcast, so the non-equi predicate never becomes a shuffled "
+    "cross-product — the scale pattern for small interval dimensions "
+    "(large interval tables would bucketize both sides to equi-keys).",
+    oracle="""
+        WITH bands AS (
+            SELECT i AS band_id, i * 100.0 AS lo, (i + 1) * 100.0 AS hi
+            FROM generate_series(0, 9) t(i))
+        SELECT band_id, lo, hi,
+               COUNT(*) AS n_events,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events JOIN bands ON value >= lo AND value < hi
+        GROUP BY 1, 2, 3
+    """,
+)
+def events_value_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    bands = spark.range(0, 10).selectExpr(
+        "id AS band_id",
+        "CAST(id * 100.0 AS DOUBLE) AS lo",
+        "CAST((id + 1) * 100.0 AS DOUBLE) AS hi",
+    )
+    return (
+        ev.join(
+            F.broadcast(bands),
+            (ev.value >= bands.lo) & (ev.value < bands.hi),
+        )
+        .groupBy("band_id", "lo", "hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+@register(
     name="events_asof_value",
     survey="J8 W2 F15",
     doc="As-of join (SURVEY §2.3 J8): each 'click' event picks up the value "
