@@ -171,7 +171,7 @@ def monthly_event_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     name="daily_activity_gaps",
-    survey="F14 F15 A7 J7",
+    survey="F14 F15 F16 A7 J7",
     doc="Day-sequence generator (the reference's daily loop 2b:502-509 as "
     "data): explode(sequence(min_day, max_day, 1 day)) x per-day counts, "
     "surfacing zero-activity days.",
