@@ -230,12 +230,14 @@ def priority_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     name="brand_names_collected",
     survey="A1 A2 A3 P1 A7",
     doc="Table-level collect-to-delimited-list (the group-agg form of ref "
-    "2a:147-150 pipe_join / 2b:13-15 _join_unique): per brand, all part "
-    "names pipe-joined in sorted order plus the distinct-sorted type list; "
-    "null-dropping projection first (P1, ref 2a:222).",
+    "2a:147-150 pipe_join / 2b:13-15 _join_unique): per brand, the sorted "
+    "FIRST-50 part names pipe-joined plus the distinct-sorted type list; "
+    "null-dropping projection first (P1, ref 2a:222). The slice bounds the "
+    "per-group state — an uncapped collect_list is a scale hazard when "
+    "group sizes grow with data volume.",
     oracle="""
         SELECT p_brand,
-               array_to_string(list_sort(list(p_name)), '|') AS names_pipe,
+               array_to_string(list_sort(list(p_name))[1:50], '|') AS names_pipe,
                array_to_string(list_sort(list_distinct(list(p_type))), ';')
                    AS types_uniq,
                COUNT(*) AS n_parts
@@ -250,9 +252,9 @@ def brand_names_collected(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("p_name").isNotNull())
         .groupBy("p_brand")
         .agg(
-            F.array_join(F.array_sort(F.collect_list("p_name")), "|").alias(
-                "names_pipe"
-            ),
+            F.array_join(
+                F.slice(F.array_sort(F.collect_list("p_name")), 1, 50), "|"
+            ).alias("names_pipe"),
             F.array_join(F.sort_array(F.collect_set("p_type")), ";").alias(
                 "types_uniq"
             ),
