@@ -123,15 +123,7 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    name="minhash_near_dup",
-    survey="D3 J9-pattern F17 F18 A5",
-    doc="MinHash+LSH near-duplicate pairs: 3-token shingles, one md5 per "
-    "shingle lowered to int, K=12 affine minhashes, 4 banded keys, candidate "
-    "equi-join on (band, key) — never all-pairs — then exact-Jaccard refine "
-    "at 0.8. Both engines compute the identical hash family, so the surfaced "
-    "pairs match exactly.",
-    oracle=f"""
+_MINHASH_ORACLE = f"""
         WITH d AS (
             SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
         sg AS (
@@ -157,7 +149,18 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
                   / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE)
               >= 0.8
-    """,
+    """
+
+
+@register(
+    name="minhash_near_dup",
+    survey="D3 J9-pattern F17 F18 A5",
+    doc="MinHash+LSH near-duplicate pairs: 3-token shingles, one md5 per "
+    "shingle lowered to int, K=12 affine minhashes, 4 banded keys, candidate "
+    "equi-join on (band, key) — never all-pairs — then exact-Jaccard refine "
+    "at 0.8. Both engines compute the identical hash family, so the surfaced "
+    "pairs match exactly.",
+    oracle=_MINHASH_ORACLE,
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
@@ -399,4 +402,73 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (a.bucket == b.bucket_b) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", cos.alias("cosine"))
         .where(F.col("cosine") >= _COS_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+_CC_ITERS = 8  # >= max cluster diameter in the fixtures; production would
+# loop with a convergence check (changed-label count per round) + checkpoint
+# every few iterations to cut lineage, or pointer-jumping for log(n) rounds
+
+
+@register(
+    name="minhash_components",
+    survey="D3 J9-pattern A7 U1",
+    doc="Dedup clusters as an iterative algorithm: min-label propagation "
+    "over the minhash near-dup pair graph (each node repeatedly adopts the "
+    "smallest doc_id reachable) until components stabilize — the Spark form "
+    "of union-find for grouping near-duplicates beyond pairwise matches. "
+    "Oracle is a recursive CTE computing min reachable id.",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+        e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        reach(s, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM e)
+            UNION
+            SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.s),
+        comp AS (
+            SELECT s AS doc_id, MIN(r) AS component FROM reach GROUP BY s)
+        SELECT doc_id, component,
+               COUNT(*) OVER (PARTITION BY component) AS component_size
+        FROM comp
+    """,
+)
+def minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    # Iterative algorithms MUST materialize between rounds: without this the
+    # lazy plan re-evaluates the whole minhash pipeline per iteration and
+    # the lineage doubles each round (242s vs ~3s at sf0.1).
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(_CC_ITERS):
+        nb_min = (
+            edges.join(
+                labels.withColumnRenamed("doc_id", "doc_b_id"),
+                F.col("doc_b") == F.col("doc_b_id"),
+            )
+            .groupBy("doc_a")
+            .agg(F.min("label").alias("nb_min"))
+        )
+        labels = labels.join(
+            nb_min, labels.doc_id == nb_min.doc_a, "left"
+        ).select(
+            "doc_id",
+            F.least(
+                F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
+            ).alias("label"),
+        ).localCheckpoint(eager=True)
+    comp = labels.select("doc_id", F.col("label").alias("component"))
+    return comp.withColumn(
+        "component_size",
+        F.count(F.lit(1)).over(Window.partitionBy("component")),
     )
