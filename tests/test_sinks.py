@@ -62,6 +62,16 @@ def test_binary_file_sink_writes_payload_bytes(spark, tmp_path):
     assert (out / "2024/03/b.bin").read_bytes() == b"xyz"
 
 
+def test_delta_sink_is_an_explicit_gate(spark, tmp_path):
+    import pytest
+
+    from uk_procurement_data_pipeline_spark.sources.sinks import write_delta
+
+    df = spark.createDataFrame([(1,)], "id int")
+    with pytest.raises(NotImplementedError, match="delta-spark"):
+        write_delta(df, str(tmp_path / "d"))
+
+
 def test_observed_count_metric(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/orders.parquet")
     observed, obs = observed_count(df, "ingest")

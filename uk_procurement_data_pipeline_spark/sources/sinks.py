@@ -53,6 +53,21 @@ def write_binary_files(
     df.select(name_col, payload_col).foreachPartition(write_partition)
 
 
+def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Delta-format sink (ACID upserts/time travel at the 100 TB design
+    point). The delta-spark jars are not in this environment — fail fast
+    with guidance; parquet is the canonical local format."""
+    try:
+        df.write.format("delta").mode(mode).save(path)
+    except Exception as e:  # noqa: BLE001  — jar not on classpath
+        raise NotImplementedError(
+            "Delta writes need the delta-spark package "
+            "(--packages io.delta:delta-spark_2.13:<ver> plus the "
+            "DeltaCatalog session extensions); use write_partitioned_parquet "
+            "in this environment"
+        ) from e
+
+
 def observed_count(df: DataFrame, name: str = "sink") -> tuple[DataFrame, Observation]:
     """E5: attach row/null-free metrics; read obs.get after an action."""
     obs = Observation(name)
