@@ -164,7 +164,9 @@ _MINHASH_ORACLE = f"""
 )
 def minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load(spark, sf_dir, "documents"))
-    d = docs.selectExpr("doc_id", f"{_SHINGLES} AS sh")
+    # d feeds three consumers (signatures + both sides of the Jaccard
+    # refine); materialize the shingle build once instead of thrice
+    d = docs.selectExpr("doc_id", f"{_SHINGLES} AS sh").localCheckpoint(eager=True)
     sg = d.selectExpr("doc_id", "sh", f"{_HS} AS hs").selectExpr(
         "doc_id", "sh", f"{_SIG} AS sig"
     )
