@@ -221,3 +221,34 @@ def test_flagship_query_runs_smoke(spark, sf_dir):
     rows = df.collect()
     assert df.columns == ["r_name", "revenue", "n_items"]
     assert len(rows) > 0
+
+
+# --- connected components (dedup clustering) --------------------------------
+
+def test_connected_components_chain_longer_than_old_budget(spark):
+    """A 20-hop chain needs ~20 propagation rounds — past the fixed 8-round
+    budget round 2 shipped — plus a triangle and a 2-node component."""
+    from uk_procurement_data_pipeline_spark.functions.graph import (
+        connected_components,
+    )
+
+    chain = [(i, i + 1) for i in range(20)]
+    tri = [(100, 101), (101, 102), (102, 100)]
+    pair = [(200, 201)]
+    edges = spark.createDataFrame(chain + tri + pair, "src long, dst long")
+    got = {r["node"]: r["label"] for r in connected_components(edges).collect()}
+    assert {got[i] for i in range(21)} == {0}
+    assert {got[i] for i in (100, 101, 102)} == {100}
+    assert got[200] == got[201] == 200
+
+
+def test_connected_components_errors_instead_of_wrong_labels(spark):
+    from uk_procurement_data_pipeline_spark.functions.graph import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=3)

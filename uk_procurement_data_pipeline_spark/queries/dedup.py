@@ -224,12 +224,19 @@ _D_TOK_HS = (
 )
 
 # fingerprint: bit b set iff the sum of per-token votes (+1 if the token
-# hash has bit b, else -1) is positive
-_FP = f"""aggregate(transform(sequence(0, {_BITS - 1}),
-        b -> if(aggregate(hs, 0L,
-                          (acc, h) -> acc + if((shiftright(h, b) & 1) = 1, 1, -1)
-                  ) > 0, shiftleft(1L, b), 0L)),
-        0L, (a, x) -> a + x)"""
+# hash has bit b, else -1) is positive. ONE fold over hs maintaining a
+# 32-counter array accumulator (transform's two-arg lambda gives the bit
+# index), then one finishing pass turns positive counters into set bits —
+# O(T) array traversals instead of the 32-fold O(32*T) form. The DuckDB
+# oracle keeps the per-bit formulation (values are identical; the oracle is
+# correctness-only and runs at sf0.01).
+_FP = f"""aggregate(hs,
+        array_repeat(0L, {_BITS}),
+        (acc, h) -> transform(acc,
+            (c, b) -> c + if((shiftright(h, b) & 1) = 1, 1L, -1L)),
+        acc -> aggregate(
+            transform(acc, (c, b) -> if(c > 0, shiftleft(1L, b), 0L)),
+            0L, (a, x) -> a + x))"""
 _D_FP = f"""CAST(list_sum(list_transform(generate_series(0, {_BITS - 1}),
         b -> CASE WHEN list_sum(list_transform(hs,
                        h -> CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END)) > 0
@@ -410,9 +417,6 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Dedup clusters: connected components over the near-dup pair graph
 # ---------------------------------------------------------------------------
-_CC_ITERS = 8  # >= max cluster diameter in the fixtures; production would
-# loop with a convergence check (changed-label count per round) + checkpoint
-# every few iterations to cut lineage, or pointer-jumping for log(n) rounds
 
 
 @register(
@@ -439,37 +443,17 @@ _CC_ITERS = 8  # >= max cluster diameter in the fixtures; production would
     """,
 )
 def minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.graph import (
+        connected_components,
+    )
+
     pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
-    edges = pairs.union(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    # connected_components loops until the changed-label count per round
+    # reaches 0 (bounded at 32 rounds, error past that) and materializes
+    # every round — see functions/graph.py for the scale rationale.
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
     )
-    # Iterative algorithms MUST materialize between rounds: without this the
-    # lazy plan re-evaluates the whole minhash pipeline per iteration and
-    # the lineage doubles each round (242s vs ~3s at sf0.1).
-    edges = edges.localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    for _ in range(_CC_ITERS):
-        nb_min = (
-            edges.join(
-                labels.withColumnRenamed("doc_id", "doc_b_id"),
-                F.col("doc_b") == F.col("doc_b_id"),
-            )
-            .groupBy("doc_a")
-            .agg(F.min("label").alias("nb_min"))
-        )
-        labels = labels.join(
-            nb_min, labels.doc_id == nb_min.doc_a, "left"
-        ).select(
-            "doc_id",
-            F.least(
-                F.col("label"), F.coalesce(F.col("nb_min"), F.col("label"))
-            ).alias("label"),
-        ).localCheckpoint(eager=True)
-    comp = labels.select("doc_id", F.col("label").alias("component"))
     return comp.withColumn(
         "component_size",
         F.count(F.lit(1)).over(Window.partitionBy("component")),

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Callable, Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401
@@ -59,16 +60,17 @@ def byte_histogram_features(assets: DataFrame) -> DataFrame:
     """
 
     def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Vectorized inner loop: at real payload sizes (MBs per asset) a
+        # per-byte Python loop is ~100x slower than frombuffer + bincount.
+        shift = 8 - (_HIST_BUCKETS.bit_length() - 1)  # byte >> shift = bucket
         for pdf in batches:
             out = {"doc_id": [], "n_bytes": [], "byte_hist": []}
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = bytes(payload)
-                hist = [0] * _HIST_BUCKETS
-                for b in buf:
-                    hist[b * _HIST_BUCKETS // 256] += 1
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8)
+                hist = np.bincount(arr >> shift, minlength=_HIST_BUCKETS)
                 out["doc_id"].append(doc_id)
-                out["n_bytes"].append(len(buf))
-                out["byte_hist"].append(hist)
+                out["n_bytes"].append(len(arr))
+                out["byte_hist"].append(hist.astype("int64"))
             yield pd.DataFrame(out)
 
     return assets.select("doc_id", "payload").mapInPandas(
