@@ -77,3 +77,23 @@ def test_observed_count_metric(spark, sf_dir):
     observed, obs = observed_count(df, "ingest")
     n = observed.count()
     assert obs.get["n_rows"] == n > 0  # E5: metric matches the action
+
+
+def test_binary_file_sink_rejects_path_escapes(spark, tmp_path):
+    rows = [
+        ("ok/safe.bin", bytearray(b"ok")),
+        ("../escape.bin", bytearray(b"no")),
+        ("/abs/escape.bin", bytearray(b"no")),
+        ("a/../../deep.bin", bytearray(b"no")),
+    ]
+    df = spark.createDataFrame(rows, "name string, payload binary")
+    out = tmp_path / "zone"
+    bad = write_binary_files(df, str(out), "name", "payload")
+    assert (out / "ok/safe.bin").read_bytes() == b"ok"
+    rejected = {r["name"] for r in bad.collect()}
+    assert rejected == {"../escape.bin", "/abs/escape.bin", "a/../../deep.bin"}
+    # nothing escaped the zone
+    assert not (tmp_path / "escape.bin").exists()
+    assert not (tmp_path / "deep.bin").exists()
+    written = {p.relative_to(out).as_posix() for p in out.rglob("*") if p.is_file()}
+    assert written == {"ok/safe.bin"}

@@ -61,9 +61,12 @@ def test_lineage_and_filename_date_key(spark, csv_dir):
     r = rows[0]
     assert r["source_file"].endswith("notices-2024-03-02.csv")  # E4
     assert (r["file_year"], r["file_month"], r["file_day"]) == (2024, 3, 2)  # J4
-    # row ids unique across the read
-    ids = [x["row_index"] for x in df.collect()]
-    assert len(ids) == len(set(ids))
+    # row_index is a true per-file ordinal: 0..n-1 within each file
+    per_file: dict[str, list[int]] = {}
+    for x in df.collect():
+        per_file.setdefault(x["source_file"], []).append(x["row_index"])
+    for idxs in per_file.values():
+        assert sorted(idxs) == list(range(len(idxs)))
 
 
 # --- F23 / UD3: encoding fallback ------------------------------------------

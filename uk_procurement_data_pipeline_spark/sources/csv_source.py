@@ -33,16 +33,30 @@ def read_csv_tolerant(
 
 
 def with_lineage(df: DataFrame) -> DataFrame:
-    """E4: source file + stable within-file row id (ref 2a:496-497).
+    """E4: source file + true within-file row ordinal (ref 2a:496-497).
 
-    ``_metadata`` is the modern ``input_file_name()``;
-    ``monotonically_increasing_id`` encodes (partition, row) — unique and
-    stable for a given read, exactly the reference's ``row_index`` role.
+    ``monotonically_increasing_id`` alone is partition-layout-dependent
+    (unique within one read, but not a per-file ordinal). The ordinal here
+    is a ``row_number`` per file ordered by
+    (``_metadata.file_block_start``, monotonic id): the block start is the
+    split's byte offset in the file, and the monotonic id is increasing
+    within a split — so the ordering reconstructs file order regardless of
+    how Spark packed splits into partitions. Costs one window shuffle
+    keyed by file; at scale, skip this helper when any unique id (not the
+    reference's ``row_index`` contract) is all the caller needs.
     """
-    return df.select(
-        "*",
-        F.col("_metadata.file_path").alias("source_file"),
-        F.monotonically_increasing_id().alias("row_index"),
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source_file").orderBy("__blk", "__mid")
+    return (
+        df.select(
+            "*",
+            F.col("_metadata.file_path").alias("source_file"),
+            F.col("_metadata.file_block_start").alias("__blk"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+        .withColumn("row_index", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .drop("__blk", "__mid")
     )
 
 

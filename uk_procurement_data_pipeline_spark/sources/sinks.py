@@ -34,23 +34,50 @@ def write_csv_merged(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 
 def write_binary_files(
     df: DataFrame, out_dir: str, name_col: str = "name", payload_col: str = "payload"
-) -> None:
+) -> DataFrame:
     """S6: landing-zone byte sink via foreachPartition (ref 1a:152-157).
 
     Executor-side writes, one file per row; out_dir must be a shared
     filesystem (object store in production, local dir under local[*]).
+
+    Names come from DATA (zip member names, scraped URLs) and are
+    untrusted: absolute paths and ``..`` components would escape the
+    landing zone (zip-slip). Escaping rows are never written; they come
+    back as the returned error DataFrame (``name``, ``error``) — the
+    repo's skip-and-log contract (E3). A defensive executor-side re-check
+    backs the driver-side filter.
     """
     out = str(out_dir)
 
+    def _unsafe(name: str) -> bool:
+        p = Path(name)
+        return p.is_absolute() or ".." in p.parts or name.startswith("~")
+
     def write_partition(rows) -> None:
-        base = Path(out)
+        base = Path(out).resolve()
         base.mkdir(parents=True, exist_ok=True)
         for row in rows:
-            target = base / row[name_col]
+            name = row[name_col]
+            target = (base / name).resolve()
+            if _unsafe(name) or not target.is_relative_to(base):
+                raise ValueError(f"path escape slipped past the filter: {name!r}")
             target.parent.mkdir(parents=True, exist_ok=True)
             target.write_bytes(row[payload_col])
 
-    df.select(name_col, payload_col).foreachPartition(write_partition)
+    name = F.col(name_col)
+    part = f"split(regexp_replace({name_col}, '^/+', '/'), '/')"
+    escapes = (
+        name.startswith("/")
+        | name.startswith("~")
+        | F.expr(f"exists({part}, x -> x = '..')")
+        | name.rlike("^[A-Za-z]:")  # windows drive-absolute
+    )
+    good = df.where(~escapes)
+    bad = df.where(escapes).select(
+        name.alias("name"), F.lit("path_escapes_landing_zone").alias("error")
+    )
+    good.select(name_col, payload_col).foreachPartition(write_partition)
+    return bad
 
 
 def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
