@@ -344,3 +344,30 @@ def events_asof_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "click")
         .select("event_id", "user_id", "ts", "value", "asof_purchase_value")
     )
+
+
+@register(
+    name="salted_status_spend",
+    survey="A7 skew-salting",
+    doc="Skew-safe aggregation (SURVEY §4.2 salting): total spend per order "
+    "status — 3 distinct keys over the whole orders table, the shape that "
+    "funnels one reducer per key. Runs through functions/skew.py "
+    "salted_sum_count: (key, salt) partial aggregate then key final, both "
+    "phases summing exact decimals, so the result is bit-identical to the "
+    "direct groupBy the oracle computes (the salt is invisible to it).",
+    oracle=f"""
+        SELECT o_orderstatus,
+               {oracle_sum('o_totalprice')} AS sum_value,
+               COUNT(*) AS n
+        FROM orders GROUP BY o_orderstatus
+    """,
+)
+def salted_status_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.skew import salted_sum_count
+
+    return salted_sum_count(
+        load(spark, sf_dir, "orders"),
+        key="o_orderstatus",
+        value="o_totalprice",
+        salt_n=32,
+    )
