@@ -139,3 +139,39 @@ def test_ted_xml_golden_and_dialect_union(spark, fixtures_dir):
         " THEN 'UK2023' ELSE 'TED' END AS family"
     )
     assert probe.first()["family"] == "TED"
+
+
+def test_ocds_flatten_wide_column_contract(spark, sf_dir):
+    """Pin the widened flatten's column contract (ref 2a:494-643): width,
+    order, and cross-column invariants of the derived fields."""
+    from uk_procurement_data_pipeline_spark.queries.ref_pipeline import (
+        _FLAT,
+        ocds_flatten_wide,
+    )
+
+    df = ocds_flatten_wide(spark, sf_dir)
+    assert df.columns == [a for a, _ in _FLAT]
+    assert len(df.columns) >= 110  # the reference record width
+
+    r = df.orderBy("buyer_id", "ocid").limit(1).collect()[0]
+    okey = r["ocid"].removeprefix("ocds-")
+    assert r["csv_file"] == f"notices-{r['release_date']}.csv"
+    assert r["publishedDate"] == f"{r['release_date']}T00:00:00Z"
+    assert r["release_id"] == f"ocds-{okey}-01"
+    assert r["tender_id"] == f"t-{okey}"
+    assert r["award_id"] == f"award-{okey}" == r["first_award_id"]
+    assert r["status"] == "ok"
+    assert r["planning_milestone_types"] == "engagement|publication"
+    assert r["tender_document_types"] == "tenderNotice|awardNotice"
+    assert r["award_document_types"] == "awardNotice|contractSigned"
+    assert r["value_amount"] == r["tender_amount"] == r["award_value_amount"]
+    assert r["minValue_amount"] == r["value_amount"] * 0.5
+    n_sup = r["n_supplier_parties"]
+    assert len(r["supplier_party_ids"].split("|")) == n_sup
+    assert len(r["award_suppliers_ids"].split("|")) == n_sup
+    assert r["supplier_party_ids"] == r["award_suppliers_ids"]
+    assert r["buyer_identifier_id"] == str(r["buyer_id"])
+    assert r["buyer_roles"] == "buyer"
+    assert r["delivery_postalCode"].startswith("PC")
+    assert r["tender_notice_url"] == f"http://n/{okey}"
+    assert r["award_notice_url"] == f"http://a/{okey}"
