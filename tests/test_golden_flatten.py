@@ -175,3 +175,61 @@ def test_ocds_flatten_wide_column_contract(spark, sf_dir):
     assert r["delivery_postalCode"].startswith("PC")
     assert r["tender_notice_url"] == f"http://n/{okey}"
     assert r["award_notice_url"] == f"http://a/{okey}"
+
+
+# ---------------------------------------------------------------------------
+# fat_flatten_wide contract pins (ref 2b:193-249 / 2b:374-429 / 2b:434-446)
+# ---------------------------------------------------------------------------
+
+FAT_CONTRACT = [
+    "o_orderkey", "schema_type", "form_type", "td_document_type_code",
+    "notice_type_group", "doc_id", "edition", "no_doc_ojs", "notice_url",
+    "date_pub", "ds_date_dispatch", "award_date", "iso_country", "ti_country",
+    "ti_town", "ca_country_code", "ca_town", "ca_postcode", "ca_nuts_code",
+    "perf_nuts_code", "ca_ce_nuts_code", "ca_name", "ca_email", "ca_url",
+    "original_cpv_code", "cpv_main_code", "additional_cpv_codes", "ti_text",
+    "obj_title", "short_descr", "type_contract_ctype", "val_total",
+    "val_total_currency", "est_total_val", "est_total_val_currency",
+    "proc_total_val", "proc_total_val_currency", "aw_val_total",
+    "aw_val_currency", "nb_tenders", "nc_contract_nature_code",
+    "pr_proc_code", "ac_award_crit_code", "ma_main_activities_code",
+    "rp_regulation_code", "contractor_names",
+]
+
+
+def test_fat_flatten_contract(spark, sf_dir):
+    """The unified find_a_tender record: exact column contract (order and
+    names, ref 2b:193-249), dialect dispatch, and per-dialect null shape."""
+    from uk_procurement_data_pipeline_spark.queries.xml_notices import (
+        fat_flatten_wide,
+    )
+
+    df = fat_flatten_wide(spark, sf_dir)
+    assert df.columns == FAT_CONTRACT
+    rows = {r["o_orderkey"]: r for r in df.collect()}
+    assert rows, "fixture filter yielded no rows"
+
+    for k, r in rows.items():
+        if k % 3 == 2:  # TED dialect
+            assert r["schema_type"] == "TED_R2.0.9"
+            assert r["form_type"] in ("F02", "F03")
+            assert r["edition"] is not None
+            assert r["val_total_currency"] == "GBP"
+            # award block only for finished orders
+            assert (r["nb_tenders"] is not None) == (r["award_date"] is not None)
+            assert r["notice_type_group"] in (
+                "PIN", "CONTRACT_NOTICE", "CONTRACT_AWARD", "MODIFICATION", "OTHER",
+            )
+        else:  # UK-2023 dialect
+            assert r["schema_type"].startswith("UK")
+            assert r["form_type"] == r["td_document_type_code"]
+            # TED-only families are null on UKX rows (ref 2b:404-427)
+            for c in ("edition", "ds_date_dispatch", "award_date", "ca_email",
+                      "val_total", "nb_tenders", "pr_proc_code"):
+                assert r[c] is None, (k, c)
+            # buyer fallback: no buyer-role party on k%5==0 rows
+            if k % 5 == 0:
+                assert r["ca_name"].startswith("Authority F")
+                assert r["ca_town"] is None
+            else:
+                assert r["ca_name"].startswith("Authority ")
