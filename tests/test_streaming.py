@@ -165,3 +165,66 @@ def test_available_now_is_exactly_once_per_file(spark, stream_src, tmp_path):
     run_available_now(passthrough, out, ckpt)
     n2 = spark.read.parquet(out).count()
     assert n1 == n2 == spark.read.parquet(str(stream_src / "day*")).count()
+
+
+def test_foreach_batch_merge_idempotent(spark, stream_src, tmp_path):
+    """foreachBatch append-merge (ref 3_merge_to_two.py:41-57): batches land
+    as batch_id partitions, replays of a committed batch are skipped, and a
+    checkpointed re-trigger adds nothing."""
+    from uk_procurement_data_pipeline_spark.streaming.events_stream import (
+        run_foreach_batch_merge,
+    )
+
+    out, ckpt = str(tmp_path / "merged"), str(tmp_path / "ckpt")
+    stream = _read_all(spark, stream_src).select("event_id", "event_type")
+    run_foreach_batch_merge(stream, out, ckpt)
+
+    merged = spark.read.parquet(out + "/batch_id=*")
+    expect = spark.read.parquet(str(stream_src / "day*")).count()
+    assert merged.count() == expect
+
+    # re-trigger with the same checkpoint: sources are exhausted, target
+    # unchanged — the merge is idempotent end-to-end
+    run_foreach_batch_merge(stream, out, ckpt)
+    assert spark.read.parquet(out + "/batch_id=*").count() == expect
+
+    # simulate a recovery replay of an already-committed batch id: the
+    # _SUCCESS marker short-circuits the write, so the duplicate delivery
+    # changes nothing
+    import os
+    from uk_procurement_data_pipeline_spark.streaming.events_stream import (
+        batch_merge_writer,
+    )
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert batch_dirs, "no batch directories written"
+    bid = int(batch_dirs[0].split("=")[1])
+    one = spark.range(1).selectExpr("id AS event_id", "'dup' AS event_type")
+    batch_merge_writer(out)(one, bid)
+    assert spark.read.parquet(out + "/batch_id=*").count() == expect
+
+
+def test_streaming_listener_records_progress(spark, stream_src, tmp_path):
+    """E5 on streams: StreamingQueryListener accumulates per-batch input-row
+    counts that reconcile exactly with the source."""
+    from uk_procurement_data_pipeline_spark.streaming.events_stream import (
+        ProgressRecorder,
+        run_available_now,
+    )
+
+    rec = ProgressRecorder().attach(spark)
+    try:
+        out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+        run_available_now(_read_all(spark, stream_src).select("event_id"), out, ckpt)
+        # listener callbacks are async on the driver bus — wait for drain
+        import time
+        expect = spark.read.parquet(str(stream_src / "day*")).count()
+        for _ in range(100):
+            if rec.total_input_rows() >= expect and rec.terminated:
+                break
+            time.sleep(0.1)
+        assert rec.total_input_rows() == expect
+        assert rec.started and rec.terminated
+        assert all(p["batch_id"] >= 0 for p in rec.progress)
+    finally:
+        rec.detach(spark)

@@ -81,3 +81,100 @@ def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint: str) -> No
         .start()
     )
     q.awaitTermination()
+
+
+def batch_merge_writer(out_dir: str):
+    """The ``foreachBatch`` callback: land each micro-batch under a
+    ``batch_id=N`` subdirectory; a replayed id whose directory already
+    committed (``_SUCCESS`` present) is skipped — idempotent under
+    checkpoint-recovery re-delivery."""
+    import os
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        target = os.path.join(out_dir, f"batch_id={batch_id}")
+        if os.path.exists(os.path.join(target, "_SUCCESS")):
+            return  # replay of a committed batch — idempotent skip
+        batch_df.write.mode("overwrite").parquet(target)
+
+    return _merge
+
+
+def run_foreach_batch_merge(
+    stream_df: DataFrame, out_dir: str, checkpoint: str
+) -> None:
+    """Append-merge sink via ``foreachBatch`` — the streaming form of the
+    reference's per-day merge into one growing table (3_merge_to_two.py:41-57,
+    read-old + concat + rewrite).
+
+    Parquet has no transactional upsert, so exactly-once is achieved the
+    canonical blob-store way: each micro-batch lands in a subdirectory
+    named by its ``batch_id``, and a replayed batch (same id after a
+    checkpoint-recovery re-trigger) is SKIPPED if its directory already
+    committed. Readers see the merged table with
+    ``spark.read.parquet(out_dir + "/batch_id=*")`` — partition discovery
+    does the concat, nothing is rewritten (the reference re-reads and
+    rewrites the whole CSV each day; at 100 TB the append-only layout is
+    the only viable shape).
+    """
+    q = (
+        stream_df.writeStream.foreachBatch(batch_merge_writer(out_dir))
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+class ProgressRecorder:
+    """E5 on streams: a StreamingQueryListener that accumulates per-batch
+    observability metrics (the streaming analogue of ``df.observe`` in
+    sources/sinks.py — the reference's per-day print diagnostics,
+    2b_extract_find_a_tender_XMLs.py:500-509).
+
+    Collects one dict per completed micro-batch: ``batch_id``,
+    ``num_input_rows``, ``sink_description``. Listener callbacks run on
+    the driver — cheap, no executor traffic — so this is safe at any
+    scale. Use ``attach()``/``detach()`` around a run, then read
+    ``.progress``.
+    """
+
+    def __init__(self) -> None:
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        recorder = self
+
+        class _Listener(StreamingQueryListener):
+            def onQueryStarted(self, event):  # noqa: N802 (Spark API)
+                recorder.started.append(event.id)
+
+            def onQueryProgress(self, event):  # noqa: N802
+                p = event.progress
+                recorder.progress.append(
+                    {
+                        "batch_id": p.batchId,
+                        "num_input_rows": p.numInputRows,
+                        "sink_description": p.sink.description,
+                    }
+                )
+
+            def onQueryIdle(self, event):  # noqa: N802
+                pass
+
+            def onQueryTerminated(self, event):  # noqa: N802
+                recorder.terminated.append(event.id)
+
+        self.progress: list[dict] = []
+        self.started: list[str] = []
+        self.terminated: list[str] = []
+        self._listener = _Listener()
+
+    def attach(self, spark: SparkSession) -> "ProgressRecorder":
+        spark.streams.addListener(self._listener)
+        return self
+
+    def detach(self, spark: SparkSession) -> None:
+        spark.streams.removeListener(self._listener)
+
+    def total_input_rows(self) -> int:
+        return sum(p["num_input_rows"] for p in self.progress)
