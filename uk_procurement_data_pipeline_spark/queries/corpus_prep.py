@@ -1,0 +1,205 @@
+"""Training-corpus preparation operators ([NORTH-STAR] LLM-pipeline
+surface beyond SURVEY.md §2's row inventory, alongside queries/dedup.py
+and queries/similarity.py).
+
+What a 100 TB pretraining-data pipeline runs after dedup/quality:
+chunking documents into model-context windows, deterministic
+train/validation/test splitting (stratified, reproducible, no RNG state
+to ship), and PII scrubbing. All four queries are pure JVM-side
+expressions — explode/slice/regexp over the documents table — so each
+is linear map-side work with at most one aggregation shuffle, and every
+one is oracle-checked against DuckDB.
+
+Cross-engine determinism: the split assignment hashes doc_id through
+md5 (identical hex in both engines) instead of each engine's private
+hash(); quantiles use the shared (n-1)*p linear-interpolation contract
+on integer inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (parity with siblings)
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_TOKENS = "split(text, ' ')"  # Spark tokens
+_DTOKENS = "string_split(text, ' ')"  # DuckDB tokens
+
+# Context-window chunking parameters: window of 32 tokens, stride 24
+# (8-token overlap) — the standard sliding-window packing shape, scaled
+# to the fixture corpus (<=99 tokens/doc). At production sizes only the
+# constants change; the plan stays scan -> explode -> project.
+_CHUNK, _STRIDE = 32, 24
+
+
+@register(
+    name="doc_chunk_overlap",
+    survey="F13 F17 F19 UD4",
+    doc="Sliding-window document chunking (training-data packing): token "
+    "windows of 32 with stride 24 via explode(sequence(...)) + slice — "
+    "linear map-side fan-out, no shuffle; the tail chunk keeps its "
+    "natural short length.",
+    oracle=f"""
+        SELECT d.doc_id,
+               s.start // {_STRIDE} AS chunk_idx,
+               s.start AS chunk_start,
+               len(list_slice({_DTOKENS}, s.start + 1, s.start + {_CHUNK}))
+                   AS n_chunk_tokens,
+               array_to_string(
+                   list_slice({_DTOKENS}, s.start + 1, s.start + {_CHUNK}), ' ')
+                   AS chunk_text
+        FROM documents d,
+             LATERAL (SELECT unnest(range(0, len({_DTOKENS}), {_STRIDE}))
+                      AS start) s
+    """,
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            f"{_TOKENS} AS toks",
+            f"explode(sequence(0, size({_TOKENS}) - 1, {_STRIDE})) AS start",
+        )
+        .selectExpr(
+            "doc_id",
+            f"CAST(start div {_STRIDE} AS BIGINT) AS chunk_idx",
+            "CAST(start AS BIGINT) AS chunk_start",
+            f"CAST(size(slice(toks, start + 1, {_CHUNK})) AS BIGINT) AS n_chunk_tokens",
+            f"array_join(slice(toks, start + 1, {_CHUNK}), ' ') AS chunk_text",
+        )
+    )
+
+
+# Deterministic split assignment: first 8 md5 hex chars of the doc key ->
+# int -> percent bucket. Reproducible across engines, languages, and
+# re-runs — no RNG seed to persist, rebalancing is a literal change.
+_SPARK_BUCKET = (
+    "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+)
+_DUCK_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+
+
+@register(
+    name="stratified_split_counts",
+    survey="A7 F28 UD4",
+    doc="Deterministic stratified train/val/test split (80/10/10 by "
+    "md5-bucket of doc_id), audited per source stratum: one pass "
+    "assigns, one hash-agg shuffle counts docs and tokens per "
+    "(source, split). The md5 bucket is engine-portable, so the oracle "
+    "pins the exact per-document assignment, not just the rates.",
+    oracle=f"""
+        SELECT source, split,
+               count(*) AS n_docs,
+               CAST(sum(len({_DTOKENS})) AS BIGINT) AS n_tokens
+        FROM (
+          SELECT source, text,
+                 CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+                      WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM documents
+        )
+        GROUP BY source, split
+    """,
+)
+def stratified_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "source",
+            "text",
+            f"CASE WHEN {_SPARK_BUCKET} < 80 THEN 'train'"
+            f" WHEN {_SPARK_BUCKET} < 90 THEN 'val'"
+            " ELSE 'test' END AS split",
+        )
+        .groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(f"CAST(sum(size({_TOKENS})) AS BIGINT)").alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    name="pii_scrub",
+    survey="F6 F4 UD4 E2",
+    doc="PII scrubbing: mask emails and phone numbers with global "
+    "regexp_replace and count redactions per document. PII-bearing text "
+    "is constructed deterministically onto each fixture document so the "
+    "oracle pins the scrub patterns themselves (both engines replace "
+    "ALL matches; patterns avoid escape-sequence dialect differences).",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(regexp_replace(contact, '[a-z0-9]+@[a-z.]+[a-z]',
+                              '[EMAIL]', 'g'), '07[0-9]{9}', '[PHONE]', 'g')
+                   AS scrubbed,
+               len(regexp_extract_all(contact, '[a-z0-9]+@[a-z.]+[a-z]'))
+                   AS n_emails,
+               len(regexp_extract_all(contact, '07[0-9]{9}')) AS n_phones
+        FROM (
+          SELECT doc_id,
+                 'doc ' || CAST(doc_id AS VARCHAR) || ' contact user'
+                   || CAST(doc_id AS VARCHAR) || '@mail.example.org or user'
+                   || CAST(doc_id AS VARCHAR) || '@backup.example.net phone 07'
+                   || lpad(CAST(doc_id % 1000000 AS VARCHAR), 9, '0')
+                   || ' end' AS contact
+          FROM documents
+        )
+    """,
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "concat('doc ', doc_id, ' contact user', doc_id,"
+            " '@mail.example.org or user', doc_id,"
+            " '@backup.example.net phone 07',"
+            " lpad(CAST(doc_id % 1000000 AS STRING), 9, '0'), ' end') AS contact",
+        )
+        .selectExpr(
+            "doc_id",
+            "regexp_replace(regexp_replace(contact, '[a-z0-9]+@[a-z.]+[a-z]',"
+            " '[EMAIL]'), '07[0-9]{9}', '[PHONE]') AS scrubbed",
+            "CAST(regexp_count(contact, '[a-z0-9]+@[a-z.]+[a-z]') AS BIGINT)"
+            " AS n_emails",
+            "CAST(regexp_count(contact, '07[0-9]{9}') AS BIGINT) AS n_phones",
+        )
+    )
+
+
+@register(
+    name="token_quantiles_per_source",
+    survey="A7 UD4",
+    doc="Exact length quantiles per source stratum (corpus length-"
+    "profile audit): p25/p50/p75/p90 of per-document token counts via "
+    "linear-interpolation percentile on BIGINT inputs — both engines "
+    "share the (n-1)*p contract, so doubles match bit-for-bit.",
+    oracle=f"""
+        SELECT source,
+               count(*) AS n_docs,
+               quantile_cont(n_tok, 0.25) AS p25,
+               quantile_cont(n_tok, 0.50) AS p50,
+               quantile_cont(n_tok, 0.75) AS p75,
+               quantile_cont(n_tok, 0.90) AS p90
+        FROM (SELECT source, len({_DTOKENS}) AS n_tok FROM documents)
+        GROUP BY source
+    """,
+)
+def token_quantiles_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr("source", f"size({_TOKENS}) AS n_tok")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("percentile(n_tok, 0.25)").alias("p25"),
+            F.expr("percentile(n_tok, 0.50)").alias("p50"),
+            F.expr("percentile(n_tok, 0.75)").alias("p75"),
+            F.expr("percentile(n_tok, 0.90)").alias("p90"),
+        )
+    )
