@@ -110,6 +110,98 @@ def decode_media(assets: DataFrame, decoder: Decoder = real_decoder) -> DataFram
     return assets.select("doc_id", "payload").mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+_FRAME_BYTES = 16
+
+
+def frame_sample(assets: DataFrame, every_n: int = 3) -> DataFrame:
+    """Frame-sampling stage: treat the payload as a sequence of fixed
+    16-byte frames and keep every Nth — the batch shape of a video
+    keyframe sampler (decode is the injectable part; the sampling
+    cadence, fan-out, and one-row-per-frame output here are the real
+    Spark plumbing). Linear in payload size, map-side only."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "frame_hex": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = (len(buf) + _FRAME_BYTES - 1) // _FRAME_BYTES
+                for i in range(0, n_frames, every_n):
+                    frame = buf[i * _FRAME_BYTES : (i + 1) * _FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["frame_hex"].append(frame.hex().upper())
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run, schema="doc_id bigint, frame_idx bigint, frame_hex string"
+    )
+
+
+def resize_media(
+    assets: DataFrame,
+    dst_w: int,
+    dst_h: int,
+    decoder: Decoder = real_decoder,
+) -> DataFrame:
+    """Resize stage: decode source dimensions (injectable codec, same
+    contract as decode_media), emit target dimensions plus a payload
+    downsampled to the dst byte budget by deterministic striding — the
+    stand-in for a real interpolating resampler. One row in -> one row
+    out; the payload column stays binary end-to-end."""
+
+    budget = dst_w * dst_h
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "src_w": [], "src_h": [],
+                "dst_w": [], "dst_h": [], "resized": [],
+            }
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                w, h, _ = decoder(int(doc_id), buf)
+                stride = max(1, len(buf) // budget) if budget else 1
+                out["doc_id"].append(doc_id)
+                out["src_w"].append(w)
+                out["src_h"].append(h)
+                out["dst_w"].append(dst_w)
+                out["dst_h"].append(dst_h)
+                out["resized"].append(buf[::stride][:budget])
+            yield pd.DataFrame(out)
+
+    return assets.select("doc_id", "payload").mapInPandas(
+        run,
+        schema="doc_id bigint, src_w int, src_h int, "
+        "dst_w int, dst_h int, resized binary",
+    )
+
+
+@register(
+    name="frame_sample_profile",
+    survey="UD4 F17",
+    doc="Video-style frame sampling over binary payloads (every 3rd "
+    "16-byte frame, one output row per kept frame) through an Arrow "
+    "mapInPandas stage; the oracle recomputes each kept frame's hex "
+    "straight from the utf-8 bytes in SQL, pinning cadence, indexing, "
+    "and the short tail frame.",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, encode(text) AS raw,
+                   (octet_length(encode(text)) + {_FRAME_BYTES - 1})
+                       // {_FRAME_BYTES} AS n_frames
+            FROM documents)
+        SELECT doc_id,
+               i AS frame_idx,
+               substr(hex(raw), i * {_FRAME_BYTES * 2} + 1,
+                      {_FRAME_BYTES * 2}) AS frame_hex
+        FROM b, LATERAL (SELECT unnest(range(0, n_frames, 3)) AS i) s
+    """,
+)
+def frame_sample_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return frame_sample(spread(assets_from_documents(spark, sf_dir)), every_n=3)
+
+
 @register(
     name="binary_meta_profile",
     survey="UD4 F7 A7 P6",
