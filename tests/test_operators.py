@@ -252,3 +252,48 @@ def test_connected_components_errors_instead_of_wrong_labels(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(edges, max_rounds=3)
+
+
+def test_chunking_invariants_hypothesis(spark):
+    """Sliding-window chunking (corpus_prep): every token is covered, the
+    stride-aligned prefix of each chunk reconstructs the document, and
+    chunk lengths never exceed the window."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from uk_procurement_data_pipeline_spark.queries.corpus_prep import (
+        _CHUNK,
+        _STRIDE,
+    )
+
+    token = st.text(alphabet="abcdefgh", min_size=1, max_size=6)
+
+    @settings(max_examples=20, deadline=None)
+    @given(st.lists(token, min_size=1, max_size=120))
+    def check(tokens):
+        text = " ".join(tokens)
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = sorted(
+            df.selectExpr(
+                "doc_id",
+                "split(text, ' ') AS toks",
+                f"explode(sequence(0, size(split(text, ' ')) - 1, {_STRIDE}))"
+                " AS start",
+            )
+            .selectExpr(
+                "start",
+                f"slice(toks, start + 1, {_CHUNK}) AS chunk",
+            )
+            .collect(),
+            key=lambda r: r["start"],
+        )
+        # windows start at every stride multiple below the doc length
+        assert [r["start"] for r in rows] == list(range(0, len(tokens), _STRIDE))
+        for r in rows:
+            assert 1 <= len(r["chunk"]) <= _CHUNK
+            assert r["chunk"] == tokens[r["start"] : r["start"] + _CHUNK]
+        # stride-aligned prefixes reconstruct the document exactly
+        rebuilt = [t for r in rows for t in r["chunk"][:_STRIDE]]
+        assert rebuilt == tokens
+
+    check()
