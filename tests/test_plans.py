@@ -127,3 +127,39 @@ def test_excel_scan_is_an_explicit_gate(spark, tmp_path):
 
     with pytest.raises(NotImplementedError, match="spark-excel"):
         read_excel(spark, str(tmp_path / "x.xlsx"))
+
+
+def test_chunking_is_pure_map_side(spark, sf_dir):
+    """doc_chunk_overlap: scan -> generate -> project, zero shuffles —
+    the shape that stays linear at 100 TB."""
+    plan = plan_of(spark, sf_dir, "doc_chunk_overlap")
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_corpus_prep_aggs_shuffle_once(spark, sf_dir):
+    """Split audit and quantiles: exactly one aggregation exchange each
+    (partial -> final hash agg), nothing else."""
+    for name in ("stratified_split_counts", "token_quantiles_per_source"):
+        plan = plan_of(spark, sf_dir, name, mode="simple")
+        assert plan.count("Exchange") == 1, name
+
+
+def test_fat_flatten_scan_prunes_to_needed_columns(spark, sf_dir):
+    """fat_flatten_wide reads only the five order columns it encodes and
+    keeps the key filter on the scan."""
+    plan = plan_of(spark, sf_dir, "fat_flatten_wide")
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "o_totalprice" not in read_schema  # never used -> pruned
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate",
+              "o_orderpriority"):
+        assert c in read_schema
+    assert "o_orderkey#" in plan.split("Filter")[1][:400]
+
+
+def test_pii_scrub_stays_jvm_side(spark, sf_dir):
+    """Scrubbing is regexp_replace in codegen — no Python stages."""
+    plan = plan_of(spark, sf_dir, "pii_scrub")
+    for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
+    assert "Exchange" not in plan
