@@ -97,6 +97,107 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_K = 8  # coarse cells; production sizes K ~ sqrt(N) so cells stay scannable
+_IVF_PROBE = 2  # cells probed per query (recall knob)
+
+
+@register(
+    name="ann_ivf_probed",
+    survey="J9 UD4 W1 A10",
+    doc="ANN inverted-file (IVF) variant: a deterministic coarse quantizer "
+    "(the first K vectors stand in for trained centroids — k-means is RNG-"
+    "bound, the IVF structure is not) assigns every vector to its nearest "
+    "cell via a broadcast of K rows; queries probe their top-2 cells and "
+    "refine exact cosine only against those inverted lists. Complements "
+    "ann_lsh_bucketed: data-adaptive cells vs oblivious hyperplanes, same "
+    "linear-shuffle contract (SURVEY §4.3 watchlist). Production notes: "
+    "K ~ sqrt(N) keeps cells scannable; more probes buy recall.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS nrm
+            FROM embeddings),
+        c AS (
+            SELECT vec_id AS centroid_id, embedding AS cv, nrm AS cn
+            FROM e WHERE vec_id < {_IVF_K}),
+        a0 AS (
+            SELECT e.vec_id, e.embedding, e.nrm, c.centroid_id,
+                   {_D_DOT.format(a='e.embedding', b='cv')} / (e.nrm * cn) AS ccos
+            FROM e JOIN c ON TRUE),
+        a AS (
+            SELECT vec_id, embedding, nrm, centroid_id,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY ccos DESC, centroid_id) AS crn
+            FROM a0),
+        cells AS (
+            SELECT vec_id, embedding, nrm, centroid_id AS cell
+            FROM a WHERE crn = 1),
+        qc AS (
+            SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                   centroid_id AS cell
+            FROM a WHERE vec_id % 100 = 0 AND crn <= {_IVF_PROBE}),
+        p AS (
+            SELECT qc.query_id, cells.vec_id AS neighbor_id,
+                   {_D_DOT.format(a='qv', b='cells.embedding')}
+                       / (qn * cells.nrm) AS cosine
+            FROM qc JOIN cells ON qc.cell = cells.cell
+                 AND cells.vec_id <> qc.query_id),
+        r AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM p)
+        SELECT query_id, neighbor_id, cosine, rn AS rank
+        FROM r WHERE rn <= 3
+    """,
+)
+def ann_ivf_probed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm",
+    )
+    c = e.where(F.col("vec_id") < _IVF_K).selectExpr(
+        "vec_id AS centroid_id", "embedding AS cv", "nrm AS cn"
+    )
+    # coarse assignment: broadcast the K centroids against every vector
+    # (K rows -> BroadcastNestedLoop, linear in N) and keep each vector's
+    # best cell; queries keep their top-_IVF_PROBE cells
+    assign = e.join(F.broadcast(c), F.lit(True)).selectExpr(
+        "vec_id",
+        "embedding",
+        "nrm",
+        "centroid_id",
+        f"{_DOT.format(a='embedding', b='cv')} / (nrm * cn) AS ccos",
+    )
+    wc = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("centroid_id")
+    )
+    ranked = assign.withColumn("crn", F.row_number().over(wc))
+    cells = ranked.where(F.col("crn") == 1).selectExpr(
+        "vec_id", "embedding", "nrm", "centroid_id AS cell"
+    )
+    qc = ranked.where(
+        (F.col("vec_id") % 100 == 0) & (F.col("crn") <= _IVF_PROBE)
+    ).selectExpr("vec_id AS query_id", "embedding AS qv", "nrm AS qn", "centroid_id AS cell")
+    pairs = cells.join(
+        F.broadcast(qc.withColumnRenamed("cell", "qcell")),
+        (F.col("cell") == F.col("qcell")) & (F.col("vec_id") != F.col("query_id")),
+    ).selectExpr(
+        "query_id",
+        "vec_id AS neighbor_id",
+        f"{_DOT.format(a='qv', b='embedding')} / (qn * nrm) AS cosine",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 @register(
     name="ann_lsh_bucketed",
     survey="J9 UD4 W1 A10",
