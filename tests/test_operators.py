@@ -297,3 +297,23 @@ def test_chunking_invariants_hypothesis(spark):
         assert rebuilt == tokens
 
     check()
+
+
+def test_approx_percentile_close_to_exact(spark, sf_dir):
+    """A8 sketch family: approx_percentile (KLL-style sketch) lands within
+    2% of the exact percentile on the order-value distribution — the same
+    tolerance contract as the HLL count-distinct test."""
+    from uk_procurement_data_pipeline_spark.catalog import load
+
+    row = (
+        load(spark, sf_dir, "orders")
+        .selectExpr(
+            "percentile(o_totalprice, 0.5) AS exact_p50",
+            "approx_percentile(o_totalprice, 0.5, 1000) AS approx_p50",
+            "percentile(o_totalprice, 0.9) AS exact_p90",
+            "approx_percentile(o_totalprice, 0.9, 1000) AS approx_p90",
+        )
+        .first()
+    )
+    assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.02 * row["exact_p50"]
+    assert abs(row["approx_p90"] - row["exact_p90"]) <= 0.02 * row["exact_p90"]
