@@ -103,10 +103,10 @@ def test_apply_in_pandas_with_state_running_counts(spark, stream_src):
     """Custom stateful operator (applyInPandasWithState): per-user running
     event count whose state survives micro-batch boundaries — one file per
     trigger forces multiple batches over the same keys."""
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupStateTimeout
-
-    from uk_procurement_data_pipeline_spark.streaming.events_stream import EVENTS_DDL
+    from uk_procurement_data_pipeline_spark.streaming.events_stream import (
+        EVENTS_DDL,
+        running_user_counts,
+    )
 
     stream = (
         spark.readStream.schema(EVENTS_DDL)
@@ -114,19 +114,7 @@ def test_apply_in_pandas_with_state_running_counts(spark, stream_src):
         .parquet(str(stream_src / "day*"))
     )
 
-    def running_count(key, pdfs, state):
-        n = sum(len(p) for p in pdfs)
-        total = (state.get[0] if state.exists else 0) + n
-        state.update((total,))
-        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
-
-    out = stream.groupBy("user_id").applyInPandasWithState(
-        running_count,
-        "user_id bigint, n bigint",
-        "n bigint",
-        "update",
-        GroupStateTimeout.NoTimeout,
-    )
+    out = running_user_counts(stream)
 
     emitted: list = []
     q = (

@@ -83,6 +83,34 @@ def run_available_now(stream_df: DataFrame, out_dir: str, checkpoint: str) -> No
     q.awaitTermination()
 
 
+def running_user_counts(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    event count whose single-value state survives micro-batch boundaries —
+    the minimal template for custom streaming state the built-in windowed
+    aggregations can't express (counters, rate limits, per-key models).
+
+    State is one BIGINT per user: bounded, and keyed on a high-cardinality
+    column so the state store shards evenly at scale. Update mode emits a
+    fresh total whenever a batch touches the key.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def running_count(key, pdfs, state):
+        n = sum(len(p) for p in pdfs)
+        total = (state.get[0] if state.exists else 0) + n
+        state.update((total,))
+        yield pd.DataFrame({"user_id": [key[0]], "n": [total]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        running_count,
+        "user_id bigint, n bigint",
+        "n bigint",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def batch_merge_writer(out_dir: str):
     """The ``foreachBatch`` callback: land each micro-batch under a
     ``batch_id=N`` subdirectory; a replayed id whose directory already
