@@ -40,15 +40,21 @@ def run_query(spark, spec, sf_dir: str, runs: int = 2) -> float:
     A single timed run conflates first-touch costs (codegen compile, parquet
     footer cache, Python-worker fork) with steady-state query cost and made
     round-2 bench rows trip the 2x-of-baseline gate on cold-start noise
-    (simhash_dedup: 2.7s cold vs 1.05s warm). Planning/analysis still happens
-    per run (``spec.fn`` is re-invoked), so the number reported is a full
-    end-to-end execution, just not the process-cold one.
+    (simhash_dedup: 2.7s cold vs 1.05s warm). Ordinary (lazy) queries time
+    only the noop-sink execution — re-running fn() would re-pay Catalyst
+    analysis, which is not execution cost and skews wide plans by 100s of
+    ms. Specs flagged ``eager`` (the streaming entry drains its whole
+    stream inside fn) time the fn call too, since that IS their execution.
     """
     best = float("inf")
     for _ in range(max(1, runs)):
-        df = spec.fn(spark, sf_dir)
-        t0 = time.perf_counter()
-        df.write.mode("overwrite").format("noop").save()
+        if spec.eager:
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        else:
+            df = spec.fn(spark, sf_dir)
+            t0 = time.perf_counter()
+            df.write.mode("overwrite").format("noop").save()
         best = min(best, time.perf_counter() - t0)
     return best
 

@@ -26,20 +26,25 @@ class QuerySpec:
     oracle: str | None  # DuckDB SQL; None -> driver does rows-only check
     survey: str  # SURVEY.md §2 operator IDs this query covers
     doc: str = ""
+    # True when fn() executes eagerly (e.g. drains a stream) rather than
+    # returning a lazy plan — benchmarks must time the fn call too.
+    eager: bool = False
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(
-    name: str, *, oracle: str | None, survey: str, doc: str = ""
+    name: str, *, oracle: str | None, survey: str, doc: str = "", eager: bool = False
 ) -> Callable[[QueryFn], QueryFn]:
     """Decorator: add a query function to the global registry."""
 
     def wrap(fn: QueryFn) -> QueryFn:
         if name in _REGISTRY:
             raise ValueError(f"duplicate query name {name!r}")
-        _REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, survey=survey, doc=doc)
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, survey=survey, doc=doc, eager=eager
+        )
         return fn
 
     return wrap

@@ -87,6 +87,75 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    name="stream_tumbling_counts",
+    survey="ST1 ST5 A7 F15 F16",
+    eager=True,
+    doc="The tumbling-window aggregation executed AS A STREAM: readStream "
+    "over the events parquet, complete-mode windowed count+exact-sum, "
+    "drained with trigger(availableNow) into a memory sink, returning the "
+    "final table. Complete mode recomputes the full result at the last "
+    "trigger, so the answer is batch-identical and deterministic no matter "
+    "how the source was split into micro-batches — which makes this the "
+    "registry's fully oracle-checked STRUCTURED STREAMING row (the "
+    "append-mode watermark variants stay in tests/test_streaming.py, "
+    "where their withheld-tail semantics are pinned).",
+    oracle=f"""
+        SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start,
+               time_bucket(INTERVAL '10 minutes', ts) + INTERVAL '10 minutes'
+                   AS window_end,
+               event_type,
+               COUNT(*) AS n_events,
+               {oracle_sum('value')} AS sum_value
+        FROM events
+        GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    qname = f"stream_tumbling_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    # events.ts is parquet TIMESTAMP(NANOS); the streaming source needs the
+    # nanosAsLong lowering for the whole run (schema resolution AND every
+    # micro-batch scan), so the conf stays set until the stream drains.
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        src = spark.readStream.schema(
+            "event_id bigint, ts long, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(f"{sf_dir}/events*.parquet")
+        win = (
+            src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                exact_sum("value", "sum_value"),
+            )
+            .select(
+                F.col("window.start").alias("window_start"),
+                F.col("window.end").alias("window_end"),
+                "event_type",
+                "n_events",
+                "sum_value",
+            )
+        )
+        q = (
+            win.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(qname)
+
+
+@register(
     name="events_session_window",
     survey="ST2 W2 A7",
     doc="Session windows per user with a 5-minute gap (batch form). Oracle "
