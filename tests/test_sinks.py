@@ -97,3 +97,25 @@ def test_binary_file_sink_rejects_path_escapes(spark, tmp_path):
     assert not (tmp_path / "deep.bin").exists()
     written = {p.relative_to(out).as_posix() for p in out.rglob("*") if p.is_file()}
     assert written == {"ok/safe.bin"}
+
+
+def test_compact_parquet_reduces_files_losslessly(spark, sf_dir, tmp_path):
+    """Compaction: many small files -> ceil(bytes/target) files, identical
+    rows, and the sizing math never runs a Spark job over the data."""
+    from uk_procurement_data_pipeline_spark.catalog import load
+    from uk_procurement_data_pipeline_spark.sources.sinks import compact_parquet
+
+    src, dst = str(tmp_path / "small"), str(tmp_path / "compacted")
+    orders = load(spark, sf_dir, "orders")
+    orders.repartition(16).write.parquet(src)  # simulate incremental litter
+    n_small = len(list((tmp_path / "small").glob("*.parquet")))
+    assert n_small >= 16
+
+    n_files = compact_parquet(spark, src, dst, target_file_bytes=1 << 20)
+    n_out = len(list((tmp_path / "compacted").glob("*.parquet")))
+    assert n_out == n_files < n_small
+
+    a = spark.read.parquet(src)
+    b = spark.read.parquet(dst)
+    assert a.count() == b.count()
+    assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0

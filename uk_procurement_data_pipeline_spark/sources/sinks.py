@@ -32,6 +32,27 @@ def write_csv_merged(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
 
 
+def compact_parquet(
+    spark, in_dir: str, out_dir: str, target_file_bytes: int = 128 * 1024 * 1024
+) -> int:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target)`` files and return that file count.
+
+    Incremental sinks (availableNow ingest, the foreachBatch merge, daily
+    partition appends) accumulate many small files; at scale every one
+    costs a task launch, a footer read, and NameNode/liststore pressure.
+    Compaction is the standard maintenance pass. Sizing uses the INPUT
+    bytes listed from the filesystem — never a count() job — and
+    ``coalesce`` (no shuffle) since output order is free.
+    """
+    total = sum(f.stat().st_size for f in Path(in_dir).rglob("*.parquet"))
+    n_files = max(1, -(-total // target_file_bytes))
+    spark.read.parquet(in_dir).coalesce(n_files).write.mode("overwrite").parquet(
+        out_dir
+    )
+    return n_files
+
+
 def write_binary_files(
     df: DataFrame, out_dir: str, name_col: str = "name", payload_col: str = "payload"
 ) -> DataFrame:
