@@ -317,3 +317,23 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
     )
     assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.02 * row["exact_p50"]
     assert abs(row["approx_p90"] - row["exact_p90"]) <= 0.02 * row["exact_p90"]
+
+
+def test_multiprobe_lsh_dominates_single_probe(spark, sf_dir):
+    """Multi-probe candidates are a superset of single-probe candidates,
+    so at every rank the multi-probe cosine is >= the single-probe one —
+    the recall improvement the extra probes pay for."""
+    from uk_procurement_data_pipeline_spark.queries import registry
+
+    single = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in registry()["ann_lsh_bucketed"].fn(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["query_id"], r["rank"]): r["cosine"]
+        for r in registry()["ann_lsh_multiprobe"].fn(spark, sf_dir).collect()
+    }
+    assert single, "no single-probe results"
+    for key, cos in single.items():
+        assert key in multi
+        assert multi[key] >= cos - 1e-12, key

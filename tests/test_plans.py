@@ -163,3 +163,47 @@ def test_pii_scrub_stays_jvm_side(spark, sf_dir):
     for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
     assert "Exchange" not in plan
+
+
+def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
+    """AQE skew-join mitigation engages on a hot key: with thresholds
+    scaled to fixture size, the final adaptive plan marks the sort-merge
+    join as skew=true and splits the hot partition — the runtime
+    mitigation the engine relies on (with functions/skew.py salting as
+    the aggregation-side complement)."""
+    import io as _io
+    import contextlib as _ctx
+
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # one hot key owning ~half the rows on the left side
+        left = spark.range(0, 40000).selectExpr(
+            "if(id % 2 = 0, 7, id) AS k", "id AS payload"
+        )
+        right = spark.range(0, 2000).selectExpr("id AS k", "id * 10 AS r")
+        joined = left.join(right, "k")
+        # execute THIS dataset (not a derived count plan) so AQE finalizes
+        assert len(joined.collect()) > 0
+        buf = _io.StringIO()
+        with _ctx.redirect_stdout(buf):
+            joined.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not flag the skewed join"
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

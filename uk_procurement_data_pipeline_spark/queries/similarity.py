@@ -97,6 +97,98 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    name="ann_lsh_multiprobe",
+    survey="J9 UD4 W1 A10",
+    doc="Multi-probe LSH: each query probes its own sign-bucket PLUS every "
+    "single-bit-flip neighbor bucket (Hamming distance 1), recovering "
+    "near-misses that landed one hyperplane away — the standard recall "
+    "lever that avoids building more tables. Candidate set stays a bucket "
+    "equi-join (bits+1 keys per query, linear shuffle); exact-cosine "
+    "refine and top-3 as in the single-probe path.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS nrm,
+                   {_D_SIGN_BUCKET.format(v='embedding')} AS bucket
+            FROM embeddings),
+        q0 AS (
+            SELECT vec_id AS query_id, embedding AS qv, nrm AS qn, bucket
+            FROM e WHERE vec_id % 100 = 0),
+        probes AS (
+            SELECT query_id, qv, qn,
+                   CASE WHEN f.i = 0 THEN bucket
+                        ELSE substr(bucket, 1, f.i - 1)
+                             || (CASE substr(bucket, f.i, 1)
+                                 WHEN '1' THEN '0' ELSE '1' END)
+                             || substr(bucket, f.i + 1)
+                   END AS bucket
+            FROM q0, LATERAL (SELECT unnest(range(0, {_BUCKET_BITS} + 1))
+                              AS i) f),
+        p AS (
+            SELECT DISTINCT pr.query_id, e.vec_id AS neighbor_id,
+                   {_D_DOT.format(a='qv', b='embedding')} / (qn * e.nrm) AS cosine
+            FROM probes pr JOIN e ON pr.bucket = e.bucket
+                 AND e.vec_id <> pr.query_id),
+        r AS (
+            SELECT query_id, neighbor_id, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC, neighbor_id) AS rn
+            FROM p)
+        SELECT query_id, neighbor_id, cosine, rn AS rank
+        FROM r WHERE rn <= 3
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm",
+        f"{_SIGN_BUCKET.format(v='embedding')} AS bucket",
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS qv", "nrm AS qn", "bucket"
+    )
+    # probe list: identity + one bucket per flipped bit (i=0 keeps the
+    # original; i=k flips position k of the bit-string key)
+    probes = q.selectExpr(
+        "query_id",
+        "qv",
+        "qn",
+        f"explode(sequence(0, {_BUCKET_BITS})) AS i",
+        "bucket AS bucket0",
+    ).selectExpr(
+        "query_id",
+        "qv",
+        "qn",
+        "CASE WHEN i = 0 THEN bucket0"
+        " ELSE concat(substr(bucket0, 1, i - 1),"
+        "             if(substr(bucket0, i, 1) = '1', '0', '1'),"
+        "             substr(bucket0, i + 1)) END AS qbucket",
+    )
+    pairs = (
+        e.join(
+            F.broadcast(probes),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"{_DOT.format(a='qv', b='embedding')} / (qn * nrm) AS cosine",
+        )
+        .distinct()  # a neighbor is in exactly one bucket, but stay safe
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 _IVF_K = 8  # coarse cells; production sizes K ~ sqrt(N) so cells stay scannable
 _IVF_PROBE = 2  # cells probed per query (recall knob)
 
