@@ -203,3 +203,62 @@ def token_quantiles_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(n_tok, 0.90)").alias("p90"),
         )
     )
+
+
+@register(
+    name="trimmed_mean_tokens",
+    survey="UD4 UD5 A7",
+    doc="Grouped-aggregate pandas UDF (the UDAF surface): per-source "
+    "trimmed mean of token counts, dropping the 2 smallest and 2 largest "
+    "values when the stratum is big enough. Arrow ships each group's "
+    "column once; the trim itself is robust-statistics boilerplate a "
+    "built-in aggregate can't express. Integer sum / count division is "
+    "bit-identical across engines, so the oracle hash-checks the doubles.",
+    oracle=f"""
+        WITH t AS (
+            SELECT source, doc_id, len({_DTOKENS}) AS n_tok FROM documents),
+        r AS (
+            SELECT source, n_tok,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tok) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS n
+            FROM t),
+        m AS (
+            SELECT source,
+                   CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS trimmed_mean_tokens
+            FROM r
+            WHERE n <= 4 OR (rn > 2 AND rn <= n - 2)
+            GROUP BY source),
+        c AS (SELECT source, COUNT(*) AS n_docs FROM t GROUP BY source)
+        SELECT c.source, c.n_docs, m.trimmed_mean_tokens
+        FROM c JOIN m USING (source)
+    """,
+)
+def trimmed_mean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # no inline type hints: `from __future__ import annotations` stringizes
+    # them, which defeats pandas_udf's signature inference — the explicit
+    # GROUPED_AGG functionType carries the contract instead
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def _trimmed_mean(v):
+        s = v.sort_values()
+        if len(s) > 4:
+            s = s.iloc[2:-2]
+        # int64 sum then one double division — matches the oracle exactly
+        return float(s.sum()) / len(s)
+
+    # Spark disallows mixing pandas and built-in aggregates in one agg, so
+    # the group size is a second grouped-agg pandas UDF
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def _n(v):
+        return len(v)
+
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr("source", f"size({_TOKENS}) AS n_tok")
+        .groupBy("source")
+        .agg(
+            _n("n_tok").alias("n_docs"),
+            _trimmed_mean("n_tok").alias("trimmed_mean_tokens"),
+        )
+    )
