@@ -458,3 +458,88 @@ def minhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component_size",
         F.count(F.lit(1)).over(Window.partitionBy("component")),
     )
+
+
+# ---------------------------------------------------------------------------
+# Containment dedup (partial / boilerplate duplicates)
+# ---------------------------------------------------------------------------
+# Near-dup Jaccard misses asymmetric duplication: a short document wholly
+# embedded in a longer one (quoted boilerplate, template wrapping) has low
+# Jaccard but containment |A∩B|/|A| ≈ 1. Blocking on the global min
+# shingle-hash keeps this linear (a contained document shares the larger
+# document's minimum with probability ≈ |A|/|B| per the MinHash argument;
+# production adds the k smallest hashes as extra probes for recall).
+# The set algebra runs on the 32-bit shingle hashes, not the shingle
+# strings: both engines compute the identical hash family (cheap to
+# materialize, cheap to intersect), so the refine is still exact-match
+# checkable — and hashing shingles before set ops is what a production
+# containment pass does anyway.
+
+_CONTAIN_THRESHOLD = 0.6
+
+
+@register(
+    name="containment_dedup",
+    survey="D3 J9-pattern F17 A5",
+    doc="Containment (partial-duplicate) pairs: 3-token shingle sets "
+    "hashed to int32, candidates blocked on the global min shingle-hash "
+    "(never all-pairs), refined by |small ∩ big| / |small| >= 0.6 with "
+    "the smaller-shingle-set document oriented first (ties by id). "
+    "Catches boilerplate embedding that symmetric Jaccard misses.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        h AS (
+            SELECT doc_id,
+                   list_distinct({_D_HS}) AS hs,
+                   list_min({_D_HS}) AS min_h,
+                   len(list_distinct({_D_HS})) AS n_sh
+            FROM d WHERE len(sh) > 0),
+        pairs AS (
+            SELECT CASE WHEN a.n_sh < b.n_sh
+                        OR (a.n_sh = b.n_sh AND a.doc_id < b.doc_id)
+                        THEN a.doc_id ELSE b.doc_id END AS doc_small,
+                   CASE WHEN a.n_sh < b.n_sh
+                        OR (a.n_sh = b.n_sh AND a.doc_id < b.doc_id)
+                        THEN b.doc_id ELSE a.doc_id END AS doc_big,
+                   CAST(len(list_intersect(a.hs, b.hs)) AS DOUBLE)
+                       / CAST(least(a.n_sh, b.n_sh) AS DOUBLE) AS containment
+            FROM h a JOIN h b
+              ON a.min_h = b.min_h AND a.doc_id < b.doc_id)
+        SELECT doc_small, doc_big, containment
+        FROM pairs WHERE containment >= {_CONTAIN_THRESHOLD}
+    """,
+)
+def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    # Checkpoint IMMEDIATELY after the hashed-shingle column: stacked
+    # Projects collapse in Catalyst, so every later reference to `hs`
+    # (min, size, join payload) would re-inline — and re-evaluate — the
+    # whole split→shingle→md5 chain. Materializing (doc_id, hs) first
+    # makes the chain run exactly once; the derivations below read the
+    # cached int arrays, and the string shingles never cross the join.
+    # No pre-checkpoint filter: a WHERE over `sh` gets pushed below the
+    # spread() exchange, dragging the whole shingle build onto the scan's
+    # single partition. Empty docs are dropped AFTER materialization
+    # (hs is empty iff sh is empty), where the check is a cached size().
+    h0 = (
+        docs.selectExpr("doc_id", f"{_SHINGLES} AS sh")
+        .selectExpr("doc_id", f"array_distinct({_HS}) AS hs")
+        .localCheckpoint(eager=True)
+    )
+    h = h0.where("size(hs) > 0").selectExpr(
+        "doc_id", "hs", "array_min(hs) AS min_h", "size(hs) AS n_sh"
+    )
+    a = h.selectExpr("doc_id AS id_a", "hs AS hs_a", "min_h", "n_sh AS n_a")
+    b = h.selectExpr("doc_id AS id_b", "hs AS hs_b", "min_h AS min_hb", "n_sh AS n_b")
+    small_first = "n_a < n_b OR (n_a = n_b AND id_a < id_b)"
+    return (
+        a.join(b, (F.col("min_h") == F.col("min_hb")) & (F.col("id_a") < F.col("id_b")))
+        .selectExpr(
+            f"IF({small_first}, id_a, id_b) AS doc_small",
+            f"IF({small_first}, id_b, id_a) AS doc_big",
+            "CAST(size(array_intersect(hs_a, hs_b)) AS DOUBLE)"
+            " / CAST(least(n_a, n_b) AS DOUBLE) AS containment",
+        )
+        .where(f"containment >= {_CONTAIN_THRESHOLD}")
+    )
