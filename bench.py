@@ -34,20 +34,26 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def run_query(spark, spec, sf_dir: str, runs: int = 2) -> float:
-    """Best-of-N timed executions (N>=2 by default).
+def run_query(spark, spec, sf_dir: str, min_runs: int = 2, max_runs: int = 4) -> float:
+    """Adaptive best-of-N timed executions (N in [min_runs, max_runs]).
 
     A single timed run conflates first-touch costs (codegen compile, parquet
     footer cache, Python-worker fork) with steady-state query cost and made
     round-2 bench rows trip the 2x-of-baseline gate on cold-start noise
-    (simhash_dedup: 2.7s cold vs 1.05s warm). Ordinary (lazy) queries time
+    (simhash_dedup: 2.7s cold vs 1.05s warm). Best-of-2 is still not enough
+    when transient system churn (e.g. 32 Python daemons forking for an
+    earlier Arrow stage) spans BOTH runs — measured: the same 1-task job
+    timed 1.76s, 1.72s, 0.54s, 0.29s across four consecutive runs. So:
+    keep re-running while the best time is still improving by >20% per run,
+    bounded at ``max_runs``. Steady-state queries stop at ``min_runs``;
+    only noise-afflicted ones pay extra runs. Ordinary (lazy) queries time
     only the noop-sink execution — re-running fn() would re-pay Catalyst
     analysis, which is not execution cost and skews wide plans by 100s of
     ms. Specs flagged ``eager`` (the streaming entry drains its whole
     stream inside fn) time the fn call too, since that IS their execution.
     """
     best = float("inf")
-    for _ in range(max(1, runs)):
+    for i in range(max_runs):
         if spec.eager:
             t0 = time.perf_counter()
             spec.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -55,7 +61,11 @@ def run_query(spark, spec, sf_dir: str, runs: int = 2) -> float:
             df = spec.fn(spark, sf_dir)
             t0 = time.perf_counter()
             df.write.mode("overwrite").format("noop").save()
-        best = min(best, time.perf_counter() - t0)
+        t = time.perf_counter() - t0
+        improved = t < best * 0.8
+        best = min(best, t)
+        if i + 1 >= min_runs and not improved:
+            break
     return best
 
 
@@ -74,6 +84,18 @@ def main() -> int:
     spark.range(int(cpus) * 4).repartition(int(cpus)).mapInPandas(
         lambda it: it, schema="id long"
     ).write.mode("overwrite").format("noop").save()
+    # The worker fork above leaves the box churning for a few seconds
+    # (measured: the first 1-task job after it is ~6x its steady-state
+    # time). Re-run a tiny job until its wall time stabilizes so that
+    # churn is absorbed here, not in the first timed query.
+    prev = float("inf")
+    for _ in range(6):
+        t0 = time.perf_counter()
+        warm.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+        t = time.perf_counter() - t0
+        if t > prev * 0.8:
+            break
+        prev = t
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

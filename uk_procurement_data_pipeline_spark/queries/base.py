@@ -61,6 +61,7 @@ def registry() -> dict[str, QuerySpec]:
     # were green in both r01 and r02 and are still pinned by the local oracle
     # sweep in tools/oracle_check.py).
     from uk_procurement_data_pipeline_spark.queries import (  # noqa: F401
+        reshape,
         corpus_prep,
         xml_notices,
         similarity,

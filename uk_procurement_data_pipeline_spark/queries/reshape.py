@@ -1,0 +1,202 @@
+"""Reshaping and statistical-moment queries: PIVOT, UNPIVOT, and
+algebraic second-moment aggregates (stddev / covariance / correlation).
+
+These widen the relational surface beyond SURVEY.md §2's row inventory
+([NORTH-STAR] analytics a reference user reaches for next): pivot is
+Spark's `groupBy().pivot()` (two-phase: distinct pivot values are given
+explicitly, so no extra collect job), unpivot is `DataFrame.unpivot`
+(Spark's melt — map-side expand, no shuffle), and the moment statistics
+are built from the order-independent decimal-sum contract in
+functions/exact.py so the doubles hash-match DuckDB bit-for-bit:
+both engines round the same exact decimal sums, cast to double, and
+then run the identical IEEE double formula — stddev/corr computed
+directly by each engine's native aggregate would differ in the last
+bits (different summation orders / Welford variants).
+
+All plans are single-shuffle hash aggregations or shuffle-free
+projections; nothing here degrades at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.functions.exact import dec, oracle_sum
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+
+@register(
+    name="pivot_status_by_region",
+    survey="J5 A7 F9",
+    doc="PIVOT: order counts per region spread across order-status "
+    "columns via groupBy().pivot() with the status domain declared "
+    "(F/O/P), so Spark skips the distinct-values collect job. One "
+    "broadcast-dim join chain plus one hash-agg shuffle; the pivot "
+    "itself is a projection over the grouped result.",
+    oracle="""
+        SELECT r_name,
+               COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_f,
+               COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_o,
+               COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_p
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+)
+def pivot_status_by_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    pivoted = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        # fixed-cardinality dims broadcast; customer scales with SF -> AQE
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+    # A (region, status) combo with no orders pivots to NULL; the oracle's
+    # conditional COUNT yields 0 — align on 0.
+    return pivoted.select(
+        "r_name",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )
+
+
+@register(
+    name="unpivot_part_metrics",
+    survey="U1 F17",
+    doc="UNPIVOT (melt): each part's numeric metrics (size, retail "
+    "price) rotated into (metric, val) rows with DataFrame.unpivot — "
+    "a map-side expand expression, zero shuffles, linear output; the "
+    "oracle is the equivalent UNION ALL.",
+    oracle="""
+        SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val
+        FROM part
+    """,
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("p_size"),
+        F.col("p_retailprice"),
+    )
+    return part.unpivot(
+        ids=["p_partkey"],
+        values=["p_size", "p_retailprice"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+def _moment_formulas(n: F.Column) -> dict[str, F.Column]:
+    """Second-moment formulas over the five exact sums (as doubles).
+
+    Both engines arrive here with IDENTICAL doubles (same rounded
+    decimal sums), so the remaining arithmetic — products, subtraction,
+    sqrt, division — is bit-identical IEEE double math in both.
+    """
+    nn = n.cast("double")
+    sx, sy = F.col("sx"), F.col("sy")
+    var_x = nn * F.col("sxx") - sx * sx
+    var_y = nn * F.col("syy") - sy * sy
+    cov = nn * F.col("sxy") - sx * sy
+    denom = nn * (nn - F.lit(1.0))
+    return {
+        "stddev_price": F.sqrt(var_y / denom),
+        "covar_qty_price": cov / denom,
+        "corr_qty_price": cov / (F.sqrt(var_x) * F.sqrt(var_y)),
+    }
+
+
+@register(
+    name="lineitem_stats_corr",
+    survey="A7",
+    doc="Algebraic second moments per return flag: sample stddev of "
+    "extended price, covariance and correlation of (quantity, price) — "
+    "computed from five order-independent decimal sums (functions/"
+    "exact.py) then one identical double formula in both engines, so "
+    "the result hash-matches where native stddev/corr aggregates would "
+    "differ in the last bits. One partial+final hash-agg shuffle.",
+    oracle=f"""
+        SELECT l_returnflag, n_rows,
+               sqrt((n * syy - sy * sy) / (n * (n - 1.0))) AS stddev_price,
+               (n * sxy - sx * sy) / (n * (n - 1.0)) AS covar_qty_price,
+               (n * sxy - sx * sy)
+                   / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))
+                   AS corr_qty_price
+        FROM (
+          SELECT l_returnflag,
+                 COUNT(*) AS n_rows,
+                 CAST(COUNT(*) AS DOUBLE) AS n,
+                 {oracle_sum('CAST(l_quantity AS DOUBLE)')} AS sx,
+                 {oracle_sum('l_extendedprice')} AS sy,
+                 {oracle_sum('CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)')} AS sxx,
+                 {oracle_sum('l_extendedprice * l_extendedprice')} AS syy,
+                 {oracle_sum('CAST(l_quantity AS DOUBLE) * l_extendedprice')} AS sxy
+          FROM lineitem
+          GROUP BY l_returnflag
+        )
+    """,
+)
+def lineitem_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").alias("y"),
+    )
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum(dec(F.col("x"))), 4).cast("double").alias("sx"),
+        F.round(F.sum(dec(F.col("y"))), 4).cast("double").alias("sy"),
+        F.round(F.sum(dec(F.col("x") * F.col("x"))), 4).cast("double").alias("sxx"),
+        F.round(F.sum(dec(F.col("y") * F.col("y"))), 4).cast("double").alias("syy"),
+        F.round(F.sum(dec(F.col("x") * F.col("y"))), 4).cast("double").alias("sxy"),
+    )
+    m = _moment_formulas(F.col("n_rows"))
+    return sums.select(
+        "l_returnflag",
+        "n_rows",
+        m["stddev_price"].alias("stddev_price"),
+        m["covar_qty_price"].alias("covar_qty_price"),
+        m["corr_qty_price"].alias("corr_qty_price"),
+    )
+
+
+@register(
+    name="order_percentile_position",
+    survey="W1 W3",
+    doc="percent_rank + cume_dist of each order's total price within "
+    "its priority class — both are tie-stable rank ratios of BIGINTs, "
+    "so the doubles match across engines by construction. One window "
+    "shuffle on the partition key.",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice)
+    """,
+)
+def order_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+    return load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
