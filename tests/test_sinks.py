@@ -119,3 +119,47 @@ def test_compact_parquet_reduces_files_losslessly(spark, sf_dir, tmp_path):
     b = spark.read.parquet(dst)
     assert a.count() == b.count()
     assert a.subtract(b).count() == 0 and b.subtract(a).count() == 0
+
+
+def test_clustered_parquet_layout_enables_stats_skipping(spark, sf_dir, tmp_path):
+    """write_clustered_parquet: files cover disjoint key ranges with sorted
+    row groups, so footer min/max stats alone answer a range predicate."""
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        write_clustered_parquet,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = tmp_path / "li_clustered"
+    write_clustered_parquet(li, str(out), "l_shipdate", n_files=4)
+
+    files = sorted(out.glob("part-*.parquet"))
+    assert len(files) == 4
+
+    spans = []
+    for f in files:
+        md = pq.ParquetFile(str(f)).metadata
+        idx = md.schema.names.index("l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        spans.append((min(mins), max(maxs)))
+
+    # contiguous, pairwise non-overlapping ranges across files — the layout
+    # property that lets a reader skip 3 of 4 files on stats alone
+    spans.sort()
+    for (_, hi), (lo, _) in zip(spans, spans[1:]):
+        assert hi <= lo
+
+    # a range predicate inside one file's span matches that single file
+    lo, hi = spans[1]
+    probe = li.where((F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi))
+    hits = [s for s in spans if not (s[1] < lo or s[0] > hi)]
+    assert len(hits) <= 2  # boundary row groups at worst
+    back = spark.read.parquet(str(out)).where(
+        (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi)
+    )
+    assert back.count() == probe.count()

@@ -216,3 +216,44 @@ def test_streaming_listener_records_progress(spark, stream_src, tmp_path):
         assert all(p["batch_id"] >= 0 for p in rec.progress)
     finally:
         rec.detach(spark)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, stream_src, tmp_path):
+    """Stream-stream interval join (attribution shape): click events join
+    the same user's view events from the preceding 10 minutes. The result
+    of draining both streams must equal the identical batch join —
+    inner interval joins emit rows as soon as both inputs arrive, so no
+    tail-withholding carve-out is needed."""
+    from uk_procurement_data_pipeline_spark.streaming.events_stream import (
+        stream_stream_interval_join,
+    )
+
+    src = str(stream_src / "day*")
+    clicks_s = read_events_stream(spark, src).where("event_type = 'click'")
+    views_s = read_events_stream(spark, src).where("event_type = 'view'")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    run_available_now(stream_stream_interval_join(clicks_s, views_s), out, ckpt)
+    got = spark.read.parquet(out)
+
+    ev = spark.read.parquet(src)
+    c = ev.where("event_type = 'click'").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    v = ev.where("event_type = 'view'").select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    batch = c.join(
+        v,
+        F.expr(
+            "c_user = v_user AND view_ts <= click_ts"
+            " AND view_ts >= click_ts - INTERVAL 10 minutes"
+        ),
+    ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
+
+    assert got.count() > 0
+    assert got.subtract(batch).count() == 0
+    assert batch.subtract(got).count() == 0

@@ -62,6 +62,7 @@ def registry() -> dict[str, QuerySpec]:
     # sweep in tools/oracle_check.py).
     from uk_procurement_data_pipeline_spark.queries import (  # noqa: F401
         reshape,
+        tfidf,
         corpus_prep,
         xml_notices,
         similarity,

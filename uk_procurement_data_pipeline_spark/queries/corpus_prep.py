@@ -262,3 +262,65 @@ def trimmed_mean_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             _trimmed_mean("n_tok").alias("trimmed_mean_tokens"),
         )
     )
+
+
+@register(
+    name="hash_sample_docs",
+    survey="A7 F28 UD4",
+    doc="Deterministic 10% corpus sample: md5-bucket of doc_id < 10 of "
+    "100 — the scale-correct alternative to rng TABLESAMPLE for "
+    "training-data carve-outs (reproducible across engines, runs, and "
+    "repartitions; no seed state to ship; sample membership is a pure "
+    "function of the key). Map-side filter, zero shuffles.",
+    oracle=f"""
+        SELECT doc_id, source, n_chars,
+               {_DUCK_BUCKET} AS sample_bucket
+        FROM documents
+        WHERE {_DUCK_BUCKET} < 10
+    """,
+)
+def hash_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id", "source", "n_chars", f"{_SPARK_BUCKET} AS sample_bucket"
+        )
+        .where(F.col("sample_bucket") < 10)
+    )
+
+
+@register(
+    name="length_band_filter",
+    survey="A7 J5 UD4",
+    doc="Percentile length-band quality filter: keep documents whose "
+    "token count sits within their source's [p5, p95] band — the "
+    "standard outlier cut before training. Per-source quantiles (one "
+    "hash-agg over a 20-row group domain, shared (n-1)*p interpolation "
+    "contract) broadcast-join back onto the corpus; linear scan, one "
+    "tiny broadcast, no all-corpus sort.",
+    oracle=f"""
+        WITH lens AS (
+            SELECT doc_id, source, len({_DTOKENS}) AS n_tok FROM documents),
+        bands AS (
+            SELECT source,
+                   quantile_cont(n_tok, 0.05) AS p5,
+                   quantile_cont(n_tok, 0.95) AS p95
+            FROM lens GROUP BY source)
+        SELECT l.doc_id, l.source, l.n_tok, b.p5, b.p95
+        FROM lens l JOIN bands b ON l.source = b.source
+        WHERE l.n_tok >= b.p5 AND l.n_tok <= b.p95
+    """,
+)
+def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", f"size({_TOKENS}) AS n_tok"
+    )
+    bands = lens.groupBy("source").agg(
+        F.expr("percentile(n_tok, 0.05)").alias("p5"),
+        F.expr("percentile(n_tok, 0.95)").alias("p95"),
+    )
+    return (
+        lens.join(F.broadcast(bands), "source")
+        .where((F.col("n_tok") >= F.col("p5")) & (F.col("n_tok") <= F.col("p95")))
+        .select("doc_id", "source", "n_tok", "p5", "p95")
+    )

@@ -543,3 +543,61 @@ def containment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(f"containment >= {_CONTAIN_THRESHOLD}")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance near-dup (prefix-blocked, threshold-bounded DP)
+# ---------------------------------------------------------------------------
+# Same blocking discipline as ngram_jaccard_dedup: md5 of the 16-char head
+# groups near-dup candidates (this corpus's near-dups share their head), so
+# the pair join is a block equi-join, never all-pairs. The distance runs on
+# a bounded 80-char head and passes the threshold INTO levenshtein so the
+# DP early-exits at threshold+1 instead of filling the full matrix — at
+# real document sizes that turns O(len^2) per pair into O(len*threshold).
+_LEV_HEAD = 80
+_LEV_MAX = 16
+
+
+@register(
+    name="levenshtein_blocked_dedup",
+    survey="D3 J9 F7",
+    doc="Edit-distance near-duplicate pairs: md5-of-head blocking, "
+    "block equi-join, threshold-bounded levenshtein refine on an "
+    "80-char head (the threshold argument early-exits the DP). Linear "
+    "shuffle on the block key; never all-pairs.",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id, md5(substr(lower(text), 1, 16)) AS blk,
+                   substr(text, 1, {_LEV_HEAD}) AS head
+            FROM documents)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(a.head, b.head) AS edit_dist
+        FROM h a JOIN h b ON a.blk = b.blk AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.head, b.head) <= {_LEV_MAX}
+    """,
+)
+def levenshtein_blocked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    h = docs.selectExpr(
+        "doc_id",
+        "md5(substr(lower(text), 1, 16)) AS blk",
+        f"substr(text, 1, {_LEV_HEAD}) AS head",
+    )
+    a = h.select(
+        F.col("doc_id").alias("doc_a"), "blk", F.col("head").alias("ha")
+    )
+    b = h.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("blk").alias("blk_b"),
+        F.col("head").alias("hb"),
+    )
+    return (
+        a.join(b, (a.blk == b.blk_b) & (F.col("doc_a") < F.col("doc_b")))
+        # threshold form: returns -1 past _LEV_MAX after an early-exit DP
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr(f"levenshtein(ha, hb, {_LEV_MAX})").alias("edit_dist"),
+        )
+        .where(F.col("edit_dist") >= 0)
+    )

@@ -101,6 +101,31 @@ def write_binary_files(
     return bad
 
 
+def write_clustered_parquet(
+    df: DataFrame, path: str, cluster_col: str, n_files: int, mode: str = "overwrite"
+) -> None:
+    """Range-clustered sorted parquet layout (liquid-clustering-lite).
+
+    ``repartitionByRange`` splits the keyspace into ``n_files`` contiguous,
+    non-overlapping ranges (one range shuffle, sampled boundaries) and
+    ``sortWithinPartitions`` orders rows inside each file, so every parquet
+    row group carries a TIGHT min/max for ``cluster_col``. A later scan
+    with a range predicate on that column then skips whole files and row
+    groups on footer statistics alone — at 100 TB this is the difference
+    between scanning everything and scanning the one-percent slice a
+    time-range query actually touches. Partitioned directories (S7) give
+    coarse pruning on low-cardinality keys; this is the complement for
+    high-cardinality sort keys (timestamps, ids) where one-directory-per-
+    value would explode the namespace.
+    """
+    (
+        df.repartitionByRange(n_files, F.col(cluster_col))
+        .sortWithinPartitions(cluster_col)
+        .write.mode(mode)
+        .parquet(path)
+    )
+
+
 def write_delta(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """Delta-format sink (ACID upserts/time travel at the 100 TB design
     point). The delta-spark jars are not in this environment — fail fast

@@ -111,6 +111,41 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame, views: DataFrame, interval: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each 'click' event joins
+    the 'view' events of the same user that happened up to ``interval``
+    BEFORE it — the canonical attribution join (purchase←impression,
+    alert←reading) that a day-loop batch pipeline can only approximate
+    with full-table rescans.
+
+    Both sides carry watermarks and the join condition bounds event time
+    in BOTH directions, so Spark can evict buffered state once an input
+    falls behind the other side's watermark — without the time bound the
+    state store would grow without limit. State is keyed on (user_id,
+    time-range), sharded by the shuffle like any equi-join at scale.
+    """
+    c = clicks.withWatermark("ts", interval).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    v = views.withWatermark("ts", interval).select(
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("view_ts"),
+        F.col("event_id").alias("view_id"),
+    )
+    return c.join(
+        v,
+        F.expr(
+            f"""c_user = v_user AND
+                view_ts <= click_ts AND
+                view_ts >= click_ts - INTERVAL {interval}"""
+        ),
+    ).select("c_user", "click_id", "click_ts", "view_id", "view_ts")
+
+
 def batch_merge_writer(out_dir: str):
     """The ``foreachBatch`` callback: land each micro-batch under a
     ``batch_id=N`` subdirectory; a replayed id whose directory already
