@@ -207,3 +207,37 @@ def test_aqe_splits_skewed_join_partitions(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
+    """Runtime bloom-filter join pruning: when a selective filter sits on
+    the build side of a shuffle join, the optimizer injects a bloom filter
+    aggregate there and a might_contain probe on the scan side, so most
+    probe rows die before the shuffle. The production trigger thresholds
+    (probe scan >= 10 GB, build side <= 10 MB) are exactly the 100 TB
+    shape; fixtures never reach them, so this pins the mechanism with the
+    thresholds lowered and broadcast disabled (a broadcast join would not
+    need the bloom filter in the first place)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").where(
+            "o_orderpriority = '1-URGENT'"
+        )
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan and "bloom_filter_agg" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -601,3 +601,39 @@ def levenshtein_blocked_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("edit_dist") >= 0)
     )
+
+
+@register(
+    name="dedup_canonical_keep",
+    survey="D3 J7 A7 U1",
+    doc="The dedup pipeline's actual deliverable: every document mapped "
+    "to its cluster's canonical representative (smallest doc_id in its "
+    "near-dup component; singletons keep themselves) plus the keep/drop "
+    "flag a corpus build filters on. Composition: the minhash component "
+    "labels left-join back onto the corpus — the component side holds "
+    "only documents that appear in near-dup pairs, so at scale AQE "
+    "broadcasts it against the full corpus scan.",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+        e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        reach(s, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM e)
+            UNION
+            SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.s),
+        comp AS (
+            SELECT s AS doc_id, MIN(r) AS component FROM reach GROUP BY s)
+        SELECT d.doc_id,
+               COALESCE(comp.component, d.doc_id) AS canonical_id,
+               d.doc_id = COALESCE(comp.component, d.doc_id) AS is_kept
+        FROM documents d LEFT JOIN comp ON d.doc_id = comp.doc_id
+    """,
+)
+def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = minhash_components(spark, sf_dir).select("doc_id", "component")
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return docs.join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("canonical_id"),
+        (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_kept"),
+    )
