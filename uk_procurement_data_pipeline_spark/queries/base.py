@@ -63,6 +63,7 @@ def registry() -> dict[str, QuerySpec]:
     from uk_procurement_data_pipeline_spark.queries import (  # noqa: F401
         reshape,
         tfidf,
+        funnel,
         corpus_prep,
         xml_notices,
         similarity,

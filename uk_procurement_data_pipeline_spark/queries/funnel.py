@@ -1,0 +1,156 @@
+"""Event-sequence analytics over the events table ([NORTH-STAR]
+behavioral queries alongside queries/events.py's time windows).
+
+The three shapes every event warehouse runs: funnel conversion (did the
+user progress view -> click -> purchase, each step after the previous),
+cohort retention (activity by days-since-first-seen), and fixed-width
+value histograms. All are compositions of keyed aggregations and
+user-keyed equi-joins — every shuffle is on user_id or a (small) group
+key, no window over an unpartitioned frame, no driver-side state — so
+the plans scale linearly with event volume.
+
+Funnel step ordering uses min-timestamp-after-predecessor semantics:
+step N's time is the earliest event of that type at-or-after step N-1's
+time, NULL (and therefore non-converted) when the user never reached
+it. A NULL predecessor propagates NULL through the >= comparison
+identically in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+
+@register(
+    name="funnel_conversion",
+    survey="A7 J7 F15 P6",
+    doc="Three-step funnel per user: first view, first click at-or-after "
+    "that view, first purchase at-or-after that click, plus the "
+    "converted flag. One hash-agg for step 1, then per-step "
+    "filter+join+min-agg — all shuffles keyed on user_id.",
+    oracle="""
+        WITH v AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view
+            FROM events GROUP BY user_id),
+        c AS (
+            SELECT e.user_id, MIN(e.ts) AS first_click
+            FROM events e JOIN v ON e.user_id = v.user_id
+            WHERE e.event_type = 'click' AND e.ts >= v.first_view
+            GROUP BY e.user_id),
+        p AS (
+            SELECT e.user_id, MIN(e.ts) AS first_purchase
+            FROM events e JOIN c ON e.user_id = c.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= c.first_click
+            GROUP BY e.user_id)
+        SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+               p.first_purchase IS NOT NULL AS converted
+        FROM v
+        LEFT JOIN c ON v.user_id = c.user_id
+        LEFT JOIN p ON v.user_id = p.user_id
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        )
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") >= F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            F.col("first_purchase").isNotNull().alias("converted"),
+        )
+    )
+
+
+@register(
+    name="cohort_retention",
+    survey="A7 A8 F15 J5",
+    doc="Cohort retention matrix: users grouped by first-seen day, "
+    "activity counted by day offset from that cohort day. Two hash "
+    "aggregations and one user-keyed join; count(distinct user) within "
+    "(cohort_day, offset) groups is exact (no sketch).",
+    oracle="""
+        WITH first_seen AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id)
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                   AS day_offset,
+               COUNT(DISTINCT e.user_id) AS active_users,
+               COUNT(*) AS n_events
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+        GROUP BY f.cohort_day, day_offset
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("DAY", "ts")).alias("cohort_day")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.date_trunc("DAY", "ts"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(
+            F.countDistinct("user_id").alias("active_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    name="value_histogram",
+    survey="A7 F28",
+    doc="Fixed-width value histogram per event type: 50-unit bins via "
+    "floor division (engine-portable, no sampling), count per bin. One "
+    "hash-agg shuffle on a bounded (type, bin) key domain.",
+    oracle="""
+        SELECT event_type,
+               CAST(floor(value / 50) * 50 AS BIGINT) AS bin_lo,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type, bin_lo
+    """,
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            (F.floor(F.col("value") / 50) * 50).cast("bigint").alias("bin_lo"),
+        )
+        .groupBy("event_type", "bin_lo")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
