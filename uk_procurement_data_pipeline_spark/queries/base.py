@@ -64,6 +64,7 @@ def registry() -> dict[str, QuerySpec]:
         reshape,
         tfidf,
         funnel,
+        udtf_text,
         corpus_prep,
         xml_notices,
         similarity,

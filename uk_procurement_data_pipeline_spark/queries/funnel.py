@@ -154,3 +154,54 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "bin_lo")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    name="user_activity_streaks",
+    survey="A7 W1 F15",
+    doc="Gap-and-islands: each user's runs of consecutive active days "
+    "(streak start/end/length) via the anchor trick — epoch-day number "
+    "minus per-user row_number is constant within a consecutive run. "
+    "One window shuffle on user_id plus one hash-agg on the island key; "
+    "no self-join, no sequence explosion.",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events),
+        numbered AS (
+            SELECT user_id, d,
+                   date_diff('day', DATE '1970-01-01', CAST(d AS DATE))
+                       - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS anchor
+            FROM days)
+        SELECT user_id, MIN(d) AS streak_start, MAX(d) AS streak_end,
+               COUNT(*) AS streak_days
+        FROM numbered
+        GROUP BY user_id, anchor
+    """,
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    days = (
+        load(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("DAY", "ts").alias("d"))
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    numbered = days.select(
+        "user_id",
+        "d",
+        (
+            F.datediff(F.col("d"), F.lit("1970-01-01").cast("date")).cast("bigint")
+            - F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    return (
+        numbered.groupBy("user_id", "anchor")
+        .agg(
+            F.min("d").alias("streak_start"),
+            F.max("d").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .drop("anchor")
+    )
