@@ -163,3 +163,59 @@ def test_clustered_parquet_layout_enables_stats_skipping(spark, sf_dir, tmp_path
         (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") <= hi)
     )
     assert back.count() == probe.count()
+
+
+def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
+    """Z-order clustering: sorting by the Morton key keeps BOTH dimensions
+    locally bounded per file, where single-key clustering leaves the second
+    dimension spanning ~the full range in every file."""
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.functions.zorder import (
+        int_rank,
+        interleave_bits,
+    )
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        write_clustered_parquet,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    lo_k, hi_k, lo_p, hi_p = li.select(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    z = li.withColumn(
+        "zkey",
+        interleave_bits(
+            int_rank(F.col("l_orderkey"), lo_k, hi_k),
+            int_rank(F.col("l_partkey"), lo_p, hi_p),
+        ),
+    )
+
+    def spans(path, col):
+        """Per-file (min, max) of col, normalized to global-range fraction."""
+        out = []
+        for f in sorted(path.glob("part-*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = md.schema.names.index(col)
+            st = [md.row_group(g).column(idx).statistics for g in range(md.num_row_groups)]
+            out.append((min(s.min for s in st), max(s.max for s in st)))
+        return out
+
+    n_files = 8
+    zdir = tmp_path / "zorder"
+    write_clustered_parquet(z, str(zdir), "zkey", n_files=n_files)
+    onedir = tmp_path / "onekey"
+    write_clustered_parquet(z, str(onedir), "l_orderkey", n_files=n_files)
+
+    def avg_span_frac(path, col, lo, hi):
+        ss = spans(path, col)
+        return sum((b - a) / (hi - lo) for a, b in ss) / len(ss)
+
+    # single-key layout: orderkey tight, partkey unbounded per file
+    assert avg_span_frac(onedir, "l_orderkey", lo_k, hi_k) < 0.3
+    assert avg_span_frac(onedir, "l_partkey", lo_p, hi_p) > 0.8
+    # z-order: BOTH dimensions bounded below the unclustered 1.0
+    zk = avg_span_frac(zdir, "l_orderkey", lo_k, hi_k)
+    zp = avg_span_frac(zdir, "l_partkey", lo_p, hi_p)
+    assert zk < 0.7 and zp < 0.7, (zk, zp)
