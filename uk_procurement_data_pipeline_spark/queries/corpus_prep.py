@@ -324,3 +324,74 @@ def length_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("n_tok") >= F.col("p5")) & (F.col("n_tok") <= F.col("p95")))
         .select("doc_id", "source", "n_tok", "p5", "p95")
     )
+
+
+@register(
+    name="capped_per_source_sample",
+    survey="A7 W1 UD4",
+    doc="Class-balancing downsample: keep at most 15 documents per "
+    "source, chosen deterministically by md5(doc_id) order (not by "
+    "doc_id, which would bias toward old documents; not by rand(), "
+    "which is irreproducible). One window shuffle on source — a "
+    "low-cardinality partition key, so at production scale the same "
+    "cap runs per (source, salt) first and re-caps after, exactly the "
+    "functions/skew.py two-phase discipline.",
+    oracle="""
+        SELECT doc_id, source, pick_order
+        FROM (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                     PARTITION BY source
+                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                     AS pick_order
+          FROM documents
+        )
+        WHERE pick_order <= 15
+    """,
+)
+def capped_per_source_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.row_number().over(w).alias("pick_order"))
+        .where(F.col("pick_order") <= 15)
+    )
+
+
+@register(
+    name="decontaminate_against_eval",
+    survey="J7 D2 F8",
+    doc="Benchmark decontamination: drop training documents whose exact "
+    "content hash appears in the held-out eval slice (here: every 97th "
+    "doc id), via LEFT ANTI join on sha256 — the exact-match first pass "
+    "of any contamination pipeline (n-gram overlap is the fuzzy second "
+    "pass, cf. ngram_jaccard_dedup). The eval side is tiny relative to "
+    "the corpus, so the anti-join broadcasts; output is the clean "
+    "training set.",
+    oracle="""
+        WITH hashed AS (
+            SELECT doc_id, source, sha256(text) AS content_hash
+            FROM documents),
+        eval_set AS (
+            SELECT DISTINCT content_hash FROM hashed WHERE doc_id % 97 = 0)
+        SELECT h.doc_id, h.source, h.content_hash
+        FROM hashed h
+        WHERE h.doc_id % 97 <> 0
+          AND h.content_hash NOT IN (SELECT content_hash FROM eval_set)
+    """,
+)
+def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hashed = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.sha2("text", 256).alias("content_hash")
+    )
+    eval_set = (
+        hashed.where(F.col("doc_id") % 97 == 0).select("content_hash").distinct()
+    )
+    train = hashed.where(F.col("doc_id") % 97 != 0)
+    return train.join(
+        F.broadcast(eval_set), "content_hash", "left_anti"
+    ).select("doc_id", "source", "content_hash")
