@@ -50,16 +50,75 @@ def register(
     return wrap
 
 
+# The driver's correctness harness checks the first ~50 registry entries per
+# round, in registry order. Names listed here are emitted first, in this
+# order, so that every query that is NEW or CHANGED this round — plus any
+# query that has never had a driver CORRECTNESS row — lands inside that
+# window. Long-stable entries (green in two prior driver rounds and still
+# covered by the stricter local sweep in tools/oracle_check.py) rotate out.
+# Keep this list at ~50 names; everything not listed follows in module
+# import order.
+_DRIVER_WINDOW: tuple[str, ...] = (
+    # new in r03: reshape / tfidf / funnel / udtf / corpus-prep suites
+    "pivot_status_by_region",
+    "unpivot_part_metrics",
+    "lineitem_stats_corr",
+    "order_percentile_position",
+    "tfidf_top_terms",
+    "funnel_conversion",
+    "cohort_retention",
+    "value_histogram",
+    "user_activity_streaks",
+    "bigram_expand_udtf",
+    "doc_chunk_overlap",
+    "stratified_split_counts",
+    "pii_scrub",
+    "token_quantiles_per_source",
+    "trimmed_mean_tokens",
+    "hash_sample_docs",
+    "length_band_filter",
+    "capped_per_source_sample",
+    "decontaminate_against_eval",
+    # never driver-checked before r03 (registered after the r02 window)
+    "xml_attr_extract",
+    "xml_from_xml_struct",
+    "fat_flatten_wide",
+    "xml_namespace_dispatch",
+    "cosine_topk_bruteforce",
+    "ann_lsh_multiprobe",
+    "ann_ivf_probed",
+    "ann_lsh_bucketed",
+    "html_anchor_scrape",
+    "brand_names_collected",
+    "events_value_band_join",
+    "events_asof_value",
+    "salted_status_spend",
+    # changed or new in r03: dedup fixes, multimodal vectorization, flattens
+    "simhash_dedup",
+    "minhash_components",
+    "containment_dedup",
+    "levenshtein_blocked_dedup",
+    "dedup_canonical_keep",
+    "frame_sample_profile",
+    "byte_histogram_profile",
+    "ocds_flatten_wide",
+    "stream_tumbling_counts",
+    # green in r01 only (fell out of the r02 window) — give each a fresh row
+    "topk_parts_per_brand",
+    "order_gaps_lag_lead",
+    "running_spend_per_customer",
+    "moving_avg_order_price",
+    "first_last_event_value",
+    "dedup_tombstone",
+    "rank_dense_rank_ntile",
+    # cornerstone LLM ops, re-confirmed with the two spare slots
+    "exact_dedup_docs",
+    "minhash_near_dup",
+)
+
+
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.
-    #
-    # ORDER MATTERS: the driver's correctness harness checks the first ~50
-    # registry entries per round, and dict order follows import order here.
-    # Modules whose queries are newest / most recently changed come first so
-    # every edit gets a fresh driver-checked CORRECTNESS row; the long-stable
-    # relational/arrays suites sit last and rotate out of the window (they
-    # were green in both r01 and r02 and are still pinned by the local oracle
-    # sweep in tools/oracle_check.py).
     from uk_procurement_data_pipeline_spark.queries import (  # noqa: F401
         reshape,
         tfidf,
@@ -81,4 +140,9 @@ def registry() -> dict[str, QuerySpec]:
         relational,
     )
 
-    return dict(_REGISTRY)
+    missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]
+    if missing:
+        raise ValueError(f"_DRIVER_WINDOW names not registered: {missing}")
+    ordered = {n: _REGISTRY[n] for n in _DRIVER_WINDOW}
+    ordered.update((n, s) for n, s in _REGISTRY.items() if n not in ordered)
+    return ordered
