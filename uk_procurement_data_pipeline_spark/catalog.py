@@ -35,26 +35,42 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown fixture table {name!r}; known: {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects. Read the nanos as long and truncate to micros —
-        # exactly what DuckDB does when it lowers ns to its µs TIMESTAMP
-        # (verified: …275999ns → …275µs), so both engines see identical
-        # values. The conf is dynamic (SQLConf); the parquet relation
-        # captures it during schema resolution, so force analysis with
-        # df.schema and then RESTORE the previous value — no session-wide
-        # leak into unrelated nanos-parquet reads (ADVICE r01).
-        prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        try:
-            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            df.schema  # force schema resolution while the conf is set
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-            else:
-                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return load_events(spark, f"{sf_dir}/{name}.parquet")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Load an events parquet with ``ts`` normalized to a µs TIMESTAMP.
+
+    The fixture's ``ts`` physical type has varied across driver rounds:
+    TIMESTAMP(MICROS) reads natively; TIMESTAMP(NANOS) is rejected by
+    Spark's vectorized reader and needs the legacy nanos-as-long lowering
+    plus an explicit ns→µs truncate — exactly what DuckDB does when it
+    lowers ns to its µs TIMESTAMP (verified: …275999ns → …275µs), so both
+    engines see identical values either way. Try the native read first;
+    fall back to the nanos path only when schema resolution rejects it.
+    """
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution; raises on TIMESTAMP(NANOS)
+        return df
+    except Exception:
+        pass
+    # Legacy nanos fixture. The conf is dynamic (SQLConf); the parquet
+    # relation captures it during schema resolution, so force analysis with
+    # df.schema and then RESTORE the previous value — no session-wide leak
+    # into unrelated nanos-parquet reads (ADVICE r01).
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution while the conf is set
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
 def spread(df: DataFrame) -> DataFrame:

@@ -113,20 +113,32 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import zlib
 
+    from pyspark.sql.types import LongType
+
     qname = f"stream_tumbling_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
-    # events.ts is parquet TIMESTAMP(NANOS); the streaming source needs the
-    # nanosAsLong lowering for the whole run (schema resolution AND every
-    # micro-batch scan), so the conf stays set until the stream drains.
-    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Probe the fixture's ts physical type via the batch reader (the fixture
+    # has been TIMESTAMP(MICROS) or TIMESTAMP(NANOS) across driver rounds).
+    # A nanos fixture needs the nanosAsLong lowering for the WHOLE stream run
+    # (schema resolution AND every micro-batch scan), so in that branch the
+    # conf stays set until the stream drains.
     try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        nanos = False
+    except Exception:
+        nanos = True
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ts_ddl = "ts long" if nanos else "ts timestamp"
         src = spark.readStream.schema(
-            "event_id bigint, ts long, user_id bigint, event_type string, "
+            f"event_id bigint, {ts_ddl}, user_id bigint, event_type string, "
             "value double, props string"
         ).parquet(f"{sf_dir}/events*.parquet")
+        if nanos:
+            src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         win = (
-            src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-            .groupBy(F.window("ts", "10 minutes"), "event_type")
+            src.groupBy(F.window("ts", "10 minutes"), "event_type")
             .agg(
                 F.count(F.lit(1)).alias("n_events"),
                 exact_sum("value", "sum_value"),
