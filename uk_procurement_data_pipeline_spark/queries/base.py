@@ -59,6 +59,11 @@ def register(
 # Keep this list at ~50 names; everything not listed follows in module
 # import order.
 _DRIVER_WINDOW: tuple[str, ...] = (
+    # new in r03: quality / graph suites
+    "repetition_signals",
+    "common_word_scrub",
+    "quality_linear_score",
+    "supplier_pagerank",
     # new in r03: reshape / tfidf / funnel / udtf / corpus-prep suites
     "pivot_status_by_region",
     "unpivot_part_metrics",
@@ -107,19 +112,16 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "topk_parts_per_brand",
     "order_gaps_lag_lead",
     "running_spend_per_customer",
-    "moving_avg_order_price",
-    "first_last_event_value",
     "dedup_tombstone",
     "rank_dense_rank_ntile",
-    # cornerstone LLM ops, re-confirmed with the two spare slots
-    "exact_dedup_docs",
-    "minhash_near_dup",
 )
 
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.
     from uk_procurement_data_pipeline_spark.queries import (  # noqa: F401
+        quality,
+        graph,
         reshape,
         tfidf,
         funnel,

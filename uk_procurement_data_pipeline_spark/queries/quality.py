@@ -1,0 +1,281 @@
+"""Corpus-quality signals ([NORTH-STAR] LLM-pipeline surface, the
+filter-stage companions to queries/dedup.py and queries/corpus_prep.py).
+
+Three operators a pretraining-data pipeline runs between ingest and
+packing, each re-expressed as declarative DataFrame plans:
+
+* ``repetition_signals`` — the Gopher/MassiveText repetition heuristics
+  (duplicate-word fraction, most-common-word fraction, duplicate-2-gram
+  fraction). Computed with explode + per-(doc, term) hash aggregation
+  rather than per-row higher-order loops, so per-document cost is
+  O(tokens) even for 10k-token documents and the shuffles are keyed on
+  (doc_id, term) — uniformly distributed at any corpus size.
+* ``common_word_scrub`` — corpus-level boilerplate removal (the
+  word-level form of CCNet's shard-frequency line dedup): terms whose
+  document frequency exceeds 78% of the corpus are struck from every
+  document, preserving original token order. The document-frequency
+  vocabulary is aggregated once and broadcast back — the small side of
+  the join by construction (a vocabulary, not a corpus).
+* ``quality_linear_score`` — a linear quality classifier over engineered
+  features (length, word shape, stopword rate, lexical diversity) with
+  fixed public weights: the Spark-side shape of "score every document
+  with a cheap model, band, and route". Pure map-side projection, no
+  shuffle, no UDF.
+
+Cross-engine determinism: every fraction is a double division of exact
+integers evaluated in one fixed textual order, and the linear score is a
+fixed left-to-right sum of double products — bit-identical in Spark and
+DuckDB, no tolerance needed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_TOKS = "split(text, ' ')"  # Spark
+_DTOKS = "string_split(text, ' ')"  # DuckDB
+
+
+@register(
+    name="repetition_signals",
+    survey="A7 A8 F17 UD4",
+    doc="Gopher-style repetition quality signals per document: duplicate-"
+    "word fraction, top-word fraction, duplicate-2-gram fraction. "
+    "explode -> (doc, term) hash agg -> per-doc agg keeps the work "
+    "O(tokens) per document (a per-row higher-order frequency loop "
+    "would be O(tokens^2) on long documents).",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {_DTOKS} AS t FROM documents
+        ), wc AS (
+          SELECT doc_id, word, count(*) AS c
+          FROM (SELECT doc_id, unnest(t) AS word FROM toks)
+          GROUP BY doc_id, word
+        ), words AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_words,
+                 count(*) AS n_distinct_words,
+                 max(c) AS max_wc
+          FROM wc GROUP BY doc_id
+        ), gc AS (
+          SELECT doc_id, gram, count(*) AS c
+          FROM (
+            SELECT d.doc_id, d.t[s.i] || ' ' || d.t[s.i + 1] AS gram
+            FROM toks d, LATERAL (SELECT unnest(range(1, len(d.t))) AS i) s
+          )
+          GROUP BY doc_id, gram
+        ), grams AS (
+          SELECT doc_id,
+                 CAST(sum(c) AS BIGINT) AS n_grams,
+                 count(*) AS n_distinct_grams
+          FROM gc GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               w.n_words,
+               w.n_distinct_words,
+               CAST(w.n_words - w.n_distinct_words AS DOUBLE)
+                   / CAST(w.n_words AS DOUBLE) AS dup_word_frac,
+               CAST(w.max_wc AS DOUBLE) / CAST(w.n_words AS DOUBLE)
+                   AS top_word_frac,
+               CAST(g.n_grams - g.n_distinct_grams AS DOUBLE)
+                   / CAST(g.n_grams AS DOUBLE) AS dup_2gram_frac
+        FROM words w LEFT JOIN grams g USING (doc_id)
+    """,
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    wc = (
+        docs.selectExpr("doc_id", f"explode({_TOKS}) AS word")
+        .groupBy("doc_id", "word")
+        .count()
+    )
+    words = wc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct_words"),
+        F.max("count").alias("max_wc"),
+    )
+    gc = (
+        docs.selectExpr("doc_id", f"{_TOKS} AS t")
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(t) - 1),"
+            " i -> concat(t[i - 1], ' ', t[i]))) AS gram",
+        )
+        .groupBy("doc_id", "gram")
+        .count()
+    )
+    grams = gc.groupBy("doc_id").agg(
+        F.sum("count").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+    )
+    return words.join(grams, "doc_id", "left").select(
+        "doc_id",
+        "n_words",
+        "n_distinct_words",
+        (
+            (F.col("n_words") - F.col("n_distinct_words")).cast("double")
+            / F.col("n_words").cast("double")
+        ).alias("dup_word_frac"),
+        (F.col("max_wc").cast("double") / F.col("n_words").cast("double")).alias(
+            "top_word_frac"
+        ),
+        (
+            (F.col("n_grams") - F.col("n_distinct_grams")).cast("double")
+            / F.col("n_grams").cast("double")
+        ).alias("dup_2gram_frac"),
+    )
+
+
+# Document-frequency threshold: a term present in more than 78% of all
+# documents is corpus boilerplate. Compared in exact integer arithmetic
+# (df * 100 > 78 * n_docs) so the cutoff cannot drift between engines,
+# and expressed relative to corpus size so the same query is meaningful
+# at any scale.
+_DF_PCT = 78
+
+
+@register(
+    name="common_word_scrub",
+    survey="A8 J5 J7 A1 F17",
+    doc="Corpus-level boilerplate removal (word-level CCNet line dedup): "
+    "terms with document frequency > 78% of the corpus are struck from "
+    "every document, preserving token order. The DF vocabulary is one "
+    "hash aggregation over distinct (doc, word) pairs and is joined "
+    "back via broadcast anti-join — the vocabulary is the small side "
+    "by construction, so the scrub itself stays map-side at 100 TB.",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, {_DTOKS} AS t FROM documents
+        ), pos AS (
+          SELECT d.doc_id, s.i AS pos, d.t[s.i] AS word
+          FROM toks d, LATERAL (SELECT unnest(range(1, len(d.t) + 1)) AS i) s
+        ), df AS (
+          SELECT word, count(DISTINCT doc_id) AS df FROM pos GROUP BY word
+        ), total AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), boiler AS (
+          SELECT word FROM df, total WHERE df * 100 > {_DF_PCT} * n_docs
+        ), kept AS (
+          SELECT doc_id,
+                 count(*) AS n_kept,
+                 string_agg(word, ' ' ORDER BY pos) AS scrubbed_text
+          FROM pos
+          WHERE word NOT IN (SELECT word FROM boiler)
+          GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(k.n_kept, 0) AS n_kept,
+               COALESCE(k.scrubbed_text, '') AS scrubbed_text
+        FROM documents d LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def common_word_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.selectExpr(
+        "doc_id", f"posexplode({_TOKS}) AS (pos, word)"
+    )
+    dfreq = pos.select("doc_id", "word").distinct().groupBy("word").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    # Corpus size as a 1-row broadcast joined on a constant key: the scalar
+    # reaches every vocabulary row without a driver-side collect.
+    total = docs.agg(F.count(F.lit(1)).alias("n_docs")).withColumn("k", F.lit(1))
+    boiler = (
+        dfreq.withColumn("k", F.lit(1))
+        .join(F.broadcast(total), "k")
+        .where(F.col("df") * 100 > _DF_PCT * F.col("n_docs"))
+        .select("word")
+    )
+    kept = (
+        pos.join(F.broadcast(boiler), "word", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "word"))),
+                    lambda x: x["word"],
+                ),
+                " ",
+            ).alias("scrubbed_text"),
+        )
+    )
+    return docs.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("scrubbed_text", F.lit("")).alias("scrubbed_text"),
+    )
+
+
+# Fixed public weights for the linear quality model. The score is a
+# fixed-order chain of double multiply-adds — both engines evaluate the
+# identical expression tree, so the result is bit-identical.
+_W_BIAS, _W_NWORDS, _W_WLEN, _W_STOP, _W_DISTINCT = -2.0, 0.01, 0.35, -1.5, 2.0
+
+
+@register(
+    name="quality_linear_score",
+    survey="P1 F7 F17 F28 UD4",
+    doc="Linear quality classifier over engineered features (token count, "
+    "mean word length, stopword fraction, lexical diversity) with fixed "
+    "public weights and score bands — one map-side projection, no "
+    "shuffle, no UDF; the cheap-model routing stage of a corpus "
+    "pipeline.",
+    oracle=f"""
+        SELECT doc_id, score,
+               CASE WHEN score >= 1.5 THEN 'high'
+                    WHEN score >= 0.5 THEN 'medium'
+                    ELSE 'low' END AS band
+        FROM (
+          SELECT doc_id,
+                 {_W_BIAS}
+                 + {_W_NWORDS} * CAST(n_words AS DOUBLE)
+                 + {_W_WLEN} * (CAST(length(text) - (n_words - 1) AS DOUBLE)
+                                / CAST(n_words AS DOUBLE))
+                 + {_W_STOP} * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+                 + {_W_DISTINCT} * (CAST(n_distinct AS DOUBLE)
+                                    / CAST(n_words AS DOUBLE)) AS score
+          FROM (
+            SELECT doc_id, text,
+                   len({_DTOKS}) AS n_words,
+                   len(list_filter({_DTOKS},
+                                   w -> w IN ('the', 'a'))) AS n_stop,
+                   len(list_distinct({_DTOKS})) AS n_distinct
+            FROM documents
+          )
+        )
+    """,
+)
+def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "text",
+        f"size({_TOKS}) AS n_words",
+        f"size(filter({_TOKS}, w -> w IN ('the', 'a'))) AS n_stop",
+        f"size(array_distinct({_TOKS})) AS n_distinct",
+    )
+    score = (
+        F.lit(_W_BIAS)
+        + F.lit(_W_NWORDS) * F.col("n_words").cast("double")
+        + F.lit(_W_WLEN)
+        * (
+            (F.length("text") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words").cast("double")
+        )
+        + F.lit(_W_STOP)
+        * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
+        + F.lit(_W_DISTINCT)
+        * (F.col("n_distinct").cast("double") / F.col("n_words").cast("double"))
+    )
+    return feats.select("doc_id", score.alias("score")).select(
+        "doc_id",
+        "score",
+        F.when(F.col("score") >= 1.5, "high")
+        .when(F.col("score") >= 0.5, "medium")
+        .otherwise("low")
+        .alias("band"),
+    )
