@@ -1,0 +1,79 @@
+"""Plan and semantics pins for the corpus-quality and graph modules
+(the oracle sweep pins cross-engine values; these tests pin the plan
+shapes and the hand-computable per-document semantics)."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.queries import registry
+
+
+def plan_of(spark, sf_dir, name: str, mode: str = "formatted") -> str:
+    df = registry()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+def test_quality_linear_score_is_pure_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "quality_linear_score")
+    assert "Exchange" not in plan  # no shuffle: scan -> project only
+
+
+def test_common_word_scrub_broadcasts_vocabulary(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "common_word_scrub")
+    # the boilerplate vocabulary must reach the corpus as a broadcast
+    # anti-join, never a shuffled or nested-loop join
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_common_word_scrub_preserves_token_order(spark, sf_dir):
+    out = registry()["common_word_scrub"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    row = (
+        docs.join(out, "doc_id").select("doc_id", "text", "scrubbed_text").first()
+    )
+    kept = row["scrubbed_text"].split(" ") if row["scrubbed_text"] else []
+    original = row["text"].split(" ")
+    # kept tokens appear in original order: they are a subsequence
+    it = iter(original)
+    assert all(tok in it for tok in kept)
+
+
+def test_repetition_signals_match_python_reference(spark, sf_dir):
+    out = registry()["repetition_signals"].fn(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r for r in out.limit(50).collect()}
+    sample = docs.where(F.col("doc_id").isin(list(got))).collect()
+    assert sample
+    for d in sample:
+        toks = d["text"].split(" ")
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        r = got[d["doc_id"]]
+        assert r["n_words"] == len(toks)
+        assert r["n_distinct_words"] == len(set(toks))
+        assert r["dup_word_frac"] == (len(toks) - len(set(toks))) / len(toks)
+        top = max(toks.count(t) for t in set(toks))
+        assert r["top_word_frac"] == top / len(toks)
+        assert r["dup_2gram_frac"] == (len(grams) - len(set(grams))) / len(grams)
+
+
+def test_supplier_pagerank_covers_all_suppliers_and_no_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "supplier_pagerank")
+    assert "CartesianProduct" not in plan
+    out = registry()["supplier_pagerank"].fn(spark, sf_dir).collect()
+    n_supp = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_suppkey")
+        .distinct()
+        .count()
+    )
+    assert len(out) == n_supp
+    # damping floor: every node keeps at least the teleport mass
+    assert all(r["mass"] > 0.15 for r in out)
