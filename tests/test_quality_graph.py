@@ -77,3 +77,19 @@ def test_supplier_pagerank_covers_all_suppliers_and_no_cartesian(spark, sf_dir):
     assert len(out) == n_supp
     # damping floor: every node keeps at least the teleport mass
     assert all(r["mass"] > 0.15 for r in out)
+
+
+def test_kmeans_assignment_is_map_side(spark, sf_dir):
+    # the fold-argmin assignment must not plan a per-vector window sort;
+    # the only shuffles belong to the centroid-mean aggregations
+    plan = plan_of(spark, sf_dir, "kmeans_lloyd_cells")
+    assert "Window" not in plan
+
+
+def test_kmeans_moves_centroids_and_converges_assignment(spark, sf_dir):
+    out = registry()["kmeans_lloyd_cells"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    assert len(out) == emb.count()
+    # every cluster id is one of the K seeds and every distance is finite
+    assert all(0 <= r["cluster"] < 8 for r in out)
+    assert all(r["dist2"] >= 0.0 for r in out)

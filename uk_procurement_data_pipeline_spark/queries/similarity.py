@@ -343,3 +343,122 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 3)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+# Squared-L2 distance as a sequential fold (double arrays in, double out):
+# same bit-identical-fold contract as _DOT.
+_SQD = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, t) -> acc + t)"
+)
+_D_SQD = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+_KM_K = 8  # Lloyd cells; production sizing follows the IVF rule K ~ sqrt(N)
+
+
+@register(
+    name="kmeans_lloyd_cells",
+    survey="J9 A7 UD4 W1",
+    doc="Deterministic k-means (Lloyd) centroid TRAINING, two unrolled "
+    "iterations: seed centroids from the first K vectors (the same "
+    "deterministic quantizer ann_ivf_probed starts from), assign every "
+    "vector to its nearest centroid (broadcast K rows, squared-L2 "
+    "sequential fold, tiebreak on centroid id), then recompute centroids "
+    "as per-dimension exact-decimal means and re-assign. Returns the "
+    "final assignment with its squared distance. This is the trainer "
+    "that turns the IVF stand-in cells into data-adaptive cells; at "
+    "scale each iteration is one broadcast-join map pass plus one "
+    "(cluster, dim)-keyed hash aggregation — linear shuffle, no "
+    "driver-side state, deeper training appends more of the same.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KM_K}),
+        d1 AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   {_D_SQD.format(a='e.v', b='c.cv')} AS d2
+            FROM e JOIN c0 c ON TRUE),
+        a1 AS (
+            SELECT vec_id, v, cid AS cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d1),
+        dims AS (
+            SELECT a.cluster, s.i AS dim, a.v[s.i] AS val
+            FROM (SELECT * FROM a1 WHERE rn = 1) a,
+                 LATERAL (SELECT unnest(range(1, len(a.v) + 1)) AS i) s),
+        cent1 AS (
+            SELECT cluster AS cid, list(m ORDER BY dim) AS cv
+            FROM (SELECT cluster, dim,
+                         CAST(ROUND(SUM(CAST(val AS DECIMAL(38,8))), 4)
+                              AS DOUBLE) / CAST(COUNT(val) AS DOUBLE) AS m
+                  FROM dims GROUP BY cluster, dim)
+            GROUP BY cluster),
+        d2t AS (
+            SELECT e.vec_id, c.cid,
+                   {_D_SQD.format(a='e.v', b='c.cv')} AS d2
+            FROM e JOIN cent1 c ON TRUE),
+        a2 AS (
+            SELECT vec_id, cid, d2,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d2t)
+        SELECT vec_id, cid AS cluster, d2 AS dist2 FROM a2 WHERE rn = 1
+    """,
+)
+def kmeans_lloyd_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
+
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    c0 = e.where(F.col("vec_id") < _KM_K).selectExpr("vec_id AS cid", "v AS cv")
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        # Fold the K broadcast centroids per row instead of exploding N x K
+        # pairs through a per-vector window: assignment is then a pure
+        # map-side pass with ZERO shuffle (the window form shuffles N x K
+        # rows on vec_id — a real cost at corpus scale). The explicit
+        # (d2, cid) comparison makes the fold's argmin independent of
+        # collect_list order.
+        cent_arr = cents.agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        ).withColumn("k", F.lit(1))
+        scored = (
+            f"aggregate(transform(cs, c -> named_struct("
+            f"'d2', {_SQD.format(a='v', b='c.cv')}, 'cid', c.cid)), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            "'cid', CAST(-1 AS BIGINT)), "
+            "(acc, s) -> IF(s.d2 < acc.d2"
+            " OR (s.d2 = acc.d2 AND s.cid < acc.cid), s, acc))"
+        )
+        return (
+            points.withColumn("k", F.lit(1))
+            .join(F.broadcast(cent_arr), "k")
+            .selectExpr("vec_id", "v", f"{scored} AS best")
+            .selectExpr("vec_id", "v", "best.cid AS cid", "best.d2 AS d2")
+        )
+
+    a1 = assign(e, c0)
+    cent1 = (
+        a1.selectExpr("cid AS cluster", "posexplode(v) AS (dim, val)")
+        .groupBy("cluster", "dim")
+        .agg(exact_avg("val", "m"))
+        .groupBy("cluster")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                lambda x: x["m"],
+            ).alias("cv")
+        )
+        .selectExpr("cluster AS cid", "cv")
+    )
+    return assign(e, cent1).select(
+        "vec_id", F.col("cid").alias("cluster"), F.col("d2").alias("dist2")
+    )
