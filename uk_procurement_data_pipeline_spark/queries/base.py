@@ -59,11 +59,13 @@ def register(
 # Keep this list at ~50 names; everything not listed follows in module
 # import order.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # new in r03: quality / graph suites
+    # new in r03: quality / graph / clustering / incremental-dedup suites
     "repetition_signals",
     "common_word_scrub",
     "quality_linear_score",
     "supplier_pagerank",
+    "kmeans_lloyd_cells",
+    "incremental_dedup_new_batch",
     # new in r03: reshape / tfidf / funnel / udtf / corpus-prep suites
     "pivot_status_by_region",
     "unpivot_part_metrics",
@@ -110,8 +112,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_tumbling_counts",
     # green in r01 only (fell out of the r02 window) — give each a fresh row
     "topk_parts_per_brand",
-    "order_gaps_lag_lead",
-    "running_spend_per_customer",
     "dedup_tombstone",
     "rank_dense_rank_ntile",
 )

@@ -637,3 +637,144 @@ def dedup_canonical_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("component", "doc_id").alias("canonical_id"),
         (F.col("doc_id") == F.coalesce("component", "doc_id")).alias("is_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: today's batch against the historical corpus
+# ---------------------------------------------------------------------------
+# Batch split by md5 bucket of doc_id: >= 80 is "today's arrivals", the rest
+# is the already-ingested history (same engine-portable bucket idiom as
+# corpus_prep's stratified split).
+_NEW_BUCKET = (
+    "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) % 100"
+)
+_D_NEW_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+
+
+@register(
+    name="incremental_dedup_new_batch",
+    survey="D2 D3 J7 E2",
+    eager=True,  # fn materializes the shared shingle table; time it honestly
+    doc="Incremental dedup — the production shape at 100 TB: you never "
+    "re-dedup the corpus, you dedup TODAY'S batch against it. New docs "
+    "(md5-bucket of doc_id >= 80) are checked against history (the rest) "
+    "by exact content hash (semi-join on sha256) and by MinHash LSH "
+    "(new-side band keys equi-joined to history-side band keys, exact "
+    "Jaccard refine at 0.8 — the same family as minhash_near_dup, so "
+    "only bands ever join, never all-pairs). Each new doc gets "
+    "exact_dup / near_dup / kept; history is read, never rewritten.",
+    oracle=f"""
+        WITH base AS (
+            SELECT doc_id, text, ({_D_NEW_BUCKET}) >= 80 AS is_new
+            FROM documents),
+        newd AS (SELECT doc_id, text FROM base WHERE is_new),
+        hist AS (SELECT doc_id, text FROM base WHERE NOT is_new),
+        ex AS (
+            SELECT DISTINCT n.doc_id
+            FROM newd n
+            JOIN (SELECT DISTINCT sha256(text) AS h FROM hist) hh
+              ON sha256(n.text) = hh.h),
+        shn AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM newd),
+        shh AS (SELECT doc_id, {_D_SHINGLES} AS sh FROM hist),
+        sgn AS (
+            SELECT doc_id, sh, {_D_SIG} AS sig
+            FROM (SELECT doc_id, sh, {_D_HS} AS hs FROM shn)),
+        sgh AS (
+            SELECT doc_id, sh, {_D_SIG} AS sig
+            FROM (SELECT doc_id, sh, {_D_HS} AS hs FROM shh)),
+        bn AS (
+            SELECT doc_id, t.i AS band_idx,
+                   md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
+                                       '|')) AS band_key
+            FROM sgn, generate_series(0, {_BANDS - 1}) t(i)),
+        bh AS (
+            SELECT doc_id, t.i AS band_idx,
+                   md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
+                                       '|')) AS band_key
+            FROM sgh, generate_series(0, {_BANDS - 1}) t(i)),
+        cand AS (
+            SELECT DISTINCT bn.doc_id AS nid, bh.doc_id AS hid
+            FROM bn JOIN bh
+              ON bn.band_idx = bh.band_idx AND bn.band_key = bh.band_key),
+        nr AS (
+            SELECT DISTINCT c.nid AS doc_id
+            FROM cand c
+            JOIN shn a ON c.nid = a.doc_id
+            JOIN shh b ON c.hid = b.doc_id
+            WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(a.sh, b.sh)))
+                             AS DOUBLE) >= 0.8)
+        SELECT n.doc_id,
+               CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nr.doc_id IS NOT NULL THEN 'near_dup'
+                    ELSE 'kept' END AS status
+        FROM newd n
+        LEFT JOIN ex ON n.doc_id = ex.doc_id
+        LEFT JOIN nr ON n.doc_id = nr.doc_id
+    """,
+)
+def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    # One pass builds text hash + shingles for BOTH sides, materialized once
+    # (the shingle table feeds band keys AND the Jaccard refine, twice each).
+    base = docs.selectExpr(
+        "doc_id",
+        f"({_NEW_BUCKET}) >= 80 AS is_new",
+        "sha2(text, 256) AS h",
+        f"{_SHINGLES} AS sh",
+    ).localCheckpoint(eager=True)
+    new, hist = base.where("is_new"), base.where("NOT is_new")
+
+    exact = new.join(
+        hist.select("h").distinct(), "h", "left_semi"
+    ).select("doc_id").withColumn("exact_dup", F.lit(True))
+
+    def bands(side: DataFrame) -> DataFrame:
+        sg = side.selectExpr("doc_id", f"{_HS} AS hs").selectExpr(
+            "doc_id", f"{_SIG} AS sig"
+        )
+        return sg.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(0, {_BANDS - 1}),
+                          b -> struct(b AS band_idx,
+                                      md5(concat_ws('|', transform(
+                                          slice(sig, b*{_ROWS}+1, {_ROWS}),
+                                          x -> cast(x AS string)))) AS band_key))"""
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.band_key")
+
+    bn = bands(new).withColumnRenamed("doc_id", "nid")
+    bh = bands(hist).withColumnRenamed("doc_id", "hid")
+    cand = (
+        bn.join(bh, ["band_idx", "band_key"]).select("nid", "hid").distinct()
+    )
+    near = (
+        cand.join(new.selectExpr("doc_id AS nid", "sh AS sh_n"), "nid")
+        .join(hist.selectExpr("doc_id AS hid", "sh AS sh_h"), "hid")
+        .where(
+            F.size(F.array_intersect("sh_n", "sh_h")).cast("double")
+            / F.size(F.array_union("sh_n", "sh_h")).cast("double")
+            >= 0.8
+        )
+        .select("nid")
+        .distinct()
+        .withColumnRenamed("nid", "doc_id")
+        .withColumn("near_dup", F.lit(True))
+    )
+    return (
+        new.select("doc_id")
+        .join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("exact_dup"), "exact_dup")
+            .when(F.col("near_dup"), "near_dup")
+            .otherwise("kept")
+            .alias("status"),
+        )
+    )
