@@ -66,6 +66,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "supplier_pagerank",
     "kmeans_lloyd_cells",
     "incremental_dedup_new_batch",
+    "scd2_customer_merge",
     # new in r03: reshape / tfidf / funnel / udtf / corpus-prep suites
     "pivot_status_by_region",
     "unpivot_part_metrics",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ocds_flatten_wide",
     "stream_tumbling_counts",
     # green in r01 only (fell out of the r02 window) — give each a fresh row
-    "topk_parts_per_brand",
     "dedup_tombstone",
     "rank_dense_rank_ntile",
 )

@@ -421,3 +421,114 @@ def grouping_sets_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus"),
         F.col("o_orderpriority"),
     ).agg(exact_sum("o_totalprice", "total_spend"))
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 dimension merge
+# ---------------------------------------------------------------------------
+# A deterministic "incoming snapshot" derived from the customer dimension:
+# md5-bucket < 20 arrive with a changed balance (an UPDATE), buckets >= 95
+# arrive under a shifted key (an INSERT of a brand-new member). The same
+# engine-portable bucket idiom as corpus_prep / incremental dedup.
+_CUST_BUCKET = (
+    "cast(conv(substr(md5(cast(c_custkey AS STRING)), 1, 8), 16, 10) AS BIGINT)"
+    " % 100"
+)
+_D_CUST_BUCKET = (
+    "CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8) AS BIGINT) % 100"
+)
+_AS_OF = "2026-08-13"
+
+
+@register(
+    name="scd2_customer_merge",
+    survey="U1 J7 E2 F15",
+    doc="Slowly-changing-dimension type-2 merge: an incoming snapshot "
+    "(changed balances + brand-new members, derived deterministically "
+    "from the dimension itself) is merged into a versioned dimension — "
+    "changed keys get their old version closed out (valid_to set, "
+    "is_current false) and a new open version; unchanged keys pass "
+    "through; new keys insert as open versions. One broadcast-size "
+    "update set joined against the dimension, three union branches, no "
+    "window — the standard warehouse upsert expressed as a pure "
+    "relational plan (at scale the update side shuffles on the same key "
+    "as the dimension; nothing is rewritten in place).",
+    oracle=f"""
+        WITH upd AS (
+            SELECT c_custkey, c_acctbal + 100.0 AS new_bal
+            FROM customer WHERE ({_D_CUST_BUCKET}) < 20
+        ), ins AS (
+            SELECT c_custkey + 1000000 AS c_custkey, c_name, c_acctbal
+            FROM customer WHERE ({_D_CUST_BUCKET}) >= 95
+        )
+        SELECT c.c_custkey, c.c_name, c.c_acctbal AS acctbal,
+               '1995-01-01' AS valid_from,
+               '{_AS_OF}' AS valid_to, FALSE AS is_current
+        FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, u.new_bal AS acctbal,
+               '{_AS_OF}' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+        UNION ALL
+        SELECT c.c_custkey, c.c_name, c.c_acctbal AS acctbal,
+               '1995-01-01' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        FROM customer c WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd)
+        UNION ALL
+        SELECT i.c_custkey, i.c_name, i.c_acctbal AS acctbal,
+               '{_AS_OF}' AS valid_from,
+               CAST(NULL AS VARCHAR) AS valid_to, TRUE AS is_current
+        FROM ins i
+    """,
+)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    upd = cust.where(F.expr(f"({_CUST_BUCKET}) < 20")).selectExpr(
+        "c_custkey", "c_acctbal + 100.0 AS new_bal"
+    )
+    ins = cust.where(F.expr(f"({_CUST_BUCKET}) >= 95")).selectExpr(
+        "c_custkey + 1000000 AS c_custkey", "c_name", "c_acctbal"
+    )
+    closed = (
+        cust.join(upd, "c_custkey")
+        .selectExpr(
+            "c_custkey",
+            "c_name",
+            "c_acctbal AS acctbal",
+            "'1995-01-01' AS valid_from",
+            f"'{_AS_OF}' AS valid_to",
+            "FALSE AS is_current",
+        )
+    )
+    reopened = (
+        cust.join(upd, "c_custkey")
+        .selectExpr(
+            "c_custkey",
+            "c_name",
+            "new_bal AS acctbal",
+            f"'{_AS_OF}' AS valid_from",
+            "CAST(NULL AS STRING) AS valid_to",
+            "TRUE AS is_current",
+        )
+    )
+    unchanged = (
+        cust.join(upd, "c_custkey", "left_anti")
+        .selectExpr(
+            "c_custkey",
+            "c_name",
+            "c_acctbal AS acctbal",
+            "'1995-01-01' AS valid_from",
+            "CAST(NULL AS STRING) AS valid_to",
+            "TRUE AS is_current",
+        )
+    )
+    inserted = ins.selectExpr(
+        "c_custkey",
+        "c_name",
+        "c_acctbal AS acctbal",
+        f"'{_AS_OF}' AS valid_from",
+        "CAST(NULL AS STRING) AS valid_to",
+        "TRUE AS is_current",
+    )
+    return closed.unionAll(reopened).unionAll(unchanged).unionAll(inserted)
