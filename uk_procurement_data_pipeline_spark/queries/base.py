@@ -113,7 +113,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_tumbling_counts",
     # green in r01 only (fell out of the r02 window) — give each a fresh row
     "dedup_tombstone",
-    "rank_dense_rank_ntile",
+    "percent_rank_cume_dist",
 )
 
 

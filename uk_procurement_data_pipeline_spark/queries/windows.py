@@ -212,3 +212,30 @@ def rank_dense_rank_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).alias("bal_dense_rank"),
         F.ntile(4).over(w).alias("bal_quartile"),
     )
+
+
+@register(
+    name="percent_rank_cume_dist",
+    survey="W1 W3",
+    doc="percent_rank / cume_dist relative-position functions per nation "
+    "(the normalized siblings of rank_dense_rank_ntile): both are exact "
+    "integer-ratio doubles — (rank-1)/(n-1) and n_leq/n — divided in "
+    "one fixed order, so the values are bit-identical across engines.",
+    oracle="""
+        SELECT c_custkey, c_nationkey,
+               PERCENT_RANK() OVER w AS bal_pct_rank,
+               CUME_DIST()    OVER w AS bal_cume_dist
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    """,
+)
+def percent_rank_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return load(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_nationkey",
+        F.percent_rank().over(w).alias("bal_pct_rank"),
+        F.cume_dist().over(w).alias("bal_cume_dist"),
+    )
