@@ -112,7 +112,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "ocds_flatten_wide",
     "stream_tumbling_counts",
     # green in r01 only (fell out of the r02 window) — give each a fresh row
-    "dedup_tombstone",
+    "corpus_pipeline_e2e",
     "percent_rank_cume_dist",
 )
 

@@ -395,3 +395,170 @@ def decontaminate_against_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(
         F.broadcast(eval_set), "content_hash", "left_anti"
     ).select("doc_id", "source", "content_hash")
+
+
+@register(
+    name="corpus_pipeline_e2e",
+    survey="D2 D3 W1 F17 UD4",
+    eager=True,  # fn materializes the survivor shingle table
+    doc="The whole corpus-prep pipeline as ONE composed plan: quality "
+    "filter (linear score >= 0.5) -> exact dedup (first doc per sha256) "
+    "-> MinHash near-dedup among survivors (keep the lower doc_id of "
+    "each refined pair) -> sliding-window chunking of the kept docs. "
+    "Every stage is the already-oracle-checked operator, composed: the "
+    "oracle replays the identical four stages in SQL, pinning the "
+    "END-TO-END contract, not just each stage alone. Per-stage shapes "
+    "are unchanged (map-side score, one hash-window per content key, "
+    "banded LSH equi-join, map-side explode), so the composition scales "
+    "exactly as its stages do.",
+    oracle=None,  # set below: assembled from shared per-stage fragments
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.queries.dedup import (
+        _BANDS,
+        _HS,
+        _ROWS,
+        _SHINGLES,
+        _SIG,
+    )
+    from uk_procurement_data_pipeline_spark.queries.quality import (
+        with_quality_score,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = with_quality_score(docs).where(F.col("score") >= 0.5)
+    w = Window.partitionBy("h").orderBy("doc_id")
+    dd = (
+        q.withColumn("h", F.sha2("text", 256))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "text")
+    )
+    sh = dd.selectExpr("doc_id", "text", f"{_SHINGLES} AS sh").localCheckpoint(
+        eager=True
+    )
+    sg = sh.selectExpr("doc_id", f"{_HS} AS hs").selectExpr(
+        "doc_id", f"{_SIG} AS sig"
+    )
+    bands = sg.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {_BANDS - 1}),
+                      b -> struct(b AS band_idx,
+                                  md5(concat_ws('|', transform(
+                                      slice(sig, b*{_ROWS}+1, {_ROWS}),
+                                      x -> cast(x AS string)))) AS band_key))"""
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, z = bands.alias("a"), bands.alias("z")
+    cand = (
+        a.join(
+            z,
+            (F.col("a.band_idx") == F.col("z.band_idx"))
+            & (F.col("a.band_key") == F.col("z.band_key"))
+            & (F.col("a.doc_id") < F.col("z.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("z.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    drop = (
+        cand.join(sh.selectExpr("doc_id AS doc_a", "sh AS sh_a"), "doc_a")
+        .join(sh.selectExpr("doc_id AS doc_b", "sh AS sh_b"), "doc_b")
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            >= 0.8
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    keep = sh.join(drop, "doc_id", "left_anti")
+    return (
+        keep.selectExpr(
+            "doc_id",
+            f"{_TOKENS} AS toks",
+            f"explode(sequence(0, size({_TOKENS}) - 1, {_STRIDE})) AS start",
+        )
+        .selectExpr(
+            "doc_id",
+            f"CAST(start div {_STRIDE} AS BIGINT) AS chunk_idx",
+            f"CAST(size(slice(toks, start + 1, {_CHUNK})) AS BIGINT)"
+            " AS n_chunk_tokens",
+            f"array_join(slice(toks, start + 1, {_CHUNK}), ' ') AS chunk_text",
+        )
+    )
+
+
+def _corpus_pipeline_oracle() -> str:
+    from uk_procurement_data_pipeline_spark.queries.dedup import (
+        _D_HS,
+        _D_SHINGLES,
+        _D_SIG,
+        _BANDS,
+        _ROWS,
+    )
+    from uk_procurement_data_pipeline_spark.queries.quality import (
+        ORACLE_SCORE_SQL,
+    )
+
+    return f"""
+        WITH scored AS ({ORACLE_SCORE_SQL.format(src='documents')}),
+        q AS (SELECT doc_id, text FROM scored WHERE score >= 0.5),
+        dd AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY sha256(text)
+                                          ORDER BY doc_id) AS rn
+                FROM q)
+            WHERE rn = 1),
+        sh AS (SELECT doc_id, text, {_D_SHINGLES} AS sh FROM dd),
+        sg AS (
+            SELECT doc_id, {_D_SIG} AS sig
+            FROM (SELECT doc_id, {_D_HS} AS hs FROM sh)),
+        b AS (
+            SELECT doc_id, t.i AS band_idx,
+                   md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
+                                       '|')) AS band_key
+            FROM sg, generate_series(0, {_BANDS - 1}) t(i)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
+            FROM b a JOIN b z
+              ON a.band_idx = z.band_idx AND a.band_key = z.band_key
+             AND a.doc_id < z.doc_id),
+        drp AS (
+            SELECT DISTINCT c.doc_b AS doc_id
+            FROM cand c
+            JOIN sh sa ON c.doc_a = sa.doc_id
+            JOIN sh sb ON c.doc_b = sb.doc_id
+            WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                      / CAST(len(list_distinct(list_concat(sa.sh, sb.sh)))
+                             AS DOUBLE) >= 0.8),
+        keep AS (
+            SELECT doc_id, text FROM sh
+            WHERE doc_id NOT IN (SELECT doc_id FROM drp))
+        SELECT k.doc_id,
+               s.start // {_STRIDE} AS chunk_idx,
+               len(list_slice({_DTOKENS}, s.start + 1, s.start + {_CHUNK}))
+                   AS n_chunk_tokens,
+               array_to_string(
+                   list_slice({_DTOKENS}, s.start + 1, s.start + {_CHUNK}), ' ')
+                   AS chunk_text
+        FROM keep k,
+             LATERAL (SELECT unnest(range(0, len({_DTOKENS}), {_STRIDE}))
+                      AS start) s
+    """
+
+
+# Late-bind the oracle (the fragments live in sibling modules; assembling at
+# import keeps one source of truth for each stage's SQL).
+from uk_procurement_data_pipeline_spark.queries.base import _REGISTRY as _R
+import dataclasses as _dc
+
+_R["corpus_pipeline_e2e"] = _dc.replace(
+    _R["corpus_pipeline_e2e"], oracle=_corpus_pipeline_oracle()
+)
+del _R, _dc

@@ -279,3 +279,49 @@ def quality_linear_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
         .alias("band"),
     )
+
+
+def with_quality_score(df: DataFrame) -> DataFrame:
+    """(doc_id, text) -> (doc_id, text, score): the quality_linear_score
+    model as a reusable stage (same fixed-order expression tree)."""
+    feats = df.selectExpr(
+        "doc_id",
+        "text",
+        f"size({_TOKS}) AS n_words",
+        f"size(filter({_TOKS}, w -> w IN ('the', 'a'))) AS n_stop",
+        f"size(array_distinct({_TOKS})) AS n_distinct",
+    )
+    score = (
+        F.lit(_W_BIAS)
+        + F.lit(_W_NWORDS) * F.col("n_words").cast("double")
+        + F.lit(_W_WLEN)
+        * (
+            (F.length("text") - (F.col("n_words") - 1)).cast("double")
+            / F.col("n_words").cast("double")
+        )
+        + F.lit(_W_STOP)
+        * (F.col("n_stop").cast("double") / F.col("n_words").cast("double"))
+        + F.lit(_W_DISTINCT)
+        * (F.col("n_distinct").cast("double") / F.col("n_words").cast("double"))
+    )
+    return feats.select("doc_id", "text", score.alias("score"))
+
+
+# DuckDB fragment mirroring with_quality_score over a relation named {src}.
+ORACLE_SCORE_SQL = f"""
+    SELECT doc_id, text,
+           {_W_BIAS}
+           + {_W_NWORDS} * CAST(n_words AS DOUBLE)
+           + {_W_WLEN} * (CAST(length(text) - (n_words - 1) AS DOUBLE)
+                          / CAST(n_words AS DOUBLE))
+           + {_W_STOP} * (CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE))
+           + {_W_DISTINCT} * (CAST(n_distinct AS DOUBLE)
+                              / CAST(n_words AS DOUBLE)) AS score
+    FROM (
+      SELECT doc_id, text,
+             len({_DTOKS}) AS n_words,
+             len(list_filter({_DTOKS}, w -> w IN ('the', 'a'))) AS n_stop,
+             len(list_distinct({_DTOKS})) AS n_distinct
+      FROM {{src}}
+    )
+"""
