@@ -562,3 +562,77 @@ _R["corpus_pipeline_e2e"] = _dc.replace(
     _R["corpus_pipeline_e2e"], oracle=_corpus_pipeline_oracle()
 )
 del _R, _dc
+
+
+_MIN_FREQ = 5  # vocabulary admission threshold (corpus frequency)
+
+
+@register(
+    name="vocab_encode_docs",
+    survey="A7 W1 J7 A1 F17",
+    doc="Vocabulary build + token-id encoding (the tokenize-to-ids stage "
+    "of a pretraining pipeline): one corpus wordcount builds the vocab "
+    "(corpus frequency >= 5), ids assigned by (freq DESC, word) rank, "
+    "then every document is re-encoded as its id sequence with OOV -> "
+    "-1, preserving token order. The vocab is small by construction "
+    "(frequency-thresholded) so the encode join broadcasts; the only "
+    "big shuffles are the wordcount and the per-doc reassembly, both "
+    "keyed on high-cardinality columns.",
+    oracle=f"""
+        WITH pos AS (
+            SELECT d.doc_id, s.i AS pos, (string_split(d.text, ' '))[s.i] AS word
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(1,
+                              len(string_split(d.text, ' ')) + 1)) AS i) s),
+        wc AS (
+            SELECT word, count(*) AS freq FROM pos GROUP BY word),
+        vocab AS (
+            SELECT word,
+                   ROW_NUMBER() OVER (ORDER BY freq DESC, word) - 1 AS id
+            FROM wc WHERE freq >= {_MIN_FREQ})
+        SELECT p.doc_id,
+               count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               list(COALESCE(v.id, -1) ORDER BY p.pos) AS ids
+        FROM pos p LEFT JOIN vocab v ON p.word = v.word
+        GROUP BY p.doc_id
+    """,
+)
+def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pos = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, word)")
+    )
+    wc = pos.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    vocab = (
+        wc.where(F.col("freq") >= _MIN_FREQ)
+        .withColumn(
+            "id",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("word"))
+            )
+            - 1,
+        )
+        .select("word", "id")
+    )
+    return (
+        pos.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("pos", F.coalesce("id", F.lit(-1)).alias("id"))
+                    )
+                ),
+                lambda x: x["id"].cast("bigint"),
+            ).alias("ids"),
+        )
+    )

@@ -462,3 +462,70 @@ def kmeans_lloyd_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign(e, cent1).select(
         "vec_id", F.col("cid").alias("cluster"), F.col("d2").alias("dist2")
     )
+
+
+@register(
+    name="embedding_int8_quantize",
+    survey="UD4 F17 P1",
+    doc="Scalar int8 quantization of the embedding column (the storage/"
+    "serving form of a 100 TB vector corpus: 4x smaller than float32, "
+    "reconstructable to bounded error): per-vector absmax scale to "
+    "[-127, 127], half-away-from-zero rounding via floor(x*s + 0.5), "
+    "plus the exact reconstruction RMSE via a sequential fold. Entirely "
+    "map-side — no shuffle, no UDF — and every arithmetic step is a "
+    "fixed-order double expression, so codes AND error are bit-identical "
+    "across engines. Zero vectors quantize to scale 0 / all-zero codes.",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings),
+        s AS (
+            SELECT vec_id, vd,
+                   list_max(list_transform(vd, x -> abs(x))) AS mx
+            FROM v),
+        q AS (
+            SELECT vec_id, vd,
+                   CASE WHEN mx = 0 THEN CAST(0 AS DOUBLE)
+                        ELSE 127.0 / mx END AS scale
+            FROM s)
+        SELECT vec_id, scale,
+               list_transform(vd,
+                   x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS codes,
+               sqrt(list_reduce(list_transform(generate_series(1, len(vd)),
+                   i -> CASE WHEN scale = 0 THEN 0.0
+                             ELSE (vd[i] - CAST(floor(vd[i] * scale + 0.5)
+                                               AS INTEGER) / scale)
+                                  * (vd[i] - CAST(floor(vd[i] * scale + 0.5)
+                                                  AS INTEGER) / scale) END),
+                   (a, b) -> a + b) / len(vd)) AS rmse
+        FROM q
+    """,
+)
+def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS vd"
+        )
+        .selectExpr(
+            "vec_id",
+            "vd",
+            "array_max(transform(vd, x -> abs(x))) AS mx",
+        )
+        .selectExpr(
+            "vec_id",
+            "vd",
+            "IF(mx = 0D, 0D, 127.0 / mx) AS scale",
+        )
+        .selectExpr(
+            "vec_id",
+            "scale",
+            "transform(vd, x -> CAST(floor(x * scale + 0.5) AS INT)) AS codes",
+            """sqrt(aggregate(
+                   transform(vd, x -> IF(scale = 0D, 0D,
+                       (x - CAST(floor(x * scale + 0.5) AS INT) / scale)
+                       * (x - CAST(floor(x * scale + 0.5) AS INT) / scale))),
+                   0D, (a, b) -> a + b) / size(vd)) AS rmse""",
+        )
+    )
