@@ -636,3 +636,72 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ids"),
         )
     )
+
+
+_CAP = 128  # packed-sequence token capacity
+
+
+@register(
+    name="pack_chunks_into_sequences",
+    survey="W3 A7 F13 F17",
+    doc="Sequence packing (the last stage before a training run: fill "
+    "fixed-capacity sequences with document chunks to minimize padding): "
+    "non-overlapping 32-token chunks are packed first-fit-in-order into "
+    "128-token sequences WITHIN each source shard — the packing cursor "
+    "is a running token cumsum over a (source)-partitioned window, so "
+    "there is no global sequential bottleneck; each shard packs "
+    "independently, exactly how a 1000-executor job would do it. A "
+    "chunk belongs to the sequence where its cursor starts (the "
+    "streaming approximation: a sequence may overflow by at most one "
+    "chunk, and no chunk is ever split).",
+    oracle=f"""
+        WITH chunks AS (
+            SELECT d.source, d.doc_id,
+                   s.start // {_CHUNK} AS chunk_idx,
+                   len(list_slice({_DTOKENS}, s.start + 1, s.start + {_CHUNK}))
+                       AS n
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(0, len({_DTOKENS}), {_CHUNK}))
+                          AS start) s),
+        cur AS (
+            SELECT source, doc_id, chunk_idx, n,
+                   CAST(sum(n) OVER (PARTITION BY source
+                                     ORDER BY doc_id, chunk_idx
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) - n AS BIGINT)
+                       AS cum_before
+            FROM chunks)
+        SELECT source,
+               cum_before // {_CAP} AS seq_id,
+               count(*) AS n_chunks,
+               CAST(sum(n) AS BIGINT) AS n_tokens
+        FROM cur
+        GROUP BY source, cum_before // {_CAP}
+    """,
+)
+def pack_chunks_into_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    chunks = load(spark, sf_dir, "documents").selectExpr(
+        "source",
+        "doc_id",
+        f"posexplode(transform(sequence(0, size({_TOKENS}) - 1, {_CHUNK}),"
+        f" st -> size(slice({_TOKENS}, st + 1, {_CHUNK})))) AS (chunk_idx, n)",
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cur = chunks.withColumn(
+        "cum_before", (F.sum("n").over(w) - F.col("n")).cast("bigint")
+    )
+    return (
+        cur.groupBy(
+            "source", (F.col("cum_before") / _CAP).cast("bigint").alias("seq_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n").cast("bigint").alias("n_tokens"),
+        )
+    )
