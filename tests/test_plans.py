@@ -241,3 +241,24 @@ def test_runtime_bloom_filter_reaches_probe_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_incremental_dedup_never_plans_cartesian(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "incremental_dedup_new_batch")
+    assert "CartesianProduct" not in plan
+    # the exact-hash check must be a semi-join, not a full join + filter
+    assert "LeftSemi" in plan
+
+
+def test_corpus_pipeline_e2e_chunks_map_side(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "corpus_pipeline_e2e")
+    assert "CartesianProduct" not in plan
+    # chunk fan-out is an explode (Generate), not a join
+    assert "Generate" in plan
+
+
+def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "vocab_encode_docs")
+    # the frequency-thresholded vocabulary is the forced-broadcast side of
+    # the encode join; the corpus side must stream
+    assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
