@@ -705,3 +705,70 @@ def pack_chunks_into_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("bigint").alias("n_tokens"),
         )
     )
+
+
+_CDC_MOD = 16  # expected chunk length ~16 tokens; boundary iff hash % 16 == 0
+
+
+@register(
+    name="cdc_chunk_docs",
+    survey="F17 F19 UD4 D3",
+    doc="Content-defined chunking (the dedup-friendly chunker: boundaries "
+    "depend only on local content, so an insertion early in a document "
+    "shifts ONE chunk instead of re-aligning every fixed-stride window "
+    "after it): cut after any token whose md5-derived hash is 0 mod 16. "
+    "Boundary detection, splitting, and re-assembly are all higher-order "
+    "array functions — one map-side pass, no shuffle, no UDF; the same "
+    "cross-engine hash family as the MinHash suite.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        b AS (
+            SELECT doc_id, toks,
+                   [0] || list_filter(range(1, len(toks)),
+                       i -> CAST('0x' || substr(md5(toks[i]), 1, 8) AS BIGINT)
+                            % {_CDC_MOD} = 0) || [len(toks)] AS bnd
+            FROM t),
+        c AS (
+            SELECT doc_id,
+                   list_transform(generate_series(1, len(bnd) - 1),
+                       j -> toks[bnd[j] + 1 : bnd[j + 1]]) AS chunks
+            FROM b)
+        SELECT doc_id, s.ci - 1 AS chunk_idx,
+               len(chunks[s.ci]) AS n_tokens,
+               array_to_string(chunks[s.ci], ' ') AS chunk_text
+        FROM c, LATERAL (SELECT unnest(range(1, len(chunks) + 1)) AS ci) s
+    """,
+)
+def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr(
+            "doc_id",
+            "toks",
+            # sequence(1, n-1) would DESCEND for n=1 (Spark generates
+            # start-down-to-stop); clamp the stop and re-filter i < n so a
+            # single-token document yields no interior boundary.
+            f"""concat(array(0),
+                   filter(sequence(1, greatest(size(toks) - 1, 1)),
+                       i -> i < size(toks)
+                            AND cast(conv(substr(md5(toks[i - 1]), 1, 8),
+                                          16, 10)
+                                     AS BIGINT) % {_CDC_MOD} = 0),
+                   array(size(toks))) AS bnd""",
+        )
+        .selectExpr(
+            "doc_id",
+            """posexplode(transform(sequence(1, size(bnd) - 1),
+                   j -> slice(toks, element_at(bnd, j) + 1,
+                              element_at(bnd, j + 1) - element_at(bnd, j))))
+               AS (chunk_idx, chunk)""",
+        )
+        .selectExpr(
+            "doc_id",
+            "CAST(chunk_idx AS BIGINT) AS chunk_idx",
+            "CAST(size(chunk) AS BIGINT) AS n_tokens",
+            "array_join(chunk, ' ') AS chunk_text",
+        )
+    )
