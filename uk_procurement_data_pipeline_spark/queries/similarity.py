@@ -529,3 +529,76 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
                    0D, (a, b) -> a + b) / size(vd)) AS rmse""",
         )
     )
+
+
+@register(
+    name="contrastive_pairs",
+    survey="W2 W1 J5 UD4",
+    doc="Contrastive training-pair generation over the embedding corpus: "
+    "each anchor gets a POSITIVE (the next vector of the same label, "
+    "lead over a label-partitioned window) and a NEGATIVE (the nearest "
+    "following vector of a DIFFERENT label in a deterministic md5-"
+    "shuffled order, probed via lead(1..3) within 256 hash buckets). "
+    "Every window is partitioned — by label or by hash-bucket prefix — "
+    "so pair generation shards across executors with no global sort and "
+    "no RNG state; re-runs reproduce the identical pair set.",
+    oracle="""
+        WITH e AS (
+            SELECT vec_id, label,
+                   md5(CAST(vec_id AS VARCHAR)) AS hkey,
+                   substr(md5(CAST(vec_id AS VARCHAR)), 1, 2) AS bucket
+            FROM embeddings),
+        pos AS (
+            SELECT vec_id, label,
+                   lead(vec_id) OVER (PARTITION BY label ORDER BY vec_id)
+                       AS positive_id
+            FROM e),
+        neg AS (
+            SELECT vec_id,
+                   CASE WHEN l1 IS DISTINCT FROM label THEN n1
+                        WHEN l2 IS DISTINCT FROM label THEN n2
+                        WHEN l3 IS DISTINCT FROM label THEN n3
+                   END AS negative_id
+            FROM (
+              SELECT vec_id, label,
+                     lead(vec_id, 1) OVER w AS n1, lead(label, 1) OVER w AS l1,
+                     lead(vec_id, 2) OVER w AS n2, lead(label, 2) OVER w AS l2,
+                     lead(vec_id, 3) OVER w AS n3, lead(label, 3) OVER w AS l3
+              FROM e
+              WINDOW w AS (PARTITION BY bucket ORDER BY hkey)))
+        SELECT p.vec_id AS anchor_id, p.label, p.positive_id, n.negative_id
+        FROM pos p JOIN neg n ON p.vec_id = n.vec_id
+    """,
+)
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "label",
+        "md5(CAST(vec_id AS STRING)) AS hkey",
+        "substr(md5(CAST(vec_id AS STRING)), 1, 2) AS bucket",
+    )
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    pos = e.select(
+        "vec_id", "label", F.lead("vec_id").over(wl).alias("positive_id")
+    )
+    wb = Window.partitionBy("bucket").orderBy("hkey")
+    probed = e.select(
+        "vec_id",
+        "label",
+        F.lead("vec_id", 1).over(wb).alias("n1"),
+        F.lead("label", 1).over(wb).alias("l1"),
+        F.lead("vec_id", 2).over(wb).alias("n2"),
+        F.lead("label", 2).over(wb).alias("l2"),
+        F.lead("vec_id", 3).over(wb).alias("n3"),
+        F.lead("label", 3).over(wb).alias("l3"),
+    )
+    neg = probed.select(
+        "vec_id",
+        F.when(~F.col("l1").eqNullSafe(F.col("label")), F.col("n1"))
+        .when(~F.col("l2").eqNullSafe(F.col("label")), F.col("n2"))
+        .when(~F.col("l3").eqNullSafe(F.col("label")), F.col("n3"))
+        .alias("negative_id"),
+    )
+    return pos.join(neg, "vec_id").select(
+        F.col("vec_id").alias("anchor_id"), "label", "positive_id", "negative_id"
+    )
