@@ -772,3 +772,83 @@ def cdc_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "array_join(chunk, ' ') AS chunk_text",
         )
     )
+
+
+@register(
+    name="cdc_chunk_dedup_ratio",
+    survey="D2 A7 J5 F17",
+    doc="Chunk-level dedup accounting over the content-defined chunks "
+    "(the reason CDC exists: shared passages hash to identical chunks "
+    "regardless of where they sit in a document): hash every CDC chunk, "
+    "count distinct documents per chunk hash, and report each "
+    "document's shared-chunk fraction — the storage/dedup win an "
+    "object-level dedup would miss. One (hash)-keyed aggregation plus "
+    "one join back; both keys are high-cardinality hashes, so the "
+    "shuffles stay uniform at corpus scale.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        b AS (
+            SELECT doc_id, toks,
+                   [0] || list_filter(range(1, len(toks)),
+                       i -> CAST('0x' || substr(md5(toks[i]), 1, 8) AS BIGINT)
+                            % {_CDC_MOD} = 0) || [len(toks)] AS bnd
+            FROM t),
+        ch AS (
+            SELECT doc_id,
+                   md5(array_to_string(toks[bnd[s.j] + 1 : bnd[s.j + 1]], ' '))
+                       AS chash
+            FROM b, LATERAL (SELECT unnest(range(1, len(bnd))) AS j) s),
+        df AS (
+            SELECT chash, count(DISTINCT doc_id) AS n_docs
+            FROM ch GROUP BY chash)
+        SELECT ch.doc_id,
+               count(*) AS n_chunks,
+               CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_shared,
+               CAST(sum(CASE WHEN df.n_docs > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS shared_frac
+        FROM ch JOIN df USING (chash)
+        GROUP BY ch.doc_id
+    """,
+)
+def cdc_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .selectExpr(
+            "doc_id",
+            "toks",
+            f"""concat(array(0),
+                   filter(sequence(1, greatest(size(toks) - 1, 1)),
+                       i -> i < size(toks)
+                            AND cast(conv(substr(md5(toks[i - 1]), 1, 8),
+                                          16, 10)
+                                     AS BIGINT) % {_CDC_MOD} = 0),
+                   array(size(toks))) AS bnd""",
+        )
+        .selectExpr(
+            "doc_id",
+            """explode(transform(sequence(1, size(bnd) - 1),
+                   j -> md5(array_join(slice(toks, element_at(bnd, j) + 1,
+                              element_at(bnd, j + 1) - element_at(bnd, j)),
+                              ' ')))) AS chash""",
+        )
+    )
+    dfreq = chunks.groupBy("chash").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    return (
+        chunks.join(dfreq, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_shared"),
+            (
+                F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("shared_frac"),
+        )
+    )

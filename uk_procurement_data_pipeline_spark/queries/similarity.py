@@ -602,3 +602,72 @@ def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pos.join(neg, "vec_id").select(
         F.col("vec_id").alias("anchor_id"), "label", "positive_id", "negative_id"
     )
+
+
+@register(
+    name="hard_negatives_lsh",
+    survey="J9 W1 UD4 A10",
+    doc="Hard-negative mining for contrastive training: each vector's "
+    "most-cosine-similar neighbor with a DIFFERENT label, searched only "
+    "within its sign-bit LSH bucket (the same bucket equi-join as "
+    "ann_lsh_bucketed, so candidate generation is linear-shuffle, never "
+    "all-pairs) and reduced per anchor by a (cosine DESC, id) "
+    "row_number. The classic 'hardest in-batch negative' but computed "
+    "corpus-wide and deterministically.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, label, embedding,
+                   sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS nrm,
+                   {_D_SIGN_BUCKET.format(v='embedding')} AS bucket
+            FROM embeddings),
+        p AS (
+            SELECT a.vec_id AS anchor_id, a.label,
+                   z.vec_id AS negative_id, z.label AS negative_label,
+                   {_D_DOT.format(a='a.embedding', b='z.embedding')}
+                       / (a.nrm * z.nrm) AS cosine
+            FROM e a JOIN e z
+              ON a.bucket = z.bucket AND a.label <> z.label),
+        r AS (
+            SELECT anchor_id, label, negative_id, negative_label, cosine,
+                   ROW_NUMBER() OVER (PARTITION BY anchor_id
+                                      ORDER BY cosine DESC, negative_id) AS rn
+            FROM p)
+        SELECT anchor_id, label, negative_id, negative_label, cosine
+        FROM r WHERE rn = 1
+    """,
+)
+def hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "label",
+        "embedding",
+        f"sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm",
+        f"{_SIGN_BUCKET.format(v='embedding')} AS bucket",
+    )
+    a = e.selectExpr(
+        "vec_id AS anchor_id", "label", "embedding AS av", "nrm AS an", "bucket"
+    )
+    z = e.selectExpr(
+        "vec_id AS negative_id",
+        "label AS negative_label",
+        "embedding AS zv",
+        "nrm AS zn",
+        "bucket",
+    )
+    pairs = a.join(
+        z, ["bucket"]
+    ).where(F.col("label") != F.col("negative_label")).selectExpr(
+        "anchor_id",
+        "label",
+        "negative_id",
+        "negative_label",
+        f"{_DOT.format(a='av', b='zv')} / (an * zn) AS cosine",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id")
+    )
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("anchor_id", "label", "negative_id", "negative_label", "cosine")
+    )
