@@ -289,3 +289,44 @@ def daily_activity_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_users", F.lit(0)).alias("n_users"),
         )
     )
+
+
+@register(
+    name="events_range_frame_sum",
+    survey="W3 F16 A7",
+    doc="Event-time RANGE window frame (the time-based sibling of the "
+    "row-count moving frames): per user, the exact-decimal sum of event "
+    "values in the trailing 10 minutes of EVENT TIME — frame bounds in "
+    "microseconds over unix_micros(ts), so Spark's numeric rangeBetween "
+    "and DuckDB's INTERVAL RANGE frame select the identical row sets "
+    "even at sub-second timestamps. One window shuffle on user_id.",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(38,8)))
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL '10 minutes' PRECEDING
+                         AND CURRENT ROW), 4) AS DOUBLE) AS trailing_sum
+        FROM events
+    """,
+)
+def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. The session is
+    # pinned UTC, so the NTZ -> TZ cast is a fixed-offset epoch mapping and
+    # microsecond DIFFERENCES (what the frame bound compares) are exact.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.sum(dec(F.col("value"))).over(w), 4)
+        .cast("double")
+        .alias("trailing_sum"),
+    )
