@@ -330,3 +330,93 @@ def events_range_frame_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_sum"),
     )
+
+
+@register(
+    name="event_type_value_chi2",
+    survey="A7 J5 F28",
+    doc="Chi-squared independence test between event type and value band "
+    "(the distributed contingency-table analysis behind drift detection "
+    "and feature selection): observed counts per (type, band) cell, "
+    "expected counts from broadcast row/column marginals, per-cell "
+    "contribution, and the chi2 statistic as an exact-decimal window "
+    "sum over the (tiny) cell table — the only big shuffle is the "
+    "initial count aggregation; everything after runs on "
+    "cells-not-rows.",
+    oracle="""
+        WITH cells AS (
+            SELECT event_type,
+                   CASE WHEN value < 50.0 THEN 'low' ELSE 'high' END AS band,
+                   CAST(count(*) AS BIGINT) AS observed
+            FROM events GROUP BY 1, 2),
+        rowt AS (SELECT event_type, sum(observed) AS rt FROM cells GROUP BY 1),
+        colt AS (SELECT band, sum(observed) AS ct FROM cells GROUP BY 1),
+        tot AS (SELECT sum(observed) AS n FROM cells),
+        e AS (
+            SELECT c.event_type, c.band, c.observed,
+                   CAST(r.rt AS DOUBLE) * CAST(t.ct AS DOUBLE)
+                       / CAST(x.n AS DOUBLE) AS expected
+            FROM cells c
+            JOIN rowt r ON c.event_type = r.event_type
+            JOIN colt t ON c.band = t.band
+            CROSS JOIN tot x),
+        terms AS (
+            SELECT event_type, band, observed, expected,
+                   (CAST(observed AS DOUBLE) - expected)
+                       * (CAST(observed AS DOUBLE) - expected) / expected
+                       AS term
+            FROM e)
+        SELECT event_type, band, observed, expected, term,
+               CAST(ROUND(SUM(CAST(term AS DECIMAL(38,8))) OVER (), 4)
+                    AS DOUBLE) AS chi2
+        FROM terms
+    """,
+)
+def event_type_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    cells = (
+        load(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.when(F.col("value") < 50.0, "low").otherwise("high").alias("band"),
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    rowt = cells.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    colt = cells.groupBy("band").agg(F.sum("observed").alias("ct"))
+    tot = cells.agg(F.sum("observed").alias("n")).withColumn("k", F.lit(1))
+    e = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "band")
+        .withColumn("k", F.lit(1))
+        .join(F.broadcast(tot), "k")
+        .select(
+            "event_type",
+            "band",
+            "observed",
+            (
+                F.col("rt").cast("double")
+                * F.col("ct").cast("double")
+                / F.col("n").cast("double")
+            ).alias("expected"),
+        )
+    )
+    terms = e.withColumn(
+        "term",
+        (F.col("observed").cast("double") - F.col("expected"))
+        * (F.col("observed").cast("double") - F.col("expected"))
+        / F.col("expected"),
+    )
+    w = Window.partitionBy()
+    return terms.select(
+        "event_type",
+        "band",
+        "observed",
+        "expected",
+        "term",
+        F.round(F.sum(dec(F.col("term"))).over(w), 4).cast("double").alias("chi2"),
+    )

@@ -285,3 +285,47 @@ def dialect_union_notices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("dialect_b").alias("source_dialect"),
     )
     return dialect_a.unionByName(dialect_b, allowMissingColumns=True)
+
+
+@register(
+    name="props_map_key_stats",
+    survey="F22 A7 F17 P6",
+    doc="Generic JSON-bag aggregation via MapType: the props column is "
+    "decoded as map<string,int> (no schema declared per key — the keys "
+    "themselves are data), the map entries exploded, and per-key "
+    "statistics aggregated. The DuckDB oracle walks the same bags with "
+    "json_keys + json_extract, pinning that Spark's whole-bag map "
+    "decode sees exactly the keys a per-entry JSON walk sees.",
+    oracle="""
+        SELECT k AS prop_key,
+               count(*) AS n_events,
+               CAST(min(CAST(json_extract(props, '$.' || k) AS INTEGER))
+                    AS BIGINT) AS min_v,
+               CAST(max(CAST(json_extract(props, '$.' || k) AS INTEGER))
+                    AS BIGINT) AS max_v,
+               CAST(sum(CAST(json_extract(props, '$.' || k) AS INTEGER))
+                    AS BIGINT) AS sum_v
+        FROM (
+          SELECT props, unnest(json_keys(props)) AS k
+          FROM events WHERE props IS NOT NULL
+        )
+        GROUP BY k
+    """,
+)
+def props_map_key_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "events")
+        .where(F.col("props").isNotNull())
+        .select(
+            F.explode(F.from_json("props", "map<string,int>")).alias(
+                "prop_key", "v"
+            )
+        )
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("v").cast("bigint").alias("min_v"),
+            F.max("v").cast("bigint").alias("max_v"),
+            F.sum("v").cast("bigint").alias("sum_v"),
+        )
+    )

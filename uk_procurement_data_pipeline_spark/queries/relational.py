@@ -641,3 +641,55 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), "c_custkey")
         .limit(20)
     )
+
+
+@register(
+    name="q18_large_volume_orders",
+    survey="J5 J6 A7 O4 J7",
+    doc="TPC-H Q18 analog (large-volume customers): orders whose total "
+    "line quantity clears a threshold — the HAVING subquery becomes a "
+    "semi-join against the thresholded aggregate, quantity totals go "
+    "through the exact-decimal contract on BOTH the filter and the "
+    "output, top-100 with (totalprice DESC, orderkey) tiebreak.",
+    oracle=f"""
+        WITH big AS (
+            SELECT l_orderkey
+            FROM lineitem
+            GROUP BY l_orderkey
+            HAVING {oracle_sum('l_quantity')} > 140.0)
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               {oracle_sum('l_quantity')} AS total_qty
+        FROM customer, orders, lineitem
+        WHERE o_orderkey IN (SELECT l_orderkey FROM big)
+          AND c_custkey = o_custkey
+          AND o_orderkey = l_orderkey
+        GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(exact_sum("l_quantity", "tq"))
+        .where(F.col("tq") > 140.0)
+        .select("l_orderkey")
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(
+            big.withColumnRenamed("l_orderkey", "bk"),
+            orders.o_orderkey == F.col("bk"),
+            "left_semi",
+        )
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(exact_sum("l_quantity", "total_qty"))
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(100)
+    )
