@@ -420,3 +420,158 @@ def event_type_value_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         "term",
         F.round(F.sum(dec(F.col("term"))).over(w), 4).cast("double").alias("chi2"),
     )
+
+
+@register(
+    name="value_outliers_iqr",
+    survey="A7 J5 F28",
+    doc="IQR outlier detection per event type (the data-quality fence "
+    "before any aggregate is trusted): exact p25/p75 computed on "
+    "integer cents — quantile interpolation on BIGINTs is the engine-"
+    "portable contract; doubles would expose each engine's formula "
+    "association in the last bit — then 1.5*IQR fences in fixed-order "
+    "double math and a broadcast join back to count outliers. Two "
+    "aggregation shuffles; the fence table is rows-per-type, so the "
+    "flagging pass is map-side at any scale.",
+    oracle="""
+        WITH cents AS (
+            SELECT event_type,
+                   CAST(round(value * 100.0) AS BIGINT) AS vc
+            FROM events),
+        fences AS (
+            SELECT event_type,
+                   quantile_cont(vc, 0.25) AS q1,
+                   quantile_cont(vc, 0.75) AS q3
+            FROM cents GROUP BY event_type)
+        SELECT c.event_type,
+               f.q1, f.q3,
+               f.q1 - 1.5 * (f.q3 - f.q1) AS lo,
+               f.q3 + 1.5 * (f.q3 - f.q1) AS hi,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN CAST(c.vc AS DOUBLE)
+                                  < f.q1 - 1.5 * (f.q3 - f.q1)
+                             OR CAST(c.vc AS DOUBLE)
+                                  > f.q3 + 1.5 * (f.q3 - f.q1)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM cents c JOIN fences f USING (event_type)
+        GROUP BY c.event_type, f.q1, f.q3
+    """,
+)
+def value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cents = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.round(F.col("value") * 100.0).cast("bigint").alias("vc"),
+    )
+    fences = cents.groupBy("event_type").agg(
+        F.expr("percentile(vc, 0.25)").alias("q1"),
+        F.expr("percentile(vc, 0.75)").alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        cents.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    (F.col("vc").cast("double") < lo)
+                    | (F.col("vc").cast("double") > hi),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .select(
+            "event_type",
+            "q1",
+            "q3",
+            lo.alias("lo"),
+            hi.alias("hi"),
+            "n_events",
+            "n_outliers",
+        )
+    )
+
+
+@register(
+    name="value_trend_per_user",
+    survey="A7 W2 F16",
+    doc="Per-entity least-squares trend (drift per user over event time): "
+    "slope and intercept from five order-independent decimal sums per "
+    "user, with event time rebased to minutes since the user's first "
+    "event (keeps squared terms inside decimal(38,8) headroom at any "
+    "time range) — the same algebraic-moments pattern as "
+    "lineitem_stats_corr, keyed on a high-cardinality entity. One "
+    "window pass for the rebase, one hash-agg shuffle for the sums.",
+    oracle="""
+        WITH rebased AS (
+            SELECT user_id, value,
+                   CAST(epoch_us(ts)
+                        - min(epoch_us(ts)) OVER (PARTITION BY user_id)
+                        AS DOUBLE) / 60000000.0 AS x
+            FROM events),
+        sums AS (
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   CAST(COUNT(*) AS DOUBLE) AS n,
+                   CAST(ROUND(SUM(CAST(x AS DECIMAL(38,8))), 4) AS DOUBLE) AS sx,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,8))), 4) AS DOUBLE)
+                       AS sy,
+                   CAST(ROUND(SUM(CAST(x * x AS DECIMAL(38,8))), 4) AS DOUBLE)
+                       AS sxx,
+                   CAST(ROUND(SUM(CAST(x * value AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS sxy
+            FROM rebased GROUP BY user_id)
+        SELECT user_id, n_events,
+               (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+               (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                   AS intercept
+        FROM sums WHERE n_events >= 2 AND n * sxx - sx * sx <> 0.0
+    """,
+)
+def value_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    rebased = load(spark, sf_dir, "events").select(
+        "user_id",
+        "value",
+        (
+            (
+                micros
+                - F.min(micros).over(Window.partitionBy("user_id"))
+            ).cast("double")
+            / 60000000.0
+        ).alias("x"),
+    )
+    sums = rebased.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.round(F.sum(dec(F.col("x"))), 4).cast("double").alias("sx"),
+        F.round(F.sum(dec(F.col("value"))), 4).cast("double").alias("sy"),
+        F.round(F.sum(dec(F.col("x") * F.col("x"))), 4)
+        .cast("double")
+        .alias("sxx"),
+        F.round(F.sum(dec(F.col("x") * F.col("value"))), 4)
+        .cast("double")
+        .alias("sxy"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return (
+        sums.where(
+            (F.col("n_events") >= 2)
+            & (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") != 0.0)
+        )
+        .select(
+            "user_id",
+            "n_events",
+            slope.alias("slope"),
+            ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+        )
+    )
