@@ -693,3 +693,115 @@ def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
         .limit(100)
     )
+
+
+@register(
+    name="snapshot_diff_customers",
+    survey="J7 U1 E2 F28",
+    doc="Data-diff between two table snapshots (the reconciliation step "
+    "of any incremental sync): snapshot A (md5 buckets 0-89) and "
+    "snapshot B (buckets 10-99, balances shifted in buckets 40-49) are "
+    "full-outer joined on the key and every row labeled added / "
+    "removed / changed / unchanged. One co-partitioned join on the "
+    "primary key; the verdict column is a null-safe CASE, so the same "
+    "plan diffs two 50 TB snapshots.",
+    oracle=f"""
+        WITH a AS (
+            SELECT c_custkey, c_acctbal FROM customer
+            WHERE ({_D_CUST_BUCKET}) < 90),
+        b AS (
+            SELECT c_custkey,
+                   CASE WHEN ({_D_CUST_BUCKET}) BETWEEN 40 AND 49
+                        THEN c_acctbal + 50.0 ELSE c_acctbal END AS c_acctbal
+            FROM customer WHERE ({_D_CUST_BUCKET}) >= 10)
+        SELECT COALESCE(a.c_custkey, b.c_custkey) AS c_custkey,
+               CASE WHEN a.c_custkey IS NULL THEN 'added'
+                    WHEN b.c_custkey IS NULL THEN 'removed'
+                    WHEN a.c_acctbal <> b.c_acctbal THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM a FULL OUTER JOIN b ON a.c_custkey = b.c_custkey
+    """,
+)
+def snapshot_diff_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    a = cust.where(F.expr(f"({_CUST_BUCKET}) < 90")).select(
+        F.col("c_custkey").alias("a_key"), F.col("c_acctbal").alias("a_bal")
+    )
+    b = cust.where(F.expr(f"({_CUST_BUCKET}) >= 10")).select(
+        F.col("c_custkey").alias("b_key"),
+        F.expr(
+            f"CASE WHEN ({_CUST_BUCKET}) BETWEEN 40 AND 49"
+            " THEN c_acctbal + 50.0 ELSE c_acctbal END"
+        ).alias("b_bal"),
+    )
+    j = a.join(b, a.a_key == b.b_key, "full_outer")
+    return j.select(
+        F.coalesce("a_key", "b_key").alias("c_custkey"),
+        F.when(F.col("a_key").isNull(), "added")
+        .when(F.col("b_key").isNull(), "removed")
+        .when(F.col("a_bal") != F.col("b_bal"), "changed")
+        .otherwise("unchanged")
+        .alias("status"),
+    )
+
+
+@register(
+    name="revenue_share_within_region",
+    survey="W3 J5 A7",
+    doc="Ratio-to-report: each nation's share of its region's revenue — "
+    "exact-decimal nation totals, then a region-partitioned window sum "
+    "over the (25-row) nation aggregate and one fixed-order double "
+    "division. The window runs on the aggregate, not the fact table, "
+    "so its cost is independent of scale.",
+    oracle=f"""
+        WITH nat AS (
+            SELECT r_name, n_name,
+                   {oracle_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+            FROM lineitem, orders, customer, nation, region
+            WHERE l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND c_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+            GROUP BY r_name, n_name)
+        SELECT r_name, n_name, revenue,
+               revenue / CAST(ROUND(SUM(CAST(revenue AS DECIMAL(38,8)))
+                   OVER (PARTITION BY r_name), 4) AS DOUBLE) AS region_share
+        FROM nat
+    """,
+)
+def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nat = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+    w = Window.partitionBy("r_name")
+    return nat.select(
+        "r_name",
+        "n_name",
+        "revenue",
+        (
+            F.col("revenue")
+            / F.round(F.sum(dec(F.col("revenue"))).over(w), 4).cast("double")
+        ).alias("region_share"),
+    )
