@@ -852,3 +852,112 @@ def cdc_chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shared_frac"),
         )
     )
+
+
+@register(
+    name="pps_sample_docs",
+    survey="A7 F28 UD4 W1",
+    doc="Probability-proportional-to-size sampling with Horvitz-Thompson "
+    "weights: each document keeps with probability n_chars/600 (capped "
+    "at 1) against an md5-uniform draw, and carries 1/p as its "
+    "estimation weight — the deterministic, coordinated form of "
+    "weighted sampling (same doc -> same verdict on every engine and "
+    "every re-run). Pure map-side filter.",
+    oracle="""
+        SELECT doc_id, n_chars, p, 1.0 / p AS weight
+        FROM (
+          SELECT doc_id, n_chars,
+                 CASE WHEN CAST(n_chars AS DOUBLE) / 600.0 > 1.0 THEN 1.0
+                      ELSE CAST(n_chars AS DOUBLE) / 600.0 END AS p,
+                 CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                           AS BIGINT) AS DOUBLE) / 4294967296.0 AS u
+          FROM documents
+        )
+        WHERE u < p
+    """,
+)
+def pps_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "CASE WHEN CAST(n_chars AS DOUBLE) / 600.0 > 1.0 THEN 1.0"
+            " ELSE CAST(n_chars AS DOUBLE) / 600.0 END AS p",
+            "CAST(cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) AS DOUBLE) / 4294967296.0 AS u",
+        )
+        .where(F.col("u") < F.col("p"))
+        .select("doc_id", "n_chars", "p", (1.0 / F.col("p")).alias("weight"))
+    )
+
+
+from uk_procurement_data_pipeline_spark.queries.quality import (
+    ORACLE_SCORE_SQL as _OSS,
+)
+
+ORACLE_SCORE_SQL_SRC = _OSS.format(src="documents")
+
+
+@register(
+    name="token_budget_selection",
+    survey="W1 W3 A7 UD4",
+    doc="Token-budget curation (data mixing under a budget): per source, "
+    "documents are ranked by quality score and admitted in rank order "
+    "until the source's cumulative token count passes 50% of its "
+    "total — the greedy quality-first selection every mixture builder "
+    "runs, expressed as two source-partitioned windows (running cumsum "
+    "over rank order against a window total). Admission includes the "
+    "document that crosses the budget line, so every source keeps at "
+    "least its best document.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT s.doc_id, s.score, d.source,
+                   len(string_split(d.text, ' ')) AS n_tok
+            FROM ({ORACLE_SCORE_SQL_SRC}) s JOIN documents d USING (doc_id)),
+        ranked AS (
+            SELECT source, doc_id, score, n_tok,
+                   CAST(sum(n_tok) OVER (PARTITION BY source
+                                         ORDER BY score DESC, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - n_tok AS BIGINT)
+                       AS cum_before,
+                   CAST(sum(n_tok) OVER (PARTITION BY source) AS BIGINT)
+                       AS total_tok
+            FROM scored)
+        SELECT source, doc_id, score, n_tok
+        FROM ranked
+        WHERE cum_before * 2 < total_tok
+    """,
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.queries.quality import (
+        with_quality_score,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    scored = with_quality_score(docs.select("doc_id", "text")).join(
+        docs.selectExpr("doc_id", "source", f"size({_TOKENS}) AS n_tok"),
+        "doc_id",
+    )
+    wr = (
+        Window.partitionBy("source")
+        .orderBy(F.col("score").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("source")
+    ranked = scored.select(
+        "source",
+        "doc_id",
+        "score",
+        "n_tok",
+        (F.sum("n_tok").over(wr) - F.col("n_tok")).cast("bigint").alias(
+            "cum_before"
+        ),
+        F.sum("n_tok").over(wt).cast("bigint").alias("total_tok"),
+    )
+    return ranked.where(F.col("cum_before") * 2 < F.col("total_tok")).select(
+        "source", "doc_id", "score", "n_tok"
+    )
