@@ -61,7 +61,13 @@ def test_repetition_signals_match_python_reference(spark, sf_dir):
         assert r["dup_word_frac"] == (len(toks) - len(set(toks))) / len(toks)
         top = max(toks.count(t) for t in set(toks))
         assert r["top_word_frac"] == top / len(toks)
-        assert r["dup_2gram_frac"] == (len(grams) - len(set(grams))) / len(grams)
+        if grams:
+            assert r["dup_2gram_frac"] == (
+                len(grams) - len(set(grams))
+            ) / len(grams)
+        else:
+            # single-token doc: no bigrams on either engine -> NULL fraction
+            assert r["dup_2gram_frac"] is None
 
 
 def test_supplier_pagerank_covers_all_suppliers_and_no_cartesian(spark, sf_dir):

@@ -54,8 +54,13 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
         df = spark.read.parquet(path)
         df.schema  # force schema resolution; raises on TIMESTAMP(NANOS)
         return df
-    except Exception:
-        pass
+    except Exception as exc:  # noqa: BLE001 — filtered by message below
+        # Only the TIMESTAMP(NANOS) schema rejection is recoverable here; a
+        # missing file, corrupt footer, or any unrelated error must surface
+        # as itself, not as a confusing secondary failure from the fallback
+        # read (ADVICE r03).
+        if "NANOS" not in str(exc) and "nanos" not in str(exc):
+            raise
     # Legacy nanos fixture. The conf is dynamic (SQLConf); the parquet
     # relation captures it during schema resolution, so force analysis with
     # df.schema and then RESTORE the previous value — no session-wide leak

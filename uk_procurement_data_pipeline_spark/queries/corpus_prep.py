@@ -698,7 +698,10 @@ def pack_chunks_into_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cur.groupBy(
-            "source", (F.col("cum_before") / _CAP).cast("bigint").alias("seq_id")
+            # Integer floor division (`div`), structurally identical to the
+            # oracle's `//` — double-division-then-cast is only exact while
+            # _CAP is a power of two and cum_before < 2^53 (ADVICE r03).
+            "source", F.expr(f"cum_before div {_CAP}").alias("seq_id")
         )
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),

@@ -113,8 +113,6 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import zlib
 
-    from pyspark.sql.types import LongType
-
     qname = f"stream_tumbling_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     # Probe the fixture's ts physical type via the batch reader (the fixture
     # has been TIMESTAMP(MICROS) or TIMESTAMP(NANOS) across driver rounds).

@@ -102,8 +102,14 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.selectExpr("doc_id", f"{_TOKS} AS t")
         .selectExpr(
             "doc_id",
-            "explode(transform(sequence(1, size(t) - 1),"
-            " i -> concat(t[i - 1], ' ', t[i]))) AS gram",
+            # Guard single-token docs: sequence(1, 0) DESCENDS to [1, 0] in
+            # Spark, which would fabricate two NULL grams, while the oracle's
+            # range(1, len) is empty. Emitting an empty array makes explode
+            # drop the doc from the grams side, so the left join yields NULL
+            # dup_2gram_frac in both engines.
+            "explode(IF(size(t) < 2, array(),"
+            " transform(sequence(1, size(t) - 1),"
+            " i -> concat(t[i - 1], ' ', t[i])))) AS gram",
         )
         .groupBy("doc_id", "gram")
         .count()

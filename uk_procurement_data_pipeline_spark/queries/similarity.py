@@ -470,7 +470,9 @@ def kmeans_lloyd_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Scalar int8 quantization of the embedding column (the storage/"
     "serving form of a 100 TB vector corpus: 4x smaller than float32, "
     "reconstructable to bounded error): per-vector absmax scale to "
-    "[-127, 127], half-away-from-zero rounding via floor(x*s + 0.5), "
+    "[-127, 127], half-UP rounding (toward +inf) via floor(x*s + 0.5) — "
+    "note a negative tie like -126.5 rounds to -126, not -127; both "
+    "engines compute the identical expression, so codes still match — "
     "plus the exact reconstruction RMSE via a sequential fold. Entirely "
     "map-side — no shuffle, no UDF — and every arithmetic step is a "
     "fixed-order double expression, so codes AND error are bit-identical "
