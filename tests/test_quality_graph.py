@@ -70,6 +70,45 @@ def test_repetition_signals_match_python_reference(spark, sf_dir):
             assert r["dup_2gram_frac"] is None
 
 
+def test_pointer_jumping_converges_in_log_rounds_on_64_hop_chain(spark):
+    from uk_procurement_data_pipeline_spark.functions.graph import (
+        connected_components,
+    )
+
+    # 64-hop path 0-1-...-64: plain propagation needs 64 rounds (the min
+    # label advances one hop per round); pointer jumping must finish in
+    # <= 7 (offset after round k is 2^k - 1, plus one convergence-detect
+    # round) — the VERDICT r03 log-diameter requirement.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "src long, dst long"
+    )
+    labels = connected_components(edges, max_rounds=7, method="jump")
+    rows = labels.collect()
+    assert len(rows) == 65
+    assert all(r["label"] == 0 for r in rows)
+
+
+def test_pointer_jumping_matches_label_propagation(spark):
+    import random
+
+    from uk_procurement_data_pipeline_spark.functions.graph import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    jump = {
+        (r["node"], r["label"])
+        for r in connected_components(df, method="jump").collect()
+    }
+    label = {
+        (r["node"], r["label"])
+        for r in connected_components(df, method="label").collect()
+    }
+    assert jump == label
+
+
 def test_supplier_pagerank_covers_all_suppliers_and_no_cartesian(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "supplier_pagerank")
     assert "CartesianProduct" not in plan

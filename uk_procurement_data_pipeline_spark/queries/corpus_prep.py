@@ -574,10 +574,15 @@ _MIN_FREQ = 5  # vocabulary admission threshold (corpus frequency)
     "of a pretraining pipeline): one corpus wordcount builds the vocab "
     "(corpus frequency >= 5), ids assigned by (freq DESC, word) rank, "
     "then every document is re-encoded as its id sequence with OOV -> "
-    "-1, preserving token order. The vocab is small by construction "
-    "(frequency-thresholded) so the encode join broadcasts; the only "
-    "big shuffles are the wordcount and the per-doc reassembly, both "
-    "keyed on high-cardinality columns.",
+    "-1, preserving token order. The global rank is computed WITHOUT a "
+    "single-partition sort: row_number partitioned by freq (word is the "
+    "tiebreak within a freq class), plus per-freq-class offsets from a "
+    "broadcast theta-join over the distinct-freq table — a multi-"
+    "million-word vocab ranks in parallel across freq classes. The "
+    "vocab is small by construction (frequency-thresholded) so the "
+    "encode join broadcasts; the only big shuffles are the wordcount "
+    "and the per-doc reassembly, both keyed on high-cardinality "
+    "columns.",
     oracle=f"""
         WITH pos AS (
             SELECT d.doc_id, s.i AS pos, (string_split(d.text, ' '))[s.i] AS word
@@ -607,16 +612,26 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("doc_id", "posexplode(split(text, ' ')) AS (pos, word)")
     )
     wc = pos.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    admitted = wc.where(F.col("freq") >= _MIN_FREQ)
+    # Scale-safe global rank by (freq DESC, word): rank words WITHIN each
+    # freq class (a partitioned window — parallel across classes), then add
+    # the number of words in all strictly-higher freq classes. The offset
+    # table has one row per distinct frequency (Zipfian corpora: tiny), so
+    # the strictly-greater join broadcasts; no unpartitioned WindowExec
+    # funnels the whole vocabulary through one task (VERDICT r03 item 4).
+    rk = admitted.withColumn(
+        "rk", F.row_number().over(Window.partitionBy("freq").orderBy("word"))
+    )
+    sizes = admitted.groupBy("freq").agg(F.count(F.lit(1)).alias("n"))
+    hi = sizes.select(F.col("freq").alias("hfreq"), F.col("n").alias("hn"))
+    offsets = (
+        sizes.join(F.broadcast(hi), F.col("hfreq") > F.col("freq"), "left")
+        .groupBy("freq")
+        .agg(F.coalesce(F.sum("hn"), F.lit(0)).alias("off"))
+    )
     vocab = (
-        wc.where(F.col("freq") >= _MIN_FREQ)
-        .withColumn(
-            "id",
-            F.row_number().over(
-                Window.orderBy(F.col("freq").desc(), F.col("word"))
-            )
-            - 1,
-        )
-        .select("word", "id")
+        rk.join(F.broadcast(offsets), "freq")
+        .select("word", (F.col("off") + F.col("rk") - 1).alias("id"))
     )
     return (
         pos.join(F.broadcast(vocab), "word", "left")
