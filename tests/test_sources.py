@@ -188,3 +188,181 @@ def test_fetch_stage_statuses_match_fake_transport_contract(spark):
             assert r["status"] == STATUS_FAILED and r["payload"] is None
         else:
             assert r["status"] == STATUS_OK and digest[:12] in r["payload"]
+
+
+# --- S2: jar-free .xlsx scan (sources/excel.py) -----------------------------
+
+_XLSX_CT = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+<Default Extension="xml" ContentType="application/xml"/>
+<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+<Override PartName="/xl/sharedStrings.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sharedStrings+xml"/>
+</Types>"""
+
+_XLSX_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+</Relationships>"""
+
+_XLSX_WB = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>"""
+
+_XLSX_WB_RELS = """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+<Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/sharedStrings" Target="sharedStrings.xml"/>
+</Relationships>"""
+
+
+def _col_letter(i: int) -> str:
+    s = ""
+    i += 1
+    while i:
+        i, rem = divmod(i - 1, 26)
+        s = chr(ord("A") + rem) + s
+    return s
+
+
+def write_minimal_xlsx(path, rows):
+    """Test tooling: emit a minimal-but-valid .xlsx (ZIP of SpreadsheetML).
+    str cells go through sharedStrings (t="s"), int/float cells inline as
+    numbers — the same two cell forms the reference's daily files use."""
+    shared, sidx = [], {}
+    body = []
+    for rn, row in enumerate(rows, start=1):
+        cells = []
+        for cn, v in enumerate(row):
+            ref = f"{_col_letter(cn)}{rn}"
+            if v is None:
+                continue
+            if isinstance(v, str):
+                if v not in sidx:
+                    sidx[v] = len(shared)
+                    shared.append(v)
+                cells.append(f'<c r="{ref}" t="s"><v>{sidx[v]}</v></c>')
+            else:
+                cells.append(f'<c r="{ref}"><v>{v}</v></c>')
+        body.append(f'<row r="{rn}">{"".join(cells)}</row>')
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        f'<sheetData>{"".join(body)}</sheetData></worksheet>'
+    )
+    sst = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+        f'count="{len(shared)}" uniqueCount="{len(shared)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in shared)
+        + "</sst>"
+    )
+    with zipfile.ZipFile(path, "w") as zf:
+        zf.writestr("[Content_Types].xml", _XLSX_CT)
+        zf.writestr("_rels/.rels", _XLSX_RELS)
+        zf.writestr("xl/workbook.xml", _XLSX_WB)
+        zf.writestr("xl/_rels/workbook.xml.rels", _XLSX_WB_RELS)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+@pytest.fixture(scope="module")
+def xlsx_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("xlsx")
+    write_minimal_xlsx(
+        d / "daily-2024-03-01.xlsx",
+        [
+            ["notice_uri", "title", "amount"],
+            ["http://n/1", "Road works", 100],
+            ["http://n/2", "IT services", 250.5],
+        ],
+    )
+    write_minimal_xlsx(
+        d / "daily-2024-03-02.xlsx",
+        [
+            ["notice_uri", "title", "amount"],
+            ["http://n/3", "Catering", 75],
+        ],
+    )
+    (d / "corrupt.xlsx").write_bytes(b"PK\x03\x04 this is not a zip")
+    return d
+
+
+def test_xlsx_stdlib_scan_merges_daily_files_with_lineage(spark, xlsx_dir):
+    from uk_procurement_data_pipeline_spark.sources.excel import (
+        read_excel_stdlib,
+    )
+
+    df = read_excel_stdlib(
+        spark,
+        str(xlsx_dir / "daily-*.xlsx"),
+        ["notice_uri", "amount", "not_a_header"],
+    )
+    rows = sorted(df.collect(), key=lambda r: r["notice_uri"])
+    assert [r["notice_uri"] for r in rows] == [
+        "http://n/1",
+        "http://n/2",
+        "http://n/3",
+    ]
+    assert [r["amount"] for r in rows] == ["100", "250.5", "75"]
+    # requested-but-absent header -> null column (declared projection)
+    assert all(r["not_a_header"] is None for r in rows)
+    assert all(r["parse_error"] is None for r in rows)
+    # per-file lineage, mergeable with file_date_key (J4)
+    assert rows[0]["source_file"].endswith("daily-2024-03-01.xlsx")
+    assert rows[2]["source_file"].endswith("daily-2024-03-02.xlsx")
+
+
+def test_xlsx_corrupt_workbook_becomes_error_row(spark, xlsx_dir):
+    from uk_procurement_data_pipeline_spark.sources.excel import (
+        read_excel_stdlib,
+    )
+
+    df = read_excel_stdlib(spark, str(xlsx_dir / "corrupt.xlsx"), ["notice_uri"])
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["parse_error"] is not None  # E3: flagged, not thrown
+    assert rows[0]["notice_uri"] is None
+
+
+def test_read_excel_falls_back_to_stdlib_without_connector(spark, xlsx_dir):
+    from uk_procurement_data_pipeline_spark.sources.csv_source import read_excel
+
+    df = read_excel(
+        spark, str(xlsx_dir / "daily-2024-03-01.xlsx"), columns=["title"]
+    )
+    titles = sorted(r["title"] for r in df.collect())
+    assert titles == ["IT services", "Road works"]
+
+
+def test_read_excel_without_columns_still_fails_fast(spark, xlsx_dir):
+    from uk_procurement_data_pipeline_spark.sources.csv_source import read_excel
+
+    with pytest.raises(NotImplementedError):
+        read_excel(spark, str(xlsx_dir / "daily-2024-03-01.xlsx"))
+
+
+def test_parse_xlsx_inline_bool_and_richtext_cells():
+    import io as _io
+
+    from uk_procurement_data_pipeline_spark.sources.excel import parse_xlsx_rows
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>inline</t></is></c>'
+        '<c r="B1" t="b"><v>1</v></c>'
+        '<c r="C1" t="s"><v>0</v></c>'
+        "</row></sheetData></worksheet>"
+    )
+    sst = (
+        f'<sst xmlns="{ns}"><si><r><t>rich </t></r><r><t>text</t></r></si></sst>'
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+        zf.writestr("xl/sharedStrings.xml", sst)
+    rows = parse_xlsx_rows(buf.getvalue())
+    assert rows == [["inline", "TRUE", "rich text"]]

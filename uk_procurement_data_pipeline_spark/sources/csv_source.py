@@ -60,12 +60,19 @@ def with_lineage(df: DataFrame) -> DataFrame:
     )
 
 
-def read_excel(spark: SparkSession, path: str) -> DataFrame:
-    """S2: Excel scan. The reference reads daily .xlsx (3_merge_to_two.py:47)
-    purely as a toolchain artifact; the engine's canonical interchange is
-    parquet (SURVEY.md §2.1 S2). Real .xlsx fidelity needs the
-    com.crealytics:spark-excel connector jar, absent from this environment —
-    fail fast with guidance rather than silently mis-reading."""
+def read_excel(
+    spark: SparkSession, path: str, columns: list[str] | None = None
+) -> DataFrame:
+    """S2: Excel scan. The reference reads daily .xlsx (3_merge_to_two.py:47).
+
+    Preferred path: the com.crealytics:spark-excel connector (full xlsx
+    fidelity — styles, dates, multiple sheets). When the jar is absent —
+    as in this environment — and ``columns`` declares the wanted headers,
+    fall back to the jar-free stdlib scan in ``sources/excel.py``
+    (binaryFile + mapInPandas over a zipfile/ElementTree parser; all
+    cells as strings, caller casts). Without ``columns`` there is no
+    declared schema to fall back onto, so fail fast with guidance rather
+    than silently mis-reading."""
     try:
         return (
             spark.read.format("com.crealytics.spark.excel")
@@ -73,10 +80,17 @@ def read_excel(spark: SparkSession, path: str) -> DataFrame:
             .load(path)
         )
     except Exception as e:  # noqa: BLE001  — connector jar not on classpath
+        if columns is not None:
+            from uk_procurement_data_pipeline_spark.sources.excel import (
+                read_excel_stdlib,
+            )
+
+            return read_excel_stdlib(spark, path, columns)
         raise NotImplementedError(
-            "Excel scan requires the com.crealytics:spark-excel connector "
-            "(--packages com.crealytics:spark-excel_2.13:<ver>); convert the "
-            "workbook to parquet/csv for this environment"
+            "Excel scan needs either the com.crealytics:spark-excel "
+            "connector (--packages com.crealytics:spark-excel_2.13:<ver>) "
+            "or a declared `columns` list for the jar-free stdlib reader "
+            "(sources/excel.py read_excel_stdlib)"
         ) from e
 
 

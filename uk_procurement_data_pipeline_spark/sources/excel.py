@@ -1,0 +1,183 @@
+"""Jar-free Excel (.xlsx) source (SURVEY.md §2.1 S2).
+
+The reference reads daily .xlsx workbooks with ``pandas.read_excel``
+(``3_merge_to_two.py:47``) and concatenates them. Neither the
+com.crealytics:spark-excel connector jar nor any Python Excel engine
+(openpyxl/xlrd) is available in this environment — but .xlsx is only a ZIP
+container of SpreadsheetML XML, so the scan is implemented here with the
+Python standard library alone:
+
+    binaryFile scan  ->  mapInPandas(stdlib zipfile + ElementTree parser)
+
+Scale shape: one xlsx file is one ZIP — NOT byte-splittable — so the unit
+of parallelism is the file, exactly as with the real connector; a
+1000-executor cluster reading a directory of daily workbooks parallelizes
+across files. The binaryFile source streams file bytes to executors; the
+parser is per-file imperative Python, Arrow-batched back out. All cells
+surface as strings (Excel is schema-less; the engine's "declared schema
+everywhere" stance means the CALLER casts), plus ``source_file`` lineage
+and a ``parse_error`` column so a corrupt workbook becomes a flagged row,
+not a job failure (E1/E3 semantics, same as the csv/zip sources).
+
+Supported SpreadsheetML subset (everything the reference's daily files
+use): shared strings (``t="s"``, including rich-text runs), inline
+strings (``t="inlineStr"``), formula string results (``t="str"``),
+booleans (``t="b"``), and plain numeric cells. First sheet only, first
+row is the header.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+from collections.abc import Iterator
+from typing import Any
+from xml.etree import ElementTree
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PARSE_ERROR_COL = "parse_error"
+
+_CELL_REF = re.compile(r"^([A-Z]+)(\d+)$")
+
+
+def _col_index(ref: str) -> int:
+    """'A1' -> 0, 'B7' -> 1, 'AA3' -> 26 (column letters, base 26)."""
+    m = _CELL_REF.match(ref)
+    if not m:
+        return -1
+    idx = 0
+    for ch in m.group(1):
+        idx = idx * 26 + (ord(ch) - ord("A") + 1)
+    return idx - 1
+
+
+def _local(tag: str) -> str:
+    """Strip the XML namespace: '{uri}row' -> 'row'."""
+    return tag.rsplit("}", 1)[-1]
+
+
+def _text_of(elem: ElementTree.Element) -> str:
+    """Concatenate every <t> descendant (plain and rich-text runs)."""
+    return "".join(
+        t.text or "" for t in elem.iter() if _local(t.tag) == "t"
+    )
+
+
+def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
+    try:
+        raw = zf.read("xl/sharedStrings.xml")
+    except KeyError:
+        return []
+    root = ElementTree.fromstring(raw)
+    return [_text_of(si) for si in root if _local(si.tag) == "si"]
+
+
+def _first_sheet_name(zf: zipfile.ZipFile) -> str:
+    sheets = sorted(
+        n
+        for n in zf.namelist()
+        if n.startswith("xl/worksheets/") and n.endswith(".xml")
+    )
+    if not sheets:
+        raise ValueError("workbook has no worksheets")
+    return sheets[0]
+
+
+def parse_xlsx_rows(content: bytes) -> list[list[str | None]]:
+    """Parse one workbook's first sheet into a dense list-of-rows of
+    string cells (None for gaps). Pure stdlib; raises on corrupt input —
+    the caller decides whether that becomes an error row."""
+    zf = zipfile.ZipFile(io.BytesIO(content))
+    shared = _shared_strings(zf)
+    root = ElementTree.fromstring(zf.read(_first_sheet_name(zf)))
+    out: list[list[str | None]] = []
+    for row in root.iter():
+        if _local(row.tag) != "row":
+            continue
+        cells: list[str | None] = []
+        for c in row:
+            if _local(c.tag) != "c":
+                continue
+            idx = _col_index(c.attrib.get("r", ""))
+            if idx < 0:
+                idx = len(cells)
+            ctype = c.attrib.get("t", "n")
+            val: str | None = None
+            if ctype == "inlineStr":
+                val = _text_of(c)
+            else:
+                v = next((ch for ch in c if _local(ch.tag) == "v"), None)
+                if v is not None and v.text is not None:
+                    if ctype == "s":
+                        val = shared[int(v.text)]
+                    elif ctype == "b":
+                        val = "TRUE" if v.text.strip() == "1" else "FALSE"
+                    else:  # 'n' (number), 'str' (formula result), 'e'
+                        val = v.text
+            while len(cells) < idx:
+                cells.append(None)
+            cells.append(val)
+        out.append(cells)
+    return out
+
+
+def read_excel_stdlib(
+    spark: SparkSession, path_glob: str, columns: list[str]
+) -> DataFrame:
+    """S2: jar-free .xlsx scan -> one string column per requested header.
+
+    ``columns`` declares the output projection by HEADER NAME (the engine
+    never infers schema — SURVEY.md §1.2); headers present in the file but
+    not requested are dropped, requested-but-absent headers are null. Rows
+    stream out via Arrow in file order; a workbook that fails to parse
+    yields a single row with ``parse_error`` set and null data columns.
+    """
+    out_schema = (
+        ", ".join(f"`{c}` string" for c in columns)
+        + f", source_file string, {PARSE_ERROR_COL} string"
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                base: dict[str, Any] = {c: None for c in columns}
+                base["source_file"] = path
+                try:
+                    rows = parse_xlsx_rows(bytes(content))
+                except Exception as exc:  # noqa: BLE001 — E3: flag, don't fail
+                    err = dict(base)
+                    err[PARSE_ERROR_COL] = f"{type(exc).__name__}: {exc}"
+                    yield pd.DataFrame([err])
+                    continue
+                if not rows:
+                    continue
+                header = [h if h is not None else "" for h in rows[0]]
+                pos = {h: i for i, h in enumerate(header)}
+                recs = []
+                for r in rows[1:]:
+                    rec = dict(base)
+                    for c in columns:
+                        i = pos.get(c)
+                        if i is not None and i < len(r):
+                            rec[c] = r[i]
+                    rec[PARSE_ERROR_COL] = None
+                    recs.append(rec)
+                if recs:
+                    yield pd.DataFrame(recs)
+
+    files = spark.read.format("binaryFile").load(path_glob)
+    return files.select("path", "content").mapInPandas(parse, out_schema)
+
+
+def read_excel_merged(
+    spark: SparkSession, path_glob: str, columns: list[str]
+) -> DataFrame:
+    """The reference's merge loop (3_merge_to_two.py:41-57): read every
+    daily workbook under a glob and append into one frame — here a single
+    distributed scan instead of a driver-side concat, with per-file
+    lineage already attached."""
+    return read_excel_stdlib(spark, path_glob, columns)
