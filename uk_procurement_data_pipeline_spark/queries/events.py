@@ -573,3 +573,66 @@ def value_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
         )
     )
+
+
+@register(
+    name="events_interval_join_attribution",
+    survey="J8 ST3 A7",
+    doc="Batch analog of the watermarked stream-stream interval join "
+    "(streaming/events_stream.py:114 — X13): every 'click' event joins "
+    "the 'view' events of the SAME user whose event time falls within "
+    "the hour before it, then aggregates per click (view count + "
+    "nearest-view lag in microseconds). Identical join predicate to the "
+    "streaming form, so the state-eviction test and this oracle row "
+    "together pin both halves: semantics here, eviction there. Plan "
+    "shape: equi-join on user_id with the time bound as a join-level "
+    "range filter — a shuffled hash/SMJ keyed on user_id, never a "
+    "cross-product; at 100 TB both sides shard by user.",
+    oracle="""
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'),
+        v AS (
+            SELECT user_id, ts AS view_ts
+            FROM events WHERE event_type = 'view')
+        SELECT c.click_id,
+               c.user_id,
+               c.click_ts,
+               count(v.view_ts) AS n_views,
+               min(date_diff('microsecond', v.view_ts, c.click_ts))
+                   AS nearest_view_lag_us
+        FROM c LEFT JOIN v
+          ON c.user_id = v.user_id
+         AND v.view_ts <= c.click_ts
+         AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+        GROUP BY c.click_id, c.user_id, c.click_ts
+    """,
+)
+def events_interval_join_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    v = ev.where(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"), F.col("ts").alias("view_ts")
+    )
+    joined = c.join(
+        v,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "left",
+    )
+    return joined.groupBy("click_id", "user_id", "click_ts").agg(
+        F.count("view_ts").alias("n_views"),
+        # ts is TIMESTAMP_NTZ; unix_micros needs TIMESTAMP. Both sides cast
+        # with the same session offset, so the difference is exact.
+        F.min(
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("nearest_view_lag_us"),
+    )

@@ -262,3 +262,55 @@ def byte_histogram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n") > 0)
         .select("doc_id", F.col("bucket").cast("long"), F.col("n").cast("long"))
     )
+
+
+_DST_W, _DST_H = 64, 64  # resize target (budget = W*H payload bytes)
+
+
+@register(
+    name="media_decode_resize_profile",
+    survey="UD4 F17 A7",
+    doc="The full multimodal stage chain decode -> resize -> profile as "
+    "one registered query (VERDICT r03 item 7): decode_media and "
+    "resize_media run with the injectable deterministic decoder (the "
+    "real codec is env-gated — multimodal.py real_decoder), joined on "
+    "doc_id, profiled per asset. Because the fake decoder and the "
+    "striding resampler are pure functions of (payload bytes, doc_id), "
+    "the whole chain gets a full DuckDB oracle — resized size is "
+    "min(ceil(n/stride), budget) with stride max(1, n div budget) — "
+    "rather than a rows-only check. Two Arrow mapInPandas stages over "
+    "a spread() input; the join is a same-key zip of two map-side "
+    "stages, shuffled once on doc_id.",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n
+            FROM documents),
+        s AS (
+            SELECT doc_id, n,
+                   greatest(1, n // {_DST_W * _DST_H}) AS stride
+            FROM b)
+        SELECT doc_id,
+               CAST(n % 640 + 1 AS BIGINT) AS width,
+               CAST(n % 480 + 1 AS BIGINT) AS height,
+               CAST(doc_id % 30 + 1 AS BIGINT) AS n_frames,
+               CAST({_DST_W} AS BIGINT) AS dst_w,
+               CAST({_DST_H} AS BIGINT) AS dst_h,
+               CAST(least((n + stride - 1) // stride,
+                          {_DST_W * _DST_H}) AS BIGINT) AS resized_bytes
+        FROM s
+    """,
+)
+def media_decode_resize_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = spread(assets_from_documents(spark, sf_dir))
+    decoded = decode_media(assets, decoder=fake_decoder)
+    resized = resize_media(assets, _DST_W, _DST_H, decoder=fake_decoder)
+    return decoded.join(resized, "doc_id").select(
+        "doc_id",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        F.col("dst_w").cast("bigint").alias("dst_w"),
+        F.col("dst_h").cast("bigint").alias("dst_h"),
+        F.octet_length("resized").cast("bigint").alias("resized_bytes"),
+    )

@@ -805,3 +805,372 @@ def revenue_share_within_region(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.round(F.sum(dec(F.col("revenue"))).over(w), 4).cast("double")
         ).alias("region_share"),
     )
+
+
+@register(
+    name="q5_local_supplier_volume",
+    survey="J5 J6 A7",
+    doc="TPC-H Q5 analog (local supplier volume): revenue by nation for "
+    "orders where customer and supplier share the nation, scoped to one "
+    "region and one order year. Six-table join: region/nation broadcast "
+    "(fixed cardinality), customer-supplier co-nationality expressed as "
+    "an equi-condition so the big three-way fact join shuffles on its "
+    "keys and never widens; date filter sits on the orders scan.",
+    oracle=f"""
+        SELECT n_name,
+               {oracle_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM customer, orders, lineitem, supplier, nation, region
+        WHERE c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND l_suppkey = s_suppkey
+          AND c_nationkey = s_nationkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = (
+        load(spark, sf_dir, "region")
+        .where(F.col("r_name") == "ASIA")
+        .select("r_regionkey")
+    )
+    nation = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    asian_nations = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    return (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(
+            F.broadcast(asian_nations),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    name="q6_forecast_revenue",
+    survey="P4 A7",
+    doc="TPC-H Q6 analog (forecasting revenue change): one filtered "
+    "scan-and-sum — every predicate (ship year, discount band, quantity "
+    "cap) pushes to the parquet scan, the aggregate is a single partial+"
+    "final fold with no grouping key. The simplest possible plan; the "
+    "point at 100 TB is that it STAYS that plan.",
+    oracle=f"""
+        SELECT {oracle_sum('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24.0
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * F.col("l_discount"), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    name="q7_volume_shipping",
+    survey="J5 J6 A7 F15",
+    doc="TPC-H Q7 analog (volume shipping between two nations): revenue "
+    "flowing supplier-nation -> customer-nation in either direction, by "
+    "ship year. The nation pair condition lands on two BROADCAST copies "
+    "of the nation dim joined to supplier and customer sides; the "
+    "OR-of-two-pairs predicate is evaluated after both tiny joins, so "
+    "the fact-side shuffle keys stay simple equi-keys.",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               year(l_shipdate) AS l_year,
+               {oracle_sum('l_extendedprice * (1 - l_discount)')} AS revenue
+        FROM supplier, lineitem, orders, customer,
+             nation n1, nation n2
+        WHERE s_suppkey = l_suppkey
+          AND o_orderkey = l_orderkey
+          AND c_custkey = o_custkey
+          AND s_nationkey = n1.n_nationkey
+          AND c_nationkey = n2.n_nationkey
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2, 3
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pair = ["NATION_1", "NATION_2"]
+    n1 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.where(F.col("n_name").isin(pair)).select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .select("l_orderkey", "l_suppkey", "l_shipdate",
+                "l_extendedprice", "l_discount")
+    )
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+@register(
+    name="q8_market_share",
+    survey="J5 J6 A7 F9 F15",
+    doc="TPC-H Q8 analog (national market share): NATION_5's share of "
+    "EUROPE-customer revenue for ECONOMY parts by order year — the "
+    "share is a conditional exact-sum over the same rows as the total "
+    "(one aggregation, no second scan), both sums through the decimal "
+    "contract before one double division, so the ratio is bit-identical "
+    "across engines. Eight-way join with all fixed-cardinality dims "
+    "broadcast; part is key-joined (AQE picks its strategy at scale).",
+    oracle=f"""
+        WITH flat AS (
+            SELECT year(o_orderdate) AS o_year,
+                   l_extendedprice * (1 - l_discount) AS volume,
+                   n1.n_name AS supp_nation
+            FROM part, lineitem, supplier, orders, customer,
+                 nation n1, nation n2, region
+            WHERE p_partkey = l_partkey
+              AND l_suppkey = s_suppkey
+              AND l_orderkey = o_orderkey
+              AND o_custkey = c_custkey
+              AND s_nationkey = n1.n_nationkey
+              AND c_nationkey = n2.n_nationkey
+              AND n2.n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'
+              AND p_type = 'ECONOMY'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1998-01-01')
+        SELECT o_year,
+               {oracle_sum("CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE 0.0 END")}
+                   / {oracle_sum('volume')} AS mkt_share
+        FROM flat
+        GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(
+            (F.col("o_orderdate") >= "1996-01-01")
+            & (F.col("o_orderdate") < "1998-01-01")
+        )
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load(spark, sf_dir, "nation")
+    region = (
+        load(spark, sf_dir, "region")
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    n2 = nation.join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("c_nk"))
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    flat = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            volume.alias("volume"),
+            "supp_nation",
+        )
+    )
+    return flat.groupBy("o_year").agg(
+        (
+            exact_sum(
+                F.when(F.col("supp_nation") == "NATION_5", F.col("volume"))
+                .otherwise(0.0)
+            )
+            / exact_sum("volume")
+        ).alias("mkt_share")
+    )
+
+
+@register(
+    name="q14_promo_revenue",
+    survey="J6 A7 F9",
+    doc="TPC-H Q14 analog (promotion effect): percentage of one ship-"
+    "month's revenue from PROMO-type parts — conditional exact-sum over "
+    "total exact-sum in one aggregation, 100.0 * num / den evaluated "
+    "in the same order in both engines for a bit-identical double.",
+    oracle=f"""
+        SELECT 100.0 * {oracle_sum(
+            "CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END")}
+               / {oracle_sum('l_extendedprice * (1 - l_discount)')}
+                   AS promo_revenue_pct
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-09-01")
+            & (F.col("l_shipdate") < "1996-10-01")
+        )
+        .select("l_partkey", "l_extendedprice", "l_discount")
+    )
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * exact_sum(
+                    F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                )
+                / exact_sum(rev)
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@register(
+    name="q19_disjunctive_revenue",
+    survey="J6 P4 A7 F9",
+    doc="TPC-H Q19 analog (discounted revenue, disjunctive predicate): "
+    "revenue over an OR of three conjunctive (brand, size-band, "
+    "quantity-band) clauses spanning both join sides. The per-side "
+    "halves of each clause push to the part and lineitem scans as "
+    "ORs of range predicates BEFORE the join (p_size <= 25, l_quantity "
+    "<= 40 here), and the full disjunction filters after — the classic "
+    "pushdown-through-OR shape Catalyst must preserve at scale.",
+    oracle=f"""
+        SELECT {oracle_sum('l_extendedprice * (1 - l_discount)')} AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#11' AND p_size BETWEEN 6 AND 15
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#21' AND p_size BETWEEN 16 AND 25
+                AND l_quantity BETWEEN 20 AND 40))
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(6, 15)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#21")
+            & F.col("p_size").between(16, 25)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .where(clause)
+        .agg(
+            exact_sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
