@@ -44,12 +44,16 @@ def interleave_bits(a: Column, b: Column, bits: int = 16) -> Column:
 def int_rank(col: Column, lo, hi, bits: int = 16) -> Column:
     """Scale an orderable column into [0, 2**bits) given its bounds.
 
-    ``lo``/``hi`` are plain Python values (from table stats or a prior
-    min/max agg); the mapping is monotonic, so range predicates on the
-    original column translate to range predicates on the rank.
+    ``lo``/``hi`` are plain Python values (from table stats) or Columns
+    (e.g. a min/max aggregate attached via a broadcast one-row join — the
+    no-collect way to use data-derived bounds in-plan); the mapping is
+    monotonic, so range predicates on the original column translate to
+    range predicates on the rank.
     """
-    span = F.lit(hi) - F.lit(lo)
-    scaled = (col - F.lit(lo)).cast("double") / span.cast("double")
+    lo = lo if isinstance(lo, Column) else F.lit(lo)
+    hi = hi if isinstance(hi, Column) else F.lit(hi)
+    span = hi - lo
+    scaled = (col - lo).cast("double") / span.cast("double")
     n = (1 << bits) - 1
     return F.least(
         F.lit(n), F.greatest(F.lit(0), F.floor(scaled * n).cast("bigint"))

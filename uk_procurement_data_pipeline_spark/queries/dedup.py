@@ -778,3 +778,96 @@ def incremental_dedup_new_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
     )
+
+
+_WIN_W = 4  # winnowing window: guarantee a shared fingerprint for any
+# match of length >= w + k - 1 tokens (k=3 shingles)
+
+
+@register(
+    name="winnowing_fingerprints",
+    survey="D3 F17 A5",
+    doc="Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the "
+    "MOSS scheme): ORDERED 3-token shingle hashes, sliding window of "
+    f"{_WIN_W}, keep each window's minimum hash, distinct per doc — the "
+    "guarantee is that any copied passage of >= w+k-1 tokens shares at "
+    "least one fingerprint between documents, which plain MinHash (a "
+    "whole-doc sketch) cannot promise. Entirely higher-order array "
+    "expressions over the same cross-engine md5 hash family as the "
+    "MinHash suite: one map-side pass, no shuffle before the final "
+    "explode. Short docs (< w+2 tokens) produce one whole-doc window.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+        h AS (
+            SELECT doc_id,
+                   list_transform(
+                       list_transform(generate_series(1, len(toks) - 2),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+                       s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
+            FROM t),
+        fp AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       generate_series(1, greatest(len(hs) - {_WIN_W - 1}, 1)),
+                       i -> list_aggregate(hs[i:i+{_WIN_W - 1}], 'min'))) AS fps
+            FROM h)
+        SELECT doc_id, unnest(fps) AS fingerprint
+        FROM fp
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Two structural choices keep this O(n) per doc instead of the naive
+    # O(n * w) (or worse):
+    # * the window minimum is a ROLLING min built from two zip_with passes
+    #   (pairwise min with the 1-shifted self, then with the 2-shifted
+    #   pair-mins -> min over 4), not per-window slice+array_min;
+    # * a monotonically_increasing_id barrier column blocks Catalyst's
+    #   CollapseProject from inlining the md5-hash array into every
+    #   downstream reference (measured: the collapsed plan recomputed the
+    #   full hash array per reference — 22s -> 0.6s at sf0.01).
+    # zip_with pads the shorter (shifted) side with nulls and `least`
+    # ignores nulls, so tail windows clamp to the available hashes; valid
+    # window starts are 1..n-w+1 (one whole-doc window for short docs).
+    docs = spread(load(spark, sf_dir, "documents"))
+    return (
+        docs.selectExpr("doc_id", "split(text, ' ') AS t")
+        .where(F.expr("size(t) >= 3"))
+        .selectExpr(
+            "doc_id",
+            "size(t) - 2 AS n_sh",
+            # ordered (NOT distinct) shingles -> md5-based 32-bit hashes
+            "transform(transform(sequence(1, size(t) - 2),"
+            " i -> concat_ws(' ', element_at(t, i), element_at(t, i+1),"
+            " element_at(t, i+2))),"
+            " s -> cast(conv(substr(md5(s), 1, 8), 16, 10) AS bigint)) AS hs",
+        )
+        .select(
+            "doc_id", "n_sh", "hs",
+            F.monotonically_increasing_id().alias("_barrier"),
+        )
+        .selectExpr(
+            "doc_id",
+            "n_sh",
+            "zip_with(hs, slice(hs, 2, size(hs)), (x, y) -> least(x, y)) AS p2",
+        )
+        .select(
+            "doc_id", "n_sh", "p2",
+            F.monotonically_increasing_id().alias("_barrier"),
+        )
+        .selectExpr(
+            "doc_id",
+            "array_distinct(slice("
+            " zip_with(p2, slice(p2, 3, size(p2)), (x, y) -> least(x, y)),"
+            f" 1, greatest(n_sh - {_WIN_W - 1}, 1))) AS fps",
+        )
+        # explode_outer, NOT explode: plain explode makes Catalyst infer a
+        # size(fps) > 0 pre-filter and push it below the Exchange with the
+        # whole fingerprint expression inlined — the entire computation
+        # then runs twice, once single-partition at the scan (measured 30s
+        # vs 0.6s at sf0.01). fps is never empty (>= 1 window by
+        # construction), so the outer variant is value-identical.
+        .select("doc_id", F.explode_outer("fps").alias("fingerprint"))
+    )

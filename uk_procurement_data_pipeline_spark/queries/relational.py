@@ -1174,3 +1174,103 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+_Z_BITS = 8  # morton key bits per dimension (8 -> 16-bit key, 2^16 cells)
+
+
+def _oracle_zkey(a: str, b: str, bits: int = _Z_BITS) -> str:
+    """DuckDB SQL mirroring functions/zorder.py interleave_bits — the same
+    unrolled shift/and/or chain, so the morton key is bit-identical."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(terms)
+
+
+@register(
+    name="zorder_cell_stats",
+    survey="S7 A7 F15",
+    doc="Z-order (Morton) clustering key over orders: (o_custkey, order "
+    "day) each min-max-scaled to 8 bits via a broadcast one-row stats "
+    "join (data-derived bounds with NO driver collect), bit-interleaved "
+    "JVM-side (functions/zorder.py — pure shift/and/or, stays in "
+    "codegen), then per-z-cell occupancy stats (count + both dims' "
+    "spans). The write-side use — repartitionByRange + "
+    "sortWithinPartitions on this key for two-dimensional file "
+    "skipping — is pinned in tests/test_sinks.py; this row pins the "
+    "key itself cross-engine.",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1995-01-01', o_orderdate) AS oday
+            FROM orders),
+        stats AS (
+            SELECT min(o_custkey) AS lo_c, max(o_custkey) AS hi_c,
+                   min(oday) AS lo_d, max(oday) AS hi_d
+            FROM base),
+        ranked AS (
+            SELECT o_custkey, oday,
+                   least({(1 << _Z_BITS) - 1}, greatest(0, CAST(floor(
+                       (CAST(o_custkey - lo_c AS DOUBLE)
+                        / CAST(hi_c - lo_c AS DOUBLE)) * {(1 << _Z_BITS) - 1})
+                       AS BIGINT))) AS ra,
+                   least({(1 << _Z_BITS) - 1}, greatest(0, CAST(floor(
+                       (CAST(oday - lo_d AS DOUBLE)
+                        / CAST(hi_d - lo_d AS DOUBLE)) * {(1 << _Z_BITS) - 1})
+                       AS BIGINT))) AS rb
+            FROM base, stats),
+        keyed AS (
+            SELECT o_custkey, oday, {_oracle_zkey('ra', 'rb')} AS zkey
+            FROM ranked)
+        SELECT zkey >> 6 AS zcell,
+               COUNT(*) AS n_orders,
+               CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+               CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+               CAST(min(oday) AS BIGINT) AS min_day,
+               CAST(max(oday) AS BIGINT) AS max_day
+        FROM keyed
+        GROUP BY 1
+    """,
+)
+def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.zorder import (
+        int_rank,
+        interleave_bits,
+    )
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("oday"),
+    )
+    stats = base.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min("oday").alias("lo_d"),
+        F.max("oday").alias("hi_d"),
+    )
+    ranked = base.join(F.broadcast(stats)).select(
+        "o_custkey",
+        "oday",
+        int_rank(
+            F.col("o_custkey"), F.col("lo_c"), F.col("hi_c"), _Z_BITS
+        ).alias("ra"),
+        int_rank(F.col("oday"), F.col("lo_d"), F.col("hi_d"), _Z_BITS).alias(
+            "rb"
+        ),
+    )
+    keyed = ranked.select(
+        "o_custkey",
+        "oday",
+        interleave_bits(F.col("ra"), F.col("rb"), _Z_BITS).alias("zkey"),
+    )
+    return keyed.groupBy(
+        F.shiftright(F.col("zkey"), 6).alias("zcell")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        F.max("o_custkey").cast("bigint").alias("max_custkey"),
+        F.min("oday").cast("bigint").alias("min_day"),
+        F.max("oday").cast("bigint").alias("max_day"),
+    )
