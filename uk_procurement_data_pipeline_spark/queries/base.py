@@ -59,61 +59,66 @@ def register(
 # Keep this list at ~50 names; everything not listed follows in module
 # import order.
 _DRIVER_WINDOW: tuple[str, ...] = (
-    # new in r03: quality / graph / clustering / incremental-dedup suites
+    # never driver-checked (registered after the r03 window closed) — the
+    # r03 VERDICT's top item: every one of these needs its first driver row
+    "q3_shipping_priority",
+    "q10_returned_items",
+    "q18_large_volume_orders",
+    "revenue_share_within_region",
+    "snapshot_diff_customers",
+    "events_range_frame_sum",
+    "event_type_value_chi2",
+    "value_outliers_iqr",
+    "value_trend_per_user",
+    "props_map_key_stats",
+    "vocab_encode_docs",
+    "pack_chunks_into_sequences",
+    "cdc_chunk_docs",
+    "cdc_chunk_dedup_ratio",
+    "pps_sample_docs",
+    "token_budget_selection",
+    "embedding_int8_quantize",
+    "contrastive_pairs",
+    "hard_negatives_lsh",
+    # new in r04
+    "events_interval_join_attribution",
+    "media_decode_resize_profile",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "zorder_cell_stats",
+    "winnowing_fingerprints",
+    "bloom_semi_join_prefilter",
+    # changed in r04 (single-token bigram guard; parallel vocab rank is
+    # vocab_encode_docs above; integer seq_id div is pack_chunks above;
+    # pointer-jumping CC feeds minhash_components)
     "repetition_signals",
-    "common_word_scrub",
-    "quality_linear_score",
-    "supplier_pagerank",
-    "kmeans_lloyd_cells",
-    "incremental_dedup_new_batch",
-    "scd2_customer_merge",
-    # new in r03: reshape / tfidf / funnel / udtf / corpus-prep suites
-    "pivot_status_by_region",
-    "unpivot_part_metrics",
-    "lineitem_stats_corr",
-    "order_percentile_position",
-    "tfidf_top_terms",
-    "funnel_conversion",
-    "cohort_retention",
-    "value_histogram",
-    "user_activity_streaks",
-    "bigram_expand_udtf",
-    "doc_chunk_overlap",
-    "stratified_split_counts",
-    "pii_scrub",
-    "token_quantiles_per_source",
-    "trimmed_mean_tokens",
-    "hash_sample_docs",
-    "length_band_filter",
-    "capped_per_source_sample",
-    "decontaminate_against_eval",
-    # never driver-checked before r03 (registered after the r02 window)
-    "xml_attr_extract",
-    "xml_from_xml_struct",
-    "fat_flatten_wide",
-    "xml_namespace_dispatch",
-    "cosine_topk_bruteforce",
-    "ann_lsh_multiprobe",
-    "ann_ivf_probed",
-    "ann_lsh_bucketed",
-    "html_anchor_scrape",
-    "brand_names_collected",
-    "events_value_band_join",
-    "events_asof_value",
-    "salted_status_spend",
-    # changed or new in r03: dedup fixes, multimodal vectorization, flattens
-    "simhash_dedup",
     "minhash_components",
-    "containment_dedup",
-    "levenshtein_blocked_dedup",
-    "dedup_canonical_keep",
-    "frame_sample_profile",
-    "byte_histogram_profile",
-    "ocds_flatten_wide",
-    "stream_tumbling_counts",
-    # green in r01 only (fell out of the r02 window) — give each a fresh row
-    "corpus_pipeline_e2e",
+    # multi-round-green back-rotation (every registry query re-earns a
+    # driver row at least once per 3 rounds — see README "Driver
+    # correctness window rotation"): r01/r02-green entries longest out
+    # of the window first
+    "topk_parts_per_brand",
+    "dedup_tombstone",
+    "rank_dense_rank_ntile",
+    "order_gaps_lag_lead",
+    "running_spend_per_customer",
+    "moving_avg_order_price",
+    "first_last_event_value",
     "percent_rank_cume_dist",
+    "pricing_summary",
+    "revenue_by_region",
+    "top_orders_by_revenue",
+    "order_priority_semi",
+    "customers_without_orders",
+    "orders_per_customer",
+    "suppliers_in_region",
+    "global_top_orders",
+    "exact_dedup_docs",
+    "minhash_near_dup",
 )
 
 

@@ -1274,3 +1274,137 @@ def zorder_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("oday").cast("bigint").alias("min_day"),
         F.max("oday").cast("bigint").alias("max_day"),
     )
+
+
+_BLOOM_BITS = 4096  # m: bitmap size (128 x 32-bit words)
+_BLOOM_WORD = 32  # 32-bit words keep every shift < 2^31 (safe in both engines)
+
+
+@register(
+    name="bloom_semi_join_prefilter",
+    survey="J5 J7 A7",
+    doc="Broadcast Bloom-filter semi-join pre-filter (the manual form of "
+    "Spark's runtime row-level filtering, and THE pattern for cutting "
+    "shuffle volume when the probe side is 100 TB and the build side "
+    "fits in memory): EUROPE suppliers' keys hash (cross-engine md5 "
+    "family, two probes) into a 4096-bit bitmap built with a bit_or "
+    "aggregate over 128 32-bit words; lineitem probes the bitmap via "
+    "two broadcast word-lookups and bit tests, all map-side. Output "
+    "compares probe-side rows vs bloom candidates vs exact semi-join "
+    "matches, so the false-positive behavior itself is pinned "
+    "deterministically cross-engine.",
+    oracle=f"""
+        WITH keys AS (
+            SELECT s_suppkey
+            FROM supplier, nation, region
+            WHERE s_nationkey = n_nationkey
+              AND n_regionkey = r_regionkey
+              AND r_name = 'EUROPE'),
+        hashed AS (
+            SELECT s_suppkey,
+                   CAST('0x' || substr(md5(CAST(s_suppkey AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS h
+            FROM keys),
+        probes AS (
+            SELECT h % {_BLOOM_BITS} AS p FROM hashed
+            UNION ALL
+            SELECT (h // {_BLOOM_BITS}) % {_BLOOM_BITS} AS p FROM hashed),
+        bloom AS (
+            SELECT p // {_BLOOM_WORD} AS word_idx,
+                   bit_or(1 << (p % {_BLOOM_WORD})) AS bits
+            FROM probes GROUP BY 1),
+        li AS (
+            SELECT l_suppkey,
+                   CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS h
+            FROM lineitem),
+        lp AS (
+            SELECT l_suppkey,
+                   h % {_BLOOM_BITS} AS p1,
+                   (h // {_BLOOM_BITS}) % {_BLOOM_BITS} AS p2
+            FROM li),
+        tested AS (
+            SELECT lp.l_suppkey,
+                   CASE WHEN (b1.bits & (1 << (p1 % {_BLOOM_WORD})))
+                            = (1 << (p1 % {_BLOOM_WORD}))
+                         AND (b2.bits & (1 << (p2 % {_BLOOM_WORD})))
+                            = (1 << (p2 % {_BLOOM_WORD}))
+                        THEN 1 ELSE 0 END AS is_candidate,
+                   CASE WHEN k.s_suppkey IS NOT NULL THEN 1 ELSE 0 END
+                       AS is_exact
+            FROM lp
+            LEFT JOIN bloom b1 ON b1.word_idx = p1 // {_BLOOM_WORD}
+            LEFT JOIN bloom b2 ON b2.word_idx = p2 // {_BLOOM_WORD}
+            LEFT JOIN keys k ON k.s_suppkey = lp.l_suppkey)
+        SELECT COUNT(*) AS n_rows,
+               CAST(sum(is_candidate) AS BIGINT) AS n_candidates,
+               CAST(sum(is_exact) AS BIGINT) AS n_exact
+        FROM tested
+    """,
+)
+def bloom_semi_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = (
+        load(spark, sf_dir, "region")
+        .where(F.col("r_name") == "EUROPE")
+        .select("r_regionkey")
+    )
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    keys = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    hashed = keys.selectExpr(
+        "s_suppkey",
+        "cast(conv(substr(md5(cast(s_suppkey AS string)), 1, 8), 16, 10)"
+        " AS bigint) AS h",
+    )
+    probes = hashed.selectExpr(f"h % {_BLOOM_BITS} AS p").unionAll(
+        hashed.selectExpr(f"(h div {_BLOOM_BITS}) % {_BLOOM_BITS} AS p")
+    )
+    bloom = probes.selectExpr(
+        f"p div {_BLOOM_WORD} AS word_idx",
+        f"shiftleft(1L, cast(p % {_BLOOM_WORD} AS int)) AS mask",
+    ).groupBy("word_idx").agg(F.bit_or("mask").alias("bits"))
+    lp = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_suppkey",
+        "cast(conv(substr(md5(cast(l_suppkey AS string)), 1, 8), 16, 10)"
+        " AS bigint) AS h",
+    ).selectExpr(
+        "l_suppkey",
+        f"h % {_BLOOM_BITS} AS p1",
+        f"(h div {_BLOOM_BITS}) % {_BLOOM_BITS} AS p2",
+    )
+    b1 = bloom.select(
+        F.col("word_idx").alias("w1"), F.col("bits").alias("bits1")
+    )
+    b2 = bloom.select(
+        F.col("word_idx").alias("w2"), F.col("bits").alias("bits2")
+    )
+    kk = keys.select(F.col("s_suppkey").alias("k_suppkey"))
+    tested = (
+        lp.join(F.broadcast(b1), F.expr(f"w1 = p1 div {_BLOOM_WORD}"), "left")
+        .join(F.broadcast(b2), F.expr(f"w2 = p2 div {_BLOOM_WORD}"), "left")
+        .join(F.broadcast(kk), F.col("k_suppkey") == F.col("l_suppkey"), "left")
+        .selectExpr(
+            "CASE WHEN (bits1 & shiftleft(1L, cast(p1 % {w} AS int)))"
+            "        = shiftleft(1L, cast(p1 % {w} AS int))"
+            "   AND (bits2 & shiftleft(1L, cast(p2 % {w} AS int)))"
+            "        = shiftleft(1L, cast(p2 % {w} AS int))"
+            " THEN 1 ELSE 0 END AS is_candidate".format(w=_BLOOM_WORD),
+            "CASE WHEN k_suppkey IS NOT NULL THEN 1 ELSE 0 END AS is_exact",
+        )
+    )
+    return tested.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("is_candidate").cast("bigint").alias("n_candidates"),
+        F.sum("is_exact").cast("bigint").alias("n_exact"),
+    )
