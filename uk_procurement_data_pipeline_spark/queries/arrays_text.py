@@ -284,3 +284,89 @@ def token_stats_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens_per_doc"
         ),
     )
+
+
+_CMS_W = 1024  # count-min sketch width (counters per row)
+_CMS_D = 2  # depth (independent hash rows)
+
+
+@register(
+    name="countmin_word_sketch",
+    survey="A7 A8 F28 J5",
+    doc="Count-min sketch over the corpus word stream, checked against "
+    "exact counts (the mergeable frequency sketch for 100 TB streams: "
+    f"the whole sketch is {_CMS_D}x{_CMS_W} counters — constant memory "
+    "regardless of vocabulary size — and partial sketches from any "
+    "partitioning merge by cell-wise addition, which is exactly what "
+    "the partial+final hash aggregation here does). Each word "
+    "increments one counter per hash row (cross-engine md5 family); "
+    "the estimate is the MIN over its rows' counters, always >= the "
+    "true count. Output: top-20 exact words joined (broadcast — the "
+    "sketch is tiny BY CONSTRUCTION) to their estimates plus the "
+    "overcount, so the sketch's error behavior is itself pinned "
+    "deterministically.",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        wc AS (
+            SELECT word, count(*) AS exact_count FROM w GROUP BY word),
+        probes AS (
+            SELECT word, exact_count, r.r AS r,
+                   CAST('0x' || substr(md5(r.r || ':' || word), 1, 8)
+                        AS BIGINT) % {_CMS_W} AS pos
+            FROM wc, LATERAL (SELECT unnest(range(0, {_CMS_D})) AS r) r),
+        sketch AS (
+            SELECT r, pos, CAST(sum(exact_count) AS BIGINT) AS counter
+            FROM probes GROUP BY r, pos),
+        top20 AS (
+            SELECT word, exact_count FROM wc
+            ORDER BY exact_count DESC, word LIMIT 20),
+        est AS (
+            SELECT t.word, t.exact_count,
+                   min(s.counter) AS cms_estimate
+            FROM top20 t
+            JOIN probes p ON p.word = t.word
+            JOIN sketch s ON s.r = p.r AND s.pos = p.pos
+            GROUP BY t.word, t.exact_count)
+        SELECT word,
+               CAST(exact_count AS BIGINT) AS exact_count,
+               cms_estimate,
+               cms_estimate - exact_count AS overcount
+        FROM est
+    """,
+)
+def countmin_word_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    probes = wc.selectExpr(
+        "word",
+        "exact_count",
+        f"explode(sequence(0, {_CMS_D - 1})) AS r",
+    ).selectExpr(
+        "word",
+        "exact_count",
+        "r",
+        "cast(conv(substr(md5(concat(cast(r AS string), ':', word)), 1, 8),"
+        f" 16, 10) AS bigint) % {_CMS_W} AS pos",
+    )
+    sketch = (
+        probes.groupBy("r", "pos")
+        .agg(F.sum("exact_count").cast("bigint").alias("counter"))
+    )
+    top20 = wc.orderBy(F.col("exact_count").desc(), "word").limit(20)
+    return (
+        top20.join(probes.select("word", "r", "pos"), "word")
+        .join(F.broadcast(sketch), ["r", "pos"])
+        .groupBy("word", "exact_count")
+        .agg(F.min("counter").alias("cms_estimate"))
+        .select(
+            "word",
+            F.col("exact_count").cast("bigint").alias("exact_count"),
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
+        )
+    )

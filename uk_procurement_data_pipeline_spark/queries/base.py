@@ -92,6 +92,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "zorder_cell_stats",
     "winnowing_fingerprints",
     "bloom_semi_join_prefilter",
+    "inverted_index_dot_pairs",
+    "jl_random_projection",
+    "countmin_word_sketch",
+    "rrf_fusion_ann",
     # changed in r04 (single-token bigram guard; parallel vocab rank is
     # vocab_encode_docs above; integer seq_id div is pack_chunks above;
     # pointer-jumping CC feeds minhash_components)
@@ -115,10 +119,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "order_priority_semi",
     "customers_without_orders",
     "orders_per_customer",
-    "suppliers_in_region",
-    "global_top_orders",
-    "exact_dedup_docs",
-    "minhash_near_dup",
 )
 
 

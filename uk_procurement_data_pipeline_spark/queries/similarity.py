@@ -673,3 +673,226 @@ def hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("anchor_id", "label", "negative_id", "negative_label", "cosine")
     )
+
+
+_II_MAX_DF = 10  # inverted-index posting cap: terms in more docs are dropped
+_II_TOPK = 20
+
+
+@register(
+    name="inverted_index_dot_pairs",
+    survey="J9 A7 A10 W1",
+    doc="Sparse similarity join via an inverted index (the IR-classic "
+    "alternative to LSH for text: exact sparse dot products, but only "
+    "for pairs that SHARE a rare term): per-doc 3-token-shingle "
+    f"frequencies -> document-frequency filter (2 <= df <= {_II_MAX_DF}"
+    ", dropping stop-like shingles that would quadratically blow up "
+    "the posting self-join) -> postings self-joined on shingle -> "
+    "integer tf dot product per pair -> top-20 with full tiebreak. "
+    "All-integer arithmetic, so cross-engine exact; the df cap bounds "
+    "each shingle's pair fan-out at df*(df-1)/2, keeping the shuffle "
+    "linear-ish in corpus size — the same reason production sparse-ANN "
+    "systems prune high-df postings. (Terms are shingles, not words: "
+    "the fixture vocabulary is ~31 words, all stop-like.)",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks
+            FROM documents
+            WHERE len(string_split(text, ' ')) >= 3),
+        g AS (
+            SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(toks) - 2),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+                       AS gram
+            FROM t),
+        tf AS (
+            SELECT doc_id, gram, count(*) AS tf
+            FROM g GROUP BY doc_id, gram),
+        rare AS (
+            SELECT gram FROM tf
+            GROUP BY gram
+            HAVING count(*) BETWEEN 2 AND {_II_MAX_DF}),
+        post AS (
+            SELECT t.doc_id, t.gram, t.tf
+            FROM tf t JOIN rare r ON t.gram = r.gram),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+            FROM post a JOIN post b
+              ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id)
+        SELECT doc_a, doc_b, dot
+        FROM pairs
+        ORDER BY dot DESC, doc_a, doc_b
+        LIMIT {_II_TOPK}
+    """,
+)
+def inverted_index_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS toks")
+        .where(F.expr("size(toks) >= 3"))
+        .selectExpr(
+            "doc_id",
+            "explode(transform(sequence(1, size(toks) - 2),"
+            " i -> concat_ws(' ', element_at(toks, i), element_at(toks, i+1),"
+            " element_at(toks, i+2)))) AS gram",
+        )
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rare = (
+        tf.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df").between(2, _II_MAX_DF))
+        .select("gram")
+    )
+    post = tf.join(rare, "gram")
+    a = post.select(
+        "gram", F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a")
+    )
+    b = post.select(
+        "gram", F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b")
+    )
+    return (
+        a.join(b, ["gram"])
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+        .orderBy(F.col("dot").desc(), "doc_a", "doc_b")
+        .limit(_II_TOPK)
+    )
+
+
+_JL_OUT = 8  # projected dimensionality
+
+
+@register(
+    name="jl_random_projection",
+    survey="UD4 F17 P1",
+    doc="Johnson-Lindenstrauss random projection of the embedding column "
+    f"(64 -> {_JL_OUT} dims): each output coordinate is the inner "
+    "product with a deterministic ±1 Rademacher vector derived from "
+    "md5(i:j) parity — no stored projection matrix, any executor (or "
+    "engine) regenerates the same signs, which is how a 1000-node job "
+    "shares the matrix for free. The fold is a fixed-order sequential "
+    "aggregate in both engines, so the projected doubles are "
+    "bit-identical. Entirely map-side: no shuffle, no UDF.",
+    oracle=f"""
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
+            FROM embeddings)
+        SELECT vec_id,
+               list_transform(generate_series(0, {_JL_OUT - 1}),
+                   i -> list_reduce(
+                       list_transform(generate_series(1, len(vd)),
+                           j -> vd[j] * (CAST(('0x' || substr(md5(
+                                    i || ':' || (j - 1)), 1, 8)) AS BIGINT)
+                                    % 2 * 2 - 1)),
+                       (a, b) -> a + b)) AS proj
+        FROM v
+    """,
+)
+def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS vd"
+        )
+        .selectExpr(
+            "vec_id",
+            # element_at is 1-based like the oracle's vd[j]; bare vd[j]
+            # would be 0-based in Spark SQL
+            f"transform(sequence(0, {_JL_OUT - 1}),"
+            " i -> aggregate(sequence(1, size(vd)), 0D,"
+            " (acc, j) -> acc + element_at(vd, j) *"
+            " (cast(conv(substr(md5(concat(cast(i AS string), ':',"
+            " cast(j - 1 AS string))), 1, 8), 16, 10) AS bigint)"
+            " % 2 * 2 - 1))) AS proj",
+        )
+    )
+
+
+_RRF_K = 60  # standard reciprocal-rank-fusion damping constant
+_RRF_SCALE = 1_000_000_000  # integer surrogate: score = sum(SCALE div (k+rank))
+
+
+def _rrf_oracle() -> str:
+    """Compose the fusion oracle from the two registered ANN oracles, so
+    the fused ranking can never drift from what those queries return."""
+    from uk_procurement_data_pipeline_spark.queries.base import _REGISTRY
+
+    lsh = _REGISTRY["ann_lsh_bucketed"].oracle
+    ivf = _REGISTRY["ann_ivf_probed"].oracle
+    return f"""
+        WITH lsh AS ({lsh}),
+        ivf AS ({ivf}),
+        both_sys AS (
+            SELECT query_id, neighbor_id, rank FROM lsh
+            UNION ALL
+            SELECT query_id, neighbor_id, rank FROM ivf),
+        fused AS (
+            SELECT query_id, neighbor_id,
+                   CAST(sum({_RRF_SCALE} // ({_RRF_K} + rank)) AS BIGINT)
+                       AS rrf_score
+            FROM both_sys GROUP BY query_id, neighbor_id),
+        ranked AS (
+            SELECT query_id, neighbor_id, rrf_score,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY rrf_score DESC, neighbor_id)
+                       AS fused_rank
+            FROM fused)
+        SELECT query_id, neighbor_id, rrf_score, fused_rank
+        FROM ranked WHERE fused_rank <= 3
+    """
+
+
+@register(
+    name="rrf_fusion_ann",
+    survey="J9 A7 W1 U1",
+    doc="Reciprocal-rank fusion of the two ANN retrieval paths (LSH "
+    "buckets + IVF probing — the ensemble-retrieval pattern behind "
+    "hybrid search): union both systems' per-query rankings, score "
+    f"each neighbor by sum({_RRF_SCALE} div ({_RRF_K} + rank)) — an "
+    "integer surrogate of the classic 1/(k+rank) that keeps the fused "
+    "ordering bit-exact across engines with no float summation — and "
+    "re-rank to a fused top-3. The oracle is COMPOSED from the two "
+    "source queries' registered oracles, so fusion can never silently "
+    "diverge from its inputs. Each input is a bucketed linear-shuffle "
+    "plan; fusion adds one small groupBy on (query, neighbor).",
+    oracle=None,  # bound right after registration (needs both ANN oracles)
+)
+def rrf_fusion_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lsh = ann_lsh_bucketed(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    ivf = ann_ivf_probed(spark, sf_dir).select(
+        "query_id", "neighbor_id", "rank"
+    )
+    fused = (
+        lsh.unionByName(ivf)
+        .groupBy("query_id", "neighbor_id")
+        .agg(
+            F.sum(
+                F.expr(f"{_RRF_SCALE} div ({_RRF_K} + rank)")
+            ).cast("bigint").alias("rrf_score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("neighbor_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w))
+        .where(F.col("fused_rank") <= 3)
+        .select("query_id", "neighbor_id", "rrf_score", "fused_rank")
+    )
+
+
+# late-bind the composed oracle (the source oracles exist only after their
+# own registration above — same pattern as corpus_pipeline_e2e)
+from uk_procurement_data_pipeline_spark.queries.base import _REGISTRY as _R  # noqa: E402
+import dataclasses as _dc  # noqa: E402
+
+_R["rrf_fusion_ann"] = _dc.replace(_R["rrf_fusion_ann"], oracle=_rrf_oracle())
+del _R, _dc
