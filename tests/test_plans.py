@@ -262,3 +262,53 @@ def test_vocab_encode_broadcasts_vocab(spark, sf_dir):
     # the frequency-thresholded vocabulary is the forced-broadcast side of
     # the encode join; the corpus side must stream
     assert "BroadcastHashJoin" in plan and "CartesianProduct" not in plan
+
+
+# --- round-4 additions: scale-shape pins ------------------------------------
+
+
+def test_interval_join_is_keyed_never_nested_loop(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "events_interval_join_attribution")
+    # time-bounded self-join must stay an equi-join on user_id with the
+    # range bound as join condition — a BNLJ/cartesian would be O(n^2)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_winnowing_heavy_work_stays_post_exchange(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "winnowing_fingerprints")
+    assert "CartesianProduct" not in plan
+    # regression pin: Catalyst once inferred a size(fps)>0 filter from
+    # explode and pushed it below the repartition with the WHOLE
+    # fingerprint expression inlined — the md5/zip_with chain then ran
+    # single-partition at the scan. The scan-side filter must stay trivial.
+    scan_filter = plan.split("Exchange")[0]
+    assert "zip_with" not in scan_filter
+    assert "md5" not in scan_filter
+
+
+def test_jl_projection_is_pure_map(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "jl_random_projection")
+    assert "Exchange" not in plan  # scan -> project, nothing else
+
+
+def test_zorder_stats_attach_without_collect_or_window(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "zorder_cell_stats")
+    # bounds come from a broadcast one-row aggregate, not a driver round
+    # trip, and the rank is computed without any WindowExec
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Window" not in plan
+
+
+def test_bloom_prefilter_probe_side_is_broadcast_only(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "bloom_semi_join_prefilter")
+    assert "CartesianProduct" not in plan
+    # the probe side tests the sketch via broadcast lookups; the only
+    # shuffle is the final single-row aggregate
+    assert "BroadcastHashJoin" in plan
+
+
+def test_inverted_index_join_is_term_keyed(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "inverted_index_dot_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
