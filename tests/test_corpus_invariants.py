@@ -62,3 +62,30 @@ def test_corpus_pipeline_output_is_subset_of_chunking(spark, sf_dir):
     assert per_doc and all(r["lo"] == 0 for r in per_doc)
     known = {r["doc_id"] for r in docs.select("doc_id").collect()}
     assert all(r["doc_id"] in known for r in per_doc)
+
+
+def test_winnowing_guarantees_shared_fingerprint_for_shared_passage(
+    spark, tmp_path
+):
+    """The winnowing invariant (Schleimer et al.): two documents sharing a
+    passage of >= w + k - 1 tokens (here 4 + 3 - 1 = 6) are guaranteed at
+    least one common fingerprint — the property that makes the scheme a
+    dedup/plagiarism blocker rather than a lossy sketch."""
+    from uk_procurement_data_pipeline_spark.queries import registry
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, "one two three " + shared + " four five six", "s"),
+            (1, "seven eight " + shared + " nine ten eleven twelve", "s"),
+            (2, "totally different words with no overlap at all here", "s"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    docs.write.parquet(f"{tmp_path}/documents.parquet")
+    out = registry()["winnowing_fingerprints"].fn(spark, str(tmp_path))
+    fps = {}
+    for r in out.collect():
+        fps.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    assert fps[0] & fps[1]  # shared passage -> shared fingerprint
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
