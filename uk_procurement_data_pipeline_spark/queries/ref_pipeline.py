@@ -743,6 +743,11 @@ def ocds_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(li_g, orders.o_orderkey == li_g.l_orderkey)
         .selectExpr(_RELEASE_S)
+        # barrier: without it CollapseProject inlines the whole release
+        # struct construction into EVERY one of the 144 flatten
+        # expressions below (nondeterministic projections don't collapse;
+        # measured ~2x on this query's wall time)
+        .select("release", F.monotonically_increasing_id().alias("_barrier"))
     )
 
     return rel.selectExpr(*[f"{p.s} AS {alias}" for alias, p in _FLAT])
