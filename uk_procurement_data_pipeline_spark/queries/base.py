@@ -96,6 +96,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "jl_random_projection",
     "countmin_word_sketch",
     "rrf_fusion_ann",
+    "value_outliers_mad",
     # changed in r04 (single-token bigram guard; parallel vocab rank is
     # vocab_encode_docs above; integer seq_id div is pack_chunks above;
     # pointer-jumping CC feeds minhash_components)
@@ -112,7 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "running_spend_per_customer",
     "moving_avg_order_price",
     "first_last_event_value",
-    "percent_rank_cume_dist",
     "pricing_summary",
     "revenue_by_region",
     "top_orders_by_revenue",

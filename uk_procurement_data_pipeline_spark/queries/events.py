@@ -636,3 +636,62 @@ def events_interval_join_attribution(
             - F.unix_micros(F.col("view_ts").cast("timestamp"))
         ).alias("nearest_view_lag_us"),
     )
+
+
+@register(
+    name="value_outliers_mad",
+    survey="A7 J5 F28",
+    doc="Robust outlier detection via median absolute deviation (the "
+    "heavy-tail-safe complement to the IQR fences in value_outliers_iqr: "
+    "MAD's 50% breakdown point survives corpora where whole sources are "
+    "junk): per event type, median value -> median of |value - median| "
+    "-> flag events beyond 3 * 1.4826 * MAD. Two grouped exact "
+    "percentiles plus one broadcast join back of the tiny per-type "
+    "stats row; both engines share the (n-1)*p interpolation contract "
+    "and the identical flag expression, so counts match exactly.",
+    oracle="""
+        WITH med AS (
+            SELECT event_type, quantile_cont(value, 0.5) AS med
+            FROM events GROUP BY event_type),
+        dev AS (
+            SELECT e.event_type, e.value, m.med,
+                   abs(e.value - m.med) AS adev
+            FROM events e JOIN med m ON e.event_type = m.event_type),
+        mad AS (
+            SELECT event_type, quantile_cont(adev, 0.5) AS mad
+            FROM dev GROUP BY event_type)
+        SELECT d.event_type,
+               COUNT(*) AS n_events,
+               min(d.med) AS med,
+               min(m.mad) AS mad,
+               CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m ON d.event_type = m.event_type
+        GROUP BY d.event_type
+    """,
+)
+def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5D)").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5D)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("med").alias("med"),
+            F.min("mad").alias("mad"),
+            F.sum(
+                F.when(
+                    F.col("adev") > 3.0 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_outliers"),
+        )
+    )
