@@ -118,3 +118,81 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return r2.where(F.col("node").startswith("s")).select("node", "mass")
+
+
+_TRI_MOD = 16  # DOULION edge-sampling: keep edges with hash % 16 == 0 (p=1/16)
+
+
+@register(
+    name="triangle_count_doulion",
+    survey="J6 A7 D3",
+    eager=True,  # fn materializes the sampled edge table; time it honestly
+    doc="Approximate triangle counting via DOULION edge sampling "
+    "(Tsourakakis et al. KDD'09): build the co-supply graph (suppliers "
+    "sharing an order, canonical a<b edges), keep each edge iff its "
+    f"md5 hash is 0 mod {_TRI_MOD} (deterministic p=1/{_TRI_MOD} "
+    "sparsification — the SAME edges survive on any engine or cluster), "
+    "count triangles in the sample with the two-join wedge-close plan, "
+    f"scale by {_TRI_MOD}^3. The point at 100 TB: the raw co-supply "
+    "graph is near-complete (453k edges at sf0.1) and exact counting is "
+    "a wedge explosion; sampling first cuts the wedge join quadratically "
+    "while keeping an unbiased estimate. Canonical edge ordering means "
+    "each triangle closes exactly once (a < b < c).",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey),
+        e AS (
+            SELECT a, b FROM pairs
+            WHERE CAST('0x' || substr(md5(a || ':' || b), 1, 8) AS BIGINT)
+                  % {_TRI_MOD} = 0),
+        tri AS (
+            SELECT count(*) AS n_tri
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+        SELECT (SELECT count(*) FROM e) AS n_edges_sampled,
+               n_tri AS n_triangles_sampled,
+               n_tri * {_TRI_MOD ** 3} AS estimated_triangles
+        FROM tri
+    """,
+)
+def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .where(
+            F.expr(
+                "cast(conv(substr(md5(concat(cast(a AS string), ':',"
+                " cast(b AS string))), 1, 8), 16, 10) AS bigint)"
+                f" % {_TRI_MOD} = 0"
+            )
+        )
+        .localCheckpoint(eager=True)  # reused three times in the wedge plan
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("x3"), F.col("b").alias("z3"))
+    tri = (
+        e1.join(e2, "y")
+        .join(
+            e3,
+            (F.col("x") == F.col("x3")) & (F.col("z") == F.col("z3")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles_sampled"))
+    )
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
+    return n_e.crossJoin(tri).select(
+        "n_edges_sampled",
+        "n_triangles_sampled",
+        (F.col("n_triangles_sampled") * _TRI_MOD**3).alias(
+            "estimated_triangles"
+        ),
+    )
