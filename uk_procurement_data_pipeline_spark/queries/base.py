@@ -98,6 +98,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "rrf_fusion_ann",
     "value_outliers_mad",
     "triangle_count_doulion",
+    "stream_dedup_pairs",
     # changed in r04 (single-token bigram guard; parallel vocab rank is
     # vocab_encode_docs above; integer seq_id div is pack_chunks above;
     # pointer-jumping CC feeds minhash_components)
@@ -107,7 +108,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # driver row at least once per 3 rounds — see README "Driver
     # correctness window rotation"): r01/r02-green entries longest out
     # of the window first
-    "dedup_tombstone",
     "rank_dense_rank_ntile",
     "order_gaps_lag_lead",
     "running_spend_per_customer",

@@ -695,3 +695,56 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("n_outliers"),
         )
     )
+
+
+@register(
+    name="stream_dedup_pairs",
+    survey="ST4 ST5 A8",
+    eager=True,
+    doc="Stateful streaming deduplication executed AS A STREAM (the "
+    "registry-certified ST4 row; the watermarked eviction variant stays "
+    "in tests/test_streaming.py): readStream over the events parquet, "
+    "dropDuplicates on (user_id, event_type), append-mode memory sink "
+    "drained with trigger(availableNow). Only the KEY columns are "
+    "projected, so the result — the distinct key set — is deterministic "
+    "no matter how the source splits into micro-batches or which "
+    "arrival order wins inside a batch; the driver hash-checks it "
+    "against a plain DISTINCT. State is one entry per live key, sharded "
+    "by the dedup shuffle exactly as at cluster scale.",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    qname = f"stream_dedup_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    try:
+        spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        nanos = False
+    except Exception:
+        nanos = True
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ts_ddl = "ts long" if nanos else "ts timestamp"
+        src = spark.readStream.schema(
+            f"event_id bigint, {ts_ddl}, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(f"{sf_dir}/events*.parquet")
+        deduped = src.select("user_id", "event_type").dropDuplicates(
+            ["user_id", "event_type"]
+        )
+        q = (
+            deduped.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(qname)
