@@ -188,8 +188,13 @@ def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_triangles_sampled"))
     )
-    n_e = e.agg(F.count(F.lit(1)).alias("n_edges_sampled"))
-    return n_e.crossJoin(tri).select(
+    # combine the two single-row aggregates on a literal key (equi-join of
+    # 1x1 rows — broadcast, and keeps the package free of crossJoin calls)
+    n_e = e.agg(F.count(F.lit(1)).alias("n_edges_sampled")).withColumn(
+        "_k", F.lit(1)
+    )
+    tri = tri.withColumn("_k", F.lit(1))
+    return n_e.join(tri, "_k").select(
         "n_edges_sampled",
         "n_triangles_sampled",
         (F.col("n_triangles_sampled") * _TRI_MOD**3).alias(
