@@ -366,3 +366,51 @@ def test_parse_xlsx_inline_bool_and_richtext_cells():
         zf.writestr("xl/sharedStrings.xml", sst)
     rows = parse_xlsx_rows(buf.getvalue())
     assert rows == [["inline", "TRUE", "rich text"]]
+
+
+def test_xlsx_parser_roundtrip_property():
+    """Property: any grid of text/int/float/empty cells written by the
+    minimal writer parses back cell-for-cell (numbers as their literal
+    text, gaps as None) — pinning the cell-reference arithmetic, shared-
+    string indexing, and sparse-row handling against random shapes."""
+    from hypothesis import given, settings, strategies as st
+
+    from uk_procurement_data_pipeline_spark.sources.excel import parse_xlsx_rows
+
+    cell = st.one_of(
+        st.none(),
+        st.integers(min_value=-(10**9), max_value=10**9),
+        st.text(
+            alphabet=st.characters(
+                whitelist_categories=("Lu", "Ll", "Nd"), max_codepoint=0x7F
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+    )
+    grid = st.lists(
+        st.lists(cell, min_size=1, max_size=8), min_size=1, max_size=6
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(grid)
+    def check(rows):
+        import io as _io
+
+        buf = _io.BytesIO()
+        write_minimal_xlsx(buf, rows)
+        parsed = parse_xlsx_rows(buf.getvalue())
+        assert len(parsed) == len(rows)
+        for want, got in zip(rows, parsed):
+            # writer skips None cells entirely -> trailing gaps collapse;
+            # compare against the written prefix shape
+            padded = list(got) + [None] * (len(want) - len(got))
+            for w, g in zip(want, padded):
+                if w is None:
+                    assert g is None
+                elif isinstance(w, str):
+                    assert g == w
+                else:
+                    assert g == str(w)
+
+    check()

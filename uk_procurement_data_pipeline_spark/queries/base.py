@@ -99,6 +99,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "value_outliers_mad",
     "triangle_count_doulion",
     "stream_dedup_pairs",
+    "q13_customer_distribution",
+    "training_shuffle_order",
     # changed in r04 (single-token bigram guard; parallel vocab rank is
     # vocab_encode_docs above; integer seq_id div is pack_chunks above;
     # pointer-jumping CC feeds minhash_components)
@@ -108,8 +110,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # driver row at least once per 3 rounds — see README "Driver
     # correctness window rotation"): r01/r02-green entries longest out
     # of the window first
-    "rank_dense_rank_ntile",
-    "order_gaps_lag_lead",
     "running_spend_per_customer",
     "moving_avg_order_price",
     "first_last_event_value",

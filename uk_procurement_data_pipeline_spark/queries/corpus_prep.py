@@ -979,3 +979,64 @@ def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.where(F.col("cum_before") * 2 < F.col("total_tok")).select(
         "source", "doc_id", "score", "n_tok"
     )
+
+
+_EPOCH_SHARDS = 64  # training shards per epoch
+
+
+@register(
+    name="training_shuffle_order",
+    survey="F28 W1 A7",
+    doc="Deterministic training-epoch shuffle (the last thing a data "
+    "pipeline does before a trainer reads shards): every document gets "
+    f"a shard (md5(epoch:doc) mod {_EPOCH_SHARDS}) and a position "
+    "within the shard (rank by the same hash — partitioned window, "
+    "parallel across shards), so the full epoch ordering is a pure "
+    "function of (epoch, doc_id): any engine, any cluster, any re-run "
+    "lands every doc in the same place, and a different epoch literal "
+    "reshuffles everything. Output is per-shard size + the hash-"
+    "ordered head doc, pinning both the assignment and the ordering.",
+    oracle=f"""
+        WITH h AS (
+            SELECT doc_id,
+                   CAST('0x' || substr(md5('epoch1:' || doc_id), 1, 8)
+                        AS BIGINT) AS hv
+            FROM documents),
+        sharded AS (
+            SELECT doc_id, hv, hv % {_EPOCH_SHARDS} AS shard,
+                   ROW_NUMBER() OVER (PARTITION BY hv % {_EPOCH_SHARDS}
+                                      ORDER BY hv // {_EPOCH_SHARDS}, doc_id)
+                       AS pos
+            FROM h)
+        SELECT shard,
+               count(*) AS n_docs,
+               CAST(min(CASE WHEN pos = 1 THEN doc_id END) AS BIGINT)
+                   AS head_doc
+        FROM sharded
+        GROUP BY shard
+    """,
+)
+def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    h = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "cast(conv(substr(md5(concat('epoch1:', cast(doc_id AS string))),"
+        " 1, 8), 16, 10) AS bigint) AS hv",
+    )
+    sharded = h.withColumn(
+        "shard", F.col("hv") % _EPOCH_SHARDS
+    ).withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("shard").orderBy(
+                F.expr(f"hv div {_EPOCH_SHARDS}"), "doc_id"
+            )
+        ),
+    )
+    return sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min(F.when(F.col("pos") == 1, F.col("doc_id")))
+        .cast("bigint")
+        .alias("head_doc"),
+    )

@@ -1408,3 +1408,35 @@ def bloom_semi_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("is_candidate").cast("bigint").alias("n_candidates"),
         F.sum("is_exact").cast("bigint").alias("n_exact"),
     )
+
+
+@register(
+    name="q13_customer_distribution",
+    survey="J7 A7 A8",
+    doc="TPC-H Q13 analog (customer distribution): LEFT join customers to "
+    "their orders, count per customer (retaining zero-order customers), "
+    "then aggregate the distribution of counts — the two-level "
+    "aggregation whose first level keys on the join key it just "
+    "shuffled on (no extra exchange between join and first groupBy; "
+    "the second groupBy is over at most a few hundred distinct counts).",
+    oracle="""
+        WITH per_cust AS (
+            SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey)
+        SELECT c_count, count(*) AS custdist
+        FROM per_cust
+        GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select("c_custkey")
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
