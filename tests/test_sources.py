@@ -414,3 +414,60 @@ def test_xlsx_parser_roundtrip_property():
                     assert g == str(w)
 
     check()
+
+
+def test_parse_xlsx_out_of_order_cell_refs_land_in_right_columns():
+    import io as _io
+
+    from uk_procurement_data_pipeline_spark.sources.excel import parse_xlsx_rows
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    # B1 serialized before A1 — append-with-padding would shift A1 to col C
+    sheet = (
+        f'<worksheet xmlns="{ns}"><sheetData>'
+        '<row r="1">'
+        '<c r="B1" t="inlineStr"><is><t>bee</t></is></c>'
+        '<c r="A1" t="inlineStr"><is><t>ay</t></is></c>'
+        "</row></sheetData></worksheet>"
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    assert parse_xlsx_rows(buf.getvalue()) == [["ay", "bee"]]
+
+
+def test_parse_xlsx_reads_first_sheet_by_tab_order_not_member_name():
+    import io as _io
+
+    from uk_procurement_data_pipeline_spark.sources.excel import parse_xlsx_rows
+
+    ns = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+    rns = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+    def sheet_xml(text):
+        return (
+            f'<worksheet xmlns="{ns}"><sheetData><row r="1">'
+            f'<c r="A1" t="inlineStr"><is><t>{text}</t></is></c>'
+            "</row></sheetData></worksheet>"
+        )
+
+    # tab order puts the DATA sheet (stored as sheet2.xml) first
+    wb = (
+        f'<workbook xmlns="{ns}" xmlns:r="{rns}"><sheets>'
+        '<sheet name="Data" sheetId="2" r:id="rId2"/>'
+        '<sheet name="Notes" sheetId="1" r:id="rId1"/>'
+        "</sheets></workbook>"
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+        '<Relationship Id="rId1" Type="t" Target="worksheets/sheet1.xml"/>'
+        '<Relationship Id="rId2" Type="t" Target="worksheets/sheet2.xml"/>'
+        "</Relationships>"
+    )
+    buf = _io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet_xml("notes"))
+        zf.writestr("xl/worksheets/sheet2.xml", sheet_xml("data"))
+    assert parse_xlsx_rows(buf.getvalue()) == [["data"]]

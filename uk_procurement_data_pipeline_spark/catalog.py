@@ -39,6 +39,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def probe_events_nanos(spark: SparkSession, path: str) -> bool:
+    """True iff ``path`` needs the nanos-as-long lowering (TIMESTAMP(NANOS)
+    fixture). Any OTHER read failure — missing file, corrupt footer — is
+    re-raised as itself rather than being misclassified as a nanos fixture
+    and resurfacing later as a confusing secondary error. Shared by
+    ``load_events`` and the streaming queries so the message filter lives
+    in exactly one place."""
+    try:
+        spark.read.parquet(path).schema  # force schema resolution
+        return False
+    except Exception as exc:  # noqa: BLE001 — filtered by message
+        if "NANOS" not in str(exc) and "nanos" not in str(exc):
+            raise
+        return True
+
+
 def load_events(spark: SparkSession, path: str) -> DataFrame:
     """Load an events parquet with ``ts`` normalized to a µs TIMESTAMP.
 
@@ -50,17 +66,8 @@ def load_events(spark: SparkSession, path: str) -> DataFrame:
     engines see identical values either way. Try the native read first;
     fall back to the nanos path only when schema resolution rejects it.
     """
-    try:
-        df = spark.read.parquet(path)
-        df.schema  # force schema resolution; raises on TIMESTAMP(NANOS)
-        return df
-    except Exception as exc:  # noqa: BLE001 — filtered by message below
-        # Only the TIMESTAMP(NANOS) schema rejection is recoverable here; a
-        # missing file, corrupt footer, or any unrelated error must surface
-        # as itself, not as a confusing secondary failure from the fallback
-        # read (ADVICE r03).
-        if "NANOS" not in str(exc) and "nanos" not in str(exc):
-            raise
+    if not probe_events_nanos(spark, path):
+        return spark.read.parquet(path)
     # Legacy nanos fixture. The conf is dynamic (SQLConf); the parquet
     # relation captures it during schema resolution, so force analysis with
     # df.schema and then RESTORE the previous value — no session-wide leak

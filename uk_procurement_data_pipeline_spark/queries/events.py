@@ -113,17 +113,16 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     import zlib
 
+    from uk_procurement_data_pipeline_spark.catalog import probe_events_nanos
+
     qname = f"stream_tumbling_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     # Probe the fixture's ts physical type via the batch reader (the fixture
     # has been TIMESTAMP(MICROS) or TIMESTAMP(NANOS) across driver rounds).
     # A nanos fixture needs the nanosAsLong lowering for the WHOLE stream run
     # (schema resolution AND every micro-batch scan), so in that branch the
-    # conf stays set until the stream drains.
-    try:
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        nanos = False
-    except Exception:
-        nanos = True
+    # conf stays set until the stream drains. The probe re-raises non-nanos
+    # failures (missing/corrupt file) instead of misclassifying them.
+    nanos = probe_events_nanos(spark, f"{sf_dir}/events.parquet")
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -716,12 +715,10 @@ def value_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import zlib
 
+    from uk_procurement_data_pipeline_spark.catalog import probe_events_nanos
+
     qname = f"stream_dedup_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
-    try:
-        spark.read.parquet(f"{sf_dir}/events.parquet").schema
-        nanos = False
-    except Exception:
-        nanos = True
+    nanos = probe_events_nanos(spark, f"{sf_dir}/events.parquet")
     prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
     if nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -280,7 +280,12 @@ _DST_W, _DST_H = 64, 64  # resize target (budget = W*H payload bytes)
     "min(ceil(n/stride), budget) with stride max(1, n div budget) — "
     "rather than a rows-only check. Two Arrow mapInPandas stages over "
     "a spread() input; the join is a same-key zip of two map-side "
-    "stages, shuffled once on doc_id.",
+    "stages, shuffled once on doc_id. NOTE this deliberately runs BOTH "
+    "stage signatures (decode_media and resize_media each invoke the "
+    "decoder) to pin both plumbing contracts; a production pipeline "
+    "with a costly codec would fuse them — resize_media already decodes "
+    "once and could emit n_frames too, halving decode cost and "
+    "dropping the join.",
     oracle=f"""
         WITH b AS (
             SELECT doc_id,

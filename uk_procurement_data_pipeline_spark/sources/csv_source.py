@@ -79,7 +79,20 @@ def read_excel(
             .option("header", True)
             .load(path)
         )
-    except Exception as e:  # noqa: BLE001  — connector jar not on classpath
+    except Exception as e:  # noqa: BLE001 — filtered by message below
+        # Fall back ONLY when the connector itself is absent; a corrupt
+        # workbook / bad option / IO error raised by an INSTALLED connector
+        # must surface as itself, not silently switch reader semantics
+        # (same masked-secondary-failure class as catalog.load_events).
+        msg = str(e)
+        jar_missing = (
+            "Failed to find data source" in msg
+            or "Failed to find the data source" in msg
+            or "ClassNotFoundException" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+        )
+        if not jar_missing:
+            raise
         if columns is not None:
             from uk_procurement_data_pipeline_spark.sources.excel import (
                 read_excel_stdlib,

@@ -77,6 +77,49 @@ def _shared_strings(zf: zipfile.ZipFile) -> list[str]:
 
 
 def _first_sheet_name(zf: zipfile.ZipFile) -> str:
+    """Resolve the workbook's FIRST sheet in tab order.
+
+    Tab order lives in xl/workbook.xml (<sheets> element order), and each
+    sheet's zip member comes from the r:id -> Target mapping in
+    xl/_rels/workbook.xml.rels — sheetN.xml file names reflect CREATION
+    order, so a workbook whose data tab was dragged to the front but is
+    stored as sheet2.xml must NOT fall back to the lexicographically
+    first member. Only when the workbook/rels parts are absent (minimal
+    test fixtures) does the member-name fallback apply.
+    """
+    try:
+        wb = ElementTree.fromstring(zf.read("xl/workbook.xml"))
+        rels = ElementTree.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        rid_to_target = {
+            r.attrib.get("Id"): r.attrib.get("Target", "")
+            for r in rels
+            if _local(r.tag) == "Relationship"
+        }
+        for sheets in wb:
+            if _local(sheets.tag) != "sheets":
+                continue
+            for sheet in sheets:
+                if _local(sheet.tag) != "sheet":
+                    continue
+                rid = next(
+                    (
+                        v
+                        for k, v in sheet.attrib.items()
+                        if k.endswith("}id") or k == "id"
+                    ),
+                    None,
+                )
+                target = rid_to_target.get(rid, "")
+                if target:
+                    return (
+                        target
+                        if target.startswith("xl/")
+                        else "xl/" + target.lstrip("/")
+                    )
+                break
+            break
+    except KeyError:
+        pass  # minimal workbook without workbook.xml/rels — fall through
     sheets = sorted(
         n
         for n in zf.namelist()
@@ -98,13 +141,19 @@ def parse_xlsx_rows(content: bytes) -> list[list[str | None]]:
     for row in root.iter():
         if _local(row.tag) != "row":
             continue
-        cells: list[str | None] = []
+        # index -> value map, then densify: r= references are not required
+        # to appear in ascending order (some writers emit them unordered),
+        # and append-with-padding would silently shift such cells into the
+        # wrong columns. Duplicated refs: last one wins.
+        by_idx: dict[int, str | None] = {}
+        cursor = 0  # ref-less cells follow the previous cell (OOXML rule)
         for c in row:
             if _local(c.tag) != "c":
                 continue
             idx = _col_index(c.attrib.get("r", ""))
             if idx < 0:
-                idx = len(cells)
+                idx = cursor
+            cursor = idx + 1
             ctype = c.attrib.get("t", "n")
             val: str | None = None
             if ctype == "inlineStr":
@@ -118,10 +167,9 @@ def parse_xlsx_rows(content: bytes) -> list[list[str | None]]:
                         val = "TRUE" if v.text.strip() == "1" else "FALSE"
                     else:  # 'n' (number), 'str' (formula result), 'e'
                         val = v.text
-            while len(cells) < idx:
-                cells.append(None)
-            cells.append(val)
-        out.append(cells)
+            by_idx[idx] = val
+        width = max(by_idx, default=-1) + 1
+        out.append([by_idx.get(i) for i in range(width)])
     return out
 
 
