@@ -101,6 +101,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_dedup_pairs",
     "q13_customer_distribution",
     "training_shuffle_order",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_global_sales_opportunity",
     # changed in r04 (single-token bigram guard; parallel vocab rank is
     # vocab_encode_docs above; integer seq_id div is pack_chunks above;
     # pointer-jumping CC feeds minhash_components)
@@ -110,9 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # driver row at least once per 3 rounds — see README "Driver
     # correctness window rotation"): r01/r02-green entries longest out
     # of the window first
-    "running_spend_per_customer",
-    "moving_avg_order_price",
-    "first_last_event_value",
     "pricing_summary",
     "revenue_by_region",
     "top_orders_by_revenue",

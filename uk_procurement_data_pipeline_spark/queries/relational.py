@@ -1440,3 +1440,165 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(
         F.count(F.lit(1)).alias("custdist")
     )
+
+
+@register(
+    name="q15_top_supplier",
+    survey="J6 A7 J5",
+    doc="TPC-H Q15 analog (top supplier): quarterly revenue per supplier, "
+    "keep the supplier(s) whose revenue equals the maximum — the "
+    "argmax-by-self-aggregation shape: the revenue table is computed "
+    "ONCE, its single-row max is broadcast back as an equi-filter, no "
+    "window sort and no second scan of lineitem. Revenue through the "
+    "exact-decimal contract so the max comparison is bit-stable.",
+    oracle=f"""
+        WITH rev AS (
+            SELECT l_suppkey AS supplier_no,
+                   {oracle_sum('l_extendedprice * (1 - l_discount)')}
+                       AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey),
+        mx AS (SELECT max(total_revenue) AS m FROM rev)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier, rev, mx
+        WHERE s_suppkey = supplier_no AND total_revenue = m
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1996-04-01")
+        )
+        .select("l_suppkey", "l_extendedprice", "l_discount")
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        exact_sum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")),
+            "total_revenue",
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("m"))
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("m"))
+        .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@register(
+    name="q17_small_quantity_revenue",
+    survey="J6 A7 J5",
+    doc="TPC-H Q17 analog (small-quantity-order revenue): average yearly "
+    "revenue lost if small orders (quantity under 20% of the part's "
+    "average) were not filled, for one brand. The correlated scalar "
+    "subquery becomes a per-part aggregate joined back to the same "
+    "lineitem rows — one scan feeds both sides via the part-key "
+    "shuffle; the brand filter prunes parts before either join. "
+    "Integer count + exact-decimal sum, then one double division.",
+    oracle=f"""
+        WITH p AS (
+            SELECT p_partkey FROM part WHERE p_brand = 'Brand#3'),
+        avgq AS (
+            SELECT l_partkey, avg(l_quantity) AS aq
+            FROM lineitem JOIN p ON l_partkey = p_partkey
+            GROUP BY l_partkey)
+        SELECT {oracle_sum('l_extendedprice')} / 7.0 AS avg_yearly,
+               COUNT(*) AS n_small
+        FROM lineitem l
+        JOIN avgq a ON l.l_partkey = a.l_partkey
+        WHERE l.l_quantity < 0.2 * a.aq
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_brand") == "Brand#3")
+        .select("p_partkey")
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    branded = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    avgq = branded.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("aq")
+    )
+    return (
+        branded.join(F.broadcast(avgq), F.col("l_partkey") == F.col("ak"))
+        .where(F.col("l_quantity") < 0.2 * F.col("aq"))
+        .agg(
+            (exact_sum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@register(
+    name="q22_global_sales_opportunity",
+    survey="J7 A7 J5",
+    doc="TPC-H Q22 analog (global sales opportunity): customers in a "
+    "nation band with above-average positive balance and NO RECENT "
+    "orders — the global scalar average attaches via a broadcast "
+    "one-row join (no collect), the no-recent-orders condition is a "
+    "left anti join keyed on the customer, grouped per nation. Balance "
+    "sums go through the exact-decimal contract. (The anti side is "
+    "scoped to the last fixture year: this corpus has no fully "
+    "order-less customers, and a vacuous NOT EXISTS would pin "
+    "nothing.)",
+    oracle=f"""
+        WITH avg_bal AS (
+            SELECT avg(c_acctbal) AS ab FROM customer WHERE c_acctbal > 0.0),
+        eligible AS (
+            SELECT c_custkey, c_nationkey % 5 AS cntrycode, c_acctbal
+            FROM customer, avg_bal
+            WHERE c_acctbal > ab AND c_nationkey % 5 IN (0, 1, 2)),
+        no_orders AS (
+            SELECT e.* FROM eligible e
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = e.c_custkey
+                                AND o.o_orderdate >= TIMESTAMP '2000-08-01'))
+        SELECT cntrycode,
+               COUNT(*) AS numcust,
+               {oracle_sum('c_acctbal')} AS totacctbal
+        FROM no_orders
+        GROUP BY cntrycode
+    """,
+)
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    eligible = (
+        cust.join(F.broadcast(avg_bal))
+        .where(
+            (F.col("c_acctbal") > F.col("ab"))
+            & (F.col("c_nationkey") % 5).isin(0, 1, 2)
+        )
+        .select(
+            "c_custkey",
+            (F.col("c_nationkey") % 5).alias("cntrycode"),
+            "c_acctbal",
+        )
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") >= "2000-08-01")
+        .select("o_custkey")
+    )
+    return (
+        eligible.join(
+            orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+        )
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            exact_sum("c_acctbal", "totacctbal"),
+        )
+    )
