@@ -114,3 +114,26 @@ def test_pipeline_end_to_end(spark, tmp_path):
     # partition pruning works on the merged layout
     pruned = spark.read.parquet(str(merged)).where(F.col("day") == "2")
     assert pruned.count() == 2
+
+
+def test_driver_window_is_exact_registry_prefix():
+    """The driver certifies the FIRST ~50 registry entries; the rotation
+    policy (README 'Driver correctness window rotation') only works if
+    _DRIVER_WINDOW is exactly that prefix — guard against import-order
+    drift or a partially-applied rotation."""
+    from uk_procurement_data_pipeline_spark.queries import registry
+    from uk_procurement_data_pipeline_spark.queries.base import _DRIVER_WINDOW
+
+    names = list(registry())
+    assert list(_DRIVER_WINDOW) == names[: len(_DRIVER_WINDOW)]
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50  # no duplicates
+
+
+def test_every_query_has_oracle_or_documented_reason():
+    """Every registered query should carry a DuckDB oracle; a rows-only
+    entry is a weaker driver check and must be a deliberate choice."""
+    from uk_procurement_data_pipeline_spark.queries import registry
+
+    rows_only = [n for n, s in registry().items() if s.oracle is None]
+    assert rows_only == []  # currently ALL queries are oracle-backed
