@@ -497,9 +497,13 @@ def value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey="A7 W2 F16",
     doc="Per-entity least-squares trend (drift per user over event time): "
     "slope and intercept from five order-independent decimal sums per "
-    "user, with event time rebased to minutes since the user's first "
-    "event (keeps squared terms inside decimal(38,8) headroom at any "
-    "time range) — the same algebraic-moments pattern as "
+    "user, with event time rebased to DAYS since the user's first "
+    "event — rebasing alone is not enough: with minutes, the scale-4 "
+    "scaled integer of sum(x*x) passes 2^53 at sf0.1 and the "
+    "decimal->double cast double-rounds differently per engine "
+    "(functions/exact.py docstring); day units keep every moment "
+    "orders of magnitude inside the exact window at 100x the data — "
+    "the same algebraic-moments pattern as "
     "lineitem_stats_corr, keyed on a high-cardinality entity. One "
     "window pass for the rebase, one hash-agg shuffle for the sums.",
     oracle="""
@@ -507,7 +511,7 @@ def value_outliers_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, value,
                    CAST(epoch_us(ts)
                         - min(epoch_us(ts)) OVER (PARTITION BY user_id)
-                        AS DOUBLE) / 60000000.0 AS x
+                        AS DOUBLE) / 86400000000.0 AS x
             FROM events),
         sums AS (
             SELECT user_id,
@@ -542,7 +546,7 @@ def value_trend_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                 micros
                 - F.min(micros).over(Window.partitionBy("user_id"))
             ).cast("double")
-            / 60000000.0
+            / 86400000000.0
         ).alias("x"),
     )
     sums = rebased.groupBy("user_id").agg(

@@ -128,7 +128,11 @@ def _moment_formulas(n: F.Column) -> dict[str, F.Column]:
     "computed from five order-independent decimal sums (functions/"
     "exact.py) then one identical double formula in both engines, so "
     "the result hash-matches where native stddev/corr aggregates would "
-    "differ in the last bits. One partial+final hash-agg shuffle.",
+    "differ in the last bits. One partial+final hash-agg shuffle. "
+    "Headroom note: sum(price^2) at scale 4 approaches the 2^53 exact "
+    "double window around SF~1 (see functions/exact.py and the "
+    "value_trend_per_user day-rebase); at larger SF, rescale y (e.g. "
+    "price/1000 with compensating output factors) before squaring.",
     oracle=f"""
         SELECT l_returnflag, n_rows,
                sqrt((n * syy - sy * sy) / (n * (n - 1.0))) AS stddev_price,
