@@ -14,6 +14,17 @@ cast the final sum back to double (deterministic IEEE nearest).
 The same pattern works at 100 TB: decimal sums use Spark's regular
 partial+final hash aggregation, no extra shuffle, no precision loss at
 plausible magnitudes (38-8=30 integer digits of headroom).
+
+Scale budget rule (learned from the cross-SF sweep, round 4): the OUTPUT
+rounding scale must satisfy sum x 10^scale < 2^53, or the final
+decimal->double conversion double-rounds differently per engine. Sums of
+SQUARED money-scale values blow this at scale 4 even at sf0.001 — size
+the per-sum output scale to the sum's magnitude (see lineitem_stats_corr:
+sxx at 4, sxy at 2, syy at 0), or shrink the inputs structurally (see
+value_trend_per_user: day-rebased time). Do NOT shrink inputs by
+dividing doubles: terms must stay exactly scale-8-representable or
+Spark's shortest-repr rounding and DuckDB's binary-value rounding
+disagree per term.
 """
 
 from __future__ import annotations

@@ -129,10 +129,14 @@ def _moment_formulas(n: F.Column) -> dict[str, F.Column]:
     "exact.py) then one identical double formula in both engines, so "
     "the result hash-matches where native stddev/corr aggregates would "
     "differ in the last bits. One partial+final hash-agg shuffle. "
-    "Headroom note: sum(price^2) at scale 4 approaches the 2^53 exact "
-    "double window around SF~1 (see functions/exact.py and the "
-    "value_trend_per_user day-rebase); at larger SF, rescale y (e.g. "
-    "price/1000 with compensating output factors) before squaring.",
+    "Each sum's OUTPUT rounding scale is sized so its scaled integer "
+    "stays under 2^53 through the decimal->double cast (sx/sy/sxx at "
+    "scale 4, sxy at 2, syy at 0): at scale 4, sum(price^2) passes "
+    "2^53 even at sf0.001 and the cast double-rounds differently per "
+    "engine (caught by the cross-SF sweep). Pre-dividing price instead "
+    "breaks the other invariant — terms must stay exactly scale-8-"
+    "representable, or Spark's shortest-repr rounding and DuckDB's "
+    "binary-value rounding disagree per term.",
     oracle=f"""
         SELECT l_returnflag, n_rows,
                sqrt((n * syy - sy * sy) / (n * (n - 1.0))) AS stddev_price,
@@ -147,8 +151,11 @@ def _moment_formulas(n: F.Column) -> dict[str, F.Column]:
                  {oracle_sum('CAST(l_quantity AS DOUBLE)')} AS sx,
                  {oracle_sum('l_extendedprice')} AS sy,
                  {oracle_sum('CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)')} AS sxx,
-                 {oracle_sum('l_extendedprice * l_extendedprice')} AS syy,
-                 {oracle_sum('CAST(l_quantity AS DOUBLE) * l_extendedprice')} AS sxy
+                 CAST(ROUND(SUM(CAST((l_extendedprice * l_extendedprice)
+                      AS DECIMAL(38,8))), 0) AS DOUBLE) AS syy,
+                 CAST(ROUND(SUM(CAST((CAST(l_quantity AS DOUBLE)
+                      * l_extendedprice) AS DECIMAL(38,8))), 2) AS DOUBLE)
+                     AS sxy
           FROM lineitem
           GROUP BY l_returnflag
         )
@@ -165,8 +172,8 @@ def lineitem_stats_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(dec(F.col("x"))), 4).cast("double").alias("sx"),
         F.round(F.sum(dec(F.col("y"))), 4).cast("double").alias("sy"),
         F.round(F.sum(dec(F.col("x") * F.col("x"))), 4).cast("double").alias("sxx"),
-        F.round(F.sum(dec(F.col("y") * F.col("y"))), 4).cast("double").alias("syy"),
-        F.round(F.sum(dec(F.col("x") * F.col("y"))), 4).cast("double").alias("sxy"),
+        F.round(F.sum(dec(F.col("y") * F.col("y"))), 0).cast("double").alias("syy"),
+        F.round(F.sum(dec(F.col("x") * F.col("y"))), 2).cast("double").alias("sxy"),
     )
     m = _moment_formulas(F.col("n_rows"))
     return sums.select(
