@@ -104,21 +104,20 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q15_top_supplier",
     "q17_small_quantity_revenue",
     "q22_global_sales_opportunity",
-    # changed in r04 (single-token bigram guard; parallel vocab rank is
-    # vocab_encode_docs above; integer seq_id div is pack_chunks above;
-    # pointer-jumping CC feeds minhash_components)
-    "repetition_signals",
-    "minhash_components",
-    # multi-round-green back-rotation (every registry query re-earns a
-    # driver row at least once per 3 rounds — see README "Driver
-    # correctness window rotation"): r01/r02-green entries longest out
-    # of the window first
-    "pricing_summary",
-    "revenue_by_region",
-    "top_orders_by_revenue",
-    "order_priority_semi",
-    "customers_without_orders",
-    "orders_per_customer",
+    # new in r04, second batch: the analogs completing the 22-query TPC-H
+    # suite (queries/tpch_rest.py). These displace the planned back-rotation
+    # and the two changed-in-r04 entries (repetition_signals,
+    # minhash_components): both of those are fixture-identical to their
+    # green r03 rows AND local-oracle green, while these eight have never
+    # had ANY driver row — first-row priority wins (README rotation policy).
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q9_product_type_profit",
+    "q11_important_stock",
+    "q12_priority_line_classes",
+    "q16_supplier_part_counts",
+    "q20_promotion_candidates",
+    "q21_waiting_suppliers",
 )
 
 
@@ -145,6 +144,7 @@ def registry() -> dict[str, QuerySpec]:
         ingest,
         arrays_text,
         relational,
+        tpch_rest,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

@@ -1,0 +1,455 @@
+"""TPC-H analogs Q2/Q4/Q9/Q11/Q12/Q16/Q20/Q21 — completing the 22-query suite.
+
+The reference never joins or aggregates (SURVEY.md §2.3/§2.4); the TPC-H
+surface is [DRIVER]-mandated over the star-schema fixtures. The fixture
+schema is narrower than real TPC-H — no ``partsupp`` table and no
+``l_shipmode``/``l_commitdate``/``l_receiptdate`` columns — so each query
+here is an ANALOG that preserves the canonical query's *plan shape* (the
+thing a Spark engine must get right) while substituting available columns:
+
+- partsupp        -> SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+- ps_supplycost   -> s_acctbal (Q2) / 0.6 * p_retailprice (Q9)
+- commit<receipt  -> l_shipdate > o_orderdate + 60 days (Q21 "late")
+- l_shipmode      -> l_returnflag (Q12 grouping stand-in)
+
+Scale notes: every dimension join is broadcast; the only large-large
+shuffles key on l_orderkey or l_partkey (natural bucketing keys); the
+correlated subqueries of the canonical SQL are rewritten as aggregate
+joins (one scan feeding both sides), never as per-row re-scans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.functions.exact import (
+    exact_sum,
+    oracle_sum,
+)
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+
+def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partsupp stand-in: observed distinct (part, supplier) pairs."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+
+
+@register(
+    name="q2_min_cost_supplier",
+    survey="J5 J6 A7",
+    doc="TPC-H Q2 analog (minimum-cost supplier): for each ECONOMY part of "
+    "one size, the EUROPE supplier(s) with the minimum account balance "
+    "among suppliers observed shipping that part. The canonical "
+    "correlated MIN subquery is an aggregate computed once over the "
+    "candidate set and equi-joined back on (part, min) — one shuffle on "
+    "the part key feeds both sides; supplier/nation/region broadcast.",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        cand AS (
+            SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+            FROM ps
+            JOIN part     ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE p_size = 10 AND p_type = 'ECONOMY' AND r_name = 'EUROPE'),
+        mn AS (SELECT p_partkey AS mk, min(s_acctbal) AS min_bal
+               FROM cand GROUP BY p_partkey)
+        SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name
+        FROM cand JOIN mn ON p_partkey = mk AND s_acctbal = min_bal
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .where((F.col("p_size") == 10) & (F.col("p_type") == "ECONOMY"))
+        .select("p_partkey", "p_name")
+    )
+    supp = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    cand = (
+        _ps(spark, sf_dir)
+        # part is SF-scaled but heavily pre-filtered (one size x one type)
+        # — broadcast the pruned dim, shuffle only the pair list.
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return cand.join(
+        F.broadcast(mn),
+        (F.col("p_partkey") == F.col("mk"))
+        & (F.col("s_acctbal") == F.col("min_bal")),
+    ).select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+
+
+@register(
+    name="q4_order_priority",
+    survey="J7 A7",
+    doc="TPC-H Q4 analog (order priority checking): quarterly order counts "
+    "per priority for orders with at least one discounted line — the "
+    "canonical EXISTS becomes a LEFT SEMI join on the order key, "
+    "shuffling each side once; the date filter prunes the orders scan.",
+    oracle="""
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+          AND o_orderdate < TIMESTAMP '1996-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_discount > 0.05)
+        GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-07-01")
+        & (F.col("o_orderdate") < "1996-10-01")
+    )
+    discounted = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_discount") > 0.05)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(
+            discounted, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    name="q9_product_type_profit",
+    survey="J5 J6 A7 F15",
+    doc="TPC-H Q9 analog (product-type profit): profit per supplier nation "
+    "per order year for parts whose name contains 'gear', with "
+    "0.6*p_retailprice*l_quantity standing in for ps_supplycost*qty. "
+    "The amount expression is written identically in both engines "
+    "(IEEE double, same op order) then summed through the exact-decimal "
+    "contract; part/supplier/nation broadcast, lineitem⋈orders is the "
+    "one large shuffle.",
+    oracle=f"""
+        SELECT n_name AS nation, year(o_orderdate) AS o_year,
+               {oracle_sum(
+                   'l_extendedprice * (1.0 - l_discount)'
+                   ' - 0.6 * p_retailprice * l_quantity'
+               )} AS sum_profit
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_name LIKE '%gear%'
+        GROUP BY n_name, year(o_orderdate)
+    """,
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").contains("gear"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    amount = F.col("l_extendedprice") * (
+        F.lit(1.0) - F.col("l_discount")
+    ) - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(exact_sum(amount, "sum_profit"))
+    )
+
+
+@register(
+    name="q11_important_stock",
+    survey="J5 A7",
+    doc="TPC-H Q11 analog (important stock): per-part shipped value for "
+    "one nation's suppliers, keeping parts whose value exceeds a "
+    "fraction of the nation total — the canonical HAVING-over-scalar-"
+    "subquery is the grouped aggregate plus a one-row broadcast join "
+    "(no collect, no second scan: the per-part frame feeds the total). "
+    "The canonical FRACTION*total threshold is scaled by 1/SF in real "
+    "TPC-H; here it is 2x the MEAN part value instead, which is scale-"
+    "invariant by construction (non-vacuous at every fixture SF). Both "
+    "sides of the comparison go through the exact-decimal contract so "
+    "the > is bit-stable across engines.",
+    oracle=f"""
+        WITH scoped AS (
+            SELECT l_partkey, l_extendedprice
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_3'),
+        per_part AS (
+            SELECT l_partkey AS p_key,
+                   {oracle_sum('l_extendedprice')} AS part_value
+            FROM scoped GROUP BY l_partkey),
+        tot AS (SELECT CAST(ROUND(SUM(CAST(part_value AS DECIMAL(38,8))), 4)
+                            AS DOUBLE) AS t,
+                       COUNT(*) AS n
+                FROM per_part)
+        SELECT p_key, part_value
+        FROM per_part, tot
+        WHERE part_value > 2.0 * t / CAST(n AS DOUBLE)
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    scoped = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_suppkey", "l_partkey", "l_extendedprice")
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    per_part = scoped.groupBy(F.col("l_partkey").alias("p_key")).agg(
+        exact_sum("l_extendedprice", "part_value")
+    )
+    tot = per_part.agg(
+        exact_sum("part_value", "t"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_part.join(F.broadcast(tot))
+        .where(
+            F.col("part_value")
+            > F.lit(2.0) * F.col("t") / F.col("n").cast("double")
+        )
+        .select("p_key", "part_value")
+    )
+
+
+@register(
+    name="q12_priority_line_classes",
+    survey="J6 A7 F9",
+    doc="TPC-H Q12 analog (shipping modes / priority classes): lines "
+    "shipped in 1997 grouped by l_returnflag (the shipmode stand-in), "
+    "counting urgent-or-high vs lower-priority orders via conditional "
+    "sums — one orders⋈lineitem shuffle, integer counts (no float "
+    "drift possible).",
+    oracle="""
+        SELECT l_returnflag AS flag_group,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_returnflag
+    """,
+)
+def q12_priority_line_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("l_returnflag").alias("flag_group"))
+        # count-of-CASE (not SUM) so both engines agree on BIGINT output:
+        # DuckDB widens SUM(int) through hugeint->double, Spark keeps long.
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    name="q16_supplier_part_counts",
+    survey="J7 A8 A7",
+    doc="TPC-H Q16 analog (parts/supplier relationship): distinct supplier "
+    "counts per (brand, type, size) over the observed part-supplier "
+    "pairs, excluding one brand, a size set, and negative-balance "
+    "suppliers (the complaint-supplier stand-in) via a broadcast LEFT "
+    "ANTI join. countDistinct shuffles once on the group key.",
+    oracle="""
+        WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        SELECT p_brand, p_type, p_size,
+               COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        FROM ps JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#1'
+          AND p_size IN (5, 10, 15, 20, 25, 30, 35, 40)
+          AND l_suppkey NOT IN
+              (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = (
+        load(spark, sf_dir, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & F.col("p_size").isin(5, 10, 15, 20, 25, 30, 35, 40)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        _ps(spark, sf_dir)
+        .join(
+            F.broadcast(bad_supp),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    name="q20_promotion_candidates",
+    survey="J7 A7 F5",
+    doc="TPC-H Q20 analog (potential part promotion): NATION_2 suppliers "
+    "who shipped more than 45 units of some 'small *' part during "
+    "1997 — the canonical nested semi-join chain (supplier IN partsupp "
+    "IN part, availqty threshold) becomes part-filter -> per-(supplier, "
+    "part) quantity aggregate -> HAVING -> LEFT SEMI into supplier. "
+    "Quantities are integral in this corpus so the double sum is exact; "
+    "the HAVING comparison still routes through the exact contract.",
+    oracle=f"""
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small %'),
+        heavy AS (
+            SELECT l_suppkey, l_partkey,
+                   {oracle_sum('l_quantity')} AS qty
+            FROM lineitem JOIN pk ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_suppkey, l_partkey
+            HAVING qty > 45.0)
+        SELECT s_suppkey, s_name, n_name
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_2'
+          AND s_suppkey IN (SELECT l_suppkey FROM heavy)
+    """,
+)
+def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pk = (
+        load(spark, sf_dir, "part")
+        .where(F.col("p_name").startswith("small "))
+        .select("p_partkey")
+    )
+    heavy = (
+        load(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(exact_sum("l_quantity", "qty"))
+        .where(F.col("qty") > 45.0)
+        .select("l_suppkey")
+    )
+    nation = (
+        load(spark, sf_dir, "nation")
+        .where(F.col("n_name") == "NATION_2")
+        .select("n_nationkey", "n_name")
+    )
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+    )
+
+
+@register(
+    name="q21_waiting_suppliers",
+    survey="J6 J7 A7 A8",
+    doc="TPC-H Q21 analog (suppliers who kept orders waiting): for "
+    "completed ('F') orders, count each supplier's LATE lines "
+    "(shipped > 60 days after the order date) on multi-supplier orders "
+    "where that supplier was the ONLY late one. The canonical "
+    "EXISTS / NOT EXISTS double correlation is rewritten as one "
+    "per-order aggregate (distinct suppliers, distinct late suppliers) "
+    "joined back to the line grain — the l1/l2/l3 self-scans collapse "
+    "into a single lineitem⋈orders shuffle plus an order-key re-join.",
+    oracle="""
+        WITH l AS (
+            SELECT l_orderkey, l_suppkey,
+                   (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderstatus = 'F')
+        SELECT s_name, COUNT(*) AS numwait
+        FROM l l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        WHERE l1.late
+          AND EXISTS (SELECT 1 FROM l l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM l l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.late)
+        GROUP BY s_name
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    lines = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+            ).alias("late"),
+        )
+    )
+    # One aggregate replaces both correlated subqueries: l1 qualifies iff
+    # its order has >1 distinct supplier and exactly one DISTINCT late
+    # supplier (which must be l1's, since l1 itself is late).
+    per_order = lines.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    supp = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        lines.where(F.col("late"))
+        .join(per_order, F.col("l_orderkey") == F.col("ok"))
+        .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
