@@ -145,6 +145,8 @@ def registry() -> dict[str, QuerySpec]:
         arrays_text,
         relational,
         tpch_rest,
+        retrieval,
+        sketches,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

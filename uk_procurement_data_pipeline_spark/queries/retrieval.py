@@ -1,0 +1,210 @@
+"""Lexical retrieval and language-model quality scoring over documents
+([NORTH-STAR] text-analysis / training-data-pipeline surface, beside
+queries/tfidf.py and queries/quality.py).
+
+Two operators a 100 TB corpus pipeline runs constantly:
+
+- **BM25 top-k retrieval**: the standard lexical ranking function
+  (Robertson/Sparck Jones; the Okapi BM25 formulation with k1=1.2,
+  b=0.75), expressed as inverted-index joins — explode to postings,
+  tf/df/doc-length aggregates, broadcast corpus stats, per-(query, doc)
+  score, windowed top-k. Every shuffle keys on high-cardinality
+  (doc_id, term) or term; the query set is a literal broadcast table.
+  This is the retrieval half of RAG data curation and of dedup-by-query
+  mining, at linear cost in corpus size.
+
+- **Unigram surprisal scoring**: the perplexity-proxy quality filter
+  (as in CCNet-style corpus filtering): fit a unigram LM on the corpus
+  itself, score each document by its mean token surprisal -ln p(t).
+  Documents far above the corpus norm are noise/boilerplate candidates.
+  The "model fit" is one hash aggregate; scoring is an equi-join on the
+  term — no Python, no driver state.
+
+Cross-engine determinism (same contract as queries/tfidf.py): ln() may
+differ in the last ulp between Java's Math.log and libm, so every
+per-term score is quantized to integer MICRO units — floor(x*1e6 + 0.5)
+as BIGINT — *before* any summation, and per-doc totals are exact BIGINT
+sums (order-independent), so partial-aggregation order can never flip a
+result. The only double division happens once per output row on
+identical operands.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_TOP_K = 5
+# (query_id, term) pairs — multi-term queries over the corpus vocabulary.
+_QUERIES: tuple[tuple[str, str], ...] = (
+    ("q_exec", "spark"),
+    ("q_exec", "join"),
+    ("q_exec", "batch"),
+    ("q_scan", "hash"),
+    ("q_scan", "scan"),
+    ("q_scan", "filter"),
+    ("q_stream", "vector"),
+    ("q_stream", "window"),
+    ("q_stream", "stream"),
+)
+_QUERY_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in _QUERIES)
+
+# BM25 per-term weight in micro units. Written ONCE as SQL and used
+# verbatim by both engines so the double expression trees are identical:
+# idf is the +1-smoothed Robertson idf, sat the tf saturation with
+# length normalization (k1=1.2, b=0.75).
+_BM25_MICRO = """
+    CAST(floor(
+        ln((CAST(n_docs AS DOUBLE) - CAST(df_docs AS DOUBLE) + 0.5)
+           / (CAST(df_docs AS DOUBLE) + 0.5) + 1.0)
+        * (CAST(tf AS DOUBLE) * 2.2)
+        / (CAST(tf AS DOUBLE)
+           + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))
+        * 1000000 + 0.5) AS BIGINT)
+"""
+
+# Per-term surprisal -ln(c_t / total) in micro units, multiplied by the
+# in-doc term frequency AFTER quantization (bigint * bigint, exact).
+_SURPRISAL_MICRO = """
+    CAST(floor(-ln(CAST(c_t AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+               * 1000000 + 0.5) AS BIGINT)
+"""
+
+
+@register(
+    name="bm25_topk_docs",
+    survey="A7 W1 J5 F17 F18",
+    doc="BM25 top-5 documents per query: postings from one explode, "
+    "tf/df/length hash aggregates, corpus stats as a broadcast 1-row "
+    "aggregate, literal query table broadcast onto the term join, "
+    "per-term micro-quantized weights summed exactly per (query, doc), "
+    "windowed top-5 with doc_id tiebreak. Linear in corpus size; the "
+    "only window partitions by query_id (bounded domain).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, term),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+            FROM tf GROUP BY doc_id),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs,
+                   AVG(CAST(dl AS DOUBLE)) AS avgdl
+            FROM dl),
+        qt AS (
+            SELECT * FROM (VALUES {_QUERY_VALUES}) AS v(query_id, term)),
+        scored AS (
+            SELECT qt.query_id, tf.doc_id,
+                   CAST(SUM({_BM25_MICRO}) AS BIGINT) AS score_micro,
+                   COUNT(*) AS n_terms_hit
+            FROM tf
+            JOIN qt USING (term)
+            JOIN dfreq USING (term)
+            JOIN dl ON tf.doc_id = dl.doc_id
+            CROSS JOIN corpus
+            GROUP BY qt.query_id, tf.doc_id)
+        SELECT query_id, doc_id, score_micro, n_terms_hit, rnk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score_micro DESC, doc_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_TOP_K}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # dl/dfreq/corpus all derive from tf, not tok: ONE explode and one
+    # (doc_id, term) shuffle feed every statistic (the tf subtree is
+    # identical across branches, so its exchange is reused).
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    qt = spark.createDataFrame(list(_QUERIES), "query_id string, term string")
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr(_BM25_MICRO)).alias("score_micro"),
+            F.count(F.lit(1)).alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _TOP_K
+    )
+
+
+@register(
+    name="unigram_surprisal_quality",
+    survey="A7 J5 F17 F18 UD4",
+    doc="Unigram-LM surprisal scoring (perplexity-proxy quality filter): "
+    "corpus token counts are the model (one hash aggregate), each "
+    "document's mean token surprisal = exact bigint sum of "
+    "tf x micro(-ln p(term)) divided once by its token count. The "
+    "term join shuffles on the term key; corpus total is a broadcast "
+    "1-row aggregate. At 100 TB the model table is millions of rows — "
+    "still an equi-join, never a collect.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, term),
+        lm AS (
+            SELECT term, CAST(SUM(tf) AS BIGINT) AS c_t
+            FROM tf GROUP BY term),
+        corpus AS (
+            SELECT CAST(SUM(tf) AS BIGINT) AS total_tokens FROM tf)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf * {_SURPRISAL_MICRO}) AS BIGINT)
+                   AS surprisal_micro_sum,
+               CAST(SUM(tf * {_SURPRISAL_MICRO}) AS DOUBLE)
+                   / CAST(SUM(tf) AS DOUBLE) AS mean_surprisal_micro
+        FROM tf JOIN lm USING (term) CROSS JOIN corpus
+        GROUP BY doc_id
+    """,
+)
+def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # Model and normalizer derive from tf (single explode, reused exchange).
+    lm = tf.groupBy("term").agg(F.sum("tf").cast("bigint").alias("c_t"))
+    corpus = tf.agg(F.sum("tf").cast("bigint").alias("total_tokens"))
+    term_micro = F.expr(_SURPRISAL_MICRO)
+    return (
+        tf.join(lm, "term")
+        .join(F.broadcast(corpus))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("tf") * term_micro)
+            .cast("bigint")
+            .alias("surprisal_micro_sum"),
+            (
+                F.sum(F.col("tf") * term_micro).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("mean_surprisal_micro"),
+        )
+    )
