@@ -7,8 +7,10 @@ from pyspark.sql import functions as F
 
 from uk_procurement_data_pipeline_spark.sources.sinks import (
     observed_count,
+    read_orc,
     write_binary_files,
     write_csv_merged,
+    write_partitioned_orc,
     write_partitioned_parquet,
 )
 
@@ -28,6 +30,27 @@ def test_partitioned_parquet_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     # partition pruning must reach the scan: only the 1995 directory is read
     assert "PartitionFilters" in plan and "1995" in plan
     assert pruned.count() == orders.where("year = 1995").count()
+
+
+def test_partitioned_orc_roundtrip_pruning_and_pushdown(spark, sf_dir, tmp_path):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year_orc")
+    write_partitioned_orc(orders, out, ["year"])
+
+    back = read_orc(spark, out)
+    assert back.count() == orders.count()
+    # values survive the format round-trip, not just counts
+    a = sorted(r.o_orderkey for r in back.where("year = 1995").collect())
+    b = sorted(r.o_orderkey for r in orders.where("year = 1995").collect())
+    assert a == b
+
+    pruned = back.where("year = 1995").where("o_totalprice > 1000.0")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "1995" in plan
+    # the value predicate must reach the ORC scan, like parquet
+    assert "PushedFilters: [" in plan and "o_totalprice" in plan
 
 
 def test_partitioned_write_is_one_dir_per_key(spark, sf_dir, tmp_path):

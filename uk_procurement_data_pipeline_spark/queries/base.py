@@ -147,6 +147,7 @@ def registry() -> dict[str, QuerySpec]:
         tpch_rest,
         retrieval,
         sketches,
+        mixture,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

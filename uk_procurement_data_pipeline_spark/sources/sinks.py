@@ -32,6 +32,22 @@ def write_csv_merged(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.coalesce(1).write.mode(mode).option("header", True).csv(path)
 
 
+def write_partitioned_orc(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """S7 in ORC: same partitioned-sink contract as parquet but the other
+    in-core columnar format (zlib by default, predicate pushdown and
+    column pruning on read-back via the native OrcScan). Kept beside the
+    parquet sink because warehouse migrations routinely need both; no
+    external jar — ORC support ships in Spark core."""
+    df.write.mode(mode).partitionBy(*partition_cols).orc(path)
+
+
+def read_orc(spark, path: str) -> DataFrame:
+    """ORC scan — partition pruning + filter pushdown, same as parquet."""
+    return spark.read.orc(path)
+
+
 def compact_parquet(
     spark, in_dir: str, out_dir: str, target_file_bytes: int = 128 * 1024 * 1024
 ) -> int:
