@@ -26,6 +26,9 @@ from uk_procurement_data_pipeline_spark.sources.zip_xml import (
     parse_notice_xml,
     read_zip_members,
 )
+from uk_procurement_data_pipeline_spark.sources.zipxml_datasource import (
+    ZipXmlDataSource,
+)
 
 # --- S1 / E1 / E3: tolerant CSV --------------------------------------------
 
@@ -115,6 +118,34 @@ def test_zip_members_filter_decode_and_order(spark, zip_dir):
     assert by_name["latin.XML"]["encoding_used"] == "latin-1"
     assert by_name["good.xml"]["encoding_used"] == "utf-8"
     assert all(m["read_error"] is None for m in members)
+
+
+def test_zipxml_datasource_matches_mapinpandas_source(spark, zip_dir, tmp_path):
+    """The Spark-4 Python DataSource packaging must produce the same rows
+    as the binaryFile+mapInPandas form (source_zip differs only by URI
+    scheme), one partition per zip, and the same bad-zip error-row
+    semantics."""
+    spark.dataSource.register(ZipXmlDataSource)
+    ds = spark.read.format("zipxml").load(str(zip_dir / "*.zip"))
+    via_mp = read_zip_members(spark, str(zip_dir / "*.zip"))
+
+    def key(rows):
+        return sorted(
+            (r["member_name"], r["xml_text"], r["encoding_used"], r["read_error"])
+            for r in rows
+        )
+
+    assert key(ds.collect()) == key(via_mp.collect())
+    # partition planning: one input partition per zip file
+    assert ds.rdd.getNumPartitions() == 1
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "corrupt.zip").write_bytes(b"PK\x03\x04 not a real zip")
+    rows = spark.read.format("zipxml").load(str(bad / "*.zip")).collect()
+    assert len(rows) == 1
+    assert rows[0]["read_error"].startswith("bad zip:")
+    assert rows[0]["member_name"] is None
 
 
 def test_parse_notice_xml_error_rows_not_exceptions(spark, zip_dir):
