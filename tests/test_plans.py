@@ -312,3 +312,45 @@ def test_inverted_index_join_is_term_keyed(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "inverted_index_dot_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# --- round-4 second batch: retrieval/sketch/mixture scale-shape pins --------
+
+
+def test_bm25_window_is_query_partitioned_with_group_limit(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "bm25_topk_docs", mode="extended")
+    assert "CartesianProduct" not in plan
+    # top-5 window partitions on the bounded query_id domain...
+    assert "windowspecdefinition(query_id#" in plan
+    # ...and the rank<=k predicate must push a partial per-partition limit
+    # BELOW the window shuffle (WindowGroupLimit), so executors emit at
+    # most k rows per query each instead of every scored doc
+    assert "WindowGroupLimit" in plan
+
+
+def test_equidepth_bins_never_sort_globally(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "equidepth_value_bins", mode="extended")
+    # the ntile rewrite: rank windows partition by the value band — an
+    # unpartitioned windowspec (global single-task sort) must not appear
+    assert "windowspecdefinition(band#" in plan
+    assert "ntile" not in plan  # arithmetic replaces the builtin
+
+
+def test_mixture_rank_partitions_by_source(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "domain_mixture_resample", mode="extended")
+    assert "windowspecdefinition(source#" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_keeps_k_smallest_without_global_sort(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "kmv_distinct_sketch", mode="extended")
+    # orderBy(hv).limit(k) must plan as TakeOrderedAndProject: only k rows
+    # per partition reach the final stage, never a full Sort of the hashes
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q21_double_correlation_stays_equi_joined(spark, sf_dir):
+    plan = plan_of(spark, sf_dir, "q21_waiting_suppliers", mode="extended")
+    # the EXISTS/NOT-EXISTS rewrite must never plan a nested-loop self-scan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

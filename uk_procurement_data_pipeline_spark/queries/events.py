@@ -749,3 +749,61 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         else:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
     return spark.table(qname)
+
+
+_EWMA_ALPHA = 0.2
+
+# Per-event decayed contribution in micro units. EWMA with init = first
+# value: y_N = (1-a)^(N-1) x_1 + sum_{i>=2} a (1-a)^(N-i) x_i. Quantized
+# BEFORE summation (floor(w*x*1e6 + 0.5) as BIGINT) so the per-user total
+# is an exact bigint sum — power() may differ in the last ulp between
+# engines, but a flip needs that ulp to cross a 1e-6 boundary.
+_EWMA_TERM_MICRO = f"""
+    CAST(floor(
+        (CASE WHEN i = 1 THEN power({1.0 - _EWMA_ALPHA!r}, n_ev - 1)
+              ELSE {_EWMA_ALPHA!r} * power({1.0 - _EWMA_ALPHA!r}, n_ev - i)
+         END) * value * 1000000 + 0.5) AS BIGINT)
+"""
+
+
+@register(
+    name="ewma_user_value",
+    survey="W1 W2 A7 F15",
+    doc="Exponentially-weighted moving average of each user's event value "
+    "(time-decayed user state, the feature-engineering form of a "
+    "recursive stream accumulator): the recurrence unrolls to a "
+    "closed-form weighted sum, so ONE window shuffle on user_id "
+    "(row_number + count over the same partition spec) and one hash "
+    "agg produce the final EWMA — no iteration, no state store. "
+    "Per-term decay weights are micro-quantized before the exact "
+    "bigint sum (the tfidf.py ln() contract, applied to power()).",
+    oracle=f"""
+        WITH ordered AS (
+            SELECT user_id, value,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS i,
+                   COUNT(*) OVER (PARTITION BY user_id) AS n_ev
+            FROM events WHERE value IS NOT NULL)
+        SELECT user_id,
+               CAST(MAX(n_ev) AS BIGINT) AS n_events,
+               CAST(SUM({_EWMA_TERM_MICRO}) AS BIGINT) AS ewma_micro
+        FROM ordered
+        GROUP BY user_id
+    """,
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = Window.partitionBy("user_id")
+    ordered = ev.select(
+        "user_id",
+        "value",
+        F.row_number().over(w_order).alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n_ev"),
+    )
+    return ordered.groupBy("user_id").agg(
+        F.max("n_ev").cast("bigint").alias("n_events"),
+        F.sum(F.expr(_EWMA_TERM_MICRO)).cast("bigint").alias("ewma_micro"),
+    )
