@@ -1,0 +1,121 @@
+"""Registry-wide physical-plan lint: flag scale anti-patterns in EVERY
+registered query's plan, not just the sampled pins in tests/test_plans.py.
+
+Checks (each a 1000-executor killer if unintentional):
+
+- CARTESIAN:   CartesianProduct — O(n*m) row explosion.
+- GLOBALWIN:   a window function over an UNPARTITIONED windowspec — the
+               whole input funnels through one task's sort. Detected
+               lexically: in `windowspecdefinition(a, b ASC ...)` the
+               partition columns come first WITHOUT sort markers, so a
+               spec whose FIRST argument already carries ASC/DESC has an
+               empty partition clause.
+- ROWPYTHON:   BatchEvalPython — row-at-a-time Python UDF on the plan
+               (Arrow paths show as ArrowEvalPython / MapInPandas /
+               FlatMapGroupsInPandas and are fine).
+
+Intentional exceptions are whitelisted INLINE here with the reason, so
+the lint run is the audit trail.
+
+Usage:
+    python tools/plan_lint.py [sf_dir] [query ...]
+Exit 1 if any non-whitelisted flag fires.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from uk_procurement_data_pipeline_spark.queries import registry  # noqa: E402
+from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# name -> {flag: reason}. A whitelisted flag still prints, marked OK'd.
+WHITELIST: dict[str, dict[str, str]] = {
+    "event_type_value_chi2": {
+        "GLOBALWIN": "global sum over contingency CELLS (event_type x band, "
+        "bounded domain) — input is already aggregate-sized",
+    },
+    "cosine_topk_bruteforce": {
+        "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
+        "answers are the bucketed ANN variants",
+    },
+}
+
+_SPEC = re.compile(r"windowspecdefinition\((.{0,120})")
+
+
+def lint_plan(text: str) -> list[str]:
+    flags = []
+    if "CartesianProduct" in text:
+        flags.append("CARTESIAN")
+    if "BatchEvalPython" in text:
+        flags.append("ROWPYTHON")
+    for m in _SPEC.finditer(text):
+        head = m.group(1)
+        first = head.split(",", 1)[0].strip()
+        # unpartitioned + ordered: the FIRST spec argument is an ORDER
+        # column (carries an ASC/DESC marker); unpartitioned + unordered
+        # (pure global frame agg): the first argument is the frame spec
+        # itself. Partitioned specs lead with bare partition columns.
+        if (
+            " ASC" in first
+            or " DESC" in first
+            or head.lstrip().startswith(
+                ("unspecifiedframe", "specifiedwindowframe")
+            )
+        ):
+            flags.append("GLOBALWIN")
+            break
+    return flags
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.001"
+    names = []
+    reg = registry()
+    for a in args:
+        if Path(a).is_dir():
+            sf_dir = a
+        elif a in reg:
+            names.append(a)
+        else:
+            print(f"unknown query or sf dir {a!r}")
+            return 2
+    if names:
+        reg = {n: reg[n] for n in names}
+    spark = get_spark("plan-lint", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    bad = 0
+    for name, spec in reg.items():
+        try:
+            qe = spec.fn(spark, sf_dir)._jdf.queryExecution()
+            text = qe.explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                    "extended"
+                )
+            )
+        except Exception as e:  # noqa: BLE001 — lint must see every plan
+            print(f"ERR  {name:40s} {type(e).__name__}: {str(e)[:120]}")
+            bad += 1
+            continue
+        flags = lint_plan(text)
+        if not flags:
+            continue
+        allowed = WHITELIST.get(name, {})
+        for f in flags:
+            if f in allowed:
+                print(f"ok'd {name:40s} {f}: {allowed[f]}")
+            else:
+                print(f"FLAG {name:40s} {f}")
+                bad += 1
+    print(f"\n{len(reg)} plans linted, {bad} non-whitelisted flags")
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
