@@ -534,6 +534,99 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return closed.unionAll(reopened).unionAll(unchanged).unionAll(inserted)
 
 
+_PIT_CUT = "1998-01-01"  # version-change date inside the order-date range
+
+
+@register(
+    name="pointintime_customer_orders",
+    survey="J5 J8 A7 F15 E2",
+    doc="Point-in-time (temporal) join — the feature-store / warehouse "
+    "probe of an SCD2 dimension AT EVENT TIME: a two-era customer "
+    "history (balance change cut at 1998-01-01 for a deterministic "
+    "subset of keys, same md5 bucket rule as scd2_customer_merge) is "
+    "joined to orders on the customer key WITH the validity-interval "
+    "predicate, so each order sees exactly the dimension version in "
+    "effect on its order date. The interval test rides the hash "
+    "equi-join on the key as a post-join filter — never a range-only "
+    "join, never a cross product; the history side is dimension-sized "
+    "and broadcasts. Output: per-era order counts, exact revenue, and "
+    "distinct customers.",
+    oracle=f"""
+        WITH upd AS (
+            SELECT c_custkey FROM customer WHERE ({_D_CUST_BUCKET}) < 20),
+        hist AS (
+            SELECT c.c_custkey, c.c_acctbal AS acctbal,
+                   '1995-01-01' AS valid_from, '{_PIT_CUT}' AS valid_to,
+                   FALSE AS is_current
+            FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+            UNION ALL
+            SELECT c.c_custkey, c.c_acctbal + 100.0 AS acctbal,
+                   '{_PIT_CUT}' AS valid_from, CAST(NULL AS VARCHAR),
+                   TRUE
+            FROM customer c JOIN upd u ON c.c_custkey = u.c_custkey
+            UNION ALL
+            SELECT c.c_custkey, c.c_acctbal,
+                   '1995-01-01', CAST(NULL AS VARCHAR), TRUE
+            FROM customer c
+            WHERE c.c_custkey NOT IN (SELECT c_custkey FROM upd))
+        SELECT h.valid_from, h.is_current,
+               COUNT(*) AS n_orders,
+               {oracle_sum('o.o_totalprice')} AS revenue,
+               COUNT(DISTINCT o.o_custkey) AS n_customers
+        FROM orders o
+        JOIN hist h
+          ON o.o_custkey = h.c_custkey
+         AND CAST(h.valid_from AS TIMESTAMP) <= o.o_orderdate
+         AND (h.valid_to IS NULL
+              OR o.o_orderdate < CAST(h.valid_to AS TIMESTAMP))
+        GROUP BY h.valid_from, h.is_current
+    """,
+)
+def pointintime_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load(spark, sf_dir, "customer")
+    upd = cust.where(F.expr(f"({_CUST_BUCKET}) < 20")).select("c_custkey")
+    changed = cust.join(upd, "c_custkey")
+    closed = changed.selectExpr(
+        "c_custkey",
+        "c_acctbal AS acctbal",
+        "'1995-01-01' AS valid_from",
+        f"'{_PIT_CUT}' AS valid_to",
+        "FALSE AS is_current",
+    )
+    current_upd = changed.selectExpr(
+        "c_custkey",
+        "c_acctbal + 100.0 AS acctbal",
+        f"'{_PIT_CUT}' AS valid_from",
+        "CAST(NULL AS STRING) AS valid_to",
+        "TRUE AS is_current",
+    )
+    unchanged = cust.join(upd, "c_custkey", "left_anti").selectExpr(
+        "c_custkey",
+        "c_acctbal AS acctbal",
+        "'1995-01-01' AS valid_from",
+        "CAST(NULL AS STRING) AS valid_to",
+        "TRUE AS is_current",
+    )
+    hist = closed.unionAll(current_upd).unionAll(unchanged)
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    joined = orders.join(
+        F.broadcast(hist),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from").cast("timestamp") <= F.col("o_orderdate"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to").cast("timestamp"))
+        ),
+    )
+    return joined.groupBy("valid_from", "is_current").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        exact_sum("o_totalprice", "revenue"),
+        F.count_distinct("o_custkey").alias("n_customers"),
+    )
+
+
 @register(
     name="q3_shipping_priority",
     survey="J5 J6 A7 O4",
