@@ -169,3 +169,203 @@ def equidepth_value_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("value", "bin_sum"),
         )
     )
+
+
+_DUCK_HV_UD = (
+    "CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || '-' "
+    "|| CAST(d AS VARCHAR)), 1, 8) AS BIGINT)"
+)
+_SPARK_HV_UD = (
+    "CAST(conv(substr(md5(concat(CAST(user_id AS STRING), '-', "
+    "CAST(d AS STRING))), 1, 8), 16, 10) AS BIGINT)"
+)
+
+
+@register(
+    name="kmv_union_jaccard",
+    survey="A8 A7 U3 O4",
+    doc="KMV sketch MERGEABILITY — the property that makes a sketch a "
+    "distributed aggregate: two overlapping active-user-day sets (days "
+    "1-15 vs 10-25) are sketched independently (64 smallest distinct "
+    "md5 hashes each), merged by re-minning the union of retained "
+    "hashes, and the merged sketch estimates the union cardinality "
+    "while the fraction of its hashes present in BOTH input sketches "
+    "estimates Jaccard (hence the intersection). True union/intersect "
+    "distinct counts sit in the same row, so the estimator's error is "
+    "itself oracle-certified. Post-sketch frames are <=128 rows — "
+    "every merge-side join is a broadcast of k hashes.",
+    oracle=f"""
+        WITH keys AS (
+            SELECT DISTINCT user_id, date_part('day', ts) AS d
+            FROM events),
+        hk AS (SELECT user_id, d, {_DUCK_HV_UD} AS hv FROM keys),
+        ska AS (SELECT DISTINCT hv FROM hk WHERE d BETWEEN 1 AND 15
+                ORDER BY hv LIMIT 64),
+        skb AS (SELECT DISTINCT hv FROM hk WHERE d BETWEEN 10 AND 25
+                ORDER BY hv LIMIT 64),
+        merged AS (
+            SELECT hv FROM (SELECT hv FROM ska UNION SELECT hv FROM skb)
+            ORDER BY hv LIMIT 64),
+        msk AS (
+            SELECT COUNT(*) AS k_used, MAX(hv) AS h_k,
+                   COUNT(*) FILTER (WHERE hv IN (SELECT hv FROM ska)
+                                      AND hv IN (SELECT hv FROM skb))
+                       AS n_both
+            FROM merged),
+        tru AS (
+            SELECT (SELECT COUNT(*) FROM keys WHERE d BETWEEN 1 AND 25)
+                       AS true_union,
+                   (SELECT COUNT(*) FROM keys
+                    WHERE d BETWEEN 10 AND 15) AS true_intersect)
+        SELECT k_used, n_both,
+               CAST(floor((CAST(k_used AS DOUBLE) - 1.0) * 4294967296.0
+                          / CAST(h_k AS DOUBLE)) AS BIGINT) AS est_union,
+               CAST(floor(CAST(n_both AS DOUBLE) / CAST(k_used AS DOUBLE)
+                          * ((CAST(k_used AS DOUBLE) - 1.0) * 4294967296.0
+                             / CAST(h_k AS DOUBLE))) AS BIGINT)
+                   AS est_intersect,
+               true_union, true_intersect
+        FROM msk, tru
+    """,
+)
+def kmv_union_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id", "dayofmonth(ts) AS d"
+    )
+    keys = ev.distinct()
+    hk = keys.selectExpr("user_id", "d", f"{_SPARK_HV_UD} AS hv")
+    ska = (
+        hk.where(F.col("d").between(1, 15)).select("hv").distinct()
+        .orderBy("hv").limit(_K)
+    )
+    skb = (
+        hk.where(F.col("d").between(10, 25)).select("hv").distinct()
+        .orderBy("hv").limit(_K)
+    )
+    merged = ska.union(skb).distinct().orderBy("hv").limit(_K)
+    in_a = merged.join(F.broadcast(ska), "hv", "left_semi")
+    in_both = in_a.join(F.broadcast(skb), "hv", "left_semi")
+    msk = (
+        merged.agg(
+            F.count(F.lit(1)).alias("k_used"), F.max("hv").alias("h_k")
+        )
+        .join(F.broadcast(in_both.agg(F.count(F.lit(1)).alias("n_both"))))
+    )
+    tru = (
+        keys.where(F.col("d").between(1, 25))
+        .agg(F.count(F.lit(1)).alias("true_union"))
+        .join(
+            F.broadcast(
+                keys.where(F.col("d").between(10, 15)).agg(
+                    F.count(F.lit(1)).alias("true_intersect")
+                )
+            )
+        )
+    )
+    u = (F.col("k_used").cast("double") - F.lit(1.0)) * F.lit(
+        _HASH_RANGE
+    ) / F.col("h_k").cast("double")
+    return (
+        msk.join(F.broadcast(tru))
+        .select(
+            "k_used",
+            "n_both",
+            F.floor(u).cast("bigint").alias("est_union"),
+            F.floor(
+                F.col("n_both").cast("double")
+                / F.col("k_used").cast("double")
+                * u
+            ).cast("bigint").alias("est_intersect"),
+            "true_union",
+            "true_intersect",
+        )
+    )
+
+
+_PSI_BANDS = 10
+_PSI_W = 50.0  # fixture values live in [0, ~500): 10 fixed-width bands
+
+# Smoothed per-band PSI contribution in micro units, quantized BEFORE the
+# final sum (the tfidf.py ln() contract). p_i = (n_i + 1) / (N + B).
+_PSI_TERM = """
+    CAST(floor(
+        ((CAST(n1 AS DOUBLE) + 1.0) / (CAST(tot1 AS DOUBLE) + 10.0)
+         - (CAST(n0 AS DOUBLE) + 1.0) / (CAST(tot0 AS DOUBLE) + 10.0))
+        * ln(((CAST(n1 AS DOUBLE) + 1.0) / (CAST(tot1 AS DOUBLE) + 10.0))
+             / ((CAST(n0 AS DOUBLE) + 1.0) / (CAST(tot0 AS DOUBLE) + 10.0)))
+        * 1000000 + 0.5) AS BIGINT)
+"""
+
+
+@register(
+    name="psi_value_drift",
+    survey="A7 F28 J5 F15",
+    doc="Population-stability-index drift check between two halves of the "
+    "month (the data-quality gate in front of a model retrain): fixed "
+    "value bands from a generated sequence (zero-filled via left join, "
+    "+1 smoothing so empty bands stay finite), per-band counts for each "
+    "period, PSI contribution per band micro-quantized then exactly "
+    "summable. Per-band rows emitted so the oracle certifies the full "
+    "drift profile, not one number; band domain is bounded so every "
+    "post-count frame broadcasts.",
+    oracle=f"""
+        WITH ev AS (
+            SELECT CAST(least(floor(value / {_PSI_W!r}),
+                              {_PSI_BANDS - 1}) AS BIGINT) AS band,
+                   date_part('day', ts) <= 15 AS first_half
+            FROM events WHERE value IS NOT NULL),
+        bands AS (SELECT unnest(range({_PSI_BANDS})) AS band),
+        c0 AS (SELECT band, COUNT(*) AS n0 FROM ev
+               WHERE first_half GROUP BY band),
+        c1 AS (SELECT band, COUNT(*) AS n1 FROM ev
+               WHERE NOT first_half GROUP BY band),
+        t AS (SELECT (SELECT COUNT(*) FROM ev WHERE first_half) AS tot0,
+                     (SELECT COUNT(*) FROM ev WHERE NOT first_half) AS tot1)
+        SELECT bands.band,
+               COALESCE(n0, 0) AS n0, COALESCE(n1, 0) AS n1,
+               (SELECT {_PSI_TERM.replace('n0', 'COALESCE(n0, 0)')
+                                 .replace('n1', 'COALESCE(n1, 0)')})
+                   AS psi_term_micro
+        FROM bands
+        LEFT JOIN c0 USING (band)
+        LEFT JOIN c1 USING (band)
+        CROSS JOIN t
+    """,
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.least(
+                F.floor(F.col("value") / _PSI_W), F.lit(_PSI_BANDS - 1)
+            ).cast("bigint").alias("band"),
+            (F.dayofmonth("ts") <= 15).alias("first_half"),
+        )
+    )
+    bands = spark.range(_PSI_BANDS).select(F.col("id").alias("band"))
+    c0 = ev.where("first_half").groupBy("band").agg(
+        F.count(F.lit(1)).alias("n0")
+    )
+    c1 = ev.where("NOT first_half").groupBy("band").agg(
+        F.count(F.lit(1)).alias("n1")
+    )
+    t = ev.agg(
+        F.count(F.when(F.col("first_half"), 1)).alias("tot0"),
+        F.count(F.when(~F.col("first_half"), 1)).alias("tot1"),
+    )
+    filled = (
+        bands.join(F.broadcast(c0), "band", "left")
+        .join(F.broadcast(c1), "band", "left")
+        .join(F.broadcast(t))
+        .select(
+            "band",
+            F.coalesce("n0", F.lit(0)).alias("n0"),
+            F.coalesce("n1", F.lit(0)).alias("n1"),
+            "tot0",
+            "tot1",
+        )
+    )
+    return filled.select(
+        "band", "n0", "n1", F.expr(_PSI_TERM).alias("psi_term_micro")
+    )
