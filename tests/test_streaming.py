@@ -257,3 +257,53 @@ def test_stream_stream_interval_join_equals_batch(spark, stream_src, tmp_path):
     assert got.count() > 0
     assert got.subtract(batch).count() == 0
     assert batch.subtract(got).count() == 0
+
+
+def test_events_replay_datasource_streams_all_rows_deterministically(
+    spark, sf_dir, tmp_path
+):
+    """The Python streaming DataSource (events_replay) must deliver the
+    parquet table exactly once across multiple micro-batches, in on-disk
+    order, with row-position offsets."""
+    import time
+
+    from uk_procurement_data_pipeline_spark.sources.events_replay_stream import (
+        EventsReplayDataSource,
+    )
+
+    spark.dataSource.register(EventsReplayDataSource)
+    path = f"{sf_dir}/events.parquet"
+    expected = spark.read.parquet(path)
+    n = expected.count()
+    batch_rows = 300  # forces ceil(n/300) >= 2 micro-batches at sf0.001
+
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("events_replay_test")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        got = 0
+        while time.time() < deadline and got < n:
+            got = spark.sql(
+                "SELECT count(*) c FROM events_replay_test"
+            ).collect()[0].c
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    assert got == n  # every row exactly once, no duplicates appended
+    replayed = spark.sql(
+        "SELECT * FROM events_replay_test"
+    ).orderBy("event_id").toPandas()
+    want = expected.orderBy("event_id").toPandas()
+    assert replayed.reset_index(drop=True).equals(want.reset_index(drop=True))
