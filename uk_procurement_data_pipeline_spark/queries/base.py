@@ -148,6 +148,7 @@ def registry() -> dict[str, QuerySpec]:
         retrieval,
         sketches,
         mixture,
+        profiling,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

@@ -1,0 +1,99 @@
+"""Column profiling — the data-quality summary a pipeline runs before
+trusting a new drop ([NORTH-STAR]; the Deequ / Great-Expectations
+"profile then assert" pattern, and the engine-side form of the
+reference's manual eyeballing of daily files).
+
+One scan computes every column's null count, distinct count, and typed
+min/max (stringified only at the edge for the uniform output schema);
+a second keyed pass finds each column's mode (most frequent value, ties
+broken by the value string so the result is set-deterministic). Shapes:
+the stats row is a single partial+final aggregate; the mode pass
+shuffles once on (column, value) — high-cardinality keys, linear in
+table size — then once on the bounded column domain for the argmax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_COLS = ("o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice")
+
+
+def _duck_stats(c: str) -> str:
+    return f"""
+        SELECT '{c}' AS column_name,
+               COUNT(*) - COUNT({c}) AS n_nulls,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_value,
+               CAST(MAX({c}) AS VARCHAR) AS max_value
+        FROM orders"""
+
+
+def _duck_mode(c: str) -> str:
+    return f"""
+        SELECT '{c}' AS column_name, CAST({c} AS VARCHAR) AS value,
+               COUNT(*) AS cnt
+        FROM orders WHERE {c} IS NOT NULL
+        GROUP BY {c}"""
+
+
+@register(
+    name="profile_orders_columns",
+    survey="A7 A8 W1 U1",
+    doc="Per-column profile of orders (nulls, distinct, min/max, mode): "
+    "single-scan stats aggregate + per-column value counts unioned "
+    "into one (column, value) keyed frame, mode by windowed argmax "
+    "with a value tiebreak. Output one row per profiled column — the "
+    "bounded-domain summary a quality gate asserts against.",
+    oracle=f"""
+        WITH stats AS ({" UNION ALL ".join(_duck_stats(c) for c in _COLS)}),
+        vals AS ({" UNION ALL ".join(_duck_mode(c) for c in _COLS)}),
+        modes AS (
+            SELECT column_name, value AS top_value, cnt AS top_count
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY column_name
+                      ORDER BY cnt DESC, value) AS rk FROM vals)
+            WHERE rk = 1)
+        SELECT s.column_name, s.n_nulls, s.n_distinct,
+               s.min_value, s.max_value, m.top_value, m.top_count
+        FROM stats s JOIN modes m USING (column_name)
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    stats = None
+    for c in _COLS:
+        s = orders.agg(
+            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
+            F.count_distinct(F.col(c)).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        ).select(F.lit(c).alias("column_name"), "*")
+        stats = s if stats is None else stats.unionByName(s)
+    vals = None
+    for c in _COLS:
+        v = (
+            orders.where(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("value"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.lit(c).alias("column_name"), "value", "cnt")
+        )
+        vals = v if vals is None else vals.unionByName(v)
+    w = Window.partitionBy("column_name").orderBy(
+        F.col("cnt").desc(), F.col("value")
+    )
+    modes = (
+        vals.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "column_name",
+            F.col("value").alias("top_value"),
+            F.col("cnt").alias("top_count"),
+        )
+    )
+    return stats.join(F.broadcast(modes), "column_name")
