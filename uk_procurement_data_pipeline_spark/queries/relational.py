@@ -548,9 +548,9 @@ _PIT_CUT = "1998-01-01"  # version-change date inside the order-date range
     "predicate, so each order sees exactly the dimension version in "
     "effect on its order date. The interval test rides the hash "
     "equi-join on the key as a post-join filter — never a range-only "
-    "join, never a cross product; the history side is dimension-sized "
-    "and broadcasts. Output: per-era order counts, exact revenue, and "
-    "distinct customers.",
+    "join, never a cross product; the history is dimension-sized "
+    "(SF-scaled, so broadcast-eligible but left to AQE). Output: "
+    "per-era order counts, exact revenue, and distinct customers.",
     oracle=f"""
         WITH upd AS (
             SELECT c_custkey FROM customer WHERE ({_D_CUST_BUCKET}) < 20),
@@ -612,7 +612,7 @@ def pointintime_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderdate", "o_totalprice"
     )
     joined = orders.join(
-        F.broadcast(hist),
+        hist,
         (F.col("o_custkey") == F.col("c_custkey"))
         & (F.col("valid_from").cast("timestamp") <= F.col("o_orderdate"))
         & (

@@ -48,7 +48,9 @@ def _ps(spark: SparkSession, sf_dir: str) -> DataFrame:
     "among suppliers observed shipping that part. The canonical "
     "correlated MIN subquery is an aggregate computed once over the "
     "candidate set and equi-joined back on (part, min) — one shuffle on "
-    "the part key feeds both sides; supplier/nation/region broadcast.",
+    "the part key feeds both sides; only the fixed-cardinality nation/"
+    "region dims are force-broadcast (part/supplier are SF-scaled, AQE "
+    "decides).",
     oracle="""
         WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
         cand AS (
@@ -76,10 +78,11 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     cand = (
         _ps(spark, sf_dir)
-        # part is SF-scaled but heavily pre-filtered (one size x one type)
-        # — broadcast the pruned dim, shuffle only the pair list.
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        # part and supplier are SF-scaled — only the fixed-cardinality
+        # nation/region dims are forced; AQE picks strategies for the rest
+        # (at fixture scale it broadcasts them anyway).
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -87,8 +90,10 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mn = cand.groupBy(F.col("p_partkey").alias("mk")).agg(
         F.min("s_acctbal").alias("min_bal")
     )
+    # mn scales with the filtered part count — no broadcast hint; the join
+    # keys on the same part key as cand, so the shuffle co-locates.
     return cand.join(
-        F.broadcast(mn),
+        mn,
         (F.col("p_partkey") == F.col("mk"))
         & (F.col("s_acctbal") == F.col("min_bal")),
     ).select("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
@@ -138,8 +143,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "0.6*p_retailprice*l_quantity standing in for ps_supplycost*qty. "
     "The amount expression is written identically in both engines "
     "(IEEE double, same op order) then summed through the exact-decimal "
-    "contract; part/supplier/nation broadcast, lineitem⋈orders is the "
-    "one large shuffle.",
+    "contract; nation is the only forced broadcast (part/supplier are "
+    "SF-scaled — AQE decides), lineitem⋈orders is the one large shuffle.",
     oracle=f"""
         SELECT n_name AS nation, year(o_orderdate) AS o_year,
                {oracle_sum(
@@ -169,9 +174,9 @@ def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) - F.col("l_discount")
     ) - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -224,7 +229,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoped = (
         load(spark, sf_dir, "lineitem")
         .select("l_suppkey", "l_partkey", "l_extendedprice")
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
     )
     per_part = scoped.groupBy(F.col("l_partkey").alias("p_key")).agg(
@@ -288,8 +293,9 @@ def q12_priority_line_classes(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TPC-H Q16 analog (parts/supplier relationship): distinct supplier "
     "counts per (brand, type, size) over the observed part-supplier "
     "pairs, excluding one brand, a size set, and negative-balance "
-    "suppliers (the complaint-supplier stand-in) via a broadcast LEFT "
-    "ANTI join. countDistinct shuffles once on the group key.",
+    "suppliers (the complaint-supplier stand-in) via a LEFT ANTI join "
+    "(both filter sides SF-scaled — AQE picks the strategy). "
+    "countDistinct shuffles once on the group key.",
     oracle="""
         WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
         SELECT p_brand, p_type, p_size,
@@ -318,12 +324,14 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         _ps(spark, sf_dir)
+        # both sides are SF-scaled (a balance-filtered supplier slice, a
+        # size-filtered part slice) — AQE chooses; no forced broadcast.
         .join(
-            F.broadcast(bad_supp),
+            bad_supp,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
-        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
     )
@@ -367,7 +375,7 @@ def q20_promotion_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
         )
-        .join(F.broadcast(pk), F.col("l_partkey") == F.col("p_partkey"))
+        .join(pk, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey", "l_partkey")
         .agg(exact_sum("l_quantity", "qty"))
         .where(F.col("qty") > 45.0)
@@ -449,7 +457,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         lines.where(F.col("late"))
         .join(per_order, F.col("l_orderkey") == F.col("ok"))
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
