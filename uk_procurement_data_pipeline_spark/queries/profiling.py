@@ -46,10 +46,11 @@ def _duck_mode(c: str) -> str:
     name="profile_orders_columns",
     survey="A7 A8 W1 U1",
     doc="Per-column profile of orders (nulls, distinct, min/max, mode): "
-    "single-scan stats aggregate + per-column value counts unioned "
-    "into one (column, value) keyed frame, mode by windowed argmax "
-    "with a value tiebreak. Output one row per profiled column — the "
-    "bounded-domain summary a quality gate asserts against.",
+    "ONE scan aggregates all 16 measures then stack()s the wide row "
+    "into per-column rows; one more scan stacks (column, value) pairs "
+    "map-side for a single keyed count, mode by windowed argmax with a "
+    "value tiebreak. Output one row per profiled column — the bounded-"
+    "domain summary a quality gate asserts against.",
     oracle=f"""
         WITH stats AS ({" UNION ALL ".join(_duck_stats(c) for c in _COLS)}),
         vals AS ({" UNION ALL ".join(_duck_mode(c) for c in _COLS)}),
@@ -66,24 +67,42 @@ def _duck_mode(c: str) -> str:
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    stats = None
-    for c in _COLS:
-        s = orders.agg(
-            (F.count(F.lit(1)) - F.count(c)).alias("n_nulls"),
-            F.count_distinct(F.col(c)).alias("n_distinct"),
-            F.min(c).cast("string").alias("min_value"),
-            F.max(c).cast("string").alias("max_value"),
-        ).select(F.lit(c).alias("column_name"), "*")
-        stats = s if stats is None else stats.unionByName(s)
-    vals = None
-    for c in _COLS:
-        v = (
-            orders.where(F.col(c).isNotNull())
-            .groupBy(F.col(c).cast("string").alias("value"))
-            .agg(F.count(F.lit(1)).alias("cnt"))
-            .select(F.lit(c).alias("column_name"), "value", "cnt")
+    # Stats: literally ONE scan — a single aggregate computes all 16
+    # measures, then stack() pivots the one wide row into one row per
+    # column (typed min/max stringified at the edge; stack positions are
+    # type-uniform across rows).
+    one = orders.agg(
+        *[
+            e
+            for c in _COLS
+            for e in (
+                (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
+                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
+                F.min(c).cast("string").alias(f"{c}__min"),
+                F.max(c).cast("string").alias(f"{c}__max"),
+            )
+        ]
+    )
+    stats = one.selectExpr(
+        f"stack({len(_COLS)}, "
+        + ", ".join(
+            f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
+            for c in _COLS
         )
-        vals = v if vals is None else vals.unionByName(v)
+        + ") AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+    )
+    # Modes: one more scan — each row stacks into (column, value) pairs
+    # map-side, then a single (column, value) shuffle counts everything.
+    vals = (
+        orders.selectExpr(
+            f"stack({len(_COLS)}, "
+            + ", ".join(f"'{c}', CAST({c} AS STRING)" for c in _COLS)
+            + ") AS (column_name, value)"
+        )
+        .where(F.col("value").isNotNull())
+        .groupBy("column_name", "value")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
     w = Window.partitionBy("column_name").orderBy(
         F.col("cnt").desc(), F.col("value")
     )
