@@ -24,8 +24,6 @@ per batch via pyarrow and only the requested row slice materializes.
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
 from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
 
 EVENTS_SCHEMA = (
