@@ -3,13 +3,15 @@ trusting a new drop ([NORTH-STAR]; the Deequ / Great-Expectations
 "profile then assert" pattern, and the engine-side form of the
 reference's manual eyeballing of daily files).
 
-One scan computes every column's null count, distinct count, and typed
-min/max (stringified only at the edge for the uniform output schema);
-a second keyed pass finds each column's mode (most frequent value, ties
-broken by the value string so the result is set-deterministic). Shapes:
-the stats row is a single partial+final aggregate; the mode pass
-shuffles once on (column, value) — high-cardinality keys, linear in
-table size — then once on the bounded column domain for the argmax.
+Two scans total: one aggregate computes every column's null count and
+typed min/max (stringified only at the edge for the uniform output
+schema); a second keyed pass over stacked (column, value) pairs yields
+each column's mode (ties broken by the value string, set-deterministic)
+AND its distinct count — so no multi-count_distinct aggregate and no
+Expand-multiplied input. Shapes: the stats row is a single
+partial+final aggregate; the value pass shuffles once on
+(column, value) — high-cardinality keys, linear in table size — then
+once on the bounded column domain for the argmax.
 """
 
 from __future__ import annotations
@@ -46,11 +48,13 @@ def _duck_mode(c: str) -> str:
     name="profile_orders_columns",
     survey="A7 A8 W1 U1",
     doc="Per-column profile of orders (nulls, distinct, min/max, mode): "
-    "ONE scan aggregates all 16 measures then stack()s the wide row "
-    "into per-column rows; one more scan stacks (column, value) pairs "
-    "map-side for a single keyed count, mode by windowed argmax with a "
-    "value tiebreak. Output one row per profiled column — the bounded-"
-    "domain summary a quality gate asserts against.",
+    "two scans total — one aggregate for nulls + typed min/max "
+    "(stack()ed into per-column rows; count_distinct is kept OUT of it "
+    "because multi-distinct aggregates plan an Expand that multiplies "
+    "input by the column count), and one stacked (column, value) "
+    "keyed count that yields both the mode argmax and the distinct "
+    "counts. Output one row per profiled column — the bounded-domain "
+    "summary a quality gate asserts against.",
     oracle=f"""
         WITH stats AS ({" UNION ALL ".join(_duck_stats(c) for c in _COLS)}),
         vals AS ({" UNION ALL ".join(_duck_mode(c) for c in _COLS)}),
@@ -67,17 +71,18 @@ def _duck_mode(c: str) -> str:
 )
 def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders")
-    # Stats: literally ONE scan — a single aggregate computes all 16
-    # measures, then stack() pivots the one wide row into one row per
-    # column (typed min/max stringified at the edge; stack positions are
-    # type-uniform across rows).
+    # Stats scan: one aggregate with nulls + typed min/max per column —
+    # deliberately NO count_distinct here: several count_distincts in one
+    # aggregate plan an Expand (input rows multiplied by the column
+    # count); distinct counts instead fall out of the mode pass below,
+    # which already groups by (column, value). stack() pivots the single
+    # wide row into one row per column.
     one = orders.agg(
         *[
             e
             for c in _COLS
             for e in (
                 (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nulls"),
-                F.count_distinct(F.col(c)).alias(f"{c}__distinct"),
                 F.min(c).cast("string").alias(f"{c}__min"),
                 F.max(c).cast("string").alias(f"{c}__max"),
             )
@@ -86,13 +91,13 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = one.selectExpr(
         f"stack({len(_COLS)}, "
         + ", ".join(
-            f"'{c}', `{c}__nulls`, `{c}__distinct`, `{c}__min`, `{c}__max`"
-            for c in _COLS
+            f"'{c}', `{c}__nulls`, `{c}__min`, `{c}__max`" for c in _COLS
         )
-        + ") AS (column_name, n_nulls, n_distinct, min_value, max_value)"
+        + ") AS (column_name, n_nulls, min_value, max_value)"
     )
-    # Modes: one more scan — each row stacks into (column, value) pairs
-    # map-side, then a single (column, value) shuffle counts everything.
+    # Value scan: each row stacks into (column, value) pairs map-side,
+    # then ONE (column, value) shuffle feeds both the mode argmax and the
+    # per-column distinct counts (count of groups).
     vals = (
         orders.selectExpr(
             f"stack({len(_COLS)}, "
@@ -108,11 +113,24 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     modes = (
         vals.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_distinct",
+            F.count(F.lit(1)).over(Window.partitionBy("column_name")),
+        )
         .where(F.col("rk") == 1)
         .select(
             "column_name",
+            "n_distinct",
             F.col("value").alias("top_value"),
             F.col("cnt").alias("top_count"),
         )
     )
-    return stats.join(F.broadcast(modes), "column_name")
+    return stats.join(F.broadcast(modes), "column_name").select(
+        "column_name",
+        "n_nulls",
+        "n_distinct",
+        "min_value",
+        "max_value",
+        "top_value",
+        "top_count",
+    )
