@@ -120,6 +120,18 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "q21_waiting_suppliers",
 )
 
+# r05 window candidates, in priority order (README rotation policy):
+# 1. never-driver-checked r04 additions that did not fit this window:
+#    bm25_topk_docs, unigram_surprisal_quality, kmv_distinct_sketch,
+#    equidepth_value_bins, domain_mixture_resample, ewma_user_value,
+#    pointintime_customer_orders, kmv_union_jaccard, psi_value_drift,
+#    profile_orders_columns
+# 2. changed-in-r04 with fixture-identical results: repetition_signals,
+#    minhash_components
+# 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,
+#    top_orders_by_revenue, order_priority_semi, customers_without_orders,
+#    orders_per_customer — then continue longest-out-first.
+
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.
