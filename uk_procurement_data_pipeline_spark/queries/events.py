@@ -807,3 +807,64 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_ev").cast("bigint").alias("n_events"),
         F.sum(F.expr(_EWMA_TERM_MICRO)).cast("bigint").alias("ewma_micro"),
     )
+
+
+@register(
+    name="hourly_baseline_outliers",
+    survey="A7 J5 F15 F28",
+    doc="Seasonal-baseline anomaly detection: each event is z-scored "
+    "against the mean/std of ITS OWN hour-of-day (24-row baseline from "
+    "exact decimal sums — sum at scale 4, sum-of-squares at scale 2 "
+    "per the exact.py scale-budget rule — then identical double "
+    "algebra in both engines; sqrt is IEEE-exact so z compares "
+    "bit-stably). Baselines broadcast back onto the scan; output is "
+    "the |z| > 3 events. The grouped-stats-join-back shape that "
+    "seasonal monitoring runs at any scale: one agg shuffle over a "
+    "bounded key domain, one map-side join.",
+    oracle="""
+        WITH base AS (
+            SELECT date_part('hour', ts) AS hr,
+                   COUNT(*) AS n,
+                   CAST(ROUND(SUM(CAST(value AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS s,
+                   CAST(ROUND(SUM(CAST((value * value) AS DECIMAL(38,8))), 2)
+                        AS DOUBLE) AS sq
+            FROM events WHERE value IS NOT NULL
+            GROUP BY date_part('hour', ts)),
+        scored AS (
+            SELECT e.event_id, date_part('hour', e.ts) AS hr, e.value,
+                   (e.value - b.s / CAST(b.n AS DOUBLE))
+                   / sqrt((CAST(b.n AS DOUBLE) * b.sq - b.s * b.s)
+                          / (CAST(b.n AS DOUBLE)
+                             * (CAST(b.n AS DOUBLE) - 1.0))) AS z
+            FROM events e JOIN base b ON date_part('hour', e.ts) = b.hr
+            WHERE e.value IS NOT NULL)
+        SELECT event_id, hr, value, z
+        FROM scored WHERE abs(z) > 3.0
+    """,
+)
+def hourly_baseline_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", F.hour("ts").alias("hr"), "value")
+    )
+    base = ev.groupBy("hr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("value")), 4).cast("double").alias("s"),
+        F.round(F.sum(dec(F.col("value") * F.col("value"))), 2)
+        .cast("double")
+        .alias("sq"),
+    )
+    nn = F.col("n").cast("double")
+    mean = F.col("s") / nn
+    std = F.sqrt((nn * F.col("sq") - F.col("s") * F.col("s")) / (nn * (nn - F.lit(1.0))))
+    return (
+        ev.join(F.broadcast(base), "hr")
+        .select(
+            "event_id", "hr", "value", ((F.col("value") - mean) / std).alias("z")
+        )
+        .where(F.abs(F.col("z")) > 3.0)
+    )

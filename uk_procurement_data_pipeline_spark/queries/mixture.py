@@ -91,3 +91,101 @@ def domain_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sel_rank") <= F.col("quota"))
         .select("doc_id", "source", "quota", "sel_rank")
     )
+
+
+# Per-stratum Neyman weight N_h * S_h quantized to integer micro units
+# BEFORE the cross-strata sum, so the denominator is an exact bigint sum
+# (a plain double sum over strata would be partial-order-dependent).
+# S_h is the sample stddev of n_chars from exact decimal sums (sum at
+# scale 4, sum-of-squares at scale 2 — the exact.py scale-budget rule);
+# sqrt is IEEE-exact, so w_micro is identical in both engines.
+_NEYMAN_W_MICRO = """
+    CAST(floor(CAST(n_h AS DOUBLE)
+               * sqrt((CAST(n_h AS DOUBLE) * sq - s * s)
+                      / (CAST(n_h AS DOUBLE) * (CAST(n_h AS DOUBLE) - 1.0)))
+               * 1000000 + 0.5) AS BIGINT)
+"""
+
+
+@register(
+    name="neyman_stratified_sample",
+    survey="A7 W1 J5 F28",
+    doc="Neyman-allocation stratified sampling: the 10% document budget "
+    "is split across source strata proportionally to N_h * S_h (stratum "
+    "size times stddev of document length) — the variance-minimizing "
+    "allocation for estimating mean length. Weights are micro-quantized "
+    "bigints so the cross-strata denominator sums exactly; allocations "
+    "are pure integer arithmetic (T * w div sum_w, clamped to N_h); "
+    "membership is md5-rank within stratum. Every retained row carries "
+    "its stratum's allocation, so the oracle certifies both the "
+    "allocation math and the selection.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars, {_DUCK_HV} AS hv
+            FROM documents),
+        strata AS (
+            SELECT source, COUNT(*) AS n_h,
+                   CAST(ROUND(SUM(CAST(n_chars AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS s,
+                   CAST(ROUND(SUM(CAST((CAST(n_chars AS DOUBLE)
+                                        * CAST(n_chars AS DOUBLE))
+                                       AS DECIMAL(38,8))), 2)
+                        AS DOUBLE) AS sq
+            FROM d GROUP BY source),
+        w AS (SELECT source, n_h, {_NEYMAN_W_MICRO} AS w_micro FROM strata),
+        tot AS (
+            SELECT CAST(SUM(w_micro) AS BIGINT) AS sum_w,
+                   (SELECT COUNT(*) // 10 FROM d) AS budget
+            FROM w),
+        alloc AS (
+            SELECT source, n_h,
+                   least(CAST(budget * w_micro // sum_w AS BIGINT),
+                         CAST(n_h AS BIGINT)) AS n_take
+            FROM w CROSS JOIN tot),
+        ranked AS (
+            SELECT d.doc_id, d.source, alloc.n_take,
+                   row_number() OVER (PARTITION BY d.source
+                                      ORDER BY d.hv, d.doc_id) AS sel_rank
+            FROM d JOIN alloc USING (source))
+        SELECT doc_id, source, n_take, sel_rank
+        FROM ranked WHERE sel_rank <= n_take
+    """,
+)
+def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    d = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", "n_chars", f"{_SPARK_HV} AS hv"
+    )
+    strata = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.round(F.sum(dec("n_chars")), 4).cast("double").alias("s"),
+        F.round(
+            F.sum(dec(F.col("n_chars").cast("double") * F.col("n_chars").cast("double"))),
+            2,
+        )
+        .cast("double")
+        .alias("sq"),
+    )
+    w = strata.select("source", "n_h", F.expr(_NEYMAN_W_MICRO).alias("w_micro"))
+    tot = w.agg(F.sum("w_micro").cast("bigint").alias("sum_w")).join(
+        F.broadcast(d.agg((F.count(F.lit(1)) / 10).cast("bigint").alias("budget")))
+    )
+    alloc = (
+        w.join(F.broadcast(tot))
+        .select(
+            "source",
+            "n_h",
+            F.least(
+                F.expr("CAST(budget * w_micro div sum_w AS BIGINT)"),
+                F.col("n_h").cast("bigint"),
+            ).alias("n_take"),
+        )
+    )
+    win = Window.partitionBy("source").orderBy("hv", "doc_id")
+    return (
+        d.join(F.broadcast(alloc), "source")
+        .withColumn("sel_rank", F.row_number().over(win))
+        .where(F.col("sel_rank") <= F.col("n_take"))
+        .select("doc_id", "source", "n_take", "sel_rank")
+    )

@@ -208,3 +208,90 @@ def unigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal_micro"),
         )
     )
+
+
+_PMI_MIN_COUNT = 10
+_PMI_TOP = 20
+
+# PMI in micro units: ln( p(ab) / (p(a) p(b)) ) with p from corpus counts.
+_PMI_MICRO = """
+    CAST(floor(ln((CAST(n_ab AS DOUBLE) / CAST(n_bigrams AS DOUBLE))
+                  / ((CAST(n_a AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                     * (CAST(n_b AS DOUBLE) / CAST(n_tokens AS DOUBLE))))
+               * 1000000 + 0.5) AS BIGINT)
+"""
+
+
+@register(
+    name="pmi_collocations",
+    survey="A7 J6 F17 O4",
+    doc="Collocation mining by pointwise mutual information: adjacent "
+    "token pairs from a positional self-join (pos+1), bigram/unigram "
+    "hash-aggs, corpus totals as a broadcast one-row aggregate, PMI "
+    "micro-quantized (the ln() contract), count floor 10, global "
+    "top-20 with (a, b) tiebreak via TakeOrderedAndProject. The "
+    "phrase-detection pass a tokenizer-training pipeline runs over a "
+    "corpus; every shuffle keys on tokens or (doc, pos).",
+    oracle=f"""
+        WITH pos AS (
+            SELECT d.doc_id, s.i AS pos,
+                   (string_split(d.text, ' '))[s.i] AS word
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(1,
+                              len(string_split(d.text, ' ')) + 1)) AS i) s),
+        bi AS (
+            SELECT p1.word AS a, p2.word AS b, COUNT(*) AS n_ab
+            FROM pos p1 JOIN pos p2
+              ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+            GROUP BY p1.word, p2.word),
+        uni AS (SELECT word, COUNT(*) AS n_w FROM pos GROUP BY word),
+        tot AS (SELECT CAST(SUM(n_w) AS BIGINT) AS n_tokens FROM uni),
+        totb AS (SELECT CAST(SUM(n_ab) AS BIGINT) AS n_bigrams FROM bi),
+        scored AS (
+            SELECT bi.a, bi.b, bi.n_ab, {_PMI_MICRO} AS pmi_micro
+            FROM bi
+            JOIN uni ua ON bi.a = ua.word
+            JOIN uni ub ON bi.b = ub.word
+            CROSS JOIN tot CROSS JOIN totb,
+            LATERAL (SELECT ua.n_w AS n_a, ub.n_w AS n_b) x
+            WHERE bi.n_ab >= {_PMI_MIN_COUNT})
+        SELECT a, b, n_ab, pmi_micro
+        FROM scored
+        ORDER BY pmi_micro DESC, a, b
+        LIMIT {_PMI_TOP}
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.selectExpr("doc_id", "posexplode(split(text, ' ')) AS (p, word)")
+    p1 = pos.select("doc_id", F.col("p").alias("pos"), F.col("word").alias("a"))
+    p2 = pos.select(
+        "doc_id", (F.col("p") - 1).alias("pos"), F.col("word").alias("b")
+    )
+    bi = (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= _PMI_MIN_COUNT)
+    )
+    uni = pos.groupBy("word").agg(F.count(F.lit(1)).alias("n_w"))
+    tot = uni.agg(F.sum("n_w").cast("bigint").alias("n_tokens"))
+    # totals: bigram denominator over ALL bigrams (computed before the
+    # count floor, same as the oracle's bi CTE which floors in `scored`)
+    bi_all = (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    totb = bi_all.agg(F.sum("n_ab").cast("bigint").alias("n_bigrams"))
+    ua = uni.select(F.col("word").alias("a"), F.col("n_w").alias("n_a"))
+    ub = uni.select(F.col("word").alias("b"), F.col("n_w").alias("n_b"))
+    return (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(tot))
+        .join(F.broadcast(totb))
+        .select("a", "b", "n_ab", F.expr(_PMI_MICRO).alias("pmi_micro"))
+        .orderBy(F.col("pmi_micro").desc(), "a", "b")
+        .limit(_PMI_TOP)
+    )
