@@ -125,7 +125,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    bm25_topk_docs, unigram_surprisal_quality, kmv_distinct_sketch,
 #    equidepth_value_bins, domain_mixture_resample, ewma_user_value,
 #    pointintime_customer_orders, kmv_union_jaccard, psi_value_drift,
-#    profile_orders_columns
+#    profile_orders_columns, hourly_baseline_outliers, pmi_collocations,
+#    neyman_stratified_sample
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,
