@@ -1,0 +1,128 @@
+"""Scale-stress harness: replicate a fixture scale factor K-fold with
+disjoint key spaces, then time selected queries at both scales to show
+how wall time actually grows with data volume.
+
+Why: the driver's fixtures stop at sf0.1, where most queries are
+dominated by fixed overheads (session, codegen, small-shuffle setup).
+Replicating sf0.1 K times — every key column offset per replica so
+joins/aggregations see K x the rows AND K x the distinct keys — gives a
+direct empirical read on each plan's scaling exponent. A linear plan
+lands well under K x wall time (overhead amortizes); an accidentally
+quadratic plan (cartesian, all-pairs similarity, unpartitioned sort)
+explodes and is caught here before a real cluster finds it.
+
+Usage:
+    python tools/scale_stress.py [--k 5] [--src /root/testdata/sf0.1] \
+        [query ...]            # default: a representative heavy set
+
+Writes the replica to /tmp/spark_scale_stress/sf<sf*k> (reused if
+present), times each query at src and replica scale (best-of-N, noop
+sink — bench.py's methodology), and prints one line per query:
+    <name>  base=<s>  big=<s>  ratio=<big/base>  (k=<K>)
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bench import run_query  # noqa: E402
+from uk_procurement_data_pipeline_spark.catalog import TABLES  # noqa: E402
+from uk_procurement_data_pipeline_spark.queries import registry  # noqa: E402
+from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Key columns to offset per replica so the key domain scales with K.
+# Dimension tables with fixed real-world cardinality (nation, region)
+# replicate WITHOUT offsets? No — they are not replicated at all: their
+# cardinality is scale-invariant by definition.
+_OFFSET = 10**12
+_KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+_FIXED_DIMS = ("nation", "region")
+
+_DEFAULT_QUERIES = [
+    "pricing_summary",
+    "revenue_by_region",
+    "q18_large_volume_orders",
+    "q21_waiting_suppliers",
+    "q9_product_type_profit",
+    "exact_dedup_docs",
+    "minhash_near_dup",
+    "bm25_topk_docs",
+    "unigram_surprisal_quality",
+    "ewma_user_value",
+    "equidepth_value_bins",
+    "domain_mixture_resample",
+    "tfidf_top_terms",
+    "events_tumbling_window",
+]
+
+
+def build_replica(spark, src: str, k: int) -> str:
+    out = Path(f"/tmp/spark_scale_stress/{Path(src).name}x{k}")
+    if out.exists() and any(out.rglob("*.parquet")):
+        return str(out)
+    out.mkdir(parents=True, exist_ok=True)
+    for t in TABLES:
+        df = spark.read.parquet(f"{src}/{t}.parquet")
+        if t in _FIXED_DIMS:
+            big = df
+        else:
+            parts = []
+            for i in range(k):
+                p = df
+                for c in _KEYED.get(t, []):
+                    p = p.withColumn(c, F.col(c) + F.lit(i * _OFFSET))
+                parts.append(p)
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+        big.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return str(out)
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    k, src, names = 5, "/root/testdata/sf0.1", []
+    it = iter(args)
+    for a in it:
+        if a == "--k":
+            k = int(next(it))
+        elif a == "--src":
+            src = next(it)
+        else:
+            names.append(a)
+    names = names or _DEFAULT_QUERIES
+    spark = get_spark("scale-stress", master="local[32]")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = registry()
+    big_dir = build_replica(spark, src, k)
+    print(f"replica ready: {big_dir} (k={k})", file=sys.stderr)
+    # warmup (bench.py's pattern)
+    reg[names[0]].fn(spark, src).write.mode("overwrite").format("noop").save()
+    worst = 0.0
+    for n in names:
+        base = run_query(spark, reg[n], src)
+        big = run_query(spark, reg[n], big_dir)
+        ratio = big / base
+        worst = max(worst, ratio)
+        print(f"{n:36s} base={base:7.3f}s  big={big:7.3f}s  ratio={ratio:5.2f}x  (k={k})")
+    print(f"\nworst ratio {worst:.2f}x vs data ratio {k}x")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
