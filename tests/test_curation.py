@@ -1,0 +1,112 @@
+"""Cross-operator invariants for the round-4 curation additions
+(queries/curation.py + the Markov/CUSUM event queries): properties that
+hold for ANY input, complementing the value-level oracle checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.queries import registry
+
+
+def test_gopher_flags_recompute_from_reported_counts(spark, sf_dir):
+    rows = registry()["gopher_quality_rules"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == docs
+    for r in rows:
+        assert r["flag_word_len"] == (
+            3 * r["n_words"] <= r["sum_word_len"] <= 10 * r["n_words"]
+        )
+        assert r["flag_alpha"] == (10 * r["n_alpha_words"] >= 8 * r["n_words"])
+        assert r["pass_gopher"] == (
+            r["flag_len"]
+            and r["flag_word_len"]
+            and r["flag_alpha"]
+            and r["flag_stop"]
+        )
+        assert 0 <= r["n_alpha_words"] <= r["n_words"]
+        assert 0 <= r["n_stop_hits"] <= 8
+
+
+def test_bpe_pairs_are_two_chars_and_ranked(spark, sf_dir):
+    rows = registry()["bpe_pair_counts"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    assert all(len(r["pair"]) == 2 for r in rows)
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    # the top pair must occur at least as often as any single sampled pair
+    assert counts[0] >= counts[-1] > 0
+
+
+def test_temperature_allocation_exhausts_budget_exactly(spark, sf_dir):
+    rows = registry()["temperature_mixture_weights"].fn(spark, sf_dir).collect()
+    assert sum(r["alloc_docs"] for r in rows) == 10_000
+    assert abs(sum(r["p_sample"] for r in rows) - 1.0) < 1e-9
+    # temperature flattening: smaller sources get MORE than proportional
+    tot = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        if r["n_docs"] * len(rows) < tot:  # below-average source
+            assert r["alloc_docs"] / 10_000 >= r["n_docs"] / tot * 0.999
+
+
+def test_semdedup_keeps_first_of_every_cluster(spark, sf_dir):
+    rows = registry()["semdedup_prune"].fn(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n_vecs
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for members in by_cluster.values():
+        # the smallest vec_id of a cluster can never be pruned
+        first = min(members, key=lambda r: r["vec_id"])
+        assert first["is_kept"]
+
+
+def test_allpairs_prefix_join_matches_bruteforce(spark, sf_dir):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in registry()["allpairs_prefix_jaccard"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: set(r["text"].split(" "))
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    ids = sorted(docs)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(docs[a] & docs[b])
+            union = len(docs[a] | docs[b])
+            if 10 * inter >= 9 * union:
+                expect[(a, b)] = inter / union
+    # the prefix+positional filters are LOSSLESS: exact same pair set
+    assert set(out) == set(expect)
+    for k, v in expect.items():
+        assert abs(out[k] - v) < 1e-12
+
+
+def test_markov_probabilities_normalize_per_prev(spark, sf_dir):
+    rows = registry()["markov_transition_matrix"].fn(spark, sf_dir).collect()
+    assert rows
+    by_prev: dict[str, list] = {}
+    for r in rows:
+        by_prev.setdefault(r["prev"], []).append(r)
+    for prev, members in by_prev.items():
+        assert abs(sum(r["p_trans"] for r in members) - 1.0) < 1e-9
+        total = members[0]["total_from"]
+        assert all(r["total_from"] == total for r in members)
+        assert sum(r["n_trans"] for r in members) == total
+
+
+def test_cusum_telescopes_to_zero_and_flags_unique_argmax(spark, sf_dir):
+    rows = sorted(
+        registry()["cusum_changepoint"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    # sum over all days of (D*n - N) telescopes to D*N - D*N = 0
+    assert rows[-1]["cusum_scaled"] == 0
+    flagged = [r for r in rows if r["is_changepoint"]]
+    assert len(flagged) == 1
+    peak = max(abs(r["cusum_scaled"]) for r in rows)
+    assert abs(flagged[0]["cusum_scaled"]) == peak

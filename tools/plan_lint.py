@@ -43,6 +43,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
     },
+    "temperature_mixture_weights": {
+        "GLOBALWIN": "largest-remainder rank over ONE ROW PER SOURCE "
+        "(bounded domain) — input is already aggregate-sized",
+    },
+    "cusum_changepoint": {
+        "GLOBALWIN": "running sum + argmax over ONE ROW PER DAY (the "
+        "daily rollup) — input is already aggregate-sized",
+    },
 }
 
 _SPEC = re.compile(r"windowspecdefinition\((.{0,120})")

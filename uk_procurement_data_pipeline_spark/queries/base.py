@@ -127,6 +127,10 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    pointintime_customer_orders, kmv_union_jaccard, psi_value_drift,
 #    profile_orders_columns, hourly_baseline_outliers, pmi_collocations,
 #    neyman_stratified_sample
+#    plus the round-4 batch-3 additions (queries/curation.py + events.py):
+#    gopher_quality_rules, bpe_pair_counts, temperature_mixture_weights,
+#    semdedup_prune, allpairs_prefix_jaccard, markov_transition_matrix,
+#    cusum_changepoint
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,
@@ -162,6 +166,7 @@ def registry() -> dict[str, QuerySpec]:
         sketches,
         mixture,
         profiling,
+        curation,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]

@@ -1,0 +1,563 @@
+"""Corpus-curation operators beyond filtering/dedup basics ([NORTH-STAR]
+LLM-pipeline surface, round 4 batch 3).
+
+Five operators a production pretraining pipeline runs that the existing
+quality/dedup/corpus_prep modules do not yet cover:
+
+* ``gopher_quality_rules`` — the rule-based document FILTER battery
+  (Gopher/MassiveText style): word-count bounds, mean-word-length bounds,
+  alphabetic-word fraction, stopword presence. Distinct from
+  ``repetition_signals`` (signals only) and ``quality_linear_score``
+  (learned weights): this is the named-flag boolean gate. Entirely
+  map-side higher-order functions — zero shuffle at any corpus size.
+* ``bpe_pair_counts`` — the first iteration of BPE tokenizer training:
+  corpus-frequency-weighted counts of adjacent character pairs, computed
+  over the DISTINCT-word vocabulary (the classic trick: pair explosion is
+  O(vocabulary), not O(corpus)).
+* ``temperature_mixture_weights`` — UniMax/temperature-sampling source
+  weights p_s ∝ n_s^0.5 with a largest-remainder integer allocation of a
+  fixed document budget. Micro-quantized sqrt (the ln() contract from
+  queries/retrieval.py) keeps every downstream step in exact integer
+  arithmetic, so the allocation is bit-identical across engines and
+  cluster sizes.
+* ``semdedup_prune`` — SemDeDup (Abbas et al. 2023): k-means cells as the
+  blocking key, pairwise cosine INSIDE each cell only, keep-first-by-id
+  pruning. The cluster assignment is one broadcast join; the pairwise
+  stage is quadratic only within a cell, and production sizing K ~
+  sqrt(N) keeps cells bounded as the corpus grows.
+* ``allpairs_prefix_jaccard`` — the AllPairs/PPJoin prefix-filter
+  similarity join on whole-document token sets: order each document's
+  tokens by ascending document frequency, emit only the first
+  |d| - ceil(t*|d|) + 1 rarest tokens as join keys. Candidate generation
+  is an equi-join on single tokens (linear shuffle), correct because two
+  sets with Jaccard >= t MUST share a token inside both prefixes.
+
+Reference parity note: the reference repo (qmanhbeo/
+uk-procurement-data-pipeline) stops at scrape+flatten (2a/2b); these
+operators extend the engine along SURVEY.md §2.13's [NORTH-STAR] axis,
+same as queries/dedup.py and queries/corpus_prep.py.
+
+Cross-engine determinism: flags compare in integer cross-multiplied
+arithmetic (never a double threshold), dot products and norms are
+sequential folds (bit-identical, see queries/similarity.py), sqrt is
+IEEE-exact in both engines and micro-quantized before any sum, and every
+reported ratio is a single int/int double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.catalog import load
+from uk_procurement_data_pipeline_spark.queries.base import register
+
+_T = "split(text, ' ')"  # Spark tokens
+_DT = "string_split(text, ' ')"  # DuckDB tokens
+
+# Gopher-style rule constants (public MassiveText filter shapes; bounds
+# adapted to the synthetic fixture's short documents, same spirit).
+_MIN_WORDS, _MAX_WORDS = 5, 100_000
+_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_STOP_SQL = ", ".join(f"'{w}'" for w in _STOPWORDS)
+
+
+@register(
+    name="gopher_quality_rules",
+    survey="F17 F18 P4 P8 UD4",
+    doc="Gopher/MassiveText rule-based document gate: word-count bounds, "
+    "mean-word-length in [3,10], >=80% words containing an alphabetic "
+    "character, >=2 distinct stopwords present. All four flags and the "
+    "combined verdict are computed with integer cross-multiplication "
+    "(no double thresholds), from per-document higher-order folds — "
+    "a pure map-side projection with zero shuffle at any corpus size.",
+    oracle=f"""
+        WITH t AS (
+          SELECT doc_id, {_DT} AS t FROM documents
+        ), m AS (
+          SELECT doc_id,
+                 CAST(len(t) AS BIGINT) AS n_words,
+                 CAST(list_aggregate(list_transform(t, w -> length(w)),
+                                     'sum') AS BIGINT) AS sum_word_len,
+                 CAST(len(list_filter(t,
+                          w -> regexp_matches(w, '[A-Za-z]')))
+                      AS BIGINT) AS n_alpha_words,
+                 CAST(len(list_filter(list_distinct(t),
+                          w -> w IN ({_STOP_SQL})))
+                      AS BIGINT) AS n_stop_hits
+          FROM t)
+        SELECT doc_id, n_words, sum_word_len, n_alpha_words, n_stop_hits,
+               CAST(sum_word_len AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   AS mean_word_len,
+               CAST(n_alpha_words AS DOUBLE) / CAST(n_words AS DOUBLE)
+                   AS alpha_frac,
+               (n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS}) AS flag_len,
+               (3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words) AS flag_word_len,
+               (10 * n_alpha_words >= 8 * n_words) AS flag_alpha,
+               (n_stop_hits >= 2) AS flag_stop,
+               ((n_words BETWEEN {_MIN_WORDS} AND {_MAX_WORDS})
+                AND 3 * n_words <= sum_word_len
+                AND sum_word_len <= 10 * n_words
+                AND 10 * n_alpha_words >= 8 * n_words
+                AND n_stop_hits >= 2) AS pass_gopher
+        FROM m
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop_arr = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    m = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"CAST(size({_T}) AS BIGINT) AS n_words",
+        f"aggregate({_T}, 0L, (a, w) -> a + length(w)) AS sum_word_len",
+        f"CAST(size(filter({_T}, w -> w rlike '[A-Za-z]')) AS BIGINT)"
+        " AS n_alpha_words",
+        f"CAST(size(array_intersect({_T}, array({stop_arr}))) AS BIGINT)"
+        " AS n_stop_hits",
+    )
+    n, s = F.col("n_words"), F.col("sum_word_len")
+    flag_len = (n >= _MIN_WORDS) & (n <= _MAX_WORDS)
+    flag_wl = (3 * n <= s) & (s <= 10 * n)
+    flag_alpha = 10 * F.col("n_alpha_words") >= 8 * n
+    flag_stop = F.col("n_stop_hits") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        "sum_word_len",
+        "n_alpha_words",
+        "n_stop_hits",
+        (s.cast("double") / n.cast("double")).alias("mean_word_len"),
+        (F.col("n_alpha_words").cast("double") / n.cast("double")).alias(
+            "alpha_frac"
+        ),
+        flag_len.alias("flag_len"),
+        flag_wl.alias("flag_word_len"),
+        flag_alpha.alias("flag_alpha"),
+        flag_stop.alias("flag_stop"),
+        (flag_len & flag_wl & flag_alpha & flag_stop).alias("pass_gopher"),
+    )
+
+
+_BPE_TOPK = 20
+
+
+@register(
+    name="bpe_pair_counts",
+    survey="A7 A10 F17 O4",
+    doc="First BPE tokenizer-training iteration: corpus counts of adjacent "
+    "character pairs, weighted by word frequency, top-20 with full "
+    "(count desc, pair asc) tiebreak. Pair explosion runs over the "
+    "DISTINCT-word vocabulary (one hash agg collapses the corpus "
+    "first), so the quadratic-ish character work is O(vocabulary) "
+    "however large the corpus; the final top-K is "
+    "TakeOrderedAndProject, never a global sort.",
+    oracle=f"""
+        WITH w AS (
+          SELECT word, count(*) AS c
+          FROM (SELECT unnest({_DT}) AS word FROM documents)
+          GROUP BY word
+        ), p AS (
+          SELECT substr(w.word, s.i, 2) AS pair, w.c
+          FROM w, LATERAL (SELECT unnest(range(1, length(w.word))) AS i) s)
+        SELECT pair, CAST(SUM(c) AS BIGINT) AS n_occurrences
+        FROM p GROUP BY pair
+        ORDER BY n_occurrences DESC, pair
+        LIMIT {_BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .selectExpr(f"explode({_T}) AS word")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = vocab.selectExpr(
+        "c",
+        # Guard 1-char words: sequence(1, 0) DESCENDS in Spark (would
+        # fabricate out-of-range grams); the oracle's range(1, 1) is
+        # empty, so emit an empty array to match.
+        "explode(IF(length(word) < 2, array(),"
+        " transform(sequence(1, length(word) - 1),"
+        " i -> substring(word, i, 2)))) AS pair",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("bigint").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), "pair")
+        .limit(_BPE_TOPK)
+    )
+
+
+_BUDGET = 10_000  # document budget to allocate across sources
+_ALPHA_NOTE = "alpha = 0.5 (temperature 2): w_s = sqrt(n_s)"
+
+
+@register(
+    name="temperature_mixture_weights",
+    survey="A7 W1 F28 UD4",
+    doc="Temperature-based source mixture (UniMax-style, " + _ALPHA_NOTE
+    + "): per-source weights micro-quantized from the IEEE-exact sqrt, "
+    "then a largest-remainder allocation of a fixed 10k-doc budget in "
+    "pure integer arithmetic — bit-identical across engines and "
+    "cluster sizes. The per-source table is a one-row-per-source "
+    "aggregate; every window below it runs on that bounded domain, "
+    "never on corpus-sized data.",
+    oracle=f"""
+        WITH src AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+        ), w AS (
+          SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+                 CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000)
+                      AS BIGINT) AS w_micro
+          FROM src
+        ), tot AS (
+          SELECT CAST(SUM(w_micro) AS BIGINT) AS tw FROM w
+        ), base AS (
+          SELECT w.*, tot.tw,
+                 ({_BUDGET} * w_micro) // tw AS base_alloc,
+                 ({_BUDGET} * w_micro) % tw AS rem
+          FROM w, tot
+        ), lo AS (
+          SELECT CAST({_BUDGET} - SUM(base_alloc) AS BIGINT) AS leftover
+          FROM base
+        ), r AS (
+          SELECT base.*, lo.leftover,
+                 ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rk
+          FROM base, lo)
+        SELECT source, n_docs, w_micro,
+               CAST(w_micro AS DOUBLE) / CAST(tw AS DOUBLE) AS p_sample,
+               CAST(base_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc_docs
+        FROM r
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .selectExpr(
+            "source",
+            "n_docs",
+            "CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1000000) AS BIGINT)"
+            " AS w_micro",
+        )
+    )
+    tot = w.agg(F.sum("w_micro").cast("bigint").alias("tw"))
+    base = w.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "n_docs",
+        "w_micro",
+        "tw",
+        f"({_BUDGET}L * w_micro) div tw AS base_alloc",
+        f"({_BUDGET}L * w_micro) % tw AS rem",
+    )
+    lo = base.agg(
+        (F.lit(_BUDGET).cast("bigint") - F.sum("base_alloc").cast("bigint")).alias(
+            "leftover"
+        )
+    )
+    from pyspark.sql import Window
+
+    # Unpartitioned window is safe by construction: input is one row per
+    # SOURCE (bounded domain), not per document.
+    rk = F.row_number().over(Window.orderBy(F.desc("rem"), "source"))
+    return (
+        base.crossJoin(F.broadcast(lo))
+        .withColumn("rk", rk)
+        .select(
+            "source",
+            "n_docs",
+            "w_micro",
+            (F.col("w_micro").cast("double") / F.col("tw").cast("double")).alias(
+                "p_sample"
+            ),
+            (
+                F.col("base_alloc")
+                + F.when(F.col("rk") <= F.col("leftover"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("alloc_docs"),
+        )
+    )
+
+
+# SemDeDup constants: same deterministic seeding as kmeans_lloyd_cells
+# (centroids = vectors with vec_id < K) and the fixture-calibrated cosine
+# threshold from queries/dedup.py (embeddings are near-random synthetic).
+_SEM_K = 8
+_SEM_COS = 0.4
+
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " 0D, (acc, v) -> acc + v)"
+)
+_D_DOT = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), (x, y) -> x + y)"
+)
+_SQD = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+    " 0D, (acc, t) -> acc + t)"
+)
+_D_SQD = (
+    "list_reduce(list_transform(generate_series(1, len({a})),"
+    " i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])), (x, y) -> x + y)"
+)
+
+
+@register(
+    name="semdedup_prune",
+    survey="J9 D3 UD4 J7",
+    doc="SemDeDup semantic pruning (Abbas et al. 2023): assign every "
+    "vector to its nearest of K=8 deterministic centroids (broadcast "
+    "join, sequential-fold squared-L2, tiebreak on centroid id), then "
+    "prune any vector whose cell contains an EARLIER vector with "
+    "cosine >= 0.4 (keep-first-by-id). Pairwise work is confined to a "
+    "cell; production sizing K ~ sqrt(N) bounds cells as the corpus "
+    "grows, so the join stays linear-shuffle — never all-pairs.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        c0 AS (
+            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+        d AS (
+            SELECT e.vec_id, e.v, c.cid,
+                   {_D_SQD.format(a='e.v', b='c.cv')} AS d2
+            FROM e JOIN c0 c ON TRUE),
+        a AS (
+            SELECT vec_id, v, cid AS cluster,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                                      ORDER BY d2, cid) AS rn
+            FROM d),
+        asg AS (
+            SELECT vec_id, v,
+                   sqrt({_D_DOT.format(a='v', b='v')}) AS nrm, cluster
+            FROM a WHERE rn = 1),
+        pruned AS (
+            SELECT DISTINCT b.vec_id
+            FROM asg a JOIN asg b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE {_D_DOT.format(a='a.v', b='b.v')} / (a.nrm * b.nrm)
+                      >= {_SEM_COS})
+        SELECT asg.vec_id, asg.cluster,
+               (pruned.vec_id IS NULL) AS is_kept
+        FROM asg LEFT JOIN pruned USING (vec_id)
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    c0 = e.where(F.col("vec_id") < _SEM_K).selectExpr("vec_id AS cid", "v AS cv")
+    d2 = F.expr(_SQD.format(a="v", b="cv"))
+    from pyspark.sql import Window
+
+    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    asg = (
+        e.join(F.broadcast(c0))
+        .select("vec_id", "v", F.col("cid"), d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .selectExpr(
+            "vec_id",
+            "v",
+            f"sqrt({_DOT.format(a='v', b='v')}) AS nrm",
+            "cid AS cluster",
+        )
+    )
+    a = asg.select(
+        F.col("vec_id").alias("ia"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), F.col("cluster").alias("ca"),
+    )
+    b = asg.select(
+        F.col("vec_id").alias("ib"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("cluster").alias("cb"),
+    )
+    cos = F.expr(_DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb"))
+    pruned = (
+        a.join(b, (F.col("ca") == F.col("cb")) & (F.col("ia") < F.col("ib")))
+        .where(cos >= _SEM_COS)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return asg.join(pruned, "vec_id", "left").select(
+        "vec_id", "cluster", F.col("hit").isNull().alias("is_kept")
+    )
+
+
+# Jaccard threshold 0.9, as integers. 0.9 (not the 0.7 the n-gram dedup
+# uses) because these are DISTINCT-TOKEN sets over a small synthetic
+# vocabulary: at 0.7 half the corpus pairs qualify (51k pairs at sf0.01),
+# which is a result-size blowup, not a near-dup set. At 0.9 the prefix is
+# the rarest ~10% of each document's tokens — low-df join keys, so the
+# candidate equi-join stays linear.
+_APJ_TAU_NUM, _APJ_TAU_DEN = 9, 10
+
+
+@register(
+    name="allpairs_prefix_jaccard",
+    survey="J9 D3 W1 A8",
+    doc="AllPairs/PPJoin prefix-filter similarity self-join on "
+    "whole-document DISTINCT-token sets at Jaccard >= 0.9: tokens "
+    "ranked by ascending document frequency, only each document's "
+    "|d| - ceil(0.9|d|) + 1 rarest tokens become join keys (two sets "
+    "with Jaccard >= t must share a prefix token), candidates verified "
+    "by exact integer set arithmetic (10*inter >= 9*union). Candidate "
+    "generation is a single-token equi-join — linear shuffle, "
+    "rare-token keys, never all-pairs.",
+    oracle=f"""
+        WITH tok AS (
+          SELECT DISTINCT doc_id, unnest({_DT}) AS token FROM documents
+        ), sz AS (
+          SELECT doc_id, count(*) AS len FROM tok GROUP BY doc_id
+        ), df AS (
+          SELECT token, count(*) AS df FROM tok GROUP BY token
+        ), ranked AS (
+          SELECT t.doc_id, t.token, s.len,
+                 ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                    ORDER BY d.df, t.token) AS rn
+          FROM tok t JOIN df d USING (token) JOIN sz s USING (doc_id)
+        ), prefix AS (
+          SELECT doc_id, token, len, rn FROM ranked
+          WHERE rn <= len - ({_APJ_TAU_NUM} * len + {_APJ_TAU_DEN} - 1)
+                               // {_APJ_TAU_DEN} + 1
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 a.len AS la, b.len AS lb
+          FROM prefix a JOIN prefix b
+            ON a.token = b.token AND a.doc_id < b.doc_id
+          WHERE {_APJ_TAU_DEN} * a.len >= {_APJ_TAU_NUM} * b.len
+            AND {_APJ_TAU_DEN} * b.len >= {_APJ_TAU_NUM} * a.len
+            AND least(a.len - a.rn, b.len - b.rn) + 1
+                >= ({_APJ_TAU_NUM} * (a.len + b.len)
+                    + {_APJ_TAU_NUM + _APJ_TAU_DEN} - 1)
+                       // {_APJ_TAU_NUM + _APJ_TAU_DEN}
+        ), inter AS (
+          SELECT c.doc_a, c.doc_b, c.la, c.lb, count(*) AS n_inter
+          FROM cand c
+          JOIN tok ta ON ta.doc_id = c.doc_a
+          JOIN tok tb ON tb.doc_id = c.doc_b AND tb.token = ta.token
+          GROUP BY c.doc_a, c.doc_b, c.la, c.lb)
+        SELECT doc_a, doc_b,
+               CAST(n_inter AS DOUBLE)
+                   / CAST(la + lb - n_inter AS DOUBLE) AS jaccard
+        FROM inter
+        WHERE {_APJ_TAU_DEN} * n_inter
+                  >= {_APJ_TAU_NUM} * (la + lb - n_inter)
+    """,
+)
+def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # Per-doc distinct-token SET as an array — computed map-side from the
+    # text column, no shuffle. The verify stage intersects per-pair
+    # INSIDE the candidate join; to keep those millions of intersections
+    # cheap, each set is ALSO carried as a sorted array of xxhash64 token
+    # hashes — primitive-long array_intersect, no per-row string hashing.
+    # A hash collision can only miscount if two distinct tokens of the
+    # SAME candidate pair collide in 64 bits: ~(100 choose 2) * 2^-64 per
+    # pair — vanishing, and the driver's cross-engine hash check would
+    # surface it.
+    sets = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"array_sort(array_distinct({_T})) AS toks",
+        f"CAST(size(array_distinct({_T})) AS BIGINT) AS len",
+    ).selectExpr(
+        "doc_id",
+        "toks",
+        "len",
+        "array_sort(transform(toks, w -> xxhash64(w))) AS hset",
+    )
+    tok = sets.select("doc_id", "len", F.explode("toks").alias("token"))
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    prefix = (
+        tok.join(df, "token")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("df", "token")
+            ),
+        )
+        .where(
+            F.col("rn")
+            <= F.col("len")
+            - F.expr(
+                f"({_APJ_TAU_NUM} * len + {_APJ_TAU_DEN} - 1)"
+                f" div {_APJ_TAU_DEN}"
+            )
+            + 1
+        )
+        .select("doc_id", "token", "len", "rn")
+    )
+    # Attach each prefix row's full token array BEFORE the self-join (the
+    # prefix table is |corpus| x ~|prefix| rows — small), so verification
+    # happens IN the join stage: n_inter is computed map-side on the raw
+    # join output and only scalar columns ever reach the dedup shuffle.
+    # The first draft deduped (doc_a, doc_b) first and joined the arrays
+    # back afterwards — two extra corpus-sized shuffles that moved every
+    # candidate's token arrays over the wire (47s at sf0.1 vs ~8s now).
+    # A pair sharing k prefix tokens computes its intersection k times;
+    # k <= prefix length (a handful), a fair trade for scalar shuffles.
+    pa = prefix.join(sets.select("doc_id", "hset"), "doc_id")
+    a = pa.selectExpr(
+        "doc_id AS doc_a", "token", "len AS la", "rn AS rna", "hset AS ta"
+    )
+    b = pa.selectExpr(
+        "doc_id AS doc_b", "token", "len AS lb", "rn AS rnb", "hset AS tb"
+    )
+    # Required overlap for J >= num/den: inter >= num*(la+lb)/(num+den),
+    # as exact integer ceil. PPJoin positional filter: a token shared at
+    # positions (rna, rnb) of the two df-ordered lists bounds the overlap
+    # by min(la - rna, lb - rnb) + 1 — candidates that cannot reach the
+    # required overlap are pruned BEFORE the intersection is computed.
+    _req = (
+        f"({_APJ_TAU_NUM} * (la + lb) + {_APJ_TAU_NUM + _APJ_TAU_DEN} - 1)"
+        f" div {_APJ_TAU_NUM + _APJ_TAU_DEN}"
+    )
+    scored = (
+        a.join(b, ["token"])
+        # AllPairs length filter: |a| and |b| within a factor of tau —
+        # anything outside cannot reach the threshold, pruned pre-verify.
+        .where(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (_APJ_TAU_DEN * F.col("la") >= _APJ_TAU_NUM * F.col("lb"))
+            & (_APJ_TAU_DEN * F.col("lb") >= _APJ_TAU_NUM * F.col("la"))
+            & (
+                F.least(
+                    F.col("la") - F.col("rna"), F.col("lb") - F.col("rnb")
+                )
+                + 1
+                >= F.expr(_req)
+            )
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "la",
+            "lb",
+            F.size(F.array_intersect("ta", "tb")).cast("bigint").alias(
+                "n_inter"
+            ),
+        )
+    )
+    verified = scored.groupBy("doc_a", "doc_b").agg(
+        F.first("la").alias("la"),
+        F.first("lb").alias("lb"),
+        F.first("n_inter").alias("n_inter"),
+    )
+    return verified.where(
+        _APJ_TAU_DEN * F.col("n_inter")
+        >= _APJ_TAU_NUM * (F.col("la") + F.col("lb") - F.col("n_inter"))
+    ).select(
+        "doc_a",
+        "doc_b",
+        (
+            F.col("n_inter").cast("double")
+            / (F.col("la") + F.col("lb") - F.col("n_inter")).cast("double")
+        ).alias("jaccard"),
+    )

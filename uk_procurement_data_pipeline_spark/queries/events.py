@@ -868,3 +868,136 @@ def hourly_baseline_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.abs(F.col("z")) > 3.0)
     )
+
+
+@register(
+    name="markov_transition_matrix",
+    survey="W2 A7 F15 ST2-pattern",
+    doc="First-order Markov transition model over per-user event "
+    "sequences: lag(event_type) within each user's (ts, event_id)-"
+    "ordered stream, transition counts by (prev, next), and row-"
+    "normalized probabilities. The lag shuffles once on user_id; the "
+    "normalizing window runs on the (prev, next) CONTINGENCY table — "
+    "a bounded event-type domain, never row-sized data.",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ), t AS (
+          SELECT prev, event_type AS next, count(*) AS n_trans
+          FROM seq WHERE prev IS NOT NULL
+          GROUP BY prev, event_type)
+        SELECT prev, next, CAST(n_trans AS BIGINT) AS n_trans,
+               CAST(SUM(n_trans) OVER (PARTITION BY prev) AS BIGINT)
+                   AS total_from,
+               CAST(n_trans AS DOUBLE)
+                   / CAST(SUM(n_trans) OVER (PARTITION BY prev) AS DOUBLE)
+                   AS p_trans
+        FROM t
+    """,
+)
+def markov_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    t = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_trans"))
+    )
+    # Bounded domain: one row per (event_type, event_type) pair.
+    tot = F.sum("n_trans").over(Window.partitionBy("prev")).cast("bigint")
+    return t.select(
+        "prev",
+        "next",
+        "n_trans",
+        tot.alias("total_from"),
+        (F.col("n_trans").cast("double") / tot.cast("double")).alias("p_trans"),
+    )
+
+
+@register(
+    name="cusum_changepoint",
+    survey="W3 A7 F15 O4",
+    doc="CUSUM changepoint detection over the daily event-count series: "
+    "cumulative sum of (D * n_day - N) — the mean-deviation CUSUM "
+    "scaled by the day count D so every step stays in exact integer "
+    "arithmetic — with the classic argmax-|CUSUM| changepoint estimate "
+    "flagged (earliest day on ties). The daily rollup is one linear "
+    "hash aggregation; the running sum and the argmax run on the "
+    "bounded per-day series, so the plan is scan + one agg at any "
+    "event volume.",
+    oracle="""
+        WITH daily AS (
+          SELECT date_trunc('day', ts) AS day, count(*) AS n_events
+          FROM events GROUP BY 1
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS d_days,
+                 CAST(sum(n_events) AS BIGINT) AS n_total
+          FROM daily
+        ), s AS (
+          SELECT day, CAST(n_events AS BIGINT) AS n_events,
+                 CAST(SUM(d_days * n_events - n_total)
+                          OVER (ORDER BY day
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT)
+                     AS cusum_scaled,
+                 d_days
+          FROM daily, g)
+        SELECT day, n_events, cusum_scaled,
+               CAST(cusum_scaled AS DOUBLE) / CAST(d_days AS DOUBLE)
+                   AS cusum,
+               (ROW_NUMBER() OVER (ORDER BY abs(cusum_scaled) DESC, day)
+                   = 1) AS is_changepoint
+        FROM s
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    )
+    g = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_days"),
+        F.sum("n_events").cast("bigint").alias("n_total"),
+    )
+    # Bounded domain: the running sum and argmax rank run over ONE ROW PER
+    # DAY (the daily rollup), so these unpartitioned windows never see
+    # row-sized data — same justification as event_type_value_chi2.
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    s = (
+        daily.crossJoin(F.broadcast(g))
+        .withColumn(
+            "cusum_scaled",
+            F.sum(
+                F.col("d_days") * F.col("n_events") - F.col("n_total")
+            )
+            .over(wrun)
+            .cast("bigint"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy(F.abs(F.col("cusum_scaled")).desc(), "day")
+    )
+    return s.select(
+        "day",
+        "n_events",
+        "cusum_scaled",
+        (F.col("cusum_scaled").cast("double") / F.col("d_days").cast("double")).alias(
+            "cusum"
+        ),
+        (rk == 1).alias("is_changepoint"),
+    )
