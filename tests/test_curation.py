@@ -110,3 +110,63 @@ def test_cusum_telescopes_to_zero_and_flags_unique_argmax(spark, sf_dir):
     assert len(flagged) == 1
     peak = max(abs(r["cusum_scaled"]) for r in rows)
     assert abs(flagged[0]["cusum_scaled"]) == peak
+
+
+def test_kcore_peel_is_monotone_and_consistent(spark, sf_dir):
+    rows = registry()["kcore_peel_unrolled"].fn(spark, sf_dir).collect()
+    assert rows
+    k = rows[0]["k_threshold"]
+    assert all(r["k_threshold"] == k for r in rows)
+    for r in rows:
+        # a node peeled in round 1 must have had initial degree < k
+        if r["peeled_round"] == 1:
+            assert r["deg_initial"] < k
+        # a survivor's initial degree is at least k
+        if r["peeled_round"] == 0:
+            assert r["deg_initial"] >= k
+        assert r["peeled_round"] in (0, 1, 2, 3)
+
+
+def test_constraint_check_passes_clean_fixture(spark, sf_dir):
+    rows = {
+        r["constraint_name"]: r
+        for r in registry()["constraint_check_orders"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "o_orderkey_unique",
+        "o_custkey_complete",
+        "o_custkey_referential",
+        "o_totalprice_positive",
+        "o_orderstatus_domain",
+        "o_orderdate_range",
+    }
+    n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    for r in rows.values():
+        assert r["n_checked"] == n
+        assert r["passed"] == (r["n_violations"] == 0)
+    # the TPC-H-ish fixture is referentially clean by construction
+    assert rows["o_orderkey_unique"]["passed"]
+    assert rows["o_custkey_referential"]["passed"]
+
+
+def test_covariance_matches_numpy_and_diag_positive(spark, sf_dir):
+    import numpy as np
+
+    rows = registry()["embedding_covariance"].fn(spark, sf_dir).collect()
+    vecs = np.array(
+        [
+            r["embedding"]
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        ],
+        dtype=np.float64,
+    )
+    n, d = vecs.shape
+    assert len(rows) == d * (d + 1) // 2
+    cov = np.cov(vecs, rowvar=False, bias=True)
+    for r in rows[:200]:
+        i, j = r["dim_i"] - 1, r["dim_j"] - 1
+        assert j >= i and r["n"] == n
+        # 1e-8 quantization of each term bounds the sum error by ~n*1e-8
+        assert abs(r["cov"] - cov[i, j]) < 1e-6
+        if i == j:
+            assert r["cov"] > 0

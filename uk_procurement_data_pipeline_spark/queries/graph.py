@@ -201,3 +201,116 @@ def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "estimated_triangles"
         ),
     )
+
+
+@register(
+    name="kcore_peel_unrolled",
+    survey="J6 J7 A7 U1",
+    doc="K-core decomposition over the DOULION-sampled co-supply graph, "
+    "three peel rounds unrolled: k = ceil(average degree) derived from "
+    "the sampled graph itself (scale-adaptive, exact integer "
+    "(2E + V - 1) div V), each round drops nodes whose CURRENT-"
+    "subgraph degree is below k and recomputes degrees on the induced "
+    "subgraph. Emits each node's initial degree and the round it was "
+    "peeled (0 = survived all three). Three rounds is the REGISTERED "
+    "spec so the oracle stays non-recursive; production looping to the "
+    "fixpoint is the connected_components convergence pattern "
+    "(functions/graph.py). Each round is one degree aggregation plus "
+    "one semi-join — linear shuffle per round at any graph size.",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey),
+        e AS (
+            SELECT a, b FROM pairs
+            WHERE CAST('0x' || substr(md5(a || ':' || b), 1, 8) AS BIGINT)
+                  % {_TRI_MOD} = 0),
+        und AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        d0 AS (SELECT n, count(*) AS deg FROM und GROUP BY n),
+        k AS (
+            SELECT ((SELECT count(*) FROM und)
+                    + (SELECT count(*) FROM d0) - 1)
+                       // (SELECT count(*) FROM d0) AS k
+        ),
+        s1 AS (SELECT n FROM d0, k WHERE deg >= k),
+        u1 AS (SELECT und.n, und.m FROM und
+               JOIN s1 a ON und.n = a.n JOIN s1 b ON und.m = b.n),
+        d1 AS (SELECT n, count(*) AS deg FROM u1 GROUP BY n),
+        s2 AS (SELECT n FROM d1, k WHERE deg >= k),
+        u2 AS (SELECT u1.n, u1.m FROM u1
+               JOIN s2 a ON u1.n = a.n JOIN s2 b ON u1.m = b.n),
+        d2 AS (SELECT n, count(*) AS deg FROM u2 GROUP BY n),
+        s3 AS (SELECT n FROM d2, k WHERE deg >= k),
+        base AS (SELECT d0.n, d0.deg, k.k FROM d0 CROSS JOIN k)
+        SELECT base.n AS suppkey, CAST(base.deg AS BIGINT) AS deg_initial,
+               base.k AS k_threshold,
+               CAST(CASE WHEN s1.n IS NULL THEN 1
+                         WHEN s2.n IS NULL THEN 2
+                         WHEN s3.n IS NULL THEN 3
+                         ELSE 0 END AS INT) AS peeled_round
+        FROM base
+        LEFT JOIN s1 ON base.n = s1.n
+        LEFT JOIN s2 ON base.n = s2.n
+        LEFT JOIN s3 ON base.n = s3.n
+    """,
+)
+def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    b = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    e = (
+        a.join(b, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .where(
+            F.expr(
+                f"CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10)"
+                f" AS BIGINT) % {_TRI_MOD} = 0"
+            )
+        )
+    )
+    und = e.selectExpr("a AS n", "b AS m").unionAll(
+        e.selectExpr("b AS n", "a AS m")
+    )
+    # The sampled edge list is reused by FOUR degree rounds below:
+    # materialize once (same localCheckpoint discipline as supplier_pagerank).
+    und = und.localCheckpoint(eager=True)
+    d0 = und.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+    counts = d0.agg(
+        F.sum("deg").cast("bigint").alias("two_e"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    kdf = counts.selectExpr("(two_e + v - 1) div v AS k")
+
+    def peel(u: DataFrame) -> DataFrame:
+        """One round: survivors of the CURRENT subgraph, by current degree."""
+        d = u.groupBy("n").agg(F.count(F.lit(1)).alias("deg"))
+        return d.crossJoin(F.broadcast(kdf)).where(
+            F.col("deg") >= F.col("k")
+        ).select("n")
+
+    s1 = peel(und)
+    u1 = und.join(s1, "n").join(s1.selectExpr("n AS m"), "m")
+    s2 = peel(u1)
+    u2 = u1.join(s2, "n").join(s2.selectExpr("n AS m"), "m")
+    s3 = peel(u2)
+    return (
+        d0.crossJoin(F.broadcast(kdf))
+        .join(s1.selectExpr("n", "1 AS in1"), "n", "left")
+        .join(s2.selectExpr("n", "1 AS in2"), "n", "left")
+        .join(s3.selectExpr("n", "1 AS in3"), "n", "left")
+        .select(
+            F.col("n").alias("suppkey"),
+            F.col("deg").cast("bigint").alias("deg_initial"),
+            F.col("k").alias("k_threshold"),
+            F.when(F.col("in1").isNull(), 1)
+            .when(F.col("in2").isNull(), 2)
+            .when(F.col("in3").isNull(), 3)
+            .otherwise(0)
+            .cast("int")
+            .alias("peeled_round"),
+        )
+    )

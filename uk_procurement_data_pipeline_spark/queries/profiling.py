@@ -134,3 +134,103 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_value",
         "top_count",
     )
+
+
+@register(
+    name="constraint_check_orders",
+    survey="E1 E5 A7 J7 U1",
+    doc="Declarative data-quality constraint suite over orders (the "
+    "Deequ/expectations VALIDATION stage, companion to "
+    "profile_orders_columns): uniqueness of the key, completeness and "
+    "referential integrity of the customer FK, value-range and "
+    "domain-membership rules — one row per constraint with its "
+    "violation count and verdict. Five of the six checks fold into a "
+    "SINGLE conditional-aggregate scan; the FK orphan check is one "
+    "broadcast-able anti-join. All counts are exact integers.",
+    oracle="""
+        WITH scan AS (
+          SELECT count(*) AS n_rows,
+                 count(*) - count(DISTINCT o_orderkey) AS dup_keys,
+                 count(*) - count(o_custkey) AS null_cust,
+                 count(*) FILTER (WHERE NOT (o_totalprice > 0))
+                     AS bad_price,
+                 count(*) FILTER (
+                     WHERE o_orderstatus NOT IN ('O', 'F', 'P'))
+                     AS bad_status,
+                 count(*) FILTER (
+                     WHERE o_orderdate < DATE '1992-01-01'
+                        OR o_orderdate > DATE '1998-12-31')
+                     AS bad_date
+          FROM orders
+        ), orphans AS (
+          SELECT count(*) AS n
+          FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE c.c_custkey IS NULL
+        )
+        SELECT 'o_orderkey_unique' AS constraint_name,
+               CAST(n_rows AS BIGINT) AS n_checked,
+               CAST(dup_keys AS BIGINT) AS n_violations,
+               dup_keys = 0 AS passed FROM scan
+        UNION ALL SELECT 'o_custkey_complete', n_rows, null_cust,
+               null_cust = 0 FROM scan
+        UNION ALL SELECT 'o_custkey_referential', n_rows, orphans.n,
+               orphans.n = 0 FROM scan, orphans
+        UNION ALL SELECT 'o_totalprice_positive', n_rows, bad_price,
+               bad_price = 0 FROM scan
+        UNION ALL SELECT 'o_orderstatus_domain', n_rows, bad_status,
+               bad_status = 0 FROM scan
+        UNION ALL SELECT 'o_orderdate_range', n_rows, bad_date,
+               bad_date = 0 FROM scan
+    """,
+)
+def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    scan = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        (F.count(F.lit(1)) - F.count("o_custkey"))
+        .cast("bigint")
+        .alias("null_cust"),
+        F.sum(F.when(~(F.col("o_totalprice") > 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_price"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("O", "F", "P"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_status"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("bad_date"),
+    )
+    orphans = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    s = scan.crossJoin(F.broadcast(orphans))
+
+    def row(name: str, viol: str):
+        return s.select(
+            F.lit(name).alias("constraint_name"),
+            F.col("n_rows").alias("n_checked"),
+            F.col(viol).alias("n_violations"),
+            (F.col(viol) == 0).alias("passed"),
+        )
+
+    return (
+        row("o_orderkey_unique", "dup_keys")
+        .unionAll(row("o_custkey_complete", "null_cust"))
+        .unionAll(row("o_custkey_referential", "n"))
+        .unionAll(row("o_totalprice_positive", "bad_price"))
+        .unionAll(row("o_orderstatus_domain", "bad_status"))
+        .unionAll(row("o_orderdate_range", "bad_date"))
+    )
