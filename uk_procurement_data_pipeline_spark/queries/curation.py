@@ -472,6 +472,16 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         "len",
         "array_sort(transform(toks, w -> xxhash64(w))) AS hset",
+        # 256-bit hashed set-signature, stored as FOUR long columns so the
+        # candidate-stage popcount prune below stays inside whole-stage
+        # codegen (an array form would need a CodegenFallback lambda).
+        *[
+            f"aggregate(transform(toks, w -> xxhash64(w)), 0L,"
+            f" (acc, h) -> acc | IF(pmod(h, 256) div 64 = {k},"
+            f" shiftleft(1L, CAST(pmod(h, 256) % 64 AS INT)), 0L))"
+            f" AS bm{k}"
+            for k in range(4)
+        ],
     )
     tok = sets.select("doc_id", "len", F.explode("toks").alias("token"))
     df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -503,12 +513,19 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate's token arrays over the wire (47s at sf0.1 vs ~8s now).
     # A pair sharing k prefix tokens computes its intersection k times;
     # k <= prefix length (a handful), a fair trade for scalar shuffles.
-    pa = prefix.join(sets.select("doc_id", "hset"), "doc_id")
+    # (A first-shared-token dedup-in-join variant was measured WORSE —
+    # 60s — because higher-order filter lambdas are CodegenFallback and
+    # knock the whole join stage out of whole-stage codegen.)
+    pa = prefix.join(
+        sets.select("doc_id", "hset", "bm0", "bm1", "bm2", "bm3"), "doc_id"
+    )
     a = pa.selectExpr(
-        "doc_id AS doc_a", "token", "len AS la", "rn AS rna", "hset AS ta"
+        "doc_id AS doc_a", "token", "len AS la", "rn AS rna", "hset AS ta",
+        "bm0 AS a0", "bm1 AS a1", "bm2 AS a2", "bm3 AS a3",
     )
     b = pa.selectExpr(
-        "doc_id AS doc_b", "token", "len AS lb", "rn AS rnb", "hset AS tb"
+        "doc_id AS doc_b", "token", "len AS lb", "rn AS rnb", "hset AS tb",
+        "bm0 AS b0", "bm1 AS b1", "bm2 AS b2", "bm3 AS b3",
     )
     # Required overlap for J >= num/den: inter >= num*(la+lb)/(num+den),
     # as exact integer ceil. PPJoin positional filter: a token shared at
@@ -533,6 +550,23 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 + 1
                 >= F.expr(_req)
+            )
+            # Bitmap union prune: popcount(bm_a | bm_b) NEVER exceeds the
+            # true union size (distinct signature bits <= distinct
+            # tokens), and J >= num/den forces union <= (la+lb)*den/
+            # (num+den) — so any pair whose signature popcount already
+            # beats that bound is provably below threshold. Pure bitwise
+            # ops + bit_count, fully codegen; prunes the hash-set
+            # intersection down to near the true result set.
+            & (
+                (_APJ_TAU_NUM + _APJ_TAU_DEN)
+                * (
+                    F.bit_count(F.expr("a0 | b0"))
+                    + F.bit_count(F.expr("a1 | b1"))
+                    + F.bit_count(F.expr("a2 | b2"))
+                    + F.bit_count(F.expr("a3 | b3"))
+                )
+                <= _APJ_TAU_DEN * (F.col("la") + F.col("lb"))
             )
         )
         .select(
