@@ -170,3 +170,61 @@ def test_covariance_matches_numpy_and_diag_positive(spark, sf_dir):
         assert abs(r["cov"] - cov[i, j]) < 1e-6
         if i == j:
             assert r["cov"] > 0
+
+
+def test_ks_binned_stat_bounds_and_monotone_ecdf(spark, sf_dir):
+    rows = sorted(
+        registry()["ks_binned_two_sample"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(rows) == 64
+    assert rows[-1]["cum1"] == rows[-1]["n1"]
+    assert rows[-1]["cum2"] == rows[-1]["n2"]
+    ks = rows[0]["ks_stat"]
+    assert 0.0 <= ks <= 1.0
+    peak = max(r["diff_num"] for r in rows)
+    assert abs(ks - peak / (rows[0]["n1"] * rows[0]["n2"])) < 1e-12
+    assert sum(1 for r in rows if r["is_ks_argmax"]) == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum1"] >= a["cum1"] and b["cum2"] >= a["cum2"]
+
+
+def test_mutual_information_nonnegative_and_consistent(spark, sf_dir):
+    rows = registry()["mutual_information_type_band"].fn(spark, sf_dir).collect()
+    assert rows
+    mi = rows[0]["mi_nats"]
+    assert all(abs(r["mi_nats"] - mi) < 1e-12 for r in rows)
+    # MLE mutual information is non-negative up to micro-quantization slack
+    assert mi > -1e-5
+    total = sum(r["observed"] for r in rows)
+    recompute = (
+        sum(r["observed"] * r["pmi_micro"] for r in rows) / (total * 1e6)
+    )
+    assert abs(mi - recompute) < 1e-12
+
+
+def test_lorenz_gini_shares_and_range(spark, sf_dir):
+    rows = sorted(
+        registry()["lorenz_gini_binned"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert len(rows) == 100
+    assert abs(rows[-1]["cum_pop_share"] - 1.0) < 1e-12
+    assert abs(rows[-1]["cum_spend_share"] - 1.0) < 1e-12
+    g = rows[0]["gini"]
+    assert -0.01 <= g <= 1.0
+    # Lorenz curve sits below the diagonal (concentration), so cumulative
+    # spend share never exceeds cumulative population share by much more
+    # than one bin's worth of quantization
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_spend_share"] >= a["cum_spend_share"] - 1e-12
+
+
+def test_entropy_per_source_bounded_by_log_vocab(spark, sf_dir):
+    import math
+
+    rows = registry()["entropy_per_source"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["vocab_size"] >= 1
+        assert -1e-6 <= r["entropy_nats"] <= math.log(r["vocab_size"]) + 1e-3

@@ -51,6 +51,18 @@ WHITELIST: dict[str, dict[str, str]] = {
         "GLOBALWIN": "running sum + argmax over ONE ROW PER DAY (the "
         "daily rollup) — input is already aggregate-sized",
     },
+    "ks_binned_two_sample": {
+        "GLOBALWIN": "ECDF windows over the FIXED 64-bin table — input "
+        "is already aggregate-sized",
+    },
+    "mutual_information_type_band": {
+        "GLOBALWIN": "MI total over contingency CELLS (event_type x "
+        "band, bounded domain) — input is already aggregate-sized",
+    },
+    "lorenz_gini_binned": {
+        "GLOBALWIN": "Lorenz/Gini windows over the FIXED 100-bin table "
+        "— input is already aggregate-sized",
+    },
 }
 
 _SPEC = re.compile(r"windowspecdefinition\((.{0,120})")

@@ -1001,3 +1001,203 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (rk == 1).alias("is_changepoint"),
     )
+
+
+_KS_BINS = 64
+_KS_A, _KS_B = "click", "purchase"
+
+
+@register(
+    name="ks_binned_two_sample",
+    survey="A7 W3 F28 U1",
+    doc=f"Binned two-sample Kolmogorov-Smirnov test between the value "
+    f"distributions of '{_KS_A}' and '{_KS_B}' events: {_KS_BINS} "
+    "equal-width bins over the pooled [min, max] range, per-bin counts, "
+    "cumulative ECDFs, and the KS distance as an EXACT integer "
+    "cross-multiplication max |c1*n2 - c2*n1| (no double ECDF "
+    "comparisons). Binning makes the statistic computable with one "
+    "linear count aggregation plus windows over the fixed 64-bin "
+    "domain — the unbinned KS needs a global sort of the pooled "
+    "sample, which does not exist at 100 TB.",
+    oracle=f"""
+        WITH ev AS (
+          SELECT event_type, value FROM events
+          WHERE value IS NOT NULL
+            AND event_type IN ('{_KS_A}', '{_KS_B}')
+        ), rng AS (
+          SELECT min(value) AS lo, max(value) AS hi FROM ev
+        ), binned AS (
+          SELECT CAST(least(floor((value - lo) / (hi - lo) * {_KS_BINS}),
+                            {_KS_BINS} - 1) AS INT) AS bin,
+                 count(*) FILTER (WHERE event_type = '{_KS_A}') AS c1,
+                 count(*) FILTER (WHERE event_type = '{_KS_B}') AS c2
+          FROM ev, rng GROUP BY 1
+        ), bins AS (
+          SELECT s.b AS bin,
+                 COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+          FROM (SELECT unnest(range(0, {_KS_BINS})) AS b) s
+          LEFT JOIN binned ON binned.bin = s.b
+        ), cum AS (
+          SELECT bin,
+                 CAST(SUM(c1) OVER w AS BIGINT) AS cum1,
+                 CAST(SUM(c2) OVER w AS BIGINT) AS cum2,
+                 CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+                 CAST(SUM(c2) OVER () AS BIGINT) AS n2
+          FROM bins
+          WINDOW w AS (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), d AS (
+          SELECT cum.*, abs(cum1 * n2 - cum2 * n1) AS diff_num
+          FROM cum)
+        SELECT bin, cum1, cum2, n1, n2, diff_num,
+               (ROW_NUMBER() OVER (ORDER BY diff_num DESC, bin) = 1)
+                   AS is_ks_argmax,
+               CAST(MAX(diff_num) OVER () AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)) AS ks_stat
+        FROM d
+    """,
+)
+def ks_binned_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .where(F.col("event_type").isin(_KS_A, _KS_B))
+        .select("event_type", "value")
+    )
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = (
+        ev.crossJoin(F.broadcast(rng))
+        .selectExpr(
+            "event_type",
+            f"CAST(least(floor((value - lo) / (hi - lo) * {_KS_BINS}),"
+            f" {_KS_BINS} - 1) AS INT) AS bin",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("event_type") == _KS_A, 1).otherwise(0)).alias(
+                "c1"
+            ),
+            F.sum(F.when(F.col("event_type") == _KS_B, 1).otherwise(0)).alias(
+                "c2"
+            ),
+        )
+    )
+    bins = (
+        spark.range(_KS_BINS)
+        .selectExpr("CAST(id AS INT) AS bin")
+        .join(binned, "bin", "left")
+        .selectExpr(
+            "bin", "COALESCE(c1, 0) AS c1", "COALESCE(c2, 0) AS c2"
+        )
+    )
+    # All windows below run on the FIXED 64-bin domain, never row data.
+    wrun = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        F.sum("c1").over(wrun).cast("bigint").alias("cum1"),
+        F.sum("c2").over(wrun).cast("bigint").alias("cum2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+    ).withColumn(
+        "diff_num",
+        F.abs(F.col("cum1") * F.col("n2") - F.col("cum2") * F.col("n1")),
+    )
+    rk = F.row_number().over(Window.orderBy(F.desc("diff_num"), "bin"))
+    return cum.select(
+        "bin",
+        "cum1",
+        "cum2",
+        "n1",
+        "n2",
+        "diff_num",
+        (rk == 1).alias("is_ks_argmax"),
+        (
+            F.max("diff_num").over(wall).cast("double")
+            / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+        ).alias("ks_stat"),
+    )
+
+
+# Pointwise-MI micro quantization: same half-up micro-ln contract as
+# queries/retrieval.py (_SURPRISAL_MICRO) so integer sums stay exact.
+_MI_MICRO = (
+    "CAST(floor(ln((CAST(observed AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))) * 1000000 + 0.5)"
+    " AS BIGINT)"
+)
+
+
+@register(
+    name="mutual_information_type_band",
+    survey="A7 J5 F28",
+    doc="Mutual information between event type and value band (the "
+    "information-theoretic companion to event_type_value_chi2, the "
+    "quantity behind feature selection and drift scoring): observed "
+    "cell counts, broadcast marginals, per-cell pointwise MI "
+    "micro-quantized (half-up micro-ln contract), and the MI total as "
+    "an exact integer window sum over the bounded cell table divided "
+    "once by N. Only the initial count aggregation touches row-sized "
+    "data.",
+    oracle=f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CASE WHEN value < 50.0 THEN 'low' ELSE 'high' END AS band,
+                   CAST(count(*) AS BIGINT) AS observed
+            FROM events GROUP BY 1, 2),
+        rowt AS (SELECT event_type, sum(observed) AS rt FROM cells GROUP BY 1),
+        colt AS (SELECT band, sum(observed) AS ct FROM cells GROUP BY 1),
+        tot AS (SELECT sum(observed) AS n FROM cells),
+        terms AS (
+            SELECT c.event_type, c.band, c.observed,
+                   {_MI_MICRO} AS pmi_micro,
+                   c.observed * {_MI_MICRO} AS contrib
+            FROM cells c
+            JOIN rowt r ON c.event_type = r.event_type
+            JOIN colt t ON c.band = t.band
+            CROSS JOIN tot x)
+        SELECT event_type, band, observed, pmi_micro,
+               CAST(SUM(contrib) OVER () AS DOUBLE)
+                   / (CAST(SUM(observed) OVER () AS DOUBLE) * 1000000.0)
+                   AS mi_nats
+        FROM terms
+    """,
+)
+def mutual_information_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cells = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "CASE WHEN value < 50.0 THEN 'low' ELSE 'high' END AS band",
+        )
+        .groupBy("event_type", "band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("observed"))
+    )
+    rowt = cells.groupBy("event_type").agg(F.sum("observed").alias("rt"))
+    colt = cells.groupBy("band").agg(F.sum("observed").alias("ct"))
+    tot = cells.agg(F.sum("observed").alias("n"))
+    terms = (
+        cells.join(F.broadcast(rowt), "event_type")
+        .join(F.broadcast(colt), "band")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("pmi_micro", F.expr(_MI_MICRO))
+        .withColumn("contrib", F.col("observed") * F.col("pmi_micro"))
+    )
+    # Bounded domain: one row per (event_type, band) cell.
+    wall = Window.partitionBy()
+    return terms.select(
+        "event_type",
+        "band",
+        "observed",
+        "pmi_micro",
+        (
+            F.sum("contrib").over(wall).cast("double")
+            / (F.sum("observed").over(wall).cast("double") * F.lit(1e6))
+        ).alias("mi_nats"),
+    )

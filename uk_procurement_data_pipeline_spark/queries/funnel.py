@@ -205,3 +205,152 @@ def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("anchor")
     )
+
+
+_GINI_BINS = 100
+
+
+@register(
+    name="lorenz_gini_binned",
+    survey="A7 W3 J7 F28",
+    doc=f"Binned Lorenz curve + Gini coefficient of customer spend "
+    f"concentration: per-customer exact-decimal spend (zero for "
+    f"customers with no orders), {_GINI_BINS} equal-width bins over "
+    "[0, max], cumulative population and spend shares, and the Gini "
+    "via the trapezoid rule with exact-decimal term summation (the "
+    "chi2 pattern). The only row-sized work is the per-customer "
+    "aggregation; every window runs on the fixed 100-bin domain. The "
+    "unbinned Gini needs a global sort by spend — this is the form "
+    "that exists at 100 TB.",
+    oracle=f"""
+        WITH spend AS (
+          SELECT c.c_custkey,
+                 COALESCE(CAST(ROUND(SUM(CAST(o.o_totalprice
+                                              AS DECIMAL(38,8))), 4)
+                               AS DOUBLE), 0.0) AS spend
+          FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+          GROUP BY c.c_custkey
+        ), mx AS (
+          SELECT max(spend) AS mxs FROM spend
+        ), binned AS (
+          SELECT CAST(least(floor(spend / mxs * {_GINI_BINS}),
+                            {_GINI_BINS} - 1) AS INT) AS bin,
+                 count(*) AS n_cust,
+                 CAST(ROUND(SUM(CAST(spend AS DECIMAL(38,8))), 4)
+                      AS DOUBLE) AS bin_spend
+          FROM spend, mx GROUP BY 1
+        ), bins AS (
+          SELECT s.b AS bin, COALESCE(n_cust, 0) AS n_cust,
+                 COALESCE(bin_spend, 0.0) AS bin_spend
+          FROM (SELECT unnest(range(0, {_GINI_BINS})) AS b) s
+          LEFT JOIN binned ON binned.bin = s.b
+        ), cum AS (
+          SELECT bin, CAST(n_cust AS BIGINT) AS n_cust, bin_spend,
+                 CAST(SUM(n_cust) OVER w AS DOUBLE)
+                     / CAST(SUM(n_cust) OVER () AS DOUBLE) AS cum_pop_share,
+                 CAST(ROUND(SUM(CAST(bin_spend AS DECIMAL(38,8))) OVER w, 4)
+                      AS DOUBLE)
+                     / CAST(ROUND(SUM(CAST(bin_spend AS DECIMAL(38,8)))
+                                  OVER (), 4) AS DOUBLE) AS cum_spend_share,
+                 CAST(n_cust AS DOUBLE)
+                     / CAST(SUM(n_cust) OVER () AS DOUBLE) AS pop_share
+          FROM bins
+          WINDOW w AS (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), terms AS (
+          SELECT cum.*,
+                 pop_share * (cum_spend_share
+                              + COALESCE(lag(cum_spend_share)
+                                         OVER (ORDER BY bin), 0.0)) AS term
+          FROM cum)
+        SELECT bin, n_cust, bin_spend, cum_pop_share, cum_spend_share,
+               1.0 - CAST(ROUND(SUM(CAST(term AS DECIMAL(38,8))) OVER (), 4)
+                          AS DOUBLE) AS gini
+        FROM terms
+    """,
+)
+def lorenz_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    spend = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.coalesce(
+                F.round(F.sum(dec("o_totalprice")), 4).cast("double"),
+                F.lit(0.0),
+            ).alias("spend")
+        )
+    )
+    mx = spend.agg(F.max("spend").alias("mxs"))
+    binned = (
+        spend.crossJoin(F.broadcast(mx))
+        .selectExpr(
+            f"CAST(least(floor(spend / mxs * {_GINI_BINS}),"
+            f" {_GINI_BINS} - 1) AS INT) AS bin",
+            "spend",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum(dec("spend")), 4).cast("double").alias("bin_spend"),
+        )
+    )
+    bins = (
+        spark.range(_GINI_BINS)
+        .selectExpr("CAST(id AS INT) AS bin")
+        .join(binned, "bin", "left")
+        .selectExpr(
+            "bin",
+            "COALESCE(n_cust, 0) AS n_cust",
+            "COALESCE(bin_spend, 0.0) AS bin_spend",
+        )
+    )
+    # Bounded domain: all windows below run on the fixed 100-bin table.
+    wrun = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        F.col("n_cust").cast("bigint").alias("n_cust"),
+        "bin_spend",
+        (
+            F.sum("n_cust").over(wrun).cast("double")
+            / F.sum("n_cust").over(wall).cast("double")
+        ).alias("cum_pop_share"),
+        (
+            F.round(F.sum(dec("bin_spend")).over(wrun), 4).cast("double")
+            / F.round(F.sum(dec("bin_spend")).over(wall), 4).cast("double")
+        ).alias("cum_spend_share"),
+        (
+            F.col("n_cust").cast("double")
+            / F.sum("n_cust").over(wall).cast("double")
+        ).alias("pop_share"),
+    )
+    terms = cum.withColumn(
+        "term",
+        F.col("pop_share")
+        * (
+            F.col("cum_spend_share")
+            + F.coalesce(
+                F.lag("cum_spend_share").over(Window.orderBy("bin")),
+                F.lit(0.0),
+            )
+        ),
+    )
+    return terms.select(
+        "bin",
+        "n_cust",
+        "bin_spend",
+        "cum_pop_share",
+        "cum_spend_share",
+        (
+            F.lit(1.0)
+            - F.round(F.sum(dec("term")).over(wall), 4).cast("double")
+        ).alias("gini"),
+    )

@@ -295,3 +295,66 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_micro").desc(), "a", "b")
         .limit(_PMI_TOP)
     )
+
+
+@register(
+    name="entropy_per_source",
+    survey="A7 F17 F28",
+    doc="Shannon entropy of each source's token distribution (the "
+    "diversity score a mixture designer reads next to size — low "
+    "entropy flags templated/boilerplate sources): per-(source, token) "
+    "counts, per-source totals, and H = sum c * micro(-ln(c/tot)) / "
+    "(tot * 1e6) with the half-up micro-ln contract so the sum is an "
+    "exact integer. One (source, token) hash aggregation plus one "
+    "per-source rollup — linear shuffle at any corpus size.",
+    oracle="""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS c
+            FROM tok GROUP BY source, term),
+        tot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+            FROM tf GROUP BY source),
+        terms AS (
+            SELECT tf.source, tf.c, tot.tot,
+                   CAST(floor(-ln(CAST(tf.c AS DOUBLE)
+                                  / CAST(tot.tot AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS s_micro
+            FROM tf JOIN tot ON tf.source = tot.source)
+        SELECT source,
+               CAST(MAX(tot) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS vocab_size,
+               CAST(SUM(c * s_micro) AS BIGINT) AS h_micro_sum,
+               CAST(SUM(c * s_micro) AS DOUBLE)
+                   / (CAST(MAX(tot) AS DOUBLE) * 1000000.0) AS entropy_nats
+        FROM terms GROUP BY source
+    """,
+)
+def entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    terms = tf.join(tot, "source").withColumn(
+        "s_micro",
+        F.expr(
+            "CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ),
+    )
+    return terms.groupBy("source").agg(
+        F.max("tot").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.col("c") * F.col("s_micro")).cast("bigint").alias(
+            "h_micro_sum"
+        ),
+        (
+            F.sum(F.col("c") * F.col("s_micro")).cast("double")
+            / (F.max("tot").cast("double") * F.lit(1e6))
+        ).alias("entropy_nats"),
+    )
