@@ -1201,3 +1201,96 @@ def mutual_information_type_band(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sum("observed").over(wall).cast("double") * F.lit(1e6))
         ).alias("mi_nats"),
     )
+
+
+@register(
+    name="stream_stateful_user_totals",
+    survey="UD5 ST4 ST5 A7",
+    eager=True,
+    doc="CUSTOM stateful streaming operator executed AS A STREAM "
+    "(applyInPandasWithState — the arbitrary-state API behind "
+    "counters, rate limits and per-key online models; the watermarked "
+    "variant stays in tests/test_streaming.py): per-user running event "
+    "count and micro-quantized value sum whose state survives "
+    "micro-batch boundaries, update-mode memory sink drained with "
+    "trigger(availableNow). Update mode emits one row per touched key "
+    "PER BATCH, so the final answer is recovered batching-invariantly "
+    "as the per-user MAX of the (monotone, non-negative) running "
+    "totals — deterministic however the source splits into "
+    "micro-batches. State is two bigints per user, sharded by the "
+    "grouping shuffle exactly as at cluster scale; the driver "
+    "hash-checks the result against a plain batch aggregation.",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(CAST(floor(value * 1000000 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS value_micro_sum
+        FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from uk_procurement_data_pipeline_spark.catalog import probe_events_nanos
+
+    qname = f"stream_state_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    nanos = probe_events_nanos(spark, f"{sf_dir}/events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    def totals(key, pdfs, state):
+        import numpy as np
+
+        n, vsum = (state.get if state.exists else (0, 0))
+        for p in pdfs:
+            n += len(p)
+            v = p["value"].dropna().to_numpy(dtype="float64")
+            # floor(v*1e6 + 0.5): the engine-shared micro contract, as
+            # exact int64 — order-independent under any batch split.
+            vsum += int(np.floor(v * 1_000_000 + 0.5).astype("int64").sum())
+        state.update((n, vsum))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n": [n], "vsum": [vsum]}
+        )
+
+    try:
+        ts_ddl = "ts long" if nanos else "ts timestamp"
+        src = spark.readStream.schema(
+            f"event_id bigint, {ts_ddl}, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(f"{sf_dir}/events*.parquet")
+        running = src.select("user_id", "value").groupBy(
+            "user_id"
+        ).applyInPandasWithState(
+            totals,
+            "user_id bigint, n bigint, vsum bigint",
+            "n bigint, vsum bigint",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+        q = (
+            running.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+        else:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("vsum").cast("bigint").alias("value_micro_sum"),
+        )
+    )
