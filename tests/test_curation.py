@@ -228,3 +228,48 @@ def test_entropy_per_source_bounded_by_log_vocab(spark, sf_dir):
     for r in rows:
         assert r["vocab_size"] >= 1
         assert -1e-6 <= r["entropy_nats"] <= math.log(r["vocab_size"]) + 1e-3
+
+
+def test_session_paths_are_trigrams_with_full_tiebreak(spark, sf_dir):
+    rows = registry()["session_path_topk"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert len(r["path"].split(">")) == 3
+    counts = [(r["n_paths"], r["path"]) for r in rows]
+    assert counts == sorted(counts, key=lambda t: (-t[0], t[1]))
+
+
+def test_interval_sweep_conserves_and_stays_nonnegative(spark, sf_dir):
+    rows = sorted(
+        registry()["orders_open_interval_sweep"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    # every +1 is matched by a -1: the final running count is zero
+    assert rows[-1]["n_open"] == 0
+    assert all(r["n_open"] >= 0 for r in rows)
+    n_orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            F.expr("o_orderkey = l_orderkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert sum(r["n_delta"] for r in rows if r["n_delta"] > 0) >= 0
+    assert sum(max(r["n_delta"], 0) for r in rows) <= n_orders * 2
+
+
+def test_rfm_scores_are_balanced_terciles(spark, sf_dir):
+    rows = registry()["rfm_customer_segments"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n > 0
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {1: 0, 2: 0, 3: 0}
+        for r in rows:
+            counts[r[col]] += 1
+        # ntile(3): bucket sizes differ by at most one
+        assert max(counts.values()) - min(counts.values()) <= 1
+    for r in rows:
+        assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"

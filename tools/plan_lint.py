@@ -63,6 +63,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "GLOBALWIN": "Lorenz/Gini windows over the FIXED 100-bin table "
         "— input is already aggregate-sized",
     },
+    "orders_open_interval_sweep": {
+        "GLOBALWIN": "running sum over ONE ROW PER CALENDAR DAY (the "
+        "sweep-line delta rollup) — input is already aggregate-sized",
+    },
 }
 
 _SPEC = re.compile(r"windowspecdefinition\((.{0,120})")

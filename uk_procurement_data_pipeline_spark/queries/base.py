@@ -133,7 +133,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    cusum_changepoint, kcore_peel_unrolled, constraint_check_orders,
 #    embedding_covariance, ks_binned_two_sample,
 #    mutual_information_type_band, lorenz_gini_binned, entropy_per_source,
-#    stream_stateful_user_totals
+#    stream_stateful_user_totals, session_path_topk,
+#    orders_open_interval_sweep, rfm_customer_segments
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,

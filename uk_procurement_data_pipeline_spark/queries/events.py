@@ -1294,3 +1294,52 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vsum").cast("bigint").alias("value_micro_sum"),
         )
     )
+
+
+_PATH_TOPK = 20
+
+
+@register(
+    name="session_path_topk",
+    survey="W2 A10 O4 F17",
+    doc="Top-20 most common 3-step event paths (the navigation n-gram "
+    "analysis behind funnel discovery): lead(event_type) x2 within each "
+    "user's (ts, event_id)-ordered stream, '>'-joined trigram paths, "
+    "global count with TakeOrderedAndProject top-K and full "
+    "(count desc, path asc) tiebreak. One user-keyed window shuffle "
+    "plus one path-keyed count — both linear.",
+    oracle=f"""
+        WITH seq AS (
+          SELECT event_type AS e1,
+                 lead(event_type, 1) OVER w AS e2,
+                 lead(event_type, 2) OVER w AS e3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1 || '>' || e2 || '>' || e3 AS path,
+               CAST(count(*) AS BIGINT) AS n_paths
+        FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        GROUP BY 1
+        ORDER BY n_paths DESC, path
+        LIMIT {_PATH_TOPK}
+    """,
+)
+def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "e1", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(_PATH_TOPK)
+    )

@@ -354,3 +354,136 @@ def lorenz_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.round(F.sum(dec("term")).over(wall), 4).cast("double")
         ).alias("gini"),
     )
+
+
+@register(
+    name="rfm_customer_segments",
+    survey="W1 A7 J6 F28",
+    doc="RFM (recency/frequency/monetary) customer segmentation, the "
+    "classic marketing rollup: per purchasing customer, days since "
+    "last order (vs the corpus max day), order count, and exact-"
+    "decimal spend, each scored into terciles with ntile(3) semantics "
+    "— computed WITHOUT an unpartitioned sort via the banded-rank + "
+    "broadcast-offset rewrite that equidepth_value_bins certifies "
+    "(bands: recency months, raw order counts, spend thousands). "
+    "Scores are oriented so 3 is best (r_score inverts recency); the "
+    "oracle keeps the literal ntile() windows, certifying the "
+    "distributed rewrite against the textbook single-sort form.",
+    oracle="""
+        WITH rfm AS (
+          SELECT o.o_custkey AS c_custkey,
+                 date_diff('day', max(date_trunc('day', o.o_orderdate)),
+                           (SELECT max(date_trunc('day', o_orderdate))
+                            FROM orders)) AS recency_days,
+                 count(*) AS frequency,
+                 CAST(ROUND(SUM(CAST(o.o_totalprice AS DECIMAL(38,8))), 4)
+                      AS DOUBLE) AS monetary
+          FROM orders o GROUP BY o.o_custkey
+        ), scored AS (
+          SELECT c_custkey,
+                 CAST(recency_days AS BIGINT) AS recency_days,
+                 CAST(frequency AS BIGINT) AS frequency,
+                 monetary,
+                 ntile(3) OVER (ORDER BY recency_days, c_custkey) AS r_t,
+                 ntile(3) OVER (ORDER BY frequency, c_custkey) AS f_t,
+                 ntile(3) OVER (ORDER BY monetary, c_custkey) AS m_t
+          FROM rfm)
+        SELECT c_custkey, recency_days, frequency, monetary,
+               CAST(4 - r_t AS INT) AS r_score,
+               CAST(f_t AS INT) AS f_score,
+               CAST(m_t AS INT) AS m_score,
+               CAST(4 - r_t AS VARCHAR) || CAST(f_t AS VARCHAR)
+                   || CAST(m_t AS VARCHAR) AS segment
+        FROM scored
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    mx = o.agg(
+        F.date_trunc("day", F.max(F.date_trunc("day", "o_orderdate"))).alias(
+            "mxd"
+        )
+    )
+    rfm = (
+        o.groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.max(F.date_trunc("day", "o_orderdate")).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("frequency"),
+            F.round(F.sum(dec("o_totalprice")), 4)
+            .cast("double")
+            .alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "c_custkey",
+            F.datediff(F.col("mxd"), F.col("last_day"))
+            .cast("bigint")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+
+    def tercile(df, metric: str, band, out: str):
+        """ntile(3) over (metric, c_custkey) via banded rank + broadcast
+        offsets — the equidepth_value_bins rewrite, no global sort."""
+        d = df.withColumn("band", band)
+        in_band = F.row_number().over(
+            Window.partitionBy("band").orderBy(metric, "c_custkey")
+        )
+        sizes = d.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+        lo = sizes.select(
+            F.col("band").alias("lband"), F.col("bn").alias("ln")
+        )
+        offsets = (
+            sizes.join(
+                F.broadcast(lo), F.col("lband") < F.col("band"), "left"
+            )
+            .groupBy("band")
+            .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
+        )
+        tot = d.agg(F.count(F.lit(1)).alias("n_total"))
+        ranked = (
+            d.withColumn("rk", in_band)
+            .join(F.broadcast(offsets), "band")
+            .join(F.broadcast(tot))
+            .withColumn("rn", F.col("off") + F.col("rk"))
+        )
+        s = F.floor(F.col("n_total") / 3)
+        r = F.col("n_total") % 3
+        head = r * (s + 1)
+        t = (
+            F.when(
+                F.col("rn") <= head,
+                F.floor((F.col("rn") - 1) / (s + 1)) + 1,
+            )
+            .otherwise(r + F.floor((F.col("rn") - head - 1) / s) + 1)
+            .cast("int")
+        )
+        return ranked.withColumn(out, t).drop(
+            "band", "rk", "off", "n_total", "rn"
+        )
+
+    x = tercile(rfm, "recency_days", F.floor(F.col("recency_days") / 30), "r_t")
+    x = tercile(x, "frequency", F.col("frequency"), "f_t")
+    x = tercile(x, "monetary", F.floor(F.col("monetary") / 1000), "m_t")
+    return x.select(
+        "c_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        (4 - F.col("r_t")).cast("int").alias("r_score"),
+        F.col("f_t").cast("int").alias("f_score"),
+        F.col("m_t").cast("int").alias("m_score"),
+        F.concat(
+            (4 - F.col("r_t")).cast("string"),
+            F.col("f_t").cast("string"),
+            F.col("m_t").cast("string"),
+        ).alias("segment"),
+    )

@@ -1695,3 +1695,69 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_sum("c_acctbal", "totacctbal"),
         )
     )
+
+
+@register(
+    name="orders_open_interval_sweep",
+    survey="W3 A7 J6 F15",
+    doc="Concurrent-interval counting via the sweep-line rewrite (the "
+    "'how many orders were open on day X' stabbing query): each order "
+    "spans [o_orderdate, max(l_shipdate)], emitted as a +1 delta at "
+    "the start day and a -1 the day after the end, daily delta rollup, "
+    "and the open-order count as a running sum over the calendar. The "
+    "naive form joins every order against every day it covers "
+    "(rows x avg-span blowup); the sweep is two linear aggregations "
+    "plus a window over the BOUNDED calendar-day domain.",
+    oracle="""
+        WITH spans AS (
+          SELECT o.o_orderkey,
+                 date_trunc('day', o.o_orderdate) AS d0,
+                 date_trunc('day', max(l.l_shipdate)) AS d1
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_orderkey, date_trunc('day', o.o_orderdate)
+        ), deltas AS (
+          SELECT d0 AS day, 1 AS delta FROM spans
+          UNION ALL
+          SELECT d1 + INTERVAL 1 DAY, -1 FROM spans
+        ), daily AS (
+          SELECT day, CAST(SUM(delta) AS BIGINT) AS n_delta
+          FROM deltas GROUP BY day
+        )
+        SELECT day, n_delta,
+               CAST(SUM(n_delta) OVER (ORDER BY day
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS n_open
+        FROM daily
+    """,
+)
+def orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.date_trunc("day", "o_orderdate").alias("d0"))
+        .agg(F.date_trunc("day", F.max("l_shipdate")).alias("d1"))
+    )
+    deltas = spans.select(
+        F.col("d0").alias("day"), F.lit(1).alias("delta")
+    ).unionAll(
+        spans.select(
+            (F.col("d1") + F.expr("INTERVAL 1 DAY")).alias("day"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("delta").cast("bigint").alias("n_delta")
+    )
+    # Bounded domain: one row per CALENDAR DAY of the fixture's ~7-year
+    # span, not per order — same justification as cusum_changepoint.
+    wrun = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day",
+        "n_delta",
+        F.sum("n_delta").over(wrun).cast("bigint").alias("n_open"),
+    )
