@@ -273,3 +273,72 @@ def test_rfm_scores_are_balanced_terciles(spark, sf_dir):
         assert max(counts.values()) - min(counts.values()) <= 1
     for r in rows:
         assert r["segment"] == f"{r['r_score']}{r['f_score']}{r['m_score']}"
+
+
+def test_weighted_sample_is_exact_size_and_favors_long_docs(spark, sf_dir):
+    rows = registry()["weighted_sample_es"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert len(rows) == min(200, n_docs)
+    keys = [r["key_nano"] for r in rows]
+    assert keys == sorted(keys, reverse=True)
+    # weighting by n_chars must bias the sample longer than the corpus
+    corpus_mean = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .agg(F.avg("n_chars"))
+        .first()[0]
+    )
+    sample_mean = sum(r["n_chars"] for r in rows) / len(rows)
+    if len(rows) < n_docs:  # only meaningful when it IS a subsample
+        assert sample_mean > corpus_mean * 0.95
+
+
+def test_bigram_surprisal_matches_python_reference(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    rows = {
+        r["doc_id"]: r
+        for r in registry()["bigram_surprisal_quality"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    model = Counter()
+    ctx = Counter()
+    for toks in docs.values():
+        for a, b in zip(toks, toks[1:]):
+            model[(a, b)] += 1
+            ctx[a] += 1
+    for doc_id, toks in docs.items():
+        bigrams = list(zip(toks, toks[1:]))
+        if not bigrams:
+            assert doc_id not in rows
+            continue
+        micro = sum(
+            math.floor(-math.log(model[b] / ctx[b[0]]) * 1e6 + 0.5)
+            for b in bigrams
+        )
+        assert rows[doc_id]["n_bigrams"] == len(bigrams)
+        assert rows[doc_id]["surprisal_micro_sum"] == micro
+
+
+def test_banded_percentiles_match_sorted_reference(spark, sf_dir):
+    out = {
+        r["event_type"]: r
+        for r in registry()["percentiles_per_type_banded"].fn(spark, sf_dir).collect()
+    }
+    ev = [
+        (r["event_type"], r["value"], r["event_id"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+        if r["value"] is not None
+    ]
+    by_type: dict[str, list] = {}
+    for t, v, i in ev:
+        by_type.setdefault(t, []).append((v, i))
+    for t, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        assert out[t]["n"] == n
+        assert out[t]["p50"] == vals[(n + 1) // 2 - 1][0]
+        assert out[t]["p95"] == vals[(19 * n + 19) // 20 - 1][0]

@@ -134,7 +134,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    embedding_covariance, ks_binned_two_sample,
 #    mutual_information_type_band, lorenz_gini_binned, entropy_per_source,
 #    stream_stateful_user_totals, session_path_topk,
-#    orders_open_interval_sweep, rfm_customer_segments
+#    orders_open_interval_sweep, rfm_customer_segments,
+#    weighted_sample_es, bigram_surprisal_quality,
+#    percentiles_per_type_banded
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,

@@ -1040,3 +1040,50 @@ def training_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("head_doc"),
     )
+
+
+_ES_K = 200
+
+
+@register(
+    name="weighted_sample_es",
+    survey="A7 O4 F28 W1",
+    doc=f"Efraimidis-Spirakis weighted sampling WITHOUT replacement "
+    f"(top-{_ES_K}): each document draws an md5-uniform u and ranks by "
+    "ln(u)/n_chars (the monotone transform of u^(1/w)), micro-"
+    "quantized to an exact bigint with doc_id tiebreak; the k largest "
+    "keys are the sample. Deterministic/coordinated like "
+    "pps_sample_docs, but produces an EXACT-size sample and needs "
+    "only one map pass plus TakeOrderedAndProject — the distributed "
+    "form of reservoir sampling with weights.",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT doc_id, n_chars,
+                 CAST(floor(
+                     ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS
+                           VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 1.0)
+                        / 4294967296.0)
+                     / CAST(n_chars AS DOUBLE) * 1000000000 + 0.5)
+                      AS BIGINT) AS key_nano
+          FROM documents)
+        SELECT doc_id, n_chars, key_nano
+        FROM keyed
+        ORDER BY key_nano DESC, doc_id
+        LIMIT {_ES_K}
+    """,
+)
+def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "CAST(floor("
+            " ln((CAST(cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0)"
+            " / CAST(n_chars AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)"
+            " AS key_nano",
+        )
+        .orderBy(F.desc("key_nano"), "doc_id")
+        .limit(_ES_K)
+    )

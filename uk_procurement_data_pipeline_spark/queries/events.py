@@ -1343,3 +1343,86 @@ def session_path_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "path")
         .limit(_PATH_TOPK)
     )
+
+
+@register(
+    name="percentiles_per_type_banded",
+    survey="W1 A7 F28",
+    doc="Exact p50/p95 of value per event type WITHOUT sorting any "
+    "type's full partition: rank within (type, integer value band) — "
+    "parallel across bands even when one type holds billions of rows — "
+    "plus broadcast strictly-lower-band offsets per type (the "
+    "equidepth_value_bins rewrite applied per group), then pick the "
+    "ceil(p*n) ranks. The oracle keeps the literal per-type "
+    "row_number over a full sort, certifying the banded rewrite "
+    "against textbook percentile semantics.",
+    oracle="""
+        WITH ev AS (
+          SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL
+        ), n AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY event_type
+        ), ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn
+          FROM ev)
+        SELECT n.event_type, n.n,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN value END) AS p50,
+               MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END) AS p95
+        FROM ranked JOIN n USING (event_type)
+        GROUP BY n.event_type, n.n
+    """,
+)
+def percentiles_per_type_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "event_id",
+            "value",
+            F.floor("value").alias("band"),
+        )
+    )
+    in_band = F.row_number().over(
+        Window.partitionBy("event_type", "band").orderBy("value", "event_id")
+    )
+    sizes = ev.groupBy("event_type", "band").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    lo = sizes.select(
+        F.col("event_type").alias("lt"),
+        F.col("band").alias("lband"),
+        F.col("bn").alias("ln"),
+    )
+    offsets = (
+        sizes.join(
+            F.broadcast(lo),
+            (F.col("lt") == F.col("event_type"))
+            & (F.col("lband") < F.col("band")),
+            "left",
+        )
+        .groupBy("event_type", "band")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        ev.withColumn("rk", in_band)
+        .join(F.broadcast(offsets), ["event_type", "band"])
+        .join(F.broadcast(n), "event_type")
+        .withColumn("rn", F.col("off") + F.col("rk"))
+    )
+    r50 = F.expr("(n + 1) div 2")
+    r95 = F.expr("(19 * n + 19) div 20")
+    return (
+        ranked.groupBy("event_type", "n")
+        .agg(
+            F.max(F.when(F.col("rn") == r50, F.col("value"))).alias("p50"),
+            F.max(F.when(F.col("rn") == r95, F.col("value"))).alias("p95"),
+        )
+        .select("event_type", "n", "p50", "p95")
+    )

@@ -358,3 +358,85 @@ def entropy_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("tot").cast("double") * F.lit(1e6))
         ).alias("entropy_nats"),
     )
+
+
+# Conditional bigram surprisal -ln(c(w1,w2) / c(w1,*)) in micro units.
+_BIGRAM_MICRO = (
+    "CAST(floor(-ln(CAST(c_big AS DOUBLE) / CAST(c_ctx AS DOUBLE))"
+    " * 1000000 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    name="bigram_surprisal_quality",
+    survey="A7 J5 F17 F18 W2",
+    doc="Bigram-LM surprisal scoring (the conditional upgrade of "
+    "unigram_surprisal_quality — the KenLM-shaped perplexity-proxy "
+    "filter): corpus bigram counts c(w1,w2) and continuation totals "
+    "c(w1,*) are the model, each document's mean conditional "
+    "surprisal = exact bigint sum of tf x micro(-ln p(w2|w1)) over "
+    "its bigrams divided by its bigram count. Model training is two "
+    "hash aggregates over one explode; scoring is one equi-join on "
+    "the bigram key — all linear.",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), big AS (
+          SELECT d.doc_id, d.t[s.i] AS w1, d.t[s.i + 1] AS w2
+          FROM toks d, LATERAL (SELECT unnest(range(1, len(d.t))) AS i) s
+        ), tf AS (
+          SELECT doc_id, w1, w2, CAST(count(*) AS BIGINT) AS tf
+          FROM big GROUP BY doc_id, w1, w2
+        ), model AS (
+          SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c_big
+          FROM tf GROUP BY w1, w2
+        ), ctx AS (
+          SELECT w1, CAST(SUM(c_big) AS BIGINT) AS c_ctx
+          FROM model GROUP BY w1)
+        SELECT doc_id,
+               CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(tf * {_BIGRAM_MICRO}) AS BIGINT)
+                   AS surprisal_micro_sum,
+               CAST(SUM(tf * {_BIGRAM_MICRO}) AS DOUBLE)
+                   / CAST(SUM(tf) AS DOUBLE) AS mean_surprisal_micro
+        FROM tf JOIN model USING (w1, w2) JOIN ctx USING (w1)
+        GROUP BY doc_id
+    """,
+)
+def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr(
+            "doc_id",
+            # Guard 1-token docs: sequence(1, 0) DESCENDS in Spark; the
+            # oracle's range(1, 1) is empty (the repetition_signals fix).
+            "explode(IF(size(t) < 2, array(),"
+            " transform(sequence(1, size(t) - 1),"
+            " i -> struct(t[i - 1] AS w1, t[i] AS w2)))) AS b",
+        )
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    tf = big.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    model = tf.groupBy("w1", "w2").agg(
+        F.sum("tf").cast("bigint").alias("c_big")
+    )
+    ctx = model.groupBy("w1").agg(F.sum("c_big").cast("bigint").alias("c_ctx"))
+    term = F.expr(_BIGRAM_MICRO)
+    return (
+        tf.join(model, ["w1", "w2"])
+        .join(ctx, "w1")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("tf") * term).cast("bigint").alias(
+                "surprisal_micro_sum"
+            ),
+            (
+                F.sum(F.col("tf") * term).cast("double")
+                / F.sum("tf").cast("double")
+            ).alias("mean_surprisal_micro"),
+        )
+    )
