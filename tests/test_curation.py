@@ -342,3 +342,49 @@ def test_banded_percentiles_match_sorted_reference(spark, sf_dir):
         assert out[t]["n"] == n
         assert out[t]["p50"] == vals[(n + 1) // 2 - 1][0]
         assert out[t]["p95"] == vals[(19 * n + 19) // 20 - 1][0]
+
+
+def test_adamic_adar_pairs_are_nonadjacent_and_ranked(spark, sf_dir):
+    rows = registry()["adamic_adar_link_prediction"].fn(spark, sf_dir).collect()
+    keys = [(r["aa_micro"], r["supp_a"], r["supp_b"]) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1], t[2]))
+    for r in rows:
+        assert r["supp_a"] < r["supp_b"]
+        assert r["n_common"] >= 1
+        assert r["aa_micro"] > 0
+
+
+def test_abtest_counts_partition_users(spark, sf_dir):
+    row = registry()["abtest_proportions_ztest"].fn(spark, sf_dir).first()
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert row["n_a"] + row["n_b"] == n_users
+    assert 0 <= row["x_a"] <= row["n_a"]
+    assert 0 <= row["x_b"] <= row["n_b"]
+    if 0 < row["x_a"] + row["x_b"] < row["n_a"] + row["n_b"]:
+        assert row["z"] is not None
+
+
+def test_lognormal_fit_matches_numpy(spark, sf_dir):
+    import math
+
+    import numpy as np
+
+    row = registry()["lognormal_fit_values"].fn(spark, sf_dir).first()
+    vals = np.array(
+        [
+            r["value"]
+            for r in spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+            if r["value"] is not None and r["value"] > 0
+        ]
+    )
+    lv = np.log(vals)
+    assert row["n"] == len(vals)
+    # quantization error per term is <= 0.5e-6 (mu) / 0.5e-3 (sigma2)
+    assert abs(row["mu"] - lv.mean()) < 1e-5
+    assert abs(row["sigma2"] - lv.var(ddof=1)) < 5e-3
+    assert row["sigma2"] > 0

@@ -1426,3 +1426,157 @@ def percentiles_per_type_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("event_type", "n", "p50", "p95")
     )
+
+
+@register(
+    name="abtest_proportions_ztest",
+    survey="A7 F28 J7",
+    doc="Two-proportion z-test over a deterministic md5 user split (the "
+    "A/B experiment readout): variant = md5(user_id) mod 2, a user "
+    "converts on a high-value purchase (value > 300 — rare by "
+    "construction; ANY purchase is degenerate in this fixture, every "
+    "user has one, making pool*(1-pool) = 0), pooled-variance z "
+    "computed from the four integer counts in one fixed-order double "
+    "expression (sqrt is IEEE-exact, so the statistic is bit-identical "
+    "across engines). Two hash aggregations over row data, then a "
+    "1x1 arithmetic join — nothing else touches row-sized data.",
+    oracle="""
+        WITH users AS (
+          SELECT user_id,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 2 AS variant,
+                 max(CASE WHEN event_type = 'purchase' AND value > 300
+                          THEN 1 ELSE 0 END) AS converted
+          FROM events GROUP BY user_id
+        ), agg AS (
+          SELECT CAST(count(*) FILTER (WHERE variant = 0) AS BIGINT) AS n_a,
+                 CAST(SUM(converted) FILTER (WHERE variant = 0) AS BIGINT)
+                     AS x_a,
+                 CAST(count(*) FILTER (WHERE variant = 1) AS BIGINT) AS n_b,
+                 CAST(SUM(converted) FILTER (WHERE variant = 1) AS BIGINT)
+                     AS x_b
+          FROM users)
+        SELECT n_a, x_a, n_b, x_b,
+               CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+               CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+               CASE WHEN x_a + x_b > 0 AND x_a + x_b < n_a + n_b THEN
+                 (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                  - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                 / sqrt((CAST(x_a + x_b AS DOUBLE)
+                         / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 - CAST(x_a + x_b AS DOUBLE)
+                                 / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / CAST(n_a AS DOUBLE)
+                           + 1.0 / CAST(n_b AS DOUBLE)))
+               END AS z
+        FROM agg
+    """,
+)
+def abtest_proportions_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("value") > 300),
+                    1,
+                ).otherwise(0)
+            ).alias("converted")
+        )
+        .selectExpr(
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 2 AS variant",
+            "converted",
+        )
+    )
+    agg = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("x_b"),
+    )
+    na, xa = F.col("n_a").cast("double"), F.col("x_a").cast("double")
+    nb, xb = F.col("n_b").cast("double"), F.col("x_b").cast("double")
+    pa, pb = xa / na, xb / nb
+    pool = (xa + xb) / (na + nb)
+    # Degenerate pools (all or none converted) leave z undefined; the
+    # CASE keeps the ANSI division from firing on sqrt(0).
+    z = F.when(
+        (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b")),
+        (pa - pb) / F.sqrt(pool * (1.0 - pool) * (1.0 / na + 1.0 / nb)),
+    )
+    return agg.select(
+        "n_a", "x_a", "n_b", "x_b",
+        pa.alias("p_a"), pb.alias("p_b"), z.alias("z"),
+    )
+
+
+@register(
+    name="lognormal_fit_values",
+    survey="A7 F28",
+    doc="Log-normal distribution fit of positive event values (the "
+    "heavy-tail model behind revenue/value distributions): per-event "
+    "ln(value) quantized to micro (first moment) and milli (second "
+    "moment) BEFORE summation, so both moment sums are exact "
+    "order-independent bigints — the milli scale keeps the squared "
+    "sum under 2^63 out to ~1e11 rows (the micro square would "
+    "overflow at ~1e5). mu and the unbiased sigma^2 come out as two "
+    "fixed-order double expressions over the integer moments.",
+    oracle="""
+        WITH lv AS (
+          SELECT CAST(floor(ln(value) * 1000000 + 0.5) AS BIGINT) AS l_mic,
+                 CAST(floor(ln(value) * 1000 + 0.5) AS BIGINT) AS l_mil
+          FROM events WHERE value IS NOT NULL AND value > 0
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(l_mic) AS BIGINT) AS s1_micro,
+                 CAST(SUM(l_mil * l_mil) AS BIGINT) AS s2_milli2
+          FROM lv)
+        SELECT n, s1_micro, s2_milli2,
+               CAST(s1_micro AS DOUBLE) / (CAST(n AS DOUBLE) * 1000000.0)
+                   AS mu,
+               (CAST(n AS DOUBLE) * (CAST(s2_milli2 AS DOUBLE) / 1000000.0)
+                - (CAST(s1_micro AS DOUBLE) / 1000000.0)
+                  * (CAST(s1_micro AS DOUBLE) / 1000000.0))
+               / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+                   AS sigma2
+        FROM m
+    """,
+)
+def lognormal_fit_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lv = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull() & (F.col("value") > 0))
+        .selectExpr(
+            "CAST(floor(ln(value) * 1000000 + 0.5) AS BIGINT) AS l_mic",
+            "CAST(floor(ln(value) * 1000 + 0.5) AS BIGINT) AS l_mil",
+        )
+    )
+    m = lv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("l_mic").cast("bigint").alias("s1_micro"),
+        F.sum(F.col("l_mil") * F.col("l_mil")).cast("bigint").alias(
+            "s2_milli2"
+        ),
+    )
+    n = F.col("n").cast("double")
+    s1 = F.col("s1_micro").cast("double") / F.lit(1e6)
+    s2 = F.col("s2_milli2").cast("double") / F.lit(1e6)
+    return m.select(
+        "n",
+        "s1_micro",
+        "s2_milli2",
+        (F.col("s1_micro").cast("double") / (n * F.lit(1e6))).alias("mu"),
+        ((n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))).alias("sigma2"),
+    )

@@ -314,3 +314,112 @@ def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("peeled_round"),
         )
     )
+
+
+_AA_TOPK = 50
+
+
+@register(
+    name="adamic_adar_link_prediction",
+    survey="J6 A7 A10 F28",
+    doc=f"Adamic-Adar link prediction over the DOULION-sampled co-supply "
+    "graph: for every NON-adjacent supplier pair with at least one "
+    "common neighbor, score = sum over common neighbors b of "
+    "1/ln(deg(b)), micro-quantized per neighbor so the per-pair sum "
+    f"is an exact bigint; top-{_AA_TOPK} with (score, pair) tiebreak. "
+    "The wedge join is the triangle-counting plan reused for "
+    "prediction; existing edges are removed with one anti-join. A "
+    "common neighbor has degree >= 2 by construction, so ln(deg) "
+    "never divides by zero.",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey),
+        e AS (
+            SELECT a, b FROM pairs
+            WHERE CAST('0x' || substr(md5(a || ':' || b), 1, 8) AS BIGINT)
+                  % {_TRI_MOD} = 0),
+        und AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (
+            SELECT n, CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5)
+                           AS BIGINT) AS w_micro
+            FROM (SELECT n, count(*) AS d FROM und GROUP BY n)
+            WHERE d > 1),
+        wedges AS (
+            SELECT e1.n AS a, e1.m AS b, e2.m AS c
+            FROM und e1 JOIN und e2 ON e1.m = e2.n
+            WHERE e1.n < e2.m),
+        open_wedges AS (
+            SELECT w.a, w.b, w.c FROM wedges w
+            LEFT JOIN e ON e.a = w.a AND e.b = w.c
+            WHERE e.a IS NULL),
+        scored AS (
+            SELECT ow.a, ow.c,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(SUM(deg.w_micro) AS BIGINT) AS aa_micro
+            FROM open_wedges ow JOIN deg ON deg.n = ow.b
+            GROUP BY ow.a, ow.c)
+        SELECT a AS supp_a, c AS supp_b, n_common, aa_micro
+        FROM scored
+        ORDER BY aa_micro DESC, a, c
+        LIMIT {_AA_TOPK}
+    """,
+)
+def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pa = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    pb = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    e = (
+        pa.join(pb, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .where(
+            F.expr(
+                f"CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10)"
+                f" AS BIGINT) % {_TRI_MOD} = 0"
+            )
+        )
+    )
+    e = e.localCheckpoint(eager=True)  # reused by und, anti-join
+    und = e.selectExpr("a AS n", "b AS m").unionAll(
+        e.selectExpr("b AS n", "a AS m")
+    )
+    # Degree-1 nodes cannot be common neighbors; dropping them BEFORE the
+    # weight projection also keeps ln(1)=0 out of the ANSI division.
+    deg = (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > 1)
+        .selectExpr(
+            "n",
+            "CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)"
+            " AS w_micro",
+        )
+    )
+    e1 = und.selectExpr("n AS a", "m AS b")
+    e2 = und.selectExpr("n AS b", "m AS c")
+    wedges = e1.join(e2, "b").where(F.col("a") < F.col("c"))
+    open_wedges = wedges.join(
+        e.selectExpr("a", "b AS c"), ["a", "c"], "left_anti"
+    )
+    scored = (
+        open_wedges.join(deg, deg.n == open_wedges.b)
+        .groupBy("a", "c")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum("w_micro").cast("bigint").alias("aa_micro"),
+        )
+    )
+    return (
+        scored.select(
+            F.col("a").alias("supp_a"),
+            F.col("c").alias("supp_b"),
+            "n_common",
+            "aa_micro",
+        )
+        .orderBy(F.desc("aa_micro"), "supp_a", "supp_b")
+        .limit(_AA_TOPK)
+    )
