@@ -388,3 +388,35 @@ def test_lognormal_fit_matches_numpy(spark, sf_dir):
     assert abs(row["mu"] - lv.mean()) < 1e-5
     assert abs(row["sigma2"] - lv.var(ddof=1)) < 5e-3
     assert row["sigma2"] > 0
+
+
+def test_kaplan_meier_risk_set_shrinks_and_survival_decreases(spark, sf_dir):
+    rows = sorted(
+        registry()["kaplan_meier_customer_lifetime"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["t"],
+    )
+    assert rows
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert rows[0]["n_risk"] == n_cust
+    for a, b in zip(rows, rows[1:]):
+        assert b["n_risk"] == a["n_risk"] - a["d_event"] - a["n_censor"]
+        if a["km_log_micro"] is not None and b["km_log_micro"] is not None:
+            assert b["km_log_micro"] <= a["km_log_micro"]
+    assert all(r["km_log_micro"] is None or r["km_log_micro"] <= 0 for r in rows)
+
+
+def test_clustering_coeff_in_range_and_consistent(spark, sf_dir):
+    rows = registry()["clustering_coefficient_local"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["clustering_coeff"] <= 1.0 + 1e-12
+        if r["degree"] > 1:
+            expect = 2.0 * r["n_triangles"] / (r["degree"] * (r["degree"] - 1))
+            assert abs(r["clustering_coeff"] - expect) < 1e-12
+        else:
+            assert r["n_triangles"] == 0

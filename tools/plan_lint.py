@@ -67,6 +67,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "GLOBALWIN": "running sum over ONE ROW PER CALENDAR DAY (the "
         "sweep-line delta rollup) — input is already aggregate-sized",
     },
+    "kaplan_meier_customer_lifetime": {
+        "GLOBALWIN": "risk-set and log-survival running sums over ONE "
+        "ROW PER LIFETIME DAY (calendar-bounded) — input is already "
+        "aggregate-sized",
+    },
 }
 
 _SPEC = re.compile(r"windowspecdefinition\((.{0,120})")

@@ -137,7 +137,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    orders_open_interval_sweep, rfm_customer_segments,
 #    weighted_sample_es, bigram_surprisal_quality,
 #    percentiles_per_type_banded, adamic_adar_link_prediction,
-#    abtest_proportions_ztest, lognormal_fit_values
+#    abtest_proportions_ztest, lognormal_fit_values,
+#    kaplan_meier_customer_lifetime, clustering_coefficient_local
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,

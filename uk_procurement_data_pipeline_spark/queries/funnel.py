@@ -487,3 +487,135 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_t").cast("string"),
         ).alias("segment"),
     )
+
+
+_KM_CENSOR_DAYS = 90
+
+
+@register(
+    name="kaplan_meier_customer_lifetime",
+    survey="A7 W3 F15 F28",
+    doc="Kaplan-Meier survival curve over customer lifetimes (the churn "
+    "model behind retention forecasting): lifetime = days between a "
+    "customer's first and last order, censored when the last order is "
+    f"within {_KM_CENSOR_DAYS} days of the corpus end (they may still "
+    "return). Per distinct lifetime day: risk set n(t) = customers "
+    "with lifetime >= t (exact integers, total minus a running sum), "
+    "churn events d(t), censors, and the log-survival ln S(t) = "
+    "cumulative sum of micro-quantized ln(1 - d/n) — an exact bigint, "
+    "exp() is left to the consumer because engines differ in its last "
+    "ulp. The per-customer rollup is the only row-sized work; every "
+    "window runs on the calendar-bounded lifetime-day domain.",
+    oracle=f"""
+        WITH cust AS (
+          SELECT o_custkey,
+                 date_diff('day', min(date_trunc('day', o_orderdate)),
+                           max(date_trunc('day', o_orderdate))) AS lifetime,
+                 (date_diff('day', max(date_trunc('day', o_orderdate)),
+                            (SELECT max(date_trunc('day', o_orderdate))
+                             FROM orders)) < {_KM_CENSOR_DAYS}) AS censored
+          FROM orders GROUP BY o_custkey
+        ), per_day AS (
+          SELECT lifetime AS t,
+                 CAST(count(*) FILTER (WHERE NOT censored) AS BIGINT)
+                     AS d_event,
+                 CAST(count(*) FILTER (WHERE censored) AS BIGINT)
+                     AS n_censor,
+                 CAST(count(*) AS BIGINT) AS leaving
+          FROM cust GROUP BY lifetime
+        ), tot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_total FROM cust
+        ), risk AS (
+          SELECT t, d_event, n_censor,
+                 n_total
+                 - CAST(COALESCE(SUM(leaving) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS BIGINT) AS n_risk
+          FROM per_day, tot
+        ), terms AS (
+          SELECT t, n_risk, d_event, n_censor,
+                 CASE WHEN d_event > 0 AND d_event < n_risk THEN
+                   CAST(floor(ln(1.0 - CAST(d_event AS DOUBLE)
+                                       / CAST(n_risk AS DOUBLE))
+                              * 1000000 - 0.5) * -1 AS BIGINT) * -1
+                 WHEN d_event = 0 THEN CAST(0 AS BIGINT)
+                 END AS term_micro
+          FROM risk)
+        SELECT t, n_risk, d_event, n_censor,
+               CAST(SUM(term_micro) OVER (ORDER BY t
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS km_log_micro
+        FROM terms
+    """,
+)
+def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    mx = o.agg(
+        F.max(F.date_trunc("day", "o_orderdate")).alias("mxd")
+    )
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min(F.date_trunc("day", "o_orderdate")).alias("d0"),
+            F.max(F.date_trunc("day", "o_orderdate")).alias("d1"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            F.datediff("d1", "d0").alias("lifetime"),
+            (F.datediff("mxd", "d1") < _KM_CENSOR_DAYS).alias("censored"),
+        )
+    )
+    per_day = cust.groupBy(F.col("lifetime").alias("t")).agg(
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_event"),
+        F.sum(F.when(F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_censor"),
+        F.count(F.lit(1)).cast("bigint").alias("leaving"),
+    )
+    tot = per_day.agg(F.sum("leaving").cast("bigint").alias("n_total"))
+    # Bounded domain: one row per LIFETIME DAY (calendar-bounded), same
+    # justification as cusum_changepoint / orders_open_interval_sweep.
+    wprev = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wrun = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = (
+        per_day.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum("leaving").over(wprev), F.lit(0)).cast(
+                "bigint"
+            ),
+        )
+    )
+    term = F.when(
+        (F.col("d_event") > 0) & (F.col("d_event") < F.col("n_risk")),
+        (
+            F.floor(
+                F.log(
+                    F.lit(1.0)
+                    - F.col("d_event").cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * 1000000
+                - 0.5
+            )
+            * -1
+        ).cast("bigint")
+        * -1,
+    ).when(F.col("d_event") == 0, F.lit(0).cast("bigint"))
+    return (
+        risk.withColumn("term_micro", term)
+        .withColumn(
+            "km_log_micro",
+            F.sum("term_micro").over(wrun).cast("bigint"),
+        )
+        .select("t", "n_risk", "d_event", "n_censor", "km_log_micro")
+    )

@@ -423,3 +423,108 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("aa_micro"), "supp_a", "supp_b")
         .limit(_AA_TOPK)
     )
+
+
+@register(
+    name="clustering_coefficient_local",
+    survey="J6 A7 F28",
+    doc="Local clustering coefficient per supplier on the DOULION-"
+    "sampled co-supply graph: canonical triangles from the two-join "
+    "wedge-close plan (each triangle a<b<c closes once), credited to "
+    "all three corners via one explode, cc = 2*tri / (deg*(deg-1)) as "
+    "a single integer-ratio double. Degree-1 nodes are reported with "
+    "cc = 0 (no wedge exists). Same linear-shuffle posture as "
+    "triangle_count_doulion — the sampled graph bounds the wedge "
+    "explosion.",
+    oracle=f"""
+        WITH pairs AS (
+            SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey
+             AND a.l_suppkey < b.l_suppkey),
+        e AS (
+            SELECT a, b FROM pairs
+            WHERE CAST('0x' || substr(md5(a || ':' || b), 1, 8) AS BIGINT)
+                  % {_TRI_MOD} = 0),
+        und AS (SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY n),
+        tri AS (
+            SELECT e1.a, e1.b, e2.b AS c
+            FROM e e1
+            JOIN e e2 ON e1.b = e2.a
+            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+        corner AS (
+            SELECT x.n, count(*) AS n_tri
+            FROM (SELECT a AS n FROM tri
+                  UNION ALL SELECT b FROM tri
+                  UNION ALL SELECT c FROM tri) x
+            GROUP BY x.n)
+        SELECT deg.n AS suppkey, deg.d AS degree,
+               CAST(COALESCE(corner.n_tri, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN deg.d > 1 THEN
+                 2.0 * CAST(COALESCE(corner.n_tri, 0) AS DOUBLE)
+                 / (CAST(deg.d AS DOUBLE) * CAST(deg.d - 1 AS DOUBLE))
+               ELSE 0.0 END AS clustering_coeff
+        FROM deg LEFT JOIN corner ON deg.n = corner.n
+    """,
+)
+def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pa = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    pb = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    e = (
+        pa.join(pb, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+        .where(
+            F.expr(
+                f"CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10)"
+                f" AS BIGINT) % {_TRI_MOD} = 0"
+            )
+        )
+    )
+    e = e.localCheckpoint(eager=True)  # reused by deg and three joins
+    und = e.selectExpr("a AS n", "b AS m").unionAll(
+        e.selectExpr("b AS n", "a AS m")
+    )
+    deg = und.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1 = e.selectExpr("a", "b")
+    e2 = e.selectExpr("a AS b", "b AS c")
+    e3 = e.selectExpr("a AS ta", "b AS tc")
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("ta") == F.col("a")) & (F.col("tc") == F.col("c")),
+        )
+        .select("a", "b", "c")
+    )
+    corner = (
+        tri.selectExpr("a AS n")
+        .unionAll(tri.selectExpr("b AS n"))
+        .unionAll(tri.selectExpr("c AS n"))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    return (
+        deg.join(corner, "n", "left")
+        .select(
+            F.col("n").alias("suppkey"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("n_tri"), F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.when(
+                F.col("d") > 1,
+                F.lit(2.0)
+                * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                / (
+                    F.col("d").cast("double")
+                    * (F.col("d") - 1).cast("double")
+                ),
+            )
+            .otherwise(0.0)
+            .alias("clustering_coeff"),
+        )
+    )
