@@ -420,3 +420,24 @@ def test_clustering_coeff_in_range_and_consistent(spark, sf_dir):
             assert abs(r["clustering_coeff"] - expect) < 1e-12
         else:
             assert r["n_triangles"] == 0
+
+
+def test_ols2_matches_numpy_lstsq(spark, sf_dir):
+    import numpy as np
+
+    rows = registry()["ols2_regression_per_type"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "event_type", "hour(ts) AS x1", "dayofweek(ts) AS x2", "value AS y"
+    ).where("value IS NOT NULL").collect()
+    by_type: dict[str, list] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append((r["x1"], r["x2"], r["y"]))
+    for out in rows:
+        data = np.array(by_type[out["event_type"]], dtype=np.float64)
+        X = np.column_stack([np.ones(len(data)), data[:, 0], data[:, 1]])
+        beta, *_ = np.linalg.lstsq(X, data[:, 2], rcond=None)
+        assert out["n"] == len(data)
+        assert abs(out["b0"] - beta[0]) < 1e-6
+        assert abs(out["b1"] - beta[1]) < 1e-6
+        assert abs(out["b2"] - beta[2]) < 1e-6
+        assert out["r2"] <= 1.0

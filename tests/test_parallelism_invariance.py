@@ -18,13 +18,18 @@ from uk_procurement_data_pipeline_spark.queries import registry
 
 # One query per determinism hazard: decimal sums (pricing), iterative
 # decimal propagation (pagerank), window+hash dedup (simhash), float fold
-# (cosine), corpus stats (repetition).
+# (cosine), corpus stats (repetition), multi-filter similarity join with
+# bitmap pruning (allpairs), chained banded-rank terciles (rfm), and
+# multi-round graph peeling over a localCheckpointed edge list (kcore).
 QUERIES = [
     "pricing_summary",
     "supplier_pagerank",
     "simhash_dedup",
     "cosine_topk_bruteforce",
     "repetition_signals",
+    "allpairs_prefix_jaccard",
+    "rfm_customer_segments",
+    "kcore_peel_unrolled",
 ]
 
 

@@ -1580,3 +1580,138 @@ def lognormal_fit_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("s1_micro").cast("double") / (n * F.lit(1e6))).alias("mu"),
         ((n * s2 - s1 * s1) / (n * (n - F.lit(1.0)))).alias("sigma2"),
     )
+
+
+@register(
+    name="ols2_regression_per_type",
+    survey="A7 F15 F28",
+    doc="Closed-form two-feature OLS per event type (value ~ hour + "
+    "day-of-week — the in-engine regression a feature pipeline runs "
+    "before reaching for MLlib): the X'X moment matrix is EXACT "
+    "bigints (features are small integers), X'y moments go through "
+    "the exact-decimal fold, and the 3x3 normal equations are solved "
+    "by Cramer's rule as fixed-order arithmetic — an exact-integer "
+    "determinant dividing exact-double numerators, so coefficients "
+    "and R^2 are bit-identical across engines. One hash aggregation "
+    "over row data; the solve runs on one row per type. Spark "
+    "dayofweek is 1=Sunday..7; the oracle shifts DuckDB's 0-based "
+    "form to match.",
+    oracle="""
+        WITH x AS (
+          SELECT event_type,
+                 CAST(hour(ts) AS BIGINT) AS x1,
+                 CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+                 value AS y
+          FROM events WHERE value IS NOT NULL
+        ), m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x1) AS BIGINT) AS s1,
+                 CAST(SUM(x2) AS BIGINT) AS s2,
+                 CAST(SUM(x1 * x1) AS BIGINT) AS s11,
+                 CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+                 CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+                 CAST(ROUND(SUM(CAST(y AS DECIMAL(38,8))), 4) AS DOUBLE)
+                     AS sy,
+                 CAST(ROUND(SUM(CAST(x1 * y AS DECIMAL(38,8))), 4)
+                      AS DOUBLE) AS s1y,
+                 CAST(ROUND(SUM(CAST(x2 * y AS DECIMAL(38,8))), 4)
+                      AS DOUBLE) AS s2y,
+                 CAST(ROUND(SUM(CAST(y * y AS DECIMAL(38,8))), 2)
+                      AS DOUBLE) AS syy
+          FROM x GROUP BY event_type
+        ), solved AS (
+          SELECT m.*,
+                 CAST(n * (s11 * s22 - s12 * s12)
+                      - s1 * (s1 * s22 - s12 * s2)
+                      + s2 * (s1 * s12 - s11 * s2) AS DOUBLE) AS det,
+                 (sy * CAST(s11 * s22 - s12 * s12 AS DOUBLE)
+                  - s1y * CAST(s1 * s22 - s2 * s12 AS DOUBLE)
+                  + s2y * CAST(s1 * s12 - s2 * s11 AS DOUBLE)) AS num0,
+                 (CAST(n AS DOUBLE) * (s1y * CAST(s22 AS DOUBLE)
+                                       - s2y * CAST(s12 AS DOUBLE))
+                  - sy * CAST(s1 * s22 - s2 * s12 AS DOUBLE)
+                  + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+                                          - s1y * CAST(s2 AS DOUBLE)))
+                     AS num1,
+                 (CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y
+                                       - CAST(s12 AS DOUBLE) * s1y)
+                  - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y
+                                          - s1y * CAST(s2 AS DOUBLE))
+                  + sy * CAST(s1 * s12 - s11 * s2 AS DOUBLE)) AS num2
+          FROM m)
+        SELECT event_type, n,
+               num0 / det AS b0,
+               num1 / det AS b1,
+               num2 / det AS b2,
+               1.0 - (syy - (num0 / det) * sy - (num1 / det) * s1y
+                      - (num2 / det) * s2y)
+                   / (syy - sy * sy / CAST(n AS DOUBLE)) AS r2
+        FROM solved
+    """,
+)
+def ols2_regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    x = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.hour("ts").cast("bigint").alias("x1"),
+            F.dayofweek("ts").cast("bigint").alias("x2"),
+            F.col("value").alias("y"),
+        )
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.round(F.sum(dec("y")), 4).cast("double").alias("sy"),
+        F.round(F.sum(dec(F.col("x1") * F.col("y"))), 4)
+        .cast("double")
+        .alias("s1y"),
+        F.round(F.sum(dec(F.col("x2") * F.col("y"))), 4)
+        .cast("double")
+        .alias("s2y"),
+        F.round(F.sum(dec(F.col("y") * F.col("y"))), 2)
+        .cast("double")
+        .alias("syy"),
+    )
+    n = F.col("n")
+    s1, s2 = F.col("s1"), F.col("s2")
+    s11, s22, s12 = F.col("s11"), F.col("s22"), F.col("s12")
+    sy, s1y, s2y, syy = (
+        F.col("sy"), F.col("s1y"), F.col("s2y"), F.col("syy")
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    ).cast("double")
+    b0 = (
+        sy * (s11 * s22 - s12 * s12).cast("double")
+        - s1y * (s1 * s22 - s2 * s12).cast("double")
+        + s2y * (s1 * s12 - s2 * s11).cast("double")
+    ) / det
+    b1 = (
+        n.cast("double") * (s1y * s22.cast("double") - s2y * s12.cast("double"))
+        - sy * (s1 * s22 - s2 * s12).cast("double")
+        + s2.cast("double") * (s1.cast("double") * s2y - s1y * s2.cast("double"))
+    ) / det
+    b2 = (
+        n.cast("double") * (s11.cast("double") * s2y - s12.cast("double") * s1y)
+        - s1.cast("double")
+          * (s1.cast("double") * s2y - s1y * s2.cast("double"))
+        + sy * (s1 * s12 - s11 * s2).cast("double")
+    ) / det
+    r2 = F.lit(1.0) - (syy - b0 * sy - b1 * s1y - b2 * s2y) / (
+        syy - sy * sy / n.cast("double")
+    )
+    return m.select(
+        "event_type", "n",
+        b0.alias("b0"), b1.alias("b1"), b2.alias("b2"), r2.alias("r2"),
+    )
