@@ -441,3 +441,43 @@ def test_ols2_matches_numpy_lstsq(spark, sf_dir):
         assert abs(out["b1"] - beta[1]) < 1e-6
         assert abs(out["b2"] - beta[2]) < 1e-6
         assert out["r2"] <= 1.0
+
+
+def test_als_rank1_reduces_error_vs_zero_factor(spark, sf_dir):
+    rows = registry()["als_rank1_item_step"].fn(spark, sf_dir).collect()
+    assert rows
+    ratings = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            F.expr("o_orderkey = l_orderkey"),
+        )
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("r"))
+        .collect()
+    )
+    sse_zero = {}
+    for r in ratings:
+        sse_zero[r["l_partkey"]] = sse_zero.get(r["l_partkey"], 0) + r["r"] ** 2
+    for row in rows:
+        assert row["n_ratings"] >= 1
+        # the least-squares update can never do worse than v=0
+        assert row["sse"] <= sse_zero[row["partkey"]] + 1e-6
+
+
+def test_subsample_ci_brackets_the_true_mean(spark, sf_dir):
+    import math
+
+    row = registry()["subsample_stability_ci"].fn(spark, sf_dir).first()
+    true_mean = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("value IS NOT NULL")
+        .agg(F.avg("value"))
+        .first()[0]
+    )
+    assert row["n_replicates"] == 32
+    assert row["var_of_means"] >= 0
+    sd = math.sqrt(row["var_of_means"])
+    # half-sample means scatter around the true mean; 6 sigma of the
+    # mean-of-means estimator is a generous deterministic bound
+    assert abs(row["mean_of_means"] - true_mean) < max(6 * sd, 1e-6) + 2.0

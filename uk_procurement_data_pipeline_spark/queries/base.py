@@ -139,7 +139,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    percentiles_per_type_banded, adamic_adar_link_prediction,
 #    abtest_proportions_ztest, lognormal_fit_values,
 #    kaplan_meier_customer_lifetime, clustering_coefficient_local,
-#    ols2_regression_per_type
+#    ols2_regression_per_type, als_rank1_item_step,
+#    subsample_stability_ci
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,

@@ -1715,3 +1715,82 @@ def ols2_regression_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n",
         b0.alias("b0"), b1.alias("b1"), b2.alias("b2"), r2.alias("r2"),
     )
+
+
+_SS_B = 32  # deterministic half-samples
+
+
+@register(
+    name="subsample_stability_ci",
+    survey="A7 F28 U1",
+    doc=f"Deterministic subsample-stability confidence interval for the "
+    f"mean event value: {_SS_B} coordinated half-samples (replicate b "
+    "keeps the events whose md5(event_id, b) draw falls in the lower "
+    "half), each half-sample mean from exact-decimal sums, and the "
+    "between-replicate variance of those means — the subsampling "
+    "estimator of the mean's sampling error, with zero randomness "
+    "(same replicas on every engine, every cluster, every re-run). "
+    "One scan explodes each event into its replicate memberships; "
+    "everything after runs on B rows.",
+    oracle=f"""
+        WITH reps AS (
+          SELECT b.b, e.value
+          FROM events e,
+               LATERAL (SELECT unnest(range(0, {_SS_B})) AS b) b
+          WHERE e.value IS NOT NULL
+            AND CAST('0x' || substr(md5(CAST(e.event_id AS VARCHAR) || '-'
+                     || CAST(b.b AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+        ), means AS (
+          SELECT b, CAST(count(*) AS BIGINT) AS n,
+                 CAST(ROUND(SUM(CAST(value AS DECIMAL(38,8))), 4) AS DOUBLE)
+                     / CAST(count(*) AS DOUBLE) AS m
+          FROM reps GROUP BY b)
+        SELECT CAST(count(*) AS BIGINT) AS n_replicates,
+               CAST(ROUND(SUM(CAST(m AS DECIMAL(38,8))), 4) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS mean_of_means,
+               (CAST(count(*) AS DOUBLE)
+                * (CAST(ROUND(SUM(CAST(m * m AS DECIMAL(38,8))), 4)
+                        AS DOUBLE))
+                - (CAST(ROUND(SUM(CAST(m AS DECIMAL(38,8))), 4) AS DOUBLE))
+                  * (CAST(ROUND(SUM(CAST(m AS DECIMAL(38,8))), 4)
+                          AS DOUBLE)))
+               / (CAST(count(*) AS DOUBLE)
+                  * (CAST(count(*) AS DOUBLE) - 1.0)) AS var_of_means
+        FROM means
+    """,
+)
+def subsample_stability_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    reps = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_id", "value")
+        .selectExpr(
+            "event_id", "value", f"explode(sequence(0, {_SS_B} - 1)) AS b"
+        )
+        .where(
+            F.expr(
+                "CAST(conv(substr(md5(concat(CAST(event_id AS STRING), '-',"
+                " CAST(b AS STRING))), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+            )
+        )
+        .drop("event_id")
+    )
+    means = reps.groupBy("b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.round(F.sum(dec("value")), 4).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m"),
+    )
+    nb = F.count(F.lit(1)).cast("double")
+    sm = F.round(F.sum(dec("m")), 4).cast("double")
+    smm = F.round(F.sum(dec(F.col("m") * F.col("m"))), 4).cast("double")
+    return means.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_replicates"),
+        (sm / nb).alias("mean_of_means"),
+        ((nb * smm - sm * sm) / (nb * (nb - F.lit(1.0)))).alias(
+            "var_of_means"
+        ),
+    )

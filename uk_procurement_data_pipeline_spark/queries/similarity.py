@@ -979,3 +979,87 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         sy.alias("sy"),
         ((sxy - sx * sy / n.cast("double")) / n.cast("double")).alias("cov"),
     )
+
+
+@register(
+    name="als_rank1_item_step",
+    survey="A7 J6 F28 UD4",
+    doc="One exact ALS sweep of a rank-1 matrix factorization over the "
+    "customer x part quantity matrix (the collaborative-filtering "
+    "kernel, unrolled the way kmeans_lloyd_cells unrolls Lloyd): "
+    "customer factors initialize to md5-uniforms (k/2^32 — exactly "
+    "representable doubles), and each part's factor is the closed-form "
+    "least-squares update sum(r*u)/sum(u*u) over its observed ratings, "
+    "with both sums through the exact-decimal fold. Also reports each "
+    "part's post-update SSE. One ratings aggregation plus one "
+    "part-keyed hash agg — linear shuffle; deeper training appends "
+    "more of the same.",
+    oracle="""
+        WITH ratings AS (
+          SELECT o.o_custkey AS c, l.l_partkey AS p,
+                 CAST(SUM(l.l_quantity) AS DOUBLE) AS r
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+          GROUP BY o.o_custkey, l.l_partkey
+        ), u AS (
+          SELECT c, r, p,
+                 (CAST(CAST('0x' || substr(md5(CAST(c AS VARCHAR)), 1, 8)
+                            AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0
+                     AS uf
+          FROM ratings
+        ), v AS (
+          SELECT p,
+                 CAST(count(*) AS BIGINT) AS n_ratings,
+                 CAST(ROUND(SUM(CAST(r * uf AS DECIMAL(38,8))), 4)
+                      AS DOUBLE)
+                 / CAST(ROUND(SUM(CAST(uf * uf AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS vf
+          FROM u GROUP BY p)
+        SELECT u.p AS partkey, v.n_ratings, v.vf,
+               CAST(ROUND(SUM(CAST((u.r - u.uf * v.vf)
+                                   * (u.r - u.uf * v.vf)
+                                   AS DECIMAL(38,8))), 2) AS DOUBLE)
+                   AS sse
+        FROM u JOIN v ON u.p = v.p
+        GROUP BY u.p, v.n_ratings, v.vf
+    """,
+)
+def als_rank1_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    ratings = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p")
+        )
+        .agg(F.sum("l_quantity").cast("double").alias("r"))
+    )
+    u = ratings.selectExpr(
+        "c",
+        "p",
+        "r",
+        "(CAST(cast(conv(substr(md5(cast(c AS STRING)), 1, 8), 16, 10)"
+        " AS BIGINT) AS DOUBLE) + 1.0) / 4294967296.0 AS uf",
+    )
+    v = u.groupBy("p").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ratings"),
+        (
+            F.round(F.sum(dec(F.col("r") * F.col("uf"))), 4).cast("double")
+            / F.round(F.sum(dec(F.col("uf") * F.col("uf"))), 4).cast(
+                "double"
+            )
+        ).alias("vf"),
+    )
+    resid = F.col("r") - F.col("uf") * F.col("vf")
+    return (
+        u.join(v, "p")
+        .groupBy(
+            F.col("p").alias("partkey"), F.col("n_ratings"), F.col("vf")
+        )
+        .agg(
+            F.round(F.sum(dec(resid * resid)), 2).cast("double").alias("sse")
+        )
+    )
