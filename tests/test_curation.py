@@ -481,3 +481,47 @@ def test_subsample_ci_brackets_the_true_mean(spark, sf_dir):
     # half-sample means scatter around the true mean; 6 sigma of the
     # mean-of-means estimator is a generous deterministic bound
     assert abs(row["mean_of_means"] - true_mean) < max(6 * sd, 1e-6) + 2.0
+
+
+def test_zipf_slope_is_negative_and_decent_fit(spark, sf_dir):
+    row = registry()["zipf_exponent_fit"].fn(spark, sf_dir).first()
+    assert row["n"] >= 2
+    assert row["zipf_slope"] < 0  # frequency falls with rank, always
+
+
+def test_vocab_coverage_is_monotone_to_one(spark, sf_dir):
+    rows = sorted(
+        registry()["vocab_coverage_curve"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows
+    assert rows[0]["rank"] == 1
+    for a, b in zip(rows, rows[1:]):
+        assert b["rank"] == a["rank"] + 1
+        assert b["coverage"] >= a["coverage"]
+        assert a["n_occurrences"] >= b["n_occurrences"]
+    assert rows[-1]["coverage"] <= 1.0 + 1e-12
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    rows = {
+        r["doc_id"]: r
+        for r in registry()["ngram_novelty_rate"].fn(spark, sf_dir).collect()
+    }
+    assert rows
+    first = min(rows)
+    assert rows[first]["novelty_rate"] == 1.0
+    total_novel = sum(r["n_novel"] for r in rows.values())
+    distinct_grams = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "explode(IF(size(split(text, ' ')) < 2, array(),"
+            " transform(sequence(1, size(split(text, ' ')) - 1),"
+            " i -> concat(split(text, ' ')[i - 1], ' ',"
+            " split(text, ' ')[i])))) AS gram"
+        )
+        .distinct()
+        .count()
+    )
+    # every distinct corpus bigram debuts in exactly one document
+    assert total_novel == distinct_grams

@@ -1087,3 +1087,66 @@ def weighted_sample_es(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("key_nano"), "doc_id")
         .limit(_ES_K)
     )
+
+
+@register(
+    name="ngram_novelty_rate",
+    survey="A7 A8 D2 F17",
+    doc="Per-document bigram novelty rate in corpus order (the "
+    "curation curve that shows marginal new content decaying as a "
+    "crawl grows — near-zero novelty flags a doc as redundant even "
+    "when no single pair-wise duplicate exists): a bigram's debut is "
+    "min(doc_id) over its occurrences; a document's novelty is the "
+    "fraction of its DISTINCT bigrams that debut in it. Two hash "
+    "aggregations on the bigram key plus one per-doc rollup — all "
+    "linear, no windows.",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, d.t[s.i] || ' ' || d.t[s.i + 1] AS gram
+          FROM toks d, LATERAL (SELECT unnest(range(1, len(d.t))) AS i) s
+        ), debut AS (
+          SELECT gram, CAST(min(doc_id) AS BIGINT) AS first_doc
+          FROM grams GROUP BY gram)
+        SELECT g.doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_grams,
+               CAST(SUM(CASE WHEN d.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel,
+               CAST(SUM(CASE WHEN d.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS novelty_rate
+        FROM grams g JOIN debut d USING (gram)
+        GROUP BY g.doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grams = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_TOKENS} AS t")
+        .selectExpr(
+            "doc_id",
+            # Guard 1-token docs: sequence(1, 0) DESCENDS in Spark; the
+            # oracle's range(1, 1) is empty (the repetition_signals fix).
+            "explode(IF(size(t) < 2, array(),"
+            " transform(sequence(1, size(t) - 1),"
+            " i -> concat(t[i - 1], ' ', t[i])))) AS gram",
+        )
+        .distinct()
+    )
+    debut = grams.groupBy("gram").agg(
+        F.min("doc_id").cast("bigint").alias("first_doc")
+    )
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        grams.join(debut, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_grams"),
+            novel.alias("n_novel"),
+            (novel.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -440,3 +440,190 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_surprisal_micro"),
         )
     )
+
+
+@register(
+    name="zipf_exponent_fit",
+    survey="A7 W1 F28",
+    doc="Zipf-law exponent of the corpus word-frequency distribution "
+    "(the diagnostic behind tokenizer and vocabulary sizing): words "
+    "ranked by (count desc, word) WITHOUT a global sort — rank within "
+    "each count value plus broadcast higher-count offsets (the banded-"
+    "rank rewrite; the band IS the count) — then a log-log OLS of "
+    "ln(count) on ln(rank) with both logs milli-quantized, so every "
+    "regression moment is an exact bigint (milli keeps the cross "
+    "moments under 2^63 out to million-word vocabularies). Slope "
+    "lands near -1 on natural corpora.",
+    oracle="""
+        WITH vocab AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word
+        ), ranked AS (
+          SELECT word, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk
+          FROM vocab
+        ), lg AS (
+          SELECT CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000 + 0.5)
+                      AS BIGINT) AS x,
+                 CAST(floor(ln(CAST(c AS DOUBLE)) * 1000 + 0.5)
+                      AS BIGINT) AS y
+          FROM ranked
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM lg)
+        SELECT n,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE) AS zipf_slope,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+               / (CAST(n AS DOUBLE) * 1000.0) AS intercept_ln
+        FROM m
+    """,
+)
+def zipf_exponent_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # Banded global rank: the band is the count value itself — rank within
+    # each count (partitioned window), offset by the total size of all
+    # HIGHER counts (broadcast join on the bounded count domain).
+    in_band = F.row_number().over(
+        Window.partitionBy("c").orderBy("word")
+    )
+    sizes = vocab.groupBy("c").agg(F.count(F.lit(1)).alias("bn"))
+    hi = sizes.select(F.col("c").alias("hc"), F.col("bn").alias("hn"))
+    offsets = (
+        sizes.join(F.broadcast(hi), F.col("hc") > F.col("c"), "left")
+        .groupBy("c")
+        .agg(F.coalesce(F.sum("hn"), F.lit(0)).alias("off"))
+    )
+    lg = (
+        vocab.withColumn("rk", in_band)
+        .join(F.broadcast(offsets), "c")
+        .selectExpr(
+            "CAST(floor(ln(CAST(off + rk AS DOUBLE)) * 1000 + 0.5)"
+            " AS BIGINT) AS x",
+            "CAST(floor(ln(CAST(c AS DOUBLE)) * 1000 + 0.5) AS BIGINT) AS y",
+        )
+    )
+    m = lg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "n",
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / (F.col("n").cast("double") * F.lit(1000.0))
+        ).alias("intercept_ln"),
+    )
+
+
+_COV_TOPK = 64
+
+
+@register(
+    name="vocab_coverage_curve",
+    survey="A7 W1 W3 F28",
+    doc=f"Vocabulary coverage curve (what fraction of corpus tokens the "
+    f"top-k words cover, k <= {_COV_TOPK} — the tokenizer-sizing "
+    "diagnostic): banded global rank as in zipf_exponent_fit, "
+    "cumulative covered tokens as the broadcast higher-count offset "
+    "SUM plus a running sum WITHIN the count band (partitioned "
+    "window) — no unpartitioned window anywhere, whatever the "
+    "vocabulary size.",
+    oracle=f"""
+        WITH vocab AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS c
+          FROM (SELECT unnest(string_split(text, ' ')) AS word
+                FROM documents)
+          GROUP BY word
+        ), tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS total FROM vocab
+        ), ranked AS (
+          SELECT word, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, word) AS rnk,
+                 CAST(SUM(c) OVER (ORDER BY c DESC, word
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS cum
+          FROM vocab)
+        SELECT rnk AS rank, word, c AS n_occurrences, cum AS cum_tokens,
+               CAST(cum AS DOUBLE) / CAST(total AS DOUBLE) AS coverage
+        FROM ranked, tot
+        WHERE rnk <= {_COV_TOPK}
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = vocab.agg(F.sum("c").cast("bigint").alias("total"))
+    in_band_rank = F.row_number().over(Window.partitionBy("c").orderBy("word"))
+    in_band_cum = F.sum("c").over(
+        Window.partitionBy("c")
+        .orderBy("word")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sizes = vocab.groupBy("c").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("c").alias("bsum")
+    )
+    hi = sizes.select(
+        F.col("c").alias("hc"),
+        F.col("bn").alias("hn"),
+        F.col("bsum").alias("hsum"),
+    )
+    offsets = (
+        sizes.join(F.broadcast(hi), F.col("hc") > F.col("c"), "left")
+        .groupBy("c")
+        .agg(
+            F.coalesce(F.sum("hn"), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("hsum"), F.lit(0)).alias("off_sum"),
+        )
+    )
+    return (
+        vocab.withColumn("rk", in_band_rank)
+        .withColumn("bc", in_band_cum)
+        .join(F.broadcast(offsets), "c")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("off_n") + F.col("rk")).cast("bigint").alias("rank"),
+            "word",
+            F.col("c").alias("n_occurrences"),
+            (F.col("off_sum") + F.col("bc")).cast("bigint").alias(
+                "cum_tokens"
+            ),
+            (
+                (F.col("off_sum") + F.col("bc")).cast("double")
+                / F.col("total").cast("double")
+            ).alias("coverage"),
+        )
+        .where(F.col("rank") <= _COV_TOPK)
+    )
