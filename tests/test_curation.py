@@ -525,3 +525,30 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     )
     # every distinct corpus bigram debuts in exactly one document
     assert total_novel == distinct_grams
+
+
+def test_golden_records_partition_the_corpus(spark, sf_dir):
+    rows = registry()["golden_record_survivorship"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_members"] for r in rows) == n_docs
+    for r in rows:
+        assert r["golden_id"] == r["min_doc_id"]
+        assert len(r["sources"]) >= 1
+        assert r["sources"] == sorted(r["sources"])
+        assert len(r["golden_text"]) >= 0
+
+
+def test_dedup_report_has_three_consistent_rows(spark, sf_dir):
+    rows = {
+        r["method"]: r["n"]
+        for r in registry()["dedup_methods_report"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "exact_duplicate_docs",
+        "minhash_near_dup_pairs",
+        "low_novelty_docs",
+    }
+    assert all(n >= 0 for n in rows.values())
+    # the minhash pair count must agree with the registered operator
+    mh = registry()["minhash_near_dup"].fn(spark, sf_dir).count()
+    assert rows["minhash_near_dup_pairs"] == mh

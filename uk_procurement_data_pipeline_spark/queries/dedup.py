@@ -871,3 +871,150 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         # construction), so the outer variant is value-identical.
         .select("doc_id", F.explode_outer("fps").alias("fingerprint"))
     )
+
+
+@register(
+    name="golden_record_survivorship",
+    survey="D1 D3 A7 J6 F17",
+    doc="Golden-record (survivorship) merge over the minhash dedup "
+    "clusters — the MDM step after clustering: every near-duplicate "
+    "component collapses to ONE canonical record whose fields follow "
+    "explicit survivorship rules (id: smallest member; text: the "
+    "longest, tie-broken by doc_id via a max-struct argmax; n_chars: "
+    "the max; sources: every distinct member source, sorted). "
+    "Singleton documents pass through as their own golden record. "
+    "One aggregation over the component assignment — the clustering "
+    "(iterative, convergence-checked) dominates, the merge itself is "
+    "a linear hash agg.",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_MINHASH_ORACLE}),
+        e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        reach(s, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM e)
+            UNION
+            SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.s),
+        comp AS (
+            SELECT s AS doc_id, MIN(r) AS component FROM reach GROUP BY s),
+        assign AS (
+            SELECT d.doc_id, d.text, d.source, d.n_chars,
+                   COALESCE(comp.component, d.doc_id) AS component
+            FROM documents d LEFT JOIN comp USING (doc_id))
+        SELECT component AS golden_id,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+               (MAX(struct_pack(l := length(text), nd := -doc_id,
+                                t := text))).t AS golden_text,
+               CAST(MAX(n_chars) AS BIGINT) AS max_n_chars,
+               list_sort(list_distinct(list(source))) AS sources
+        FROM assign
+        GROUP BY component
+    """,
+)
+def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.graph import (
+        connected_components,
+    )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    assign = docs.join(comp, "doc_id", "left").withColumn(
+        "component", F.coalesce("component", "doc_id")
+    )
+    # Longest-text argmax as a max-struct: (length, -doc_id, text) orders
+    # identically in both engines, no window needed.
+    return assign.groupBy(F.col("component").alias("golden_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max(
+            F.struct(
+                F.length("text").alias("l"),
+                (-F.col("doc_id")).alias("nd"),
+                F.col("text").alias("text"),
+            )
+        )["text"].alias("golden_text"),
+        F.max("n_chars").cast("bigint").alias("max_n_chars"),
+        F.array_sort(F.collect_set("source")).alias("sources"),
+    )
+
+
+@register(
+    name="dedup_methods_report",
+    survey="D2 D3 A7 U1",
+    doc="One-table dedup audit across methods — the report a curation "
+    "run ships with its output: exact duplicates (docs minus distinct "
+    "md5(text)), minhash near-dup pair count (the banded-LSH join), "
+    "and low-novelty redundancy (documents whose distinct-bigram "
+    "novelty rate falls below 1/2 — redundant against the corpus even "
+    "with no single pairwise duplicate). Three independent linear "
+    "pipelines union-ed into (method, n) rows; each reuses the "
+    "registered operator's exact plan shape.",
+    oracle=f"""
+        WITH mh AS ({_MINHASH_ORACLE}),
+        toks AS (
+          SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), grams AS (
+          SELECT DISTINCT doc_id, d.t[s.i] || ' ' || d.t[s.i + 1] AS gram
+          FROM toks d, LATERAL (SELECT unnest(range(1, len(d.t))) AS i) s
+        ), debut AS (
+          SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+        ), novelty AS (
+          SELECT g.doc_id,
+                 SUM(CASE WHEN d.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     AS nn,
+                 count(*) AS ng
+          FROM grams g JOIN debut d USING (gram) GROUP BY g.doc_id)
+        SELECT 'exact_duplicate_docs' AS method,
+               CAST((SELECT count(*) - count(DISTINCT md5(text))
+                     FROM documents) AS BIGINT) AS n
+        UNION ALL
+        SELECT 'minhash_near_dup_pairs',
+               CAST((SELECT count(*) FROM mh) AS BIGINT)
+        UNION ALL
+        SELECT 'low_novelty_docs',
+               CAST((SELECT count(*) FROM novelty WHERE 2 * nn < ng)
+                    AS BIGINT)
+    """,
+)
+def dedup_methods_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    exact = docs.agg(
+        (F.count(F.lit(1)) - F.countDistinct(F.md5("text")))
+        .cast("bigint")
+        .alias("n")
+    ).select(F.lit("exact_duplicate_docs").alias("method"), "n")
+    mh = (
+        minhash_near_dup(spark, sf_dir)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("minhash_near_dup_pairs").alias("method"), "n")
+    )
+    grams = (
+        docs.selectExpr("doc_id", "split(text, ' ') AS t")
+        .selectExpr(
+            "doc_id",
+            "explode(IF(size(t) < 2, array(),"
+            " transform(sequence(1, size(t) - 1),"
+            " i -> concat(t[i - 1], ' ', t[i])))) AS gram",
+        )
+        .distinct()
+    )
+    debut = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    low_novel = (
+        grams.join(debut, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("nn"),
+            F.count(F.lit(1)).alias("ng"),
+        )
+        .where(2 * F.col("nn") < F.col("ng"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(F.lit("low_novelty_docs").alias("method"), "n")
+    )
+    return exact.unionAll(mh).unionAll(low_novel)
