@@ -876,6 +876,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="golden_record_survivorship",
     survey="D1 D3 A7 J6 F17",
+    eager=True,  # clustering loop materializes per round; time it honestly
     doc="Golden-record (survivorship) merge over the minhash dedup "
     "clusters — the MDM step after clustering: every near-duplicate "
     "component collapses to ONE canonical record whose fields follow "
@@ -946,6 +947,7 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="dedup_methods_report",
     survey="D2 D3 A7 U1",
+    eager=True,  # minhash stage materializes its shingle table in fn
     doc="One-table dedup audit across methods — the report a curation "
     "run ships with its output: exact duplicates (docs minus distinct "
     "md5(text)), minhash near-dup pair count (the banded-LSH join), "

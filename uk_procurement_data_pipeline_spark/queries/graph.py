@@ -206,6 +206,7 @@ def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="kcore_peel_unrolled",
     survey="J6 J7 A7 U1",
+    eager=True,  # fn materializes the sampled edge table; time it honestly
     doc="K-core decomposition over the DOULION-sampled co-supply graph, "
     "three peel rounds unrolled: k = ceil(average degree) derived from "
     "the sampled graph itself (scale-adaptive, exact integer "
@@ -322,6 +323,7 @@ _AA_TOPK = 50
 @register(
     name="adamic_adar_link_prediction",
     survey="J6 A7 A10 F28",
+    eager=True,  # fn materializes the sampled edge table; time it honestly
     doc=f"Adamic-Adar link prediction over the DOULION-sampled co-supply "
     "graph: for every NON-adjacent supplier pair with at least one "
     "common neighbor, score = sum over common neighbors b of "
@@ -428,6 +430,7 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="clustering_coefficient_local",
     survey="J6 A7 F28",
+    eager=True,  # fn materializes the sampled edge table; time it honestly
     doc="Local clustering coefficient per supplier on the DOULION-"
     "sampled co-supply graph: canonical triangles from the two-join "
     "wedge-close plan (each triangle a<b<c closes once), credited to "
