@@ -552,3 +552,29 @@ def test_dedup_report_has_three_consistent_rows(spark, sf_dir):
     # the minhash pair count must agree with the registered operator
     mh = registry()["minhash_near_dup"].fn(spark, sf_dir).count()
     assert rows["minhash_near_dup_pairs"] == mh
+
+
+def test_window_funnel_levels_bounded_by_unbounded_funnel(spark, sf_dir):
+    rows = {
+        r["user_id"]: r
+        for r in registry()["window_funnel_timeout"].fn(spark, sf_dir).collect()
+    }
+    assert rows
+    unbounded = {
+        r["user_id"]: r
+        for r in registry()["funnel_conversion"].fn(spark, sf_dir).collect()
+    }
+    for uid, r in rows.items():
+        assert 1 <= r["funnel_level"] <= 3
+        assert r["n_anchors"] >= 1
+        # a timeout can only LOWER the reachable level vs no timeout
+        u = unbounded.get(uid)
+        if u is not None and r["funnel_level"] == 3:
+            assert u["converted"]
+
+
+def test_hhi_bounds_and_effective_sources(spark, sf_dir):
+    row = registry()["hhi_source_concentration"].fn(spark, sf_dir).first()
+    assert 0 < row["hhi"] <= 1.0
+    assert 1.0 <= row["effective_sources"] <= row["n_sources"] + 1e-9
+    assert abs(row["hhi"] * row["effective_sources"] - 1.0) < 1e-12

@@ -141,7 +141,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    kaplan_meier_customer_lifetime, clustering_coefficient_local,
 #    ols2_regression_per_type, als_rank1_item_step,
 #    subsample_stability_ci, zipf_exponent_fit, vocab_coverage_curve,
-#    ngram_novelty_rate, golden_record_survivorship, dedup_methods_report
+#    ngram_novelty_rate, golden_record_survivorship, dedup_methods_report,
+#    window_funnel_timeout, hhi_source_concentration
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,

@@ -619,3 +619,116 @@ def kaplan_meier_customer_lifetime(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .select("t", "n_risk", "d_event", "n_censor", "km_log_micro")
     )
+
+
+_WF_WINDOW_MIN = 60  # funnel window: 60 minutes from the anchoring view
+
+
+@register(
+    name="window_funnel_timeout",
+    survey="A7 J8 F15 W2",
+    doc="Time-bounded window funnel (ClickHouse windowFunnel semantics): "
+    "per user, the deepest view -> click -> purchase level reachable "
+    f"where every step lands within {_WF_WINDOW_MIN} minutes of the "
+    "anchoring view. Each view anchors a candidate chain (first click "
+    "at-or-after it inside the window, then first purchase at-or-after "
+    "that click inside the SAME window) and the user's level is the "
+    "max over anchors. Events per user are bounded, so the range "
+    "joins stay user-keyed and linear; contrast funnel_conversion, "
+    "which is the unbounded-window form.",
+    oracle=f"""
+        WITH ev AS (
+          SELECT user_id, event_type, ts FROM events
+          WHERE event_type IN ('view', 'click', 'purchase')
+        ), anchors AS (
+          SELECT user_id, ts AS v_ts,
+                 ts + INTERVAL {_WF_WINDOW_MIN} MINUTE AS deadline
+          FROM ev WHERE event_type = 'view'
+        ), step2 AS (
+          SELECT a.user_id, a.v_ts, a.deadline,
+                 MIN(c.ts) AS c_ts
+          FROM anchors a
+          LEFT JOIN ev c ON c.user_id = a.user_id
+                        AND c.event_type = 'click'
+                        AND c.ts >= a.v_ts AND c.ts <= a.deadline
+          GROUP BY a.user_id, a.v_ts, a.deadline
+        ), step3 AS (
+          SELECT s.user_id, s.v_ts,
+                 s.c_ts,
+                 MIN(p.ts) AS p_ts
+          FROM step2 s
+          LEFT JOIN ev p ON p.user_id = s.user_id
+                        AND p.event_type = 'purchase'
+                        AND s.c_ts IS NOT NULL
+                        AND p.ts >= s.c_ts AND p.ts <= s.deadline
+          GROUP BY s.user_id, s.v_ts, s.c_ts
+        ), levels AS (
+          SELECT user_id,
+                 CASE WHEN p_ts IS NOT NULL THEN 3
+                      WHEN c_ts IS NOT NULL THEN 2
+                      ELSE 1 END AS lvl
+          FROM step3)
+        SELECT user_id,
+               CAST(MAX(lvl) AS INT) AS funnel_level,
+               CAST(count(*) AS BIGINT) AS n_anchors
+        FROM levels GROUP BY user_id
+    """,
+)
+def window_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "click", "purchase"))
+        .select("user_id", "event_type", "ts")
+    )
+    anchors = (
+        ev.where(F.col("event_type") == "view")
+        .select(
+            "user_id",
+            F.col("ts").alias("v_ts"),
+            (F.col("ts") + F.expr(f"INTERVAL {_WF_WINDOW_MIN} MINUTE")).alias(
+                "deadline"
+            ),
+        )
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    step2 = (
+        anchors.join(
+            clicks,
+            (F.col("cu") == F.col("user_id"))
+            & (F.col("cts") >= F.col("v_ts"))
+            & (F.col("cts") <= F.col("deadline")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts", "deadline")
+        .agg(F.min("cts").alias("c_ts"))
+    )
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    step3 = (
+        step2.join(
+            purchases,
+            (F.col("pu") == F.col("user_id"))
+            & F.col("c_ts").isNotNull()
+            & (F.col("pts") >= F.col("c_ts"))
+            & (F.col("pts") <= F.col("deadline")),
+            "left",
+        )
+        .groupBy("user_id", "v_ts", "c_ts")
+        .agg(F.min("pts").alias("p_ts"))
+    )
+    lvl = (
+        F.when(F.col("p_ts").isNotNull(), 3)
+        .when(F.col("c_ts").isNotNull(), 2)
+        .otherwise(1)
+    )
+    return (
+        step3.select("user_id", lvl.alias("lvl"))
+        .groupBy("user_id")
+        .agg(
+            F.max("lvl").cast("int").alias("funnel_level"),
+            F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
+        )
+    )

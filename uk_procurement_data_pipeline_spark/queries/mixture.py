@@ -189,3 +189,48 @@ def neyman_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("sel_rank") <= F.col("n_take"))
         .select("doc_id", "source", "n_take", "sel_rank")
     )
+
+
+@register(
+    name="hhi_source_concentration",
+    survey="A7 F28",
+    doc="Herfindahl-Hirschman concentration index of the corpus source "
+    "mix (the one-number diversity gate a mixture designer tracks "
+    "next to entropy): HHI = sum over sources of share^2, computed as "
+    "the exact integer ratio sum(n_s^2) / N^2 — one per-source "
+    "aggregate and a 1-row reduction, no doubles until the final "
+    "division. 1/HHI is the effective source count.",
+    oracle="""
+        WITH src AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM documents GROUP BY source)
+        SELECT CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(SUM(n) AS BIGINT) AS n_docs,
+               CAST(SUM(n * n) AS BIGINT) AS sum_sq,
+               CAST(SUM(n * n) AS DOUBLE)
+                   / (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+                   AS hhi,
+               (CAST(SUM(n) AS DOUBLE) * CAST(SUM(n) AS DOUBLE))
+                   / CAST(SUM(n * n) AS DOUBLE) AS effective_sources
+        FROM src
+    """,
+)
+def hhi_source_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    src = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    sn = F.sum("n").cast("bigint")
+    ssq = F.sum(F.col("n") * F.col("n")).cast("bigint")
+    return src.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        sn.alias("n_docs"),
+        ssq.alias("sum_sq"),
+        (ssq.cast("double") / (sn.cast("double") * sn.cast("double"))).alias(
+            "hhi"
+        ),
+        ((sn.cast("double") * sn.cast("double")) / ssq.cast("double")).alias(
+            "effective_sources"
+        ),
+    )
