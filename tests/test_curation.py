@@ -578,3 +578,24 @@ def test_hhi_bounds_and_effective_sources(spark, sf_dir):
     assert 0 < row["hhi"] <= 1.0
     assert 1.0 <= row["effective_sources"] <= row["n_sources"] + 1e-9
     assert abs(row["hhi"] * row["effective_sources"] - 1.0) < 1e-12
+
+
+def test_kl_divergence_nonnegative_per_source(spark, sf_dir):
+    rows = registry()["kl_divergence_sources"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # KL >= 0 up to micro-quantization slack
+        assert r["kl_nats"] > -1e-5
+        assert r["n_tokens"] > 0
+
+
+def test_token_length_shares_sum_to_one(spark, sf_dir):
+    rows = sorted(
+        registry()["token_length_distribution"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["token_len"],
+    )
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-9
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_share"] >= a["cum_share"]

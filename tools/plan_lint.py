@@ -67,6 +67,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "GLOBALWIN": "running sum over ONE ROW PER CALENDAR DAY (the "
         "sweep-line delta rollup) — input is already aggregate-sized",
     },
+    "token_length_distribution": {
+        "GLOBALWIN": "share windows over ONE ROW PER DISTINCT TOKEN "
+        "LENGTH (bounded domain) — input is already aggregate-sized",
+    },
     "kaplan_meier_customer_lifetime": {
         "GLOBALWIN": "risk-set and log-survival running sums over ONE "
         "ROW PER LIFETIME DAY (calendar-bounded) — input is already "

@@ -370,3 +370,57 @@ def countmin_word_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cms_estimate") - F.col("exact_count")).alias("overcount"),
         )
     )
+
+
+@register(
+    name="token_length_distribution",
+    survey="A7 F17 F28",
+    doc="Corpus token-length histogram with per-length share and "
+    "cumulative share (the tokenizer-fertility diagnostic: long-tail "
+    "token lengths predict high sub-word splits): one explode + "
+    "length() + hash aggregation; the share windows run on the "
+    "bounded distinct-length domain.",
+    oracle="""
+        WITH lens AS (
+          SELECT length(term) AS token_len
+          FROM (SELECT unnest(string_split(text, ' ')) AS term
+                FROM documents)
+        ), hist AS (
+          SELECT CAST(token_len AS BIGINT) AS token_len,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lens GROUP BY token_len)
+        SELECT token_len, n,
+               CAST(n AS DOUBLE) / CAST(SUM(n) OVER () AS DOUBLE) AS share,
+               CAST(SUM(n) OVER (ORDER BY token_len
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE)
+                   / CAST(SUM(n) OVER () AS DOUBLE) AS cum_share
+        FROM hist
+    """,
+)
+def token_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    hist = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("term"))
+        .select(F.length("term").cast("bigint").alias("token_len"))
+        .groupBy("token_len")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # Bounded domain: one row per distinct token LENGTH.
+    wall = Window.partitionBy()
+    wrun = Window.orderBy("token_len").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return hist.select(
+        "token_len",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(wall).cast("double")).alias(
+            "share"
+        ),
+        (
+            F.sum("n").over(wrun).cast("double")
+            / F.sum("n").over(wall).cast("double")
+        ).alias("cum_share"),
+    )

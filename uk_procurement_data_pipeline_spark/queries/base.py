@@ -142,7 +142,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    ols2_regression_per_type, als_rank1_item_step,
 #    subsample_stability_ci, zipf_exponent_fit, vocab_coverage_curve,
 #    ngram_novelty_rate, golden_record_survivorship, dedup_methods_report,
-#    window_funnel_timeout, hhi_source_concentration
+#    window_funnel_timeout, hhi_source_concentration,
+#    kl_divergence_sources, token_length_distribution
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,

@@ -627,3 +627,82 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= _COV_TOPK)
     )
+
+
+@register(
+    name="kl_divergence_sources",
+    survey="A7 J5 F28",
+    doc="KL divergence of each source's token distribution from the "
+    "corpus distribution (the drift/skew score that ranks sources by "
+    "how unrepresentative their language is — the companion to "
+    "entropy_per_source): per-(source, token) counts joined to corpus "
+    "counts, per-term contribution c * micro(ln((c/tot)/(C/T))) as an "
+    "exact bigint sum divided once by tot. Smoothing is unnecessary "
+    "by construction: every source term exists in the corpus "
+    "distribution. Two hash aggregations plus a term-keyed equi-join "
+    "— all linear.",
+    oracle="""
+        WITH tf AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS c
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY source, term),
+        stot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+            FROM tf GROUP BY source),
+        corpus AS (
+            SELECT term, CAST(SUM(c) AS BIGINT) AS cc FROM tf GROUP BY term),
+        ctot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS t FROM tf),
+        terms AS (
+            SELECT tf.source, tf.c, stot.tot,
+                   CAST(floor(ln((CAST(tf.c AS DOUBLE)
+                                  / CAST(stot.tot AS DOUBLE))
+                                 / (CAST(corpus.cc AS DOUBLE)
+                                    / CAST(ctot.t AS DOUBLE)))
+                              * 1000000 + 0.5) AS BIGINT) AS r_micro
+            FROM tf
+            JOIN stot ON tf.source = stot.source
+            JOIN corpus ON tf.term = corpus.term
+            CROSS JOIN ctot)
+        SELECT source,
+               CAST(MAX(tot) AS BIGINT) AS n_tokens,
+               CAST(SUM(c * r_micro) AS BIGINT) AS kl_micro_sum,
+               CAST(SUM(c * r_micro) AS DOUBLE)
+                   / (CAST(MAX(tot) AS DOUBLE) * 1000000.0) AS kl_nats
+        FROM terms GROUP BY source
+    """,
+)
+def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stot = tf.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    corpus = tf.groupBy("term").agg(F.sum("c").cast("bigint").alias("cc"))
+    ctot = tf.agg(F.sum("c").cast("bigint").alias("t"))
+    terms = (
+        tf.join(stot, "source")
+        .join(corpus, "term")
+        .crossJoin(F.broadcast(ctot))
+        .withColumn(
+            "r_micro",
+            F.expr(
+                "CAST(floor(ln((CAST(c AS DOUBLE) / CAST(tot AS DOUBLE))"
+                " / (CAST(cc AS DOUBLE) / CAST(t AS DOUBLE)))"
+                " * 1000000 + 0.5) AS BIGINT)"
+            ),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("tot").cast("bigint").alias("n_tokens"),
+        F.sum(F.col("c") * F.col("r_micro")).cast("bigint").alias(
+            "kl_micro_sum"
+        ),
+        (
+            F.sum(F.col("c") * F.col("r_micro")).cast("double")
+            / (F.max("tot").cast("double") * F.lit(1e6))
+        ).alias("kl_nats"),
+    )
