@@ -599,3 +599,31 @@ def test_token_length_shares_sum_to_one(spark, sf_dir):
     assert abs(rows[-1]["cum_share"] - 1.0) < 1e-12
     for a, b in zip(rows, rows[1:]):
         assert b["cum_share"] >= a["cum_share"]
+
+
+def test_spearman_matches_scipy_free_reference(spark, sf_dir):
+    row = registry()["spearman_price_acctbal"].fn(spark, sf_dir).first()
+    pairs = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .join(
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            F.expr("o_custkey = c_custkey"),
+        )
+        .selectExpr("o_orderkey AS k", "o_totalprice AS x", "c_acctbal AS y")
+        .collect()
+    )
+    xs = sorted(pairs, key=lambda r: (r["x"], r["k"]))
+    ys = sorted(pairs, key=lambda r: (r["y"], r["k"]))
+    rx = {r["k"]: i + 1 for i, r in enumerate(xs)}
+    ry = {r["k"]: i + 1 for i, r in enumerate(ys)}
+    n = len(pairs)
+    sx = sum(rx.values()); sy = sum(ry.values())
+    sxy = sum(rx[r["k"]] * ry[r["k"]] for r in pairs)
+    sxx = sum(v * v for v in rx.values()); syy = sum(v * v for v in ry.values())
+    import math
+    rho = (n * sxy - sx * sy) / math.sqrt(
+        (n * sxx - sx * sx) * (n * syy - sy * sy)
+    )
+    assert row["n"] == n
+    assert abs(row["spearman_rho"] - rho) < 1e-12
+    assert -1.0 <= row["spearman_rho"] <= 1.0

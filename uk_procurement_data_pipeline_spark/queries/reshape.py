@@ -211,3 +211,101 @@ def order_percentile_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+@register(
+    name="spearman_price_acctbal",
+    survey="W1 A7 J6 F28",
+    doc="Spearman rank correlation between order price and the owning "
+    "customer's account balance — computed at scale with NO global "
+    "sort: both rank sides use the banded-rank + broadcast-offset "
+    "rewrite (price bands of 1000, balance bands of 100), ties broken "
+    "by o_orderkey so ranks are distinct integers (the deterministic "
+    "tie policy, documented in place of average-rank tie correction), "
+    "and Pearson's formula then runs over EXACT integer rank moments "
+    "summed as DECIMAL(38,0) — overflow-free at any row count — cast "
+    "once to double for the final ratio.",
+    oracle="""
+        WITH pairs AS (
+          SELECT o.o_orderkey AS k, o.o_totalprice AS x, c.c_acctbal AS y
+          FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), ranked AS (
+          SELECT k,
+                 ROW_NUMBER() OVER (ORDER BY x, k) AS rx,
+                 ROW_NUMBER() OVER (ORDER BY y, k) AS ry
+          FROM pairs
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 SUM(CAST(rx AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(ry AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(rx * ry AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(rx * rx AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(ry * ry AS DECIMAL(38,0))) AS syy
+          FROM ranked)
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS spearman_rho
+        FROM m
+    """,
+)
+def spearman_price_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    pairs = o.join(c, o.o_custkey == c.c_custkey).select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("x"),
+        F.col("c_acctbal").alias("y"),
+    )
+
+    def banded_rank(df, val: str, band, out: str):
+        """Global (val, k) rank via in-band row_number + broadcast offsets
+        of strictly-lower bands — the equidepth_value_bins rewrite."""
+        d = df.withColumn("band", band)
+        rk = F.row_number().over(Window.partitionBy("band").orderBy(val, "k"))
+        sizes = d.groupBy("band").agg(F.count(F.lit(1)).alias("bn"))
+        lo = sizes.select(
+            F.col("band").alias("lband"), F.col("bn").alias("ln")
+        )
+        offsets = (
+            sizes.join(F.broadcast(lo), F.col("lband") < F.col("band"), "left")
+            .groupBy("band")
+            .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
+        )
+        return (
+            d.withColumn("rk", rk)
+            .join(F.broadcast(offsets), "band")
+            .withColumn(out, F.col("off") + F.col("rk"))
+            .drop("band", "rk", "off")
+        )
+
+    ranked = banded_rank(pairs, "x", F.floor(F.col("x") / 1000), "rx")
+    ranked = banded_rank(ranked, "y", F.floor(F.col("y") / 100), "ry")
+    dec0 = lambda col: col.cast("decimal(38,0)")  # noqa: E731
+    m = ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(dec0(F.col("rx"))).alias("sx"),
+        F.sum(dec0(F.col("ry"))).alias("sy"),
+        F.sum(dec0(F.col("rx") * F.col("ry"))).alias("sxy"),
+        F.sum(dec0(F.col("rx") * F.col("rx"))).alias("sxx"),
+        F.sum(dec0(F.col("ry") * F.col("ry"))).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return m.select(
+        "n",
+        (
+            (n * sxy - sx * sy)
+            / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        ).alias("spearman_rho"),
+    )
