@@ -627,3 +627,29 @@ def test_spearman_matches_scipy_free_reference(spark, sf_dir):
     assert row["n"] == n
     assert abs(row["spearman_rho"] - rho) < 1e-12
     assert -1.0 <= row["spearman_rho"] <= 1.0
+
+
+def test_naive_bayes_beats_majority_class(spark, sf_dir):
+    rows = registry()["naive_bayes_source_classifier"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    assert n == spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    acc = sum(1 for r in rows if r["is_correct"]) / n
+    from collections import Counter
+    counts = Counter(r["true_source"] for r in rows)
+    majority = max(counts.values()) / n
+    # a trained classifier should never lose to always-guess-majority
+    assert acc >= majority * 0.8  # generous slack for tiny fixtures
+    assert 0.0 <= acc <= 1.0
+
+
+def test_decision_stump_picks_minimum_gini_cut(spark, sf_dir):
+    rows = registry()["decision_stump_value_split"].fn(spark, sf_dir).collect()
+    assert rows
+    best = [r for r in rows if r["is_best_split"]]
+    assert len(best) == 1
+    lo = min(r["weighted_gini"] for r in rows)
+    assert best[0]["weighted_gini"] == lo
+    for r in rows:
+        assert r["nl"] > 0 and r["nr"] > 0
+        assert 0.0 <= r["weighted_gini"] <= 0.5 + 1e-12
+        assert r["pl"] <= r["nl"] and r["pr"] <= r["nr"]

@@ -1794,3 +1794,141 @@ def subsample_stability_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "var_of_means"
         ),
     )
+
+
+_STUMP_BINS = 64
+
+
+@register(
+    name="decision_stump_value_split",
+    survey="A7 W3 F28",
+    doc=f"Decision-stump training in-engine: the best single threshold "
+    f"on value for predicting a purchase event, from {_STUMP_BINS} "
+    "equal-width candidate cuts. Per-bin (n, positives) counts are "
+    "one linear aggregation; cumulative left/right class counts and "
+    "the weighted Gini impurity of every cut then run on the fixed "
+    "bin domain, with the argmin flagged (first bin on ties). The "
+    "exhaustive-threshold stump needs a global sort; the binned form "
+    "is the one that exists at scale — and is exactly how histogram-"
+    "based gradient boosting (LightGBM-style) finds splits.",
+    oracle=f"""
+        WITH ev AS (
+          SELECT value,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+          FROM events WHERE value IS NOT NULL
+        ), rng AS (
+          SELECT min(value) AS lo, max(value) AS hi FROM ev
+        ), binned AS (
+          SELECT CAST(least(floor((value - lo) / (hi - lo)
+                                  * {_STUMP_BINS}),
+                            {_STUMP_BINS} - 1) AS INT) AS bin,
+                 count(*) AS n, SUM(y) AS pos
+          FROM ev, rng GROUP BY 1
+        ), bins AS (
+          SELECT s.b AS bin, COALESCE(n, 0) AS n, COALESCE(pos, 0) AS pos
+          FROM (SELECT unnest(range(0, {_STUMP_BINS})) AS b) s
+          LEFT JOIN binned ON binned.bin = s.b
+        ), cum AS (
+          SELECT bin,
+                 CAST(SUM(n) OVER w AS BIGINT) AS nl,
+                 CAST(SUM(pos) OVER w AS BIGINT) AS pl,
+                 CAST(SUM(n) OVER () AS BIGINT) AS nt,
+                 CAST(SUM(pos) OVER () AS BIGINT) AS pt
+          FROM bins
+          WINDOW w AS (ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ), cuts AS (
+          SELECT bin AS cut_after_bin, nl, pl, nt - nl AS nr, pt - pl AS pr,
+                 (CAST(nl AS DOUBLE) * (1.0
+                      - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                        * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                      - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                        * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+                  + CAST(nt - nl AS DOUBLE) * (1.0
+                      - (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                        * (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                      - (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                         / CAST(nt - nl AS DOUBLE))
+                        * (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                           / CAST(nt - nl AS DOUBLE))))
+                 / CAST(nt AS DOUBLE) AS weighted_gini
+          FROM cum
+          WHERE nl > 0 AND nt - nl > 0)
+        SELECT cut_after_bin, nl, pl, nr, pr, weighted_gini,
+               (ROW_NUMBER() OVER (ORDER BY weighted_gini, cut_after_bin)
+                   = 1) AS is_best_split
+        FROM cuts
+    """,
+)
+def decision_stump_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "value",
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+                "y"
+            ),
+        )
+    )
+    rng = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    binned = (
+        ev.crossJoin(F.broadcast(rng))
+        .selectExpr(
+            f"CAST(least(floor((value - lo) / (hi - lo) * {_STUMP_BINS}),"
+            f" {_STUMP_BINS} - 1) AS INT) AS bin",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("pos"))
+    )
+    bins = (
+        spark.range(_STUMP_BINS)
+        .selectExpr("CAST(id AS INT) AS bin")
+        .join(binned, "bin", "left")
+        .selectExpr("bin", "COALESCE(n, 0) AS n", "COALESCE(pos, 0) AS pos")
+    )
+    # Bounded domain: the fixed 64-bin table.
+    wrun = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    cum = bins.select(
+        "bin",
+        F.sum("n").over(wrun).cast("bigint").alias("nl"),
+        F.sum("pos").over(wrun).cast("bigint").alias("pl"),
+        F.sum("n").over(wall).cast("bigint").alias("nt"),
+        F.sum("pos").over(wall).cast("bigint").alias("pt"),
+    )
+    nl, pl = F.col("nl").cast("double"), F.col("pl").cast("double")
+    nr = (F.col("nt") - F.col("nl")).cast("double")
+    pr = (F.col("pt") - F.col("pl")).cast("double")
+    nt = F.col("nt").cast("double")
+    gini_l = (
+        F.lit(1.0) - (pl / nl) * (pl / nl)
+        - ((nl - pl) / nl) * ((nl - pl) / nl)
+    )
+    gini_r = (
+        F.lit(1.0) - (pr / nr) * (pr / nr)
+        - ((nr - pr) / nr) * ((nr - pr) / nr)
+    )
+    cuts = (
+        cum.where((F.col("nl") > 0) & (F.col("nt") - F.col("nl") > 0))
+        .select(
+            F.col("bin").alias("cut_after_bin"),
+            "nl",
+            "pl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("pt") - F.col("pl")).alias("pr"),
+            ((nl * gini_l + nr * gini_r) / nt).alias("weighted_gini"),
+        )
+    )
+    rk = F.row_number().over(
+        Window.orderBy("weighted_gini", "cut_after_bin")
+    )
+    return cuts.select(
+        "cut_after_bin", "nl", "pl", "nr", "pr", "weighted_gini",
+        (rk == 1).alias("is_best_split"),
+    )

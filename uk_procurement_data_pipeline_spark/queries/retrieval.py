@@ -706,3 +706,134 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("tot").cast("double") * F.lit(1e6))
         ).alias("kl_nats"),
     )
+
+
+@register(
+    name="naive_bayes_source_classifier",
+    survey="A7 J5 J6 W1 F28",
+    doc="Multinomial Naive Bayes trained AND evaluated in-engine (the "
+    "classic text classifier as pure relational algebra): Laplace-"
+    "smoothed token likelihoods per source over the dense vocab x "
+    "source grid (two small aggregates cross-joined; at web scale "
+    "you keep the sparse table plus a per-source default weight), "
+    "log-prior plus per-token micro-ln weights summed as exact "
+    "bigints per (doc, source), argmax by (score desc, source) in a "
+    "doc-partitioned window. Reports each document's predicted vs "
+    "true source — the self-classification confusion signal.",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term),
+        truth AS (
+            SELECT doc_id, source AS true_source FROM documents),
+        cnt AS (
+            SELECT t.term, d.source, CAST(SUM(t.tf) AS BIGINT) AS c
+            FROM tf t JOIN documents d USING (doc_id)
+            GROUP BY t.term, d.source),
+        vocab AS (SELECT DISTINCT term FROM tf),
+        vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        stot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+            FROM cnt GROUP BY source),
+        prior AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents
+            GROUP BY source),
+        ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        model AS (
+            SELECT v.term, s.source,
+                   CAST(floor(ln((CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE))
+                                 / CAST(s.tot + vs.v AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS w_micro
+            FROM vocab v
+            CROSS JOIN stot s
+            CROSS JOIN vsize vs
+            LEFT JOIN cnt ON cnt.term = v.term AND cnt.source = s.source),
+        scores AS (
+            SELECT tf.doc_id, m.source,
+                   CAST(SUM(tf.tf * m.w_micro) AS BIGINT)
+                   + (SELECT CAST(floor(ln(CAST(p.nd AS DOUBLE)
+                                           / CAST(n.n AS DOUBLE))
+                                        * 1000000 + 0.5) AS BIGINT)
+                      FROM prior p, ndocs n WHERE p.source = m.source)
+                       AS score_micro
+            FROM tf JOIN model m USING (term)
+            GROUP BY tf.doc_id, m.source),
+        best AS (
+            SELECT doc_id, source AS predicted_source, score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score_micro DESC, source)
+                       AS rn
+            FROM scores)
+        SELECT b.doc_id, t.true_source, b.predicted_source,
+               b.score_micro AS best_score_micro,
+               (b.predicted_source = t.true_source) AS is_correct
+        FROM best b JOIN truth t USING (doc_id)
+        WHERE b.rn = 1
+    """,
+)
+def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    truth = docs.select("doc_id", F.col("source").alias("true_source"))
+    cnt = (
+        tf.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("term", "source")
+        .agg(F.sum("tf").cast("bigint").alias("c"))
+    )
+    vocab = tf.select("term").distinct()
+    vsize = vocab.agg(F.count(F.lit(1)).cast("bigint").alias("v"))
+    stot = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("tot"))
+    prior = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nd")
+    )
+    ndocs = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    model = (
+        vocab.crossJoin(F.broadcast(stot))
+        .crossJoin(F.broadcast(vsize))
+        .join(cnt, ["term", "source"], "left")
+        .selectExpr(
+            "term",
+            "source",
+            "CAST(floor(ln(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"
+            " / CAST(tot + v AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+            " AS w_micro",
+        )
+    )
+    prior_w = (
+        prior.crossJoin(F.broadcast(ndocs))
+        .selectExpr(
+            "source",
+            "CAST(floor(ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE))"
+            " * 1000000 + 0.5) AS BIGINT) AS prior_micro",
+        )
+    )
+    scores = (
+        tf.join(model, "term")
+        .groupBy("doc_id", "source")
+        .agg(F.sum(F.col("tf") * F.col("w_micro")).cast("bigint").alias("s"))
+        .join(F.broadcast(prior_w), "source")
+        .withColumn("score_micro", F.col("s") + F.col("prior_micro"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_micro"), "source"
+    )
+    return (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .join(truth, "doc_id")
+        .select(
+            "doc_id",
+            "true_source",
+            F.col("source").alias("predicted_source"),
+            F.col("score_micro").alias("best_score_micro"),
+            (F.col("source") == F.col("true_source")).alias("is_correct"),
+        )
+    )
