@@ -653,3 +653,11 @@ def test_decision_stump_picks_minimum_gini_cut(spark, sf_dir):
         assert r["nl"] > 0 and r["nr"] > 0
         assert 0.0 <= r["weighted_gini"] <= 0.5 + 1e-12
         assert r["pl"] <= r["nl"] and r["pr"] <= r["nr"]
+
+
+def test_ann_recall_in_unit_range_and_consistent(spark, sf_dir):
+    rows = registry()["ann_recall_report"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_hits"] <= 3
+        assert abs(r["recall_at_3"] - r["n_hits"] / 3.0) < 1e-12

@@ -595,3 +595,79 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("la") + F.col("lb") - F.col("n_inter")).cast("double")
         ).alias("jaccard"),
     )
+
+
+def _spec_oracle(name: str) -> str:
+    """Oracle SQL of an already-registered query (modules import in
+    registry() order, so similarity registers before curation)."""
+    from uk_procurement_data_pipeline_spark.queries.base import _REGISTRY
+
+    return _REGISTRY[name].oracle
+
+
+@register(
+    name="ann_recall_report",
+    survey="J9 A7 J7 U1",
+    doc="ANN quality evaluation in-engine: recall@3 of the sign-bit LSH "
+    "index against the exact brute-force top-3, per query and overall "
+    "— the measurement loop that tunes bucket bits/probes before "
+    "shipping an index. Composes the two REGISTERED operators (the "
+    "Spark side literally calls their plans; the oracle embeds their "
+    "oracle SQL as subqueries), so the report can never drift from "
+    "what the operators actually compute.",
+    oracle=f"""
+        WITH bf AS (
+          SELECT query_id, neighbor_id
+          FROM ({_spec_oracle("cosine_topk_bruteforce")}) x
+          WHERE rank <= 3
+        ), lsh AS (
+          SELECT query_id, neighbor_id
+          FROM ({_spec_oracle("ann_lsh_bucketed")}) y
+          WHERE rank <= 3
+        ), hits AS (
+          SELECT bf.query_id,
+                 CAST(count(lsh.neighbor_id) AS BIGINT) AS n_hits
+          FROM bf LEFT JOIN lsh
+            ON bf.query_id = lsh.query_id
+           AND bf.neighbor_id = lsh.neighbor_id
+          GROUP BY bf.query_id)
+        SELECT query_id, n_hits,
+               CAST(n_hits AS DOUBLE) / 3.0 AS recall_at_3
+        FROM hits
+    """,
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.queries.similarity import (
+        ann_lsh_bucketed,
+        cosine_topk_bruteforce,
+    )
+
+    bf = (
+        cosine_topk_bruteforce(spark, sf_dir)
+        .where(F.col("rank") <= 3)
+        .select("query_id", "neighbor_id")
+    )
+    lsh = (
+        ann_lsh_bucketed(spark, sf_dir)
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("query_id").alias("lq"), F.col("neighbor_id").alias("ln")
+        )
+    )
+    return (
+        bf.join(
+            lsh,
+            (F.col("query_id") == F.col("lq"))
+            & (F.col("neighbor_id") == F.col("ln")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("ln").cast("bigint").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            (F.col("n_hits").cast("double") / F.lit(3.0)).alias(
+                "recall_at_3"
+            ),
+        )
+    )
