@@ -661,3 +661,24 @@ def test_ann_recall_in_unit_range_and_consistent(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= 3
         assert abs(r["recall_at_3"] - r["n_hits"] / 3.0) < 1e-12
+
+
+def test_autocorr_in_unit_interval_and_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    row = registry()["daily_autocorr_lag1"].fn(spark, sf_dir).first()
+    daily = sorted(
+        (r["day"], r["n"])
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("date_trunc('day', ts) AS day")
+        .groupBy("day")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    )
+    xs = np.array([n for _, n in daily], dtype=np.float64)
+    x, xp = xs[1:], xs[:-1]
+    ref = np.corrcoef(x, xp)[0, 1]
+    assert row["n_pairs"] == len(x)
+    assert abs(row["autocorr_lag1"] - ref) < 1e-9
+    assert -1.0 <= row["autocorr_lag1"] <= 1.0

@@ -67,6 +67,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "GLOBALWIN": "running sum over ONE ROW PER CALENDAR DAY (the "
         "sweep-line delta rollup) — input is already aggregate-sized",
     },
+    "daily_autocorr_lag1": {
+        "GLOBALWIN": "lag over ONE ROW PER CALENDAR DAY (the daily "
+        "rollup) — input is already aggregate-sized",
+    },
     "decision_stump_value_split": {
         "GLOBALWIN": "cut evaluation over the FIXED 64-bin table — "
         "input is already aggregate-sized",

@@ -1932,3 +1932,73 @@ def decision_stump_value_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cut_after_bin", "nl", "pl", "nr", "pr", "weighted_gini",
         (rk == 1).alias("is_best_split"),
     )
+
+
+@register(
+    name="daily_autocorr_lag1",
+    survey="A7 W2 W3 F15 F28",
+    doc="Lag-1 autocorrelation of the daily event-count series (the "
+    "first diagnostic of temporal structure — near zero for memoryless "
+    "traffic, high for trending/bursty load): daily rollup, lag() over "
+    "the calendar-bounded day series, then Pearson over the EXACT "
+    "integer (x_t, x_t-1) moments in one fixed-order expression. The "
+    "only row-sized work is the daily aggregation.",
+    oracle="""
+        WITH daily AS (
+          SELECT date_trunc('day', ts) AS day, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ), lagged AS (
+          SELECT n AS x,
+                 lag(n) OVER (ORDER BY day) AS xp
+          FROM daily
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(xp) AS BIGINT) AS sp,
+                 CAST(SUM(x * xp) AS BIGINT) AS sxp,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(xp * xp) AS BIGINT) AS spp
+          FROM lagged WHERE xp IS NOT NULL)
+        SELECT k AS n_pairs,
+               (CAST(k AS DOUBLE) * CAST(sxp AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sp AS DOUBLE))
+               / sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(k AS DOUBLE) * CAST(spp AS DOUBLE)
+                         - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)))
+                   AS autocorr_lag1
+        FROM m
+    """,
+)
+def daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # Bounded domain: one row per calendar day (the cusum justification).
+    lagged = daily.select(
+        F.col("n").alias("x"),
+        F.lag("n").over(Window.orderBy("day")).alias("xp"),
+    ).where(F.col("xp").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("xp").cast("bigint").alias("sp"),
+        F.sum(F.col("x") * F.col("xp")).cast("bigint").alias("sxp"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("xp") * F.col("xp")).cast("bigint").alias("spp"),
+    )
+    k = F.col("k").cast("double")
+    sx, sp = F.col("sx").cast("double"), F.col("sp").cast("double")
+    sxp = F.col("sxp").cast("double")
+    sxx, spp = F.col("sxx").cast("double"), F.col("spp").cast("double")
+    return m.select(
+        F.col("k").alias("n_pairs"),
+        (
+            (k * sxp - sx * sp)
+            / F.sqrt((k * sxx - sx * sx) * (k * spp - sp * sp))
+        ).alias("autocorr_lag1"),
+    )
