@@ -682,3 +682,19 @@ def test_autocorr_in_unit_interval_and_matches_numpy(spark, sf_dir):
     assert row["n_pairs"] == len(x)
     assert abs(row["autocorr_lag1"] - ref) < 1e-9
     assert -1.0 <= row["autocorr_lag1"] <= 1.0
+
+
+def test_conversion_lags_nonnegative_and_bounded_by_span(spark, sf_dir):
+    row = registry()["conversion_lag_stats"].fn(spark, sf_dir).first()
+    assert row["n_converters"] >= 0
+    if row["n_converters"]:
+        assert 0 <= row["min_lag_s"] <= row["max_lag_s"]
+        assert abs(
+            row["mean_lag_s"] - row["sum_lag_s"] / row["n_converters"]
+        ) < 1e-12
+        span = (
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+            .selectExpr("unix_timestamp(max(ts)) - unix_timestamp(min(ts)) AS s")
+            .first()["s"]
+        )
+        assert row["max_lag_s"] <= span

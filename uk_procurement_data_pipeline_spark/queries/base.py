@@ -145,7 +145,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    window_funnel_timeout, hhi_source_concentration,
 #    kl_divergence_sources, token_length_distribution,
 #    spearman_price_acctbal, naive_bayes_source_classifier,
-#    decision_stump_value_split, ann_recall_report, daily_autocorr_lag1
+#    decision_stump_value_split, ann_recall_report, daily_autocorr_lag1,
+#    conversion_lag_stats
 # 2. changed-in-r04 with fixture-identical results: repetition_signals,
 #    minhash_components
 # 3. back-rotation displaced from r04: pricing_summary, revenue_by_region,

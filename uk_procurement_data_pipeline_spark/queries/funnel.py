@@ -732,3 +732,61 @@ def window_funnel_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_anchors"),
         )
     )
+
+
+@register(
+    name="conversion_lag_stats",
+    survey="A7 F15 J7 F28",
+    doc="Time-to-convert distribution: per user, seconds from first "
+    "view to the first purchase at-or-after it (the funnel_conversion "
+    "chain reduced to its latency), then exact integer statistics of "
+    "the lag — count, min, max, mean and the exact integer-second "
+    "sum. epoch() differences are whole seconds, so every moment is "
+    "an exact bigint; the mean divides once.",
+    oracle="""
+        WITH v AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN ts END) AS fv
+          FROM events GROUP BY user_id
+        ), p AS (
+          SELECT e.user_id, MIN(e.ts) AS fp
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'purchase' AND e.ts >= v.fv
+          GROUP BY e.user_id
+        ), lags AS (
+          SELECT CAST(date_diff('second', v.fv, p.fp) AS BIGINT) AS lag_s
+          FROM v JOIN p ON v.user_id = p.user_id)
+        SELECT CAST(count(*) AS BIGINT) AS n_converters,
+               CAST(MIN(lag_s) AS BIGINT) AS min_lag_s,
+               CAST(MAX(lag_s) AS BIGINT) AS max_lag_s,
+               CAST(SUM(lag_s) AS BIGINT) AS sum_lag_s,
+               CAST(SUM(lag_s) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_lag_s
+        FROM lags
+    """,
+)
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    v = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("fv")
+    )
+    p = (
+        ev.join(v, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") >= F.col("fv")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("fp"))
+    )
+    lags = v.join(p, "user_id").select(
+        (F.unix_timestamp("fp") - F.unix_timestamp("fv"))
+        .cast("bigint")
+        .alias("lag_s")
+    )
+    return lags.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converters"),
+        F.min("lag_s").cast("bigint").alias("min_lag_s"),
+        F.max("lag_s").cast("bigint").alias("max_lag_s"),
+        F.sum("lag_s").cast("bigint").alias("sum_lag_s"),
+        (F.sum("lag_s").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_lag_s"
+        ),
+    )
