@@ -2002,3 +2002,100 @@ def daily_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((k * sxx - sx * sx) * (k * spp - sp * sp))
         ).alias("autocorr_lag1"),
     )
+
+
+@register(
+    name="theil_sen_daily_trend",
+    survey="A7 J6 W1 F15 F28",
+    doc="Theil-Sen robust trend per event type: the median of all "
+    "pairwise slopes of the daily event-count series (Sen 1968; the "
+    "outlier-resistant alternative to the OLS slope in "
+    "ols2_regression_per_type - one corrupted day cannot move it). "
+    "Slopes are integer-difference ratios (one IEEE division each, "
+    "engine-identical), and the median is an explicit order statistic "
+    "- row_number over (slope, day_i, day_j) picking floor((m+1)/2) "
+    "and floor(m/2)+1, averaged - not an engine median() whose "
+    "interpolation rule could differ. The pairwise self-join is on "
+    "the DAILY rollup (calendar-bounded: m = O(days^2) pairs per "
+    "type regardless of row count), so the only row-sized work is "
+    "the first aggregation; the pair stage is a broadcast-sized "
+    "bounded domain at any SF.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), pairs AS (
+          SELECT a.event_type,
+                 (CAST(b.n AS DOUBLE) - CAST(a.n AS DOUBLE))
+                 / (CAST(b.d AS DOUBLE) - CAST(a.d AS DOUBLE)) AS slope,
+                 a.d AS di, b.d AS dj
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+        ), ranked AS (
+          SELECT event_type, slope,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY slope, di, dj) AS rn,
+                 count(*) OVER (PARTITION BY event_type) AS m
+          FROM pairs
+        )
+        SELECT event_type, CAST(max(m) AS BIGINT) AS n_pairs,
+               SUM(slope) / CAST(count(*) AS DOUBLE) AS theil_sen_slope
+        FROM ranked
+        WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"), F.lit("2024-01-01").cast("date")
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    # Daily rollup is calendar-bounded, so the pair expansion is a small
+    # broadcast-sized self-join no matter the row count underneath.
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.n").cast("double") - F.col("a.n").cast("double"))
+            / (F.col("b.d").cast("double") - F.col("a.d").cast("double"))
+        ).alias("slope"),
+        F.col("a.d").alias("di"),
+        F.col("b.d").alias("dj"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "di", "dj")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.expr("(m + 1) div 2")) | (F.col("rn") == F.expr("m div 2 + 1"))
+    )
+    return (
+        mid.groupBy("event_type")
+        .agg(
+            F.max("m").cast("bigint").alias("n_pairs"),
+            (F.sum("slope") / F.count(F.lit(1)).cast("double")).alias("theil_sen_slope"),
+        )
+        .orderBy("event_type")
+    )

@@ -790,3 +790,49 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_lag_s"
         ),
     )
+
+
+@register(
+    name="burst_day_detection",
+    survey="A7 W2 F15 P4",
+    doc="Per-user burst-day screen (the rate-based abuse/bot filter a "
+    "training-data pipeline runs before trusting behavioral logs, "
+    "complementing hourly_baseline_outliers' global seasonal z-scores "
+    "with a per-actor view): group events into (user, calendar-day) "
+    "cells, keep days with >= 6 events, and report the activity span "
+    "and mean inter-arrival gap. All time arithmetic is integer "
+    "epoch-microseconds (engine-identical), the only divisions are "
+    "single IEEE ops on those integers, and the plan is one shuffle "
+    "on the (user_id, day) key followed by a filter - linearly "
+    "scalable, no windows, no driver state.",
+    oracle="""
+        SELECT user_id,
+               date_trunc('day', ts) AS day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS span_us,
+               CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS DOUBLE)
+               / (CAST(count(*) AS DOUBLE) - 1.0) AS mean_gap_us
+        FROM events
+        GROUP BY 1, 2
+        HAVING count(*) >= 6
+        ORDER BY user_id, day
+    """,
+)
+def burst_day_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Fixture ts is TIMESTAMP_NTZ; session TZ is pinned UTC, so the cast
+    # to TIMESTAMP is a no-op on the instant and unlocks unix_micros.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    return (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            (F.max(us) - F.min(us)).alias("span_us"),
+            (
+                (F.max(us) - F.min(us)).cast("double")
+                / (F.count(F.lit(1)).cast("double") - F.lit(1.0))
+            ).alias("mean_gap_us"),
+        )
+        .where(F.col("n_events") >= 6)
+        .orderBy("user_id", "day")
+    )

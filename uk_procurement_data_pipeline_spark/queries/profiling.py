@@ -234,3 +234,90 @@ def constraint_check_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(row("o_orderstatus_domain", "bad_status"))
         .unionAll(row("o_orderdate_range", "bad_date"))
     )
+
+
+# Benford expected first-digit probabilities log10(1 + 1/d), precomputed
+# once in Python and embedded as LITERALS in both engines' expression
+# trees, so no runtime log10 (whose last ulp may differ between Java's
+# Math and libm) enters the differential comparison.
+_BENFORD_P = {d: __import__("math").log10(1.0 + 1.0 / d) for d in range(1, 10)}
+_BENFORD_CASE_SQL = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN {p!r}" for d, p in _BENFORD_P.items())
+    + " END"
+)
+
+
+@register(
+    name="benford_first_digit",
+    survey="A7 F9 F28 P4",
+    doc="Benford's-law forensic profile of o_totalprice: observed "
+    "first-significant-digit distribution vs the expected "
+    "log10(1+1/d) frequencies, with each digit's chi-square "
+    "contribution (the classic fabricated-data screen applied to "
+    "spend values). The digit is taken from the BIGINT string of "
+    "floor(value) - integer-to-string is engine-identical, unlike "
+    "double formatting or runtime log10(), and the expected "
+    "probabilities are Python-precomputed literals shared by both "
+    "expression trees. One scan-side projection plus one 9-row "
+    "bounded aggregate; nothing else touches row-sized data.",
+    oracle=f"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                  AS VARCHAR), 1, 1) AS INTEGER) AS digit
+          FROM orders WHERE o_totalprice >= 1.0
+        ), tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM digits),
+        obs AS (
+          SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+          FROM digits GROUP BY digit
+        )
+        SELECT o.digit, o.n_obs,
+               CAST(o.n_obs AS DOUBLE) / CAST(t.n AS DOUBLE) AS p_obs,
+               {_BENFORD_CASE_SQL} AS p_benford,
+               (CAST(o.n_obs AS DOUBLE)
+                - CAST(t.n AS DOUBLE) * ({_BENFORD_CASE_SQL}))
+               * (CAST(o.n_obs AS DOUBLE)
+                  - CAST(t.n AS DOUBLE) * ({_BENFORD_CASE_SQL}))
+               / (CAST(t.n AS DOUBLE) * ({_BENFORD_CASE_SQL}))
+                   AS chi2_term
+        FROM obs o CROSS JOIN tot t
+        ORDER BY o.digit
+    """,
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    digits = (
+        load(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") >= 1.0)
+        .select(
+            F.substring(
+                F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+    )
+    obs = digits.groupBy("digit").agg(F.count(F.lit(1)).cast("bigint").alias("n_obs"))
+    tot = digits.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    p_benford = F.col("digit").cast("int")
+    expected = None
+    for d, p in _BENFORD_P.items():
+        expected = (
+            F.when(p_benford == d, F.lit(p))
+            if expected is None
+            else expected.when(p_benford == d, F.lit(p))
+        )
+    n = F.col("n").cast("double")
+    n_obs = F.col("n_obs").cast("double")
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "n_obs",
+            (n_obs / n).alias("p_obs"),
+            expected.alias("p_benford"),
+            ((n_obs - n * expected) * (n_obs - n * expected) / (n * expected)).alias(
+                "chi2_term"
+            ),
+        )
+        .orderBy("digit")
+    )
