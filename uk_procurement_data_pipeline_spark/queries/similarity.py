@@ -1063,3 +1063,121 @@ def als_rank1_item_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(dec(resid * resid)), 2).cast("double").alias("sse")
         )
     )
+
+
+_PI_ITERS = 8
+_PI_SCALE = "1000000000000.0"  # 1e-12 floor quantization for matvec terms
+
+_PI_CELLS_SQL = """
+        e AS (
+            SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        raw AS (
+            SELECT si.i AS dim_i, sj.j AS dim_j,
+                   v[si.i] AS xi, v[sj.j] AS xj
+            FROM e,
+                 LATERAL (SELECT unnest(range(1, len(v) + 1)) AS i) si,
+                 LATERAL (SELECT unnest(range(si.i, len(v) + 1)) AS j) sj),
+        cov0 AS (
+            SELECT CAST(dim_i AS INT) AS dim_i, CAST(dim_j AS INT) AS dim_j,
+                   (CAST(SUM(CAST(floor(xi * xj * 100000000) AS BIGINT))
+                         AS DOUBLE) / 100000000
+                    - (CAST(SUM(CAST(floor(xi * 100000000) AS BIGINT))
+                            AS DOUBLE) / 100000000)
+                      * (CAST(SUM(CAST(floor(xj * 100000000) AS BIGINT))
+                              AS DOUBLE) / 100000000)
+                          / CAST(count(*) AS DOUBLE))
+                       / CAST(count(*) AS DOUBLE) AS cov
+            FROM raw GROUP BY dim_i, dim_j),
+        cells AS MATERIALIZED (
+            SELECT dim_i, dim_j, cov FROM cov0
+            UNION ALL
+            SELECT dim_j AS dim_i, dim_i AS dim_j, cov
+            FROM cov0 WHERE dim_i < dim_j),
+        v0 AS (SELECT DISTINCT dim_i AS dim, 1.0 AS v FROM cells)"""
+
+
+def _pi_oracle() -> str:
+    # Each iteration references its predecessor exactly ONCE (the L1 norm
+    # is an unpartitioned window over the 64-row bounded dim domain, not a
+    # second scan), so the CTE chain stays linear in both engines.
+    parts = ["WITH" + _PI_CELLS_SQL]
+    for k in range(1, _PI_ITERS + 1):
+        parts.append(f"""
+        v{k} AS MATERIALIZED (
+            SELECT dim,
+                   CAST(s_q AS DOUBLE)
+                   / CAST(SUM(abs(s_q)) OVER () AS DOUBLE) AS v,
+                   SUM(abs(s_q)) OVER () AS l1_q
+            FROM (
+                SELECT c.dim_i AS dim,
+                       SUM(CAST(floor(c.cov * p.v * {_PI_SCALE}) AS BIGINT))
+                           AS s_q
+                FROM cells c JOIN v{k - 1} p ON c.dim_j = p.dim
+                GROUP BY c.dim_i))""")
+    last = _PI_ITERS
+    parts.append(f"""
+        SELECT dim, v AS pc1_component,
+               CAST(l1_q AS DOUBLE) / {_PI_SCALE} AS lambda_l1
+        FROM v{last}
+        ORDER BY dim""")
+    return parts[0] + "," + ",".join(p.strip() for p in parts[1:-1]) + parts[-1]
+
+
+@register(
+    name="power_iteration_top_pc",
+    survey="A7 J5 F17 UD4 F28",
+    doc="Top principal direction of the embedding cloud by eight "
+    "L1-normalized power-iteration steps over the full covariance "
+    "matrix (the distributed PCA kernel: Lanczos/oja at 100 TB start "
+    "exactly here). The covariance cells come from the proven "
+    "embedding_covariance construction (mirrored below the diagonal "
+    "and localCheckpoint-ed once - dims^2 rows regardless of corpus "
+    "size), and every matrix-vector product is a bounded-domain "
+    "equi-join + hash agg whose terms are 1e-12-floor-quantized "
+    "BIGINTs, so each of the eight iterations is bit-identical across "
+    "engines (no runtime sqrt/argmax: L1 normalization is a ratio of "
+    "exact integers). lambda_l1 is ||C v||_1 of the final step - the "
+    "L1 Rayleigh estimate of the dominant eigenvalue's magnitude.",
+    oracle=_pi_oracle(),
+    eager=True,  # fn materializes the mirrored covariance cells once
+)
+def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cov0 = embedding_covariance(spark, sf_dir).select("dim_i", "dim_j", "cov")
+    mirror = cov0.where(F.col("dim_i") < F.col("dim_j")).select(
+        F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "cov"
+    )
+    cells = cov0.unionByName(mirror).localCheckpoint(eager=True)
+    v = cells.select(F.col("dim_i").alias("dim")).distinct().select(
+        "dim", F.lit(1.0).alias("v")
+    )
+    scale = F.lit(float(_PI_SCALE))
+    # The L1 norm is an unpartitioned window over the 64-row bounded dim
+    # domain (the event_type_value_chi2 precedent), so each iteration
+    # references its predecessor exactly once and the lineage stays
+    # LINEAR — no per-round checkpoint, no 2^k logical-plan blowup.
+    wall = Window.partitionBy()
+    for _ in range(_PI_ITERS):
+        s = (
+            cells.join(
+                F.broadcast(v.select(F.col("dim").alias("jdim"), "v")),
+                F.col("dim_j") == F.col("jdim"),
+            )
+            .groupBy("dim_i")
+            .agg(
+                F.sum(F.floor(F.col("cov") * F.col("v") * scale).cast("bigint")).alias(
+                    "s_q"
+                )
+            )
+        )
+        l1 = F.sum(F.abs(F.col("s_q"))).over(wall)
+        v = s.select(
+            F.col("dim_i").alias("dim"),
+            (F.col("s_q").cast("double") / l1.cast("double")).alias("v"),
+            l1.alias("l1_q"),
+        )
+    return v.select(
+        "dim",
+        F.col("v").alias("pc1_component"),
+        (F.col("l1_q").cast("double") / scale).alias("lambda_l1"),
+    ).orderBy("dim")
