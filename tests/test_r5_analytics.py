@@ -1,0 +1,108 @@
+"""Property tests for the round-5 analytics additions: invariants that
+hold for ANY input, complementing the value-level oracle checks."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from uk_procurement_data_pipeline_spark.queries import registry
+
+
+def test_theil_sen_matches_numpy_median_of_slopes(spark, sf_dir):
+    rows = registry()["theil_sen_daily_trend"].fn(spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr("event_type", "CAST(date_trunc('day', ts) AS DATE) AS d")
+        .groupBy("event_type", "d")
+        .count()
+        .collect()
+    )
+    daily: dict[str, list] = {}
+    for r in ev:
+        daily.setdefault(r["event_type"], []).append((r["d"].toordinal(), r["count"]))
+    for r in rows:
+        pts = sorted(daily[r["event_type"]])
+        slopes = sorted(
+            (y2 - y1) / (x2 - x1)
+            for i, (x1, y1) in enumerate(pts)
+            for (x2, y2) in pts[i + 1 :]
+        )
+        m = len(slopes)
+        assert r["n_pairs"] == m
+        expect = (slopes[(m + 1) // 2 - 1] + slopes[m // 2]) / 2.0
+        assert abs(r["theil_sen_slope"] - expect) < 1e-12
+
+
+def test_benford_digit_distribution_is_a_distribution(spark, sf_dir):
+    rows = registry()["benford_first_digit"].fn(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["p_obs"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert r["chi2_term"] >= 0.0
+        assert 0.0 < r["p_benford"] < 0.32
+
+
+def test_burst_days_stats_are_self_consistent(spark, sf_dir):
+    rows = registry()["burst_day_detection"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_events"] >= 6
+        assert 0 <= r["span_us"] < 86_400_000_000
+        assert abs(r["mean_gap_us"] - r["span_us"] / (r["n_events"] - 1)) < 1e-6
+
+
+def test_power_iteration_aligns_with_numpy_top_eigvec(spark, sf_dir):
+    rows = registry()["power_iteration_top_pc"].fn(spark, sf_dir).collect()
+    v = np.array([r["pc1_component"] for r in sorted(rows, key=lambda r: r["dim"])])
+    embs = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr("embedding")
+        .collect()
+    )
+    X = np.array([e["embedding"] for e in embs], dtype=np.float64)
+    C = np.cov(X, rowvar=False, bias=True)
+    # The operator is DEFINED as eight L1-normalized power steps from an
+    # all-ones start (the fixture's spectrum is near-degenerate, so no
+    # step count "converges"); the property is that the distributed
+    # quantized arithmetic tracks the float64 reference step-for-step.
+    ref = np.ones(64)
+    for _ in range(8):
+        s = C @ ref
+        ref = s / np.abs(s).sum()
+    cos = abs(v @ ref) / (np.linalg.norm(v) * np.linalg.norm(ref))
+    assert cos > 0.999999
+    # lambda_l1 equals ||C v7||_1 of the reference walk (within the
+    # 1e-12 quantization the operator documents)
+    lam = rows[0]["lambda_l1"]
+    assert abs(lam - np.abs(s).sum()) < 1e-6
+    # and the L1 Rayleigh estimate is bounded by the spectral radius
+    w, _ = np.linalg.eigh(C)
+    assert 0.0 < lam <= np.abs(w).max() * (1.0 + 1e-9)
+
+
+def test_exact_substr_removes_only_true_duplicate_grams(spark, sf_dir):
+    out = {
+        r["doc_id"]: r
+        for r in registry()["exact_substr_dedup_spans"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    n = 8
+    seen: set[tuple] = set()
+    kept_expect: dict[int, int] = {}
+    for d in sorted(docs, key=lambda d: d["doc_id"]):
+        toks = d["text"].split(" ")
+        covered = [False] * len(toks)
+        for i in range(len(toks) - n + 1):
+            g = tuple(toks[i : i + n])
+            if g in seen:
+                for j in range(i, i + n):
+                    covered[j] = True
+            else:
+                seen.add(g)
+        kept_expect[d["doc_id"]] = sum(1 for c in covered if not c)
+    for doc_id, want in kept_expect.items():
+        got = out[doc_id]["n_kept"] if doc_id in out else 0
+        assert got == want, (doc_id, got, want)
+        if doc_id in out:
+            assert out[doc_id]["n_tokens"] == len(
+                next(d for d in docs if d["doc_id"] == doc_id)["text"].split(" ")
+            )

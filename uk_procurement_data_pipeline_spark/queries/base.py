@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "exact_substr_dedup_spans",
     "power_iteration_top_pc",
     "theil_sen_daily_trend",
     "benford_first_digit",
@@ -112,12 +113,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "zipf_exponent_fit",
     "vocab_coverage_curve",
     "ngram_novelty_rate",
-    "golden_record_survivorship",
 )
 
 # r06 window candidates, in priority order (README rotation policy):
 # 1. never-driver-checked r04 additions deferred from this window:
-#    dedup_methods_report, window_funnel_timeout, hhi_source_concentration,
+#    golden_record_survivorship, dedup_methods_report, window_funnel_timeout, hhi_source_concentration,
 #    kl_divergence_sources, token_length_distribution, spearman_price_acctbal,
 #    naive_bayes_source_classifier, decision_stump_value_split,
 #    ann_recall_report, daily_autocorr_lag1, conversion_lag_stats

@@ -671,3 +671,115 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_ES_N = 8  # duplicate-span gram length (tokens)
+
+
+@register(
+    name="exact_substr_dedup_spans",
+    survey="D2 D3 W1 J7 A1 F17",
+    doc="ExactSubstr-style duplicate-span removal (Lee et al. 2022, "
+    "'Deduplicating Training Data Makes Language Models Better', at "
+    "token granularity): every 8-token gram that occurs more than "
+    "once in the corpus keeps only its FIRST occurrence in (doc_id, "
+    "pos) order; every later occurrence marks its 8 token positions "
+    "covered, covered positions are dropped, and the document is "
+    "reassembled from the survivors. Grams are md5 keys (the dedup.py "
+    "hash family), first-occurrence is one row_number over the gram "
+    "key, coverage expansion is a bounded 8-way sequence explode, and "
+    "removal is a (doc_id, pos) anti-join - every stage an equi-join "
+    "or keyed window, linear shuffle, no driver state. Output pins "
+    "the cleaned text via md5 so the whole reconstruction is under "
+    "the differential oracle.",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, {_DT} AS t FROM documents),
+        pos AS (
+            SELECT doc_id, CAST(f.p AS BIGINT) AS p, t[f.p] AS tok,
+                   len(t) AS m
+            FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS p) f),
+        grams AS (
+            SELECT doc_id, CAST(f.p AS BIGINT) AS p,
+                   md5(array_to_string(t[f.p:f.p + {_ES_N} - 1], ' ')) AS g
+            FROM toks,
+                 LATERAL (SELECT unnest(range(1, len(t) - {_ES_N} + 2))
+                          AS p) f),
+        ranked AS (
+            SELECT doc_id, p,
+                   row_number() OVER (PARTITION BY g
+                                      ORDER BY doc_id, p) AS rn
+            FROM grams),
+        covered AS (
+            SELECT DISTINCT r.doc_id, CAST(f.q AS BIGINT) AS p
+            FROM ranked r,
+                 LATERAL (SELECT unnest(range(r.p, r.p + {_ES_N})) AS q) f
+            WHERE r.rn > 1),
+        kept AS (
+            SELECT pos.doc_id, pos.p, pos.tok, pos.m
+            FROM pos LEFT JOIN covered
+              ON pos.doc_id = covered.doc_id AND pos.p = covered.p
+            WHERE covered.p IS NULL)
+        SELECT doc_id,
+               CAST(max(m) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(count(*) AS DOUBLE) / CAST(max(m) AS DOUBLE) AS kept_frac,
+               md5(string_agg(tok, ' ' ORDER BY p)) AS cleaned_md5
+        FROM kept
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+)
+def exact_substr_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").selectExpr("doc_id", f"{_T} AS t")
+    pos = toks.selectExpr(
+        "doc_id",
+        "posexplode(t) AS (p0, tok)",
+        "size(t) AS m",
+    ).selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS p", "tok", "m")
+    grams = toks.selectExpr(
+        "doc_id",
+        # IF-guard: Spark's sequence(1, 0) DESCENDS to [1, 0] (the
+        # cdc_chunk_docs quirk), so short docs must short-circuit to an
+        # empty gram list exactly like DuckDB's empty range().
+        f"posexplode(IF(size(t) < {_ES_N}, array(),"
+        f" transform(sequence(1, size(t) - {_ES_N} + 1),"
+        f" i -> md5(array_join(slice(t, i, {_ES_N}), ' '))))) AS (p0, g)",
+    ).selectExpr("doc_id", "CAST(p0 + 1 AS BIGINT) AS p", "g")
+    from pyspark.sql.window import Window
+
+    ranked = grams.select(
+        "doc_id",
+        "p",
+        F.row_number()
+        .over(Window.partitionBy("g").orderBy("doc_id", "p"))
+        .alias("rn"),
+    )
+    covered = (
+        ranked.where(F.col("rn") > 1)
+        .selectExpr("doc_id", f"explode(sequence(p, p + {_ES_N} - 1)) AS p")
+        .distinct()
+    )
+    kept = pos.join(covered, ["doc_id", "p"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.max("m").cast("bigint").alias("n_tokens"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+            (F.count(F.lit(1)).cast("double") / F.max("m").cast("double")).alias(
+                "kept_frac"
+            ),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("p"), F.col("tok")))
+                        ),
+                        lambda x: x["tok"],
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("cleaned_md5"),
+        )
+        .orderBy("doc_id")
+    )
