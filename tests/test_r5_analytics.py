@@ -106,3 +106,52 @@ def test_exact_substr_removes_only_true_duplicate_grams(spark, sf_dir):
             assert out[doc_id]["n_tokens"] == len(
                 next(d for d in docs if d["doc_id"] == doc_id)["text"].split(" ")
             )
+
+
+def test_skew_report_ratios_consistent(spark, sf_dir):
+    rows = registry()["join_key_skew_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert r["n_keys"] <= r["n_rows"]
+        assert r["max_per_key"] >= 1
+        assert abs(r["avg_per_key"] - r["n_rows"] / r["n_keys"]) < 1e-9
+        assert abs(r["skew_ratio"] - r["max_per_key"] / r["avg_per_key"]) < 1e-9
+        assert r["skew_ratio"] >= 1.0 - 1e-12
+
+
+def test_vocab_jaccard_symmetric_domain_and_bounds(spark, sf_dir):
+    rows = registry()["source_vocab_jaccard"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 0 <= r["n_inter"] <= min(r["vocab_a"], r["vocab_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+
+
+def test_margin_calibration_partitions_the_corpus(spark, sf_dir):
+    rows = registry()["nb_margin_calibration"].fn(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == docs
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_docs"]
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_docs"]) < 1e-12
+        assert 0 <= r["margin_bin"] <= 9
+
+
+def test_winsorized_mean_between_clip_bounds(spark, sf_dir):
+    rows = registry()["winsorized_stats_per_type"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["p05"] <= r["p95"]
+        assert r["p05"] <= r["mean_winsorized"] <= r["p95"]
+        # clipping at most 5% each side (integer rank rounding slack: 1 row)
+        assert r["n_clipped_lo"] <= r["n"] * 0.05 + 1
+        assert r["n_clipped_hi"] <= r["n"] * 0.05 + 1
+
+
+def test_split_leakage_covers_all_val_docs(spark, sf_dir):
+    rows = registry()["split_leakage_report"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["n_leaked"] <= r["n_grams"]
+        if r["n_grams"] > 0:
+            assert abs(r["leak_frac"] - r["n_leaked"] / r["n_grams"]) < 1e-12
+        else:
+            assert r["leak_frac"] is None

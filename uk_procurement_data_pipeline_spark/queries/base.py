@@ -63,6 +63,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "join_key_skew_report",
+    "source_vocab_jaccard",
+    "nb_margin_calibration",
+    "winsorized_stats_per_type",
+    "split_leakage_report",
     "exact_substr_dedup_spans",
     "power_iteration_top_pc",
     "theil_sen_daily_trend",
@@ -108,15 +113,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "kaplan_meier_customer_lifetime",
     "clustering_coefficient_local",
     "ols2_regression_per_type",
-    "als_rank1_item_step",
-    "subsample_stability_ci",
-    "zipf_exponent_fit",
-    "vocab_coverage_curve",
-    "ngram_novelty_rate",
 )
 
 # r06 window candidates, in priority order (README rotation policy):
 # 1. never-driver-checked r04 additions deferred from this window:
+#    als_rank1_item_step, subsample_stability_ci,
+#    zipf_exponent_fit, vocab_coverage_curve, ngram_novelty_rate,
 #    golden_record_survivorship, dedup_methods_report, window_funnel_timeout, hhi_source_concentration,
 #    kl_divergence_sources, token_length_distribution, spearman_price_acctbal,
 #    naive_bayes_source_classifier, decision_stump_value_split,

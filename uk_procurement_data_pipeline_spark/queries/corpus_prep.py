@@ -1150,3 +1150,99 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_LEAK_N = 8  # leakage-probe gram length (tokens)
+
+
+@register(
+    name="split_leakage_report",
+    survey="D3 J7 A7 F17 F28",
+    doc="Train->val contamination audit of the stratified hash split "
+    "(the leakage check run after ANY split of a near-dup-rich "
+    "corpus; composes the stratified_split_counts bucket rule with "
+    "decontaminate_against_eval's overlap idea, but at span "
+    "granularity): every val document reports how many of its "
+    "distinct 8-token grams also occur in ANY train document. Grams "
+    "are md5 keys, the train gram set is one distinct over the "
+    "train partition, membership is a left semi-style marker join on "
+    "the gram key (linear shuffle), and leak_frac is one int/int "
+    "division (NULL for sub-gram-length docs in both engines).",
+    oracle=f"""
+        WITH split AS (
+            SELECT doc_id, {_DTOKENS} AS t,
+                   CASE WHEN {_DUCK_BUCKET} < 80 THEN 'train'
+                        WHEN {_DUCK_BUCKET} < 90 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents),
+        grams AS (
+            SELECT DISTINCT doc_id, split,
+                   md5(array_to_string(t[f.p:f.p + {_LEAK_N} - 1], ' ')) AS g
+            FROM split,
+                 LATERAL (SELECT unnest(range(1, len(t) - {_LEAK_N} + 2))
+                          AS p) f),
+        train_g AS (
+            SELECT DISTINCT g FROM grams WHERE split = 'train'),
+        val_g AS (
+            SELECT v.doc_id, v.g,
+                   CASE WHEN t.g IS NULL THEN 0 ELSE 1 END AS leaked
+            FROM grams v LEFT JOIN train_g t ON v.g = t.g
+            WHERE v.split = 'val'),
+        per_doc AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_grams,
+                   CAST(SUM(leaked) AS BIGINT) AS n_leaked
+            FROM val_g GROUP BY doc_id)
+        SELECT s.doc_id,
+               COALESCE(p.n_grams, 0) AS n_grams,
+               COALESCE(p.n_leaked, 0) AS n_leaked,
+               CAST(p.n_leaked AS DOUBLE) / CAST(p.n_grams AS DOUBLE)
+                   AS leak_frac
+        FROM split s LEFT JOIN per_doc p USING (doc_id)
+        WHERE s.split = 'val'
+        ORDER BY s.doc_id
+    """,
+)
+def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    split = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        f"{_TOKENS} AS t",
+        f"CASE WHEN {_SPARK_BUCKET} < 80 THEN 'train'"
+        f" WHEN {_SPARK_BUCKET} < 90 THEN 'val'"
+        " ELSE 'test' END AS split",
+    )
+    grams = split.selectExpr(
+        "doc_id",
+        "split",
+        # IF-guard: sequence(1, 0) descends in Spark (cdc_chunk_docs quirk)
+        f"explode(IF(size(t) < {_LEAK_N}, array(),"
+        f" transform(sequence(1, size(t) - {_LEAK_N} + 1),"
+        f" i -> md5(array_join(slice(t, i, {_LEAK_N}), ' '))))) AS g",
+    ).distinct()
+    train_g = grams.where(F.col("split") == "train").select("g").distinct()
+    val_g = (
+        grams.where(F.col("split") == "val")
+        .join(train_g.withColumn("leaked_mark", F.lit(1)), "g", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("leaked_mark").isNull(), 0).otherwise(1).alias("leaked"),
+        )
+    )
+    per_doc = val_g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+        F.sum("leaked").cast("bigint").alias("n_leaked"),
+    )
+    return (
+        split.where(F.col("split") == "val")
+        .select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0).cast("bigint")).alias("n_grams"),
+            F.coalesce(F.col("n_leaked"), F.lit(0).cast("bigint")).alias("n_leaked"),
+            (F.col("n_leaked").cast("double") / F.col("n_grams").cast("double")).alias(
+                "leak_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )

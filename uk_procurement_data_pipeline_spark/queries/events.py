@@ -2099,3 +2099,123 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    name="winsorized_stats_per_type",
+    survey="W1 A7 F28",
+    doc="Winsorized (5%/95%-clipped) value statistics per event type - "
+    "the robust-mean preprocessing step run before feeding heavy-"
+    "tailed metrics to a model: exact p05/p95 thresholds via the "
+    "banded global-rank construction (percentiles_per_type_banded's "
+    "rewrite - rank within (type, integer band) plus broadcast "
+    "lower-band offsets, so no type ever sorts in one task), values "
+    "clipped with greatest/least, and raw vs winsorized means as "
+    "exact decimal sums. The oracle certifies against the textbook "
+    "full-sort percentile definition.",
+    oracle=f"""
+        WITH ev AS (
+          SELECT event_type, event_id, value FROM events
+          WHERE value IS NOT NULL
+        ), n AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n
+          FROM ev GROUP BY event_type
+        ), ranked AS (
+          SELECT event_type, value,
+                 ROW_NUMBER() OVER (PARTITION BY event_type
+                                    ORDER BY value, event_id) AS rn
+          FROM ev
+        ), thr AS (
+          SELECT n.event_type,
+                 MAX(CASE WHEN rn = (n + 19) // 20 THEN value END) AS p05,
+                 MAX(CASE WHEN rn = (19 * n + 19) // 20 THEN value END)
+                     AS p95
+          FROM ranked JOIN n USING (event_type)
+          GROUP BY n.event_type)
+        SELECT ev.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               MAX(t.p05) AS p05,
+               MAX(t.p95) AS p95,
+               CAST(SUM(CASE WHEN ev.value < t.p05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_lo,
+               CAST(SUM(CASE WHEN ev.value > t.p95 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_clipped_hi,
+               {oracle_sum('ev.value')} / CAST(count(*) AS DOUBLE)
+                   AS mean_raw,
+               {oracle_sum('GREATEST(t.p05, LEAST(t.p95, ev.value))')}
+                   / CAST(count(*) AS DOUBLE) AS mean_winsorized
+        FROM ev JOIN thr t USING (event_type)
+        GROUP BY ev.event_type
+        ORDER BY ev.event_type
+    """,
+)
+def winsorized_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    ev = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "event_type", "event_id", "value", F.floor("value").alias("band")
+        )
+    )
+    in_band = F.row_number().over(
+        Window.partitionBy("event_type", "band").orderBy("value", "event_id")
+    )
+    sizes = ev.groupBy("event_type", "band").agg(F.count(F.lit(1)).alias("bn"))
+    lo = sizes.select(
+        F.col("event_type").alias("lt"),
+        F.col("band").alias("lband"),
+        F.col("bn").alias("ln"),
+    )
+    offsets = (
+        sizes.join(
+            F.broadcast(lo),
+            (F.col("lt") == F.col("event_type")) & (F.col("lband") < F.col("band")),
+            "left",
+        )
+        .groupBy("event_type", "band")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
+    )
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        ev.withColumn("rk", in_band)
+        .join(F.broadcast(offsets), ["event_type", "band"])
+        .join(F.broadcast(n), "event_type")
+        .withColumn("rn", F.col("off") + F.col("rk"))
+    )
+    thr = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rn") == F.expr("(n + 19) div 20"), F.col("value"))).alias(
+            "p05"
+        ),
+        F.max(
+            F.when(F.col("rn") == F.expr("(19 * n + 19) div 20"), F.col("value"))
+        ).alias("p95"),
+    )
+    clipped = F.greatest(F.col("p05"), F.least(F.col("p95"), F.col("value")))
+    return (
+        ev.join(F.broadcast(thr), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.max("p05").alias("p05"),
+            F.max("p95").alias("p95"),
+            F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_clipped_hi"),
+            (
+                F.round(F.sum(dec("value")), 4).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_raw"),
+            (
+                F.round(F.sum(dec(clipped)), 4).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )

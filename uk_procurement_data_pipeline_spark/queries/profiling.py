@@ -321,3 +321,76 @@ def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+_SKEW_KEYS = (
+    ("lineitem", "l_orderkey"),
+    ("lineitem", "l_partkey"),
+    ("orders", "o_custkey"),
+    ("events", "user_id"),
+)
+
+
+def _skew_duck(table: str, col: str) -> str:
+    return f"""
+        SELECT '{table}.{col}' AS join_key,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(MAX(c) AS BIGINT) AS max_per_key,
+               CAST(SUM(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS avg_per_key,
+               CAST(MAX(c) AS DOUBLE) * CAST(count(*) AS DOUBLE)
+               / CAST(SUM(c) AS DOUBLE) AS skew_ratio,
+               CAST(MIN(CASE WHEN is_max THEN k END) AS BIGINT) AS top_key
+        FROM (
+            SELECT k, c, c = MAX(c) OVER () AS is_max
+            FROM (SELECT {col} AS k, CAST(count(*) AS BIGINT) AS c
+                  FROM {table} GROUP BY {col}))"""
+
+
+@register(
+    name="join_key_skew_report",
+    survey="A7 A8 U1 F28",
+    doc="Shuffle-key skew diagnostic over the pipeline's four hottest "
+    "join/partition keys (the report you read BEFORE choosing salting "
+    "or AQE skew-join thresholds at 100 TB): per-key row counts, key "
+    "cardinality, max/avg skew ratio, and the heaviest key itself "
+    "(deterministic arg-max: smallest key among those at the max). "
+    "Each branch is one linear keyed aggregation plus a bounded "
+    "second pass; the is_max marker is a window over the PER-KEY "
+    "aggregate, and every emitted ratio is a single int/int IEEE "
+    "division.",
+    oracle=" UNION ALL ".join(_skew_duck(t, c) for t, c in _SKEW_KEYS)
+    + " ORDER BY join_key",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, col in _SKEW_KEYS:
+        per_key = (
+            load(spark, sf_dir, table)
+            .groupBy(F.col(col).alias("k"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        # Global max via a separate partial+final aggregate broadcast back
+        # (NOT an unpartitioned window: per_key has key-cardinality rows,
+        # which would all funnel through one WindowExec task at scale).
+        mx = per_key.agg(F.max("c").alias("mx"))
+        marked = per_key.join(F.broadcast(mx)).withColumn(
+            "is_max", F.col("c") == F.col("mx")
+        )
+        branch = marked.agg(
+            F.sum("c").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("c").cast("bigint").alias("max_per_key"),
+            (F.sum("c").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_per_key"
+            ),
+            (
+                F.max("c").cast("double")
+                * F.count(F.lit(1)).cast("double")
+                / F.sum("c").cast("double")
+            ).alias("skew_ratio"),
+            F.min(F.when(F.col("is_max"), F.col("k"))).cast("bigint").alias("top_key"),
+        ).select(F.lit(f"{table}.{col}").alias("join_key"), "*")
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("join_key")

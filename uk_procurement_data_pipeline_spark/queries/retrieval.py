@@ -708,74 +708,9 @@ def kl_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    name="naive_bayes_source_classifier",
-    survey="A7 J5 J6 W1 F28",
-    doc="Multinomial Naive Bayes trained AND evaluated in-engine (the "
-    "classic text classifier as pure relational algebra): Laplace-"
-    "smoothed token likelihoods per source over the dense vocab x "
-    "source grid (two small aggregates cross-joined; at web scale "
-    "you keep the sparse table plus a per-source default weight), "
-    "log-prior plus per-token micro-ln weights summed as exact "
-    "bigints per (doc, source), argmax by (score desc, source) in a "
-    "doc-partitioned window. Reports each document's predicted vs "
-    "true source — the self-classification confusion signal.",
-    oracle="""
-        WITH tf AS (
-            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-                  FROM documents)
-            GROUP BY doc_id, term),
-        truth AS (
-            SELECT doc_id, source AS true_source FROM documents),
-        cnt AS (
-            SELECT t.term, d.source, CAST(SUM(t.tf) AS BIGINT) AS c
-            FROM tf t JOIN documents d USING (doc_id)
-            GROUP BY t.term, d.source),
-        vocab AS (SELECT DISTINCT term FROM tf),
-        vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
-        stot AS (
-            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
-            FROM cnt GROUP BY source),
-        prior AS (
-            SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents
-            GROUP BY source),
-        ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
-        model AS (
-            SELECT v.term, s.source,
-                   CAST(floor(ln((CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE))
-                                 / CAST(s.tot + vs.v AS DOUBLE))
-                              * 1000000 + 0.5) AS BIGINT) AS w_micro
-            FROM vocab v
-            CROSS JOIN stot s
-            CROSS JOIN vsize vs
-            LEFT JOIN cnt ON cnt.term = v.term AND cnt.source = s.source),
-        scores AS (
-            SELECT tf.doc_id, m.source,
-                   CAST(SUM(tf.tf * m.w_micro) AS BIGINT)
-                   + (SELECT CAST(floor(ln(CAST(p.nd AS DOUBLE)
-                                           / CAST(n.n AS DOUBLE))
-                                        * 1000000 + 0.5) AS BIGINT)
-                      FROM prior p, ndocs n WHERE p.source = m.source)
-                       AS score_micro
-            FROM tf JOIN model m USING (term)
-            GROUP BY tf.doc_id, m.source),
-        best AS (
-            SELECT doc_id, source AS predicted_source, score_micro,
-                   ROW_NUMBER() OVER (PARTITION BY doc_id
-                                      ORDER BY score_micro DESC, source)
-                       AS rn
-            FROM scores)
-        SELECT b.doc_id, t.true_source, b.predicted_source,
-               b.score_micro AS best_score_micro,
-               (b.predicted_source = t.true_source) AS is_correct
-        FROM best b JOIN truth t USING (doc_id)
-        WHERE b.rn = 1
-    """,
-)
-def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
+def _nb_scores(spark: SparkSession, sf_dir: str):
+    """Shared NB kernel: (scores per (doc, source), truth). Mirrors
+    _NB_SCORE_CTES expression-for-expression."""
     docs = load(spark, sf_dir, "documents")
     tf = (
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
@@ -822,6 +757,81 @@ def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         .join(F.broadcast(prior_w), "source")
         .withColumn("score_micro", F.col("s") + F.col("prior_micro"))
     )
+    return scores, truth
+
+
+_NB_SCORE_CTES = """
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY doc_id, term),
+        truth AS (
+            SELECT doc_id, source AS true_source FROM documents),
+        cnt AS (
+            SELECT t.term, d.source, CAST(SUM(t.tf) AS BIGINT) AS c
+            FROM tf t JOIN documents d USING (doc_id)
+            GROUP BY t.term, d.source),
+        vocab AS (SELECT DISTINCT term FROM tf),
+        vsize AS (SELECT CAST(count(*) AS BIGINT) AS v FROM vocab),
+        stot AS (
+            SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+            FROM cnt GROUP BY source),
+        prior AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS nd FROM documents
+            GROUP BY source),
+        ndocs AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        model AS (
+            SELECT v.term, s.source,
+                   CAST(floor(ln((CAST(COALESCE(cnt.c, 0) + 1 AS DOUBLE))
+                                 / CAST(s.tot + vs.v AS DOUBLE))
+                              * 1000000 + 0.5) AS BIGINT) AS w_micro
+            FROM vocab v
+            CROSS JOIN stot s
+            CROSS JOIN vsize vs
+            LEFT JOIN cnt ON cnt.term = v.term AND cnt.source = s.source),
+        scores AS (
+            SELECT tf.doc_id, m.source,
+                   CAST(SUM(tf.tf * m.w_micro) AS BIGINT)
+                   + (SELECT CAST(floor(ln(CAST(p.nd AS DOUBLE)
+                                           / CAST(n.n AS DOUBLE))
+                                        * 1000000 + 0.5) AS BIGINT)
+                      FROM prior p, ndocs n WHERE p.source = m.source)
+                       AS score_micro
+            FROM tf JOIN model m USING (term)
+            GROUP BY tf.doc_id, m.source)"""
+
+
+@register(
+    name="naive_bayes_source_classifier",
+    survey="A7 J5 J6 W1 F28",
+    doc="Multinomial Naive Bayes trained AND evaluated in-engine (the "
+    "classic text classifier as pure relational algebra): Laplace-"
+    "smoothed token likelihoods per source over the dense vocab x "
+    "source grid (two small aggregates cross-joined; at web scale "
+    "you keep the sparse table plus a per-source default weight), "
+    "log-prior plus per-token micro-ln weights summed as exact "
+    "bigints per (doc, source), argmax by (score desc, source) in a "
+    "doc-partitioned window. Reports each document's predicted vs "
+    "true source — the self-classification confusion signal.",
+    oracle="WITH" + _NB_SCORE_CTES + """,
+        best AS (
+            SELECT doc_id, source AS predicted_source, score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score_micro DESC, source)
+                       AS rn
+            FROM scores)
+        SELECT b.doc_id, t.true_source, b.predicted_source,
+               b.score_micro AS best_score_micro,
+               (b.predicted_source = t.true_source) AS is_correct
+        FROM best b JOIN truth t USING (doc_id)
+        WHERE b.rn = 1
+    """,
+)
+def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scores, truth = _nb_scores(spark, sf_dir)
     w = Window.partitionBy("doc_id").orderBy(
         F.desc("score_micro"), "source"
     )
@@ -836,4 +846,168 @@ def naive_bayes_source_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
             F.col("score_micro").alias("best_score_micro"),
             (F.col("source") == F.col("true_source")).alias("is_correct"),
         )
+    )
+
+
+@register(
+    name="source_vocab_jaccard",
+    survey="A8 J6 A7 F28",
+    doc="Source-pair vocabulary overlap matrix: Jaccard similarity of "
+    "the DISTINCT-word vocabularies of every source pair (the corpus "
+    "diagnostic behind domain-mixing decisions - two sources whose "
+    "vocabularies nearly coincide contribute less diversity than "
+    "their token counts suggest). Vocabularies are (source, term) "
+    "distincts, the intersection is a term equi-join restricted to "
+    "source_a < source_b, sizes come from one bounded aggregate, and "
+    "jaccard = inter / (|a| + |b| - inter) is a single int/int IEEE "
+    "division. Shuffles are linear in vocabulary size; the pair "
+    "domain is bounded by the (small) source count.",
+    oracle="""
+        WITH v AS (
+            SELECT DISTINCT source, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        sizes AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS vsz
+            FROM v GROUP BY source),
+        inter AS (
+            SELECT a.source AS source_a, b.source AS source_b,
+                   CAST(count(*) AS BIGINT) AS n_inter
+            FROM v a JOIN v b
+              ON a.term = b.term AND a.source < b.source
+            GROUP BY a.source, b.source)
+        SELECT i.source_a, i.source_b, sa.vsz AS vocab_a, sb.vsz AS vocab_b,
+               i.n_inter,
+               CAST(i.n_inter AS DOUBLE)
+               / CAST(sa.vsz + sb.vsz - i.n_inter AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.source_a
+        JOIN sizes sb ON sb.source = i.source_b
+        ORDER BY i.source_a, i.source_b
+    """,
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .distinct()
+    )
+    sizes = v.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("vsz"))
+    a = v.alias("a")
+    b = v.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.selectExpr("source AS source_a", "vsz AS vocab_a")
+    sb = sizes.selectExpr("source AS source_b", "vsz AS vocab_b")
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "vocab_a",
+            "vocab_b",
+            "n_inter",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_inter")).cast(
+                    "double"
+                )
+            ).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+_MARGIN_BIN_MICRO = 250_000  # quarter-nat margin bins
+
+
+@register(
+    name="nb_margin_calibration",
+    survey="A7 W1 J6 F28",
+    doc="Reliability diagram of the Naive Bayes source classifier by "
+    "decision margin (the confidence-vs-accuracy audit run before "
+    "trusting a learned quality filter at scale): per document the "
+    "margin = best minus runner-up log-score (exact micro-nat "
+    "BIGINTs from the shared _nb_scores kernel, so no runtime "
+    "exp/softmax enters the comparison), binned at quarter-nat "
+    "width (capped at bin 9), and per bin the doc count, empirical "
+    "accuracy, and mean margin in nats - each a single int/int IEEE "
+    "division. A well-calibrated classifier shows accuracy rising "
+    "with margin; inversions localize the bins to distrust. One "
+    "doc-partitioned window over the bounded source domain plus one "
+    "bounded-bin aggregate on top of the NB plan.",
+    oracle="WITH" + _NB_SCORE_CTES + f""",
+        ranked AS (
+            SELECT doc_id, source, score_micro,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score_micro DESC, source)
+                       AS rn
+            FROM scores),
+        top2 AS (
+            SELECT doc_id,
+                   MAX(CASE WHEN rn = 1 THEN score_micro END) AS s1,
+                   MAX(CASE WHEN rn = 2 THEN score_micro END) AS s2,
+                   MAX(CASE WHEN rn = 1 THEN source END) AS predicted
+            FROM ranked WHERE rn <= 2 GROUP BY doc_id),
+        j AS (
+            SELECT t.doc_id, t.s1 - t.s2 AS margin_micro,
+                   CASE WHEN t.predicted = tr.true_source
+                        THEN 1 ELSE 0 END AS ok
+            FROM top2 t JOIN truth tr USING (doc_id))
+        SELECT LEAST(margin_micro // {_MARGIN_BIN_MICRO}, 9) AS margin_bin,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(ok) AS BIGINT) AS n_correct,
+               CAST(SUM(ok) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS accuracy,
+               (CAST(SUM(margin_micro) AS DOUBLE)
+                / CAST(count(*) AS DOUBLE)) / 1000000.0 AS mean_margin_nats
+        FROM j
+        GROUP BY margin_bin
+        ORDER BY margin_bin
+    """,
+)
+def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scores, truth = _nb_scores(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "source")
+    ranked = scores.withColumn("rn", F.row_number().over(w))
+    top2 = (
+        ranked.where(F.col("rn") <= 2)
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("score_micro"))).alias("s1"),
+            F.max(F.when(F.col("rn") == 2, F.col("score_micro"))).alias("s2"),
+            F.max(F.when(F.col("rn") == 1, F.col("source"))).alias("predicted"),
+        )
+    )
+    j = top2.join(truth, "doc_id").select(
+        (F.col("s1") - F.col("s2")).alias("margin_micro"),
+        F.when(F.col("predicted") == F.col("true_source"), 1).otherwise(0).alias("ok"),
+    )
+    return (
+        j.groupBy(
+            F.least(
+                F.expr(f"margin_micro div {_MARGIN_BIN_MICRO}"), F.lit(9).cast("bigint")
+            ).alias("margin_bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("ok").cast("bigint").alias("n_correct"),
+            (F.sum("ok").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "accuracy"
+            ),
+            (
+                (F.sum("margin_micro").cast("double") / F.count(F.lit(1)).cast("double"))
+                / F.lit(1000000.0)
+            ).alias("mean_margin_nats"),
+        )
+        .orderBy("margin_bin")
     )
