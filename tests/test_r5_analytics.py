@@ -155,3 +155,76 @@ def test_split_leakage_covers_all_val_docs(spark, sf_dir):
             assert abs(r["leak_frac"] - r["n_leaked"] / r["n_grams"]) < 1e-12
         else:
             assert r["leak_frac"] is None
+
+
+def test_stream_static_enrich_matches_batch_join(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = registry()["stream_static_enrich"].fn(spark, sf_dir).collect()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    first = ev.groupBy("user_id").agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    batch = (
+        ev.join(first, "user_id")
+        .groupBy(
+            "event_type",
+            (F.date_trunc("day", "ts") == F.col("d0")).alias("is_first_day"),
+        )
+        .count()
+        .collect()
+    )
+    want = {(r["event_type"], r["is_first_day"]): r["count"] for r in batch}
+    got = {(r["event_type"], r["is_first_day"]): r["n_events"] for r in rows}
+    assert got == want
+
+
+def test_k_anonymity_monotone_under_refinement(spark, sf_dir):
+    rows = {r["quasi_id"]: r for r in registry()["k_anonymity_report"].fn(spark, sf_dir).collect()}
+    # refining the quasi-identifier can only fragment groups
+    assert rows["nation"]["n_groups"] <= rows["nation+segment"]["n_groups"]
+    assert (
+        rows["nation+segment"]["n_groups"]
+        <= rows["nation+segment+balband"]["n_groups"]
+    )
+    assert rows["nation"]["min_group_size"] >= rows["nation+segment"]["min_group_size"]
+    for r in rows.values():
+        assert r["n_small_groups"] <= r["n_groups"]
+        assert r["n_rows_at_risk"] < r["n_small_groups"] * 5 + 1
+
+
+def test_item_cooccurrence_cosine_bounds_and_order(spark, sf_dir):
+    rows = registry()["item_cooccurrence_cosine"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    cos = [r["cosine"] for r in rows]
+    assert cos == sorted(cos, reverse=True)
+    for r in rows:
+        assert r["part_a"] < r["part_b"]
+        assert 0 < r["n_co"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["cosine"] <= 1.0
+
+
+def test_centroid_outlier_z_recomputes(spark, sf_dir):
+    import numpy as np
+
+    rows = registry()["embedding_norm_outliers"].fn(spark, sf_dir).collect()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    X = np.array([e["embedding"] for e in embs], dtype=np.float64)
+    mu = X.mean(axis=0)
+    d = np.sqrt(((X - mu) ** 2).sum(axis=1))
+    z = (d - d.mean()) / d.std()
+    want = {e["vec_id"] for e, zz in zip(embs, z) if abs(zz) > 2.5}
+    got = {r["vec_id"] for r in rows}
+    # micro-quantization can flip borderline vectors only
+    assert got.symmetric_difference(want) <= {
+        e["vec_id"] for e, zz in zip(embs, z) if 2.45 < abs(zz) < 2.55
+    }
+
+
+def test_markov_predictor_at_least_matches_mode_overall(spark, sf_dir):
+    rows = registry()["markov_prediction_accuracy"].fn(spark, sf_dir).collect()
+    n_m = sum(r["n_markov_hits"] for r in rows)
+    n_g = sum(r["n_mode_hits"] for r in rows)
+    # per-row argmax can never lose to a single global constant in-sample
+    assert n_m >= n_g
+    for r in rows:
+        assert 0 <= r["n_markov_hits"] <= r["n_transitions"]
+        assert abs(r["markov_accuracy"] - r["n_markov_hits"] / r["n_transitions"]) < 1e-12

@@ -35,6 +35,10 @@ from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
 
 # name -> {flag: reason}. A whitelisted flag still prints, marked OK'd.
 WHITELIST: dict[str, dict[str, str]] = {
+    "power_iteration_top_pc": {
+        "GLOBALWIN": "L1 normalization over ONE ROW PER EMBEDDING DIM "
+        "(64 rows, bounded domain) — input is already aggregate-sized",
+    },
     "event_type_value_chi2": {
         "GLOBALWIN": "global sum over contingency CELLS (event_type x band, "
         "bounded domain) — input is already aggregate-sized",

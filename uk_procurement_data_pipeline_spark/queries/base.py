@@ -63,6 +63,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "stream_static_enrich",
+    "k_anonymity_report",
+    "item_cooccurrence_cosine",
+    "embedding_norm_outliers",
+    "markov_prediction_accuracy",
     "join_key_skew_report",
     "source_vocab_jaccard",
     "nb_margin_calibration",
@@ -108,15 +113,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "bigram_surprisal_quality",
     "percentiles_per_type_banded",
     "adamic_adar_link_prediction",
-    "abtest_proportions_ztest",
-    "lognormal_fit_values",
-    "kaplan_meier_customer_lifetime",
-    "clustering_coefficient_local",
-    "ols2_regression_per_type",
 )
 
 # r06 window candidates, in priority order (README rotation policy):
 # 1. never-driver-checked r04 additions deferred from this window:
+#    ols2_regression_per_type, abtest_proportions_ztest,
+#    lognormal_fit_values, kaplan_meier_customer_lifetime,
 #    als_rank1_item_step, subsample_stability_ci,
 #    zipf_exponent_fit, vocab_coverage_curve, ngram_novelty_rate,
 #    golden_record_survivorship, dedup_methods_report, window_funnel_timeout, hhi_source_concentration,

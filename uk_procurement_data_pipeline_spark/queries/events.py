@@ -2219,3 +2219,191 @@ def winsorized_stats_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    name="stream_static_enrich",
+    survey="ST1 ST5 J5 A7 F15",
+    eager=True,
+    doc="Stream-static enrichment join executed AS A STREAM: the "
+    "events stream (availableNow file source) joins the BATCH-"
+    "computed per-user first-seen-day dimension - the canonical "
+    "pattern for enriching a live stream with a warehouse dim table "
+    "(Spark plans the static side as a regular batch subtree under "
+    "the streaming aggregation, re-broadcast per micro-batch) - and "
+    "aggregates (event_type, is_first_day) counts plus exact value "
+    "sums, complete-mode memory sink. Deterministic however the "
+    "source splits into micro-batches; hash-checked against the "
+    "pure-batch join.",
+    oracle=f"""
+        WITH first_seen AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS d0
+            FROM events GROUP BY user_id)
+        SELECT e.event_type,
+               (date_trunc('day', e.ts) = f.d0) AS is_first_day,
+               CAST(count(*) AS BIGINT) AS n_events,
+               {oracle_sum('e.value')} AS sum_value
+        FROM events e JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    from uk_procurement_data_pipeline_spark.catalog import probe_events_nanos
+
+    qname = f"stream_enrich_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    static_dim = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", "ts")).alias("d0"))
+    )
+    nanos = probe_events_nanos(spark, f"{sf_dir}/events.parquet")
+    prev = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        ts_ddl = "ts long" if nanos else "ts timestamp"
+        src = spark.readStream.schema(
+            f"event_id bigint, {ts_ddl}, user_id bigint, event_type string, "
+            "value double, props string"
+        ).parquet(f"{sf_dir}/events*.parquet")
+        if nanos:
+            src = src.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        enriched = src.join(static_dim, "user_id").select(
+            "event_type",
+            (F.date_trunc("day", "ts") == F.col("d0")).alias("is_first_day"),
+            "value",
+        )
+        agg = enriched.groupBy("event_type", "is_first_day").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            exact_sum("value", "sum_value"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if nanos:
+            if prev is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", prev)
+    return spark.table(qname).orderBy("event_type", "is_first_day")
+
+
+@register(
+    name="markov_prediction_accuracy",
+    survey="W2 W1 J5 A7 F28",
+    doc="Backtest of the first-order Markov model: per previous event "
+    "type the predictor is the argmax-probability next type (the "
+    "markov_transition_matrix row maximum, tiebroken by next type "
+    "ascending - deterministic), evaluated on the SAME transition "
+    "stream it was fit on (the in-sample skill ceiling: compare "
+    "against the global-mode baseline to see whether sequence "
+    "context helps at all). Per prev type: transition count, hits "
+    "under the Markov predictor, hits under the context-free global "
+    "mode, and both accuracies as single int/int divisions. The lag "
+    "shuffles once on user_id; everything after runs on the bounded "
+    "type-pair contingency table.",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev
+          FROM events
+        ), t AS (
+          SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE prev IS NOT NULL
+          GROUP BY prev, event_type
+        ), pred AS (
+          SELECT prev, next AS predicted
+          FROM (SELECT prev, next,
+                       row_number() OVER (PARTITION BY prev
+                                          ORDER BY n DESC, next) AS rk
+                FROM t)
+          WHERE rk = 1
+        ), gmode AS (
+          SELECT next AS global_mode
+          FROM (SELECT next, SUM(n) AS n FROM t GROUP BY next)
+          ORDER BY n DESC, next LIMIT 1
+        )
+        SELECT t.prev,
+               CAST(SUM(t.n) AS BIGINT) AS n_transitions,
+               CAST(SUM(CASE WHEN t.next = p.predicted
+                             THEN t.n ELSE 0 END) AS BIGINT)
+                   AS n_markov_hits,
+               CAST(SUM(CASE WHEN t.next = g.global_mode
+                             THEN t.n ELSE 0 END) AS BIGINT)
+                   AS n_mode_hits,
+               CAST(SUM(CASE WHEN t.next = p.predicted
+                             THEN t.n ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(t.n) AS DOUBLE) AS markov_accuracy,
+               CAST(SUM(CASE WHEN t.next = g.global_mode
+                             THEN t.n ELSE 0 END) AS DOUBLE)
+                   / CAST(SUM(t.n) AS DOUBLE) AS mode_accuracy
+        FROM t
+        JOIN pred p USING (prev)
+        CROSS JOIN gmode g
+        GROUP BY t.prev
+        ORDER BY t.prev
+    """,
+)
+def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    seq = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+    )
+    t = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    # Bounded domain from here on: one row per (type, type) pair.
+    pred = (
+        t.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("prev").orderBy(F.col("n").desc(), "next")
+            ),
+        )
+        .where(F.col("rk") == 1)
+        .select("prev", F.col("next").alias("predicted"))
+    )
+    gmode = (
+        t.groupBy("next")
+        .agg(F.sum("n").alias("gn"))
+        .orderBy(F.col("gn").desc(), "next")
+        .limit(1)
+        .select(F.col("next").alias("global_mode"))
+    )
+    hits_m = F.sum(
+        F.when(F.col("next") == F.col("predicted"), F.col("n")).otherwise(0)
+    ).cast("bigint")
+    hits_g = F.sum(
+        F.when(F.col("next") == F.col("global_mode"), F.col("n")).otherwise(0)
+    ).cast("bigint")
+    tot = F.sum("n").cast("bigint")
+    return (
+        t.join(F.broadcast(pred), "prev")
+        .join(F.broadcast(gmode))
+        .groupBy("prev")
+        .agg(
+            tot.alias("n_transitions"),
+            hits_m.alias("n_markov_hits"),
+            hits_g.alias("n_mode_hits"),
+            (hits_m.cast("double") / tot.cast("double")).alias("markov_accuracy"),
+            (hits_g.cast("double") / tot.cast("double")).alias("mode_accuracy"),
+        )
+        .orderBy("prev")
+    )

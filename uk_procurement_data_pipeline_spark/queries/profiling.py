@@ -394,3 +394,74 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{table}.{col}").alias("join_key"), "*")
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("join_key")
+
+
+_KANON_K = 5
+_KANON_LEVELS = (
+    ("nation", "CAST(c_nationkey AS VARCHAR)"),
+    ("nation+segment", "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment"),
+    (
+        "nation+segment+balband",
+        "CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment || '|' "
+        "|| CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS VARCHAR)",
+    ),
+)
+
+
+def _kanon_duck(label: str, qid: str) -> str:
+    return f"""
+        SELECT '{label}' AS quasi_id,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(MIN(c) AS BIGINT) AS min_group_size,
+               CAST(SUM(CASE WHEN c < {_KANON_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_small_groups,
+               CAST(SUM(CASE WHEN c < {_KANON_K} THEN c ELSE 0 END)
+                    AS BIGINT) AS n_rows_at_risk
+        FROM (SELECT {qid} AS q, CAST(count(*) AS BIGINT) AS c
+              FROM customer GROUP BY 1)"""
+
+
+@register(
+    name="k_anonymity_report",
+    survey="A7 A8 U1 F28 F1",
+    doc="k-anonymity audit of the customer table under three "
+    "progressively finer quasi-identifier generalizations (nation; "
+    "nation+segment; nation+segment+balance-band) - the privacy "
+    "screen run before releasing or joining user-level data: per "
+    "level, the equivalence-class count, smallest class, classes "
+    "below k=5, and rows at re-identification risk. Each level is "
+    "one linear keyed aggregation plus a bounded rollup; string "
+    "quasi-keys concatenate with an explicit separator so distinct "
+    "tuples can never collide.",
+    oracle=" UNION ALL ".join(_kanon_duck(lb, q) for lb, q in _KANON_LEVELS)
+    + " ORDER BY quasi_id",
+)
+def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_exprs = {
+        "nation": "CAST(c_nationkey AS STRING)",
+        "nation+segment": "CAST(c_nationkey AS STRING) || '|' || c_mktsegment",
+        "nation+segment+balband": (
+            "CAST(c_nationkey AS STRING) || '|' || c_mktsegment || '|' "
+            "|| CAST(CAST(floor(c_acctbal / 1000) AS BIGINT) AS STRING)"
+        ),
+    }
+    out = None
+    for label, _duck_q in _KANON_LEVELS:
+        per_group = (
+            load(spark, sf_dir, "customer")
+            .selectExpr(f"{spark_exprs[label]} AS q")
+            .groupBy("q")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        branch = per_group.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.min("c").cast("bigint").alias("min_group_size"),
+            F.sum(F.when(F.col("c") < _KANON_K, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_small_groups"),
+            F.sum(F.when(F.col("c") < _KANON_K, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias("n_rows_at_risk"),
+        ).select(F.lit(label).alias("quasi_id"), "*")
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("quasi_id")

@@ -1181,3 +1181,179 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("pc1_component"),
         (F.col("l1_q").cast("double") / scale).alias("lambda_l1"),
     ).orderBy("dim")
+
+
+@register(
+    name="item_cooccurrence_cosine",
+    survey="J6 J9-pattern A7 O4",
+    doc="Item-item co-occurrence cosine over the order basket graph "
+    "(the classic 'bought-together' recsys kernel): distinct "
+    "(order, part) pairs, within-order part pairs (p1 < p2 - the "
+    "pair explosion is quadratic only in BASKET size, which is "
+    "bounded by order shape, never by corpus size), per-part order "
+    "frequencies, cosine = co / sqrt(na * nb) on exact integer "
+    "counts (sqrt is IEEE-exact in both engines), global top-20 "
+    "with full (cosine DESC, part_a, part_b) tiebreak via "
+    "sort-limit (TakeOrderedAndProject: 20 rows cross to the final "
+    "stage). All shuffles are equi-keyed and linear.",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        freq AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p),
+        co AS (
+            SELECT a.p AS part_a, b.p AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_co
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p)
+        SELECT co.part_a, co.part_b, co.n_co,
+               fa.n AS n_a, fb.n AS n_b,
+               CAST(co.n_co AS DOUBLE)
+               / sqrt(CAST(fa.n * fb.n AS DOUBLE)) AS cosine
+        FROM co
+        JOIN freq fa ON fa.p = co.part_a
+        JOIN freq fb ON fb.p = co.part_b
+        ORDER BY cosine DESC, part_a, part_b
+        LIMIT 20
+    """,
+)
+def item_cooccurrence_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    freq = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = op.alias("a")
+    b = op.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+    )
+    fa = freq.selectExpr("p AS part_a", "n AS n_a")
+    fb = freq.selectExpr("p AS part_b", "n AS n_b")
+    return (
+        co.join(fa, "part_a")
+        .join(fb, "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_co").cast("double")
+                / F.sqrt((F.col("n_a") * F.col("n_b")).cast("double"))
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "part_a", "part_b")
+        .limit(20)
+    )
+
+
+@register(
+    name="embedding_norm_outliers",
+    survey="UD4 A7 F17 P4 J5",
+    doc="Embedding hygiene screen: per-vector distance from the corpus "
+    "CENTROID (the well-posed outlier statistic for unit-normalized "
+    "embeddings, whose raw L2 norms are all exactly 1), with the "
+    "centroid from per-dimension micro-quantized integer sums "
+    "(order-independent, broadcast as a 64-row dim table), per-"
+    "vector squared-deviation folds quantized before summation, and "
+    "a z-score over the distance distribution. Vectors with |z| > "
+    "2.5 are the candidates to drop before an ANN index build: "
+    "collapsed duplicates sit unusually CLOSE to the centroid, "
+    "corrupted vectors unusually far. Two linear passes plus "
+    "bounded-domain joins; nothing is collected.",
+    oracle="""
+        WITH cells AS (
+            SELECT vec_id, f.i AS dim, CAST(embedding[f.i] AS DOUBLE) AS x
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                          AS i) f),
+        mu AS (
+            SELECT dim,
+                   CAST(SUM(CAST(floor(x * 100000000) AS BIGINT))
+                        AS DOUBLE) / 100000000
+                   / CAST(count(*) AS DOUBLE) AS m
+            FROM cells GROUP BY dim),
+        d AS (
+            SELECT c.vec_id,
+                   sqrt(CAST(SUM(CAST(floor((c.x - mu.m) * (c.x - mu.m)
+                                            * 100000000) AS BIGINT))
+                             AS DOUBLE) / 100000000) AS dist
+            FROM cells c JOIN mu USING (dim)
+            GROUP BY c.vec_id),
+        stats AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(floor(dist * 100000000) AS BIGINT))
+                        AS DOUBLE) / 100000000 AS s1,
+                   CAST(SUM(CAST(floor(dist * dist * 100000000) AS BIGINT))
+                        AS DOUBLE) / 100000000 AS s2
+            FROM d)
+        SELECT vec_id, dist,
+               (dist - s1 / CAST(n AS DOUBLE))
+               / sqrt(s2 / CAST(n AS DOUBLE)
+                      - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                   AS z
+        FROM d CROSS JOIN stats
+        WHERE abs((dist - s1 / CAST(n AS DOUBLE))
+                  / sqrt(s2 / CAST(n AS DOUBLE)
+                         - (s1 / CAST(n AS DOUBLE))
+                           * (s1 / CAST(n AS DOUBLE)))) > 2.5
+        ORDER BY vec_id
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "posexplode(transform(embedding, x -> CAST(x AS DOUBLE)))"
+        " AS (i0, x)",
+    ).selectExpr("vec_id", "CAST(i0 + 1 AS INT) AS dim", "x")
+    mu = cells.groupBy("dim").agg(
+        (
+            F.sum(F.floor(F.col("x") * F.lit(1e8)).cast("bigint")).cast("double")
+            / F.lit(1e8)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    d = (
+        cells.join(F.broadcast(mu), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        (F.col("x") - F.col("m"))
+                        * (F.col("x") - F.col("m"))
+                        * F.lit(1e8)
+                    ).cast("bigint")
+                ).cast("double")
+                / F.lit(1e8)
+            ).alias("dist")
+        )
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (
+            F.sum(F.floor(F.col("dist") * F.lit(1e8)).cast("bigint")).cast("double")
+            / F.lit(1e8)
+        ).alias("s1"),
+        (
+            F.sum(
+                F.floor(F.col("dist") * F.col("dist") * F.lit(1e8)).cast("bigint")
+            ).cast("double")
+            / F.lit(1e8)
+        ).alias("s2"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("s1") / n
+    z = (F.col("dist") - mean) / F.sqrt(F.col("s2") / n - mean * mean)
+    return (
+        d.join(F.broadcast(stats))
+        .where(F.abs(z) > 2.5)
+        .select("vec_id", "dist", z.alias("z"))
+        .orderBy("vec_id")
+    )
