@@ -228,3 +228,38 @@ def test_markov_predictor_at_least_matches_mode_overall(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_markov_hits"] <= r["n_transitions"]
         assert abs(r["markov_accuracy"] - r["n_markov_hits"] / r["n_transitions"]) < 1e-12
+
+
+def test_kmeans_purity_covers_all_vectors(spark, sf_dir):
+    rows = registry()["kmeans_label_purity"].fn(spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n_vectors"] for r in rows) == n_vecs
+    for r in rows:
+        assert 0 < r["n_majority"] <= r["n_vectors"]
+        assert abs(r["purity"] - r["n_majority"] / r["n_vectors"]) < 1e-12
+        assert 0.0 < r["purity"] <= 1.0
+
+
+def test_log_odds_top_terms_really_lean_into_their_source(spark, sf_dir):
+    rows = registry()["distinctive_terms_log_odds"].fn(spark, sf_dir).collect()
+    per_source: dict[str, list] = {}
+    for r in rows:
+        per_source.setdefault(r["source"], []).append(r)
+    for src, rs in per_source.items():
+        assert len(rs) == 5
+        ranks = [r["rk"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert ranks == [1, 2, 3, 4, 5]
+        zs = [r["z_micro"] for r in sorted(rs, key=lambda r: r["rk"])]
+        assert zs == sorted(zs, reverse=True)
+
+
+def test_fd_check_verdicts_match_counts(spark, sf_dir):
+    rows = registry()["functional_dependency_check"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    by_dep = {r["dependency"]: r for r in rows}
+    # the key-based dependency must hold on the TPC-H-shaped fixture
+    assert by_dep["customer: c_custkey -> c_nationkey"]["holds"]
+    for r in rows:
+        assert r["holds"] == (r["max_rhs_variants"] == 1)
+        assert r["holds"] == (r["n_violating_lhs"] == 0)
+        assert r["n_violating_lhs"] <= r["n_lhs_values"]

@@ -465,3 +465,57 @@ def k_anonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(label).alias("quasi_id"), "*")
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("quasi_id")
+
+
+_FD_CHECKS = (
+    ("customer", "c_custkey", "c_nationkey"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderstatus"),
+    ("lineitem", "l_orderkey", "l_returnflag"),
+    ("lineitem", "l_partkey", "l_suppkey"),
+)
+
+
+def _fd_duck(table: str, lhs: str, rhs: str) -> str:
+    return f"""
+        SELECT '{table}: {lhs} -> {rhs}' AS dependency,
+               CAST(count(*) AS BIGINT) AS n_lhs_values,
+               CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating_lhs,
+               CAST(MAX(k) AS BIGINT) AS max_rhs_variants,
+               MAX(k) = 1 AS holds
+        FROM (SELECT {lhs} AS l, CAST(count(DISTINCT {rhs}) AS BIGINT) AS k
+              FROM {table} GROUP BY {lhs})"""
+
+
+@register(
+    name="functional_dependency_check",
+    survey="A7 A8 U1 E5",
+    doc="Functional-dependency discovery probe (Metanome-style data "
+    "profiling, companion to constraint_check_orders): for five "
+    "candidate A -> B dependencies, the count of LHS values, how "
+    "many map to more than one RHS (violations), the worst fan-out, "
+    "and the verdict. Each check is one linear (lhs)-keyed aggregate "
+    "with a single count-distinct (no multi-distinct Expand) plus a "
+    "bounded rollup; the five branches union to one bounded report.",
+    oracle=" UNION ALL ".join(_fd_duck(*fd) for fd in _FD_CHECKS)
+    + " ORDER BY dependency",
+)
+def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, lhs, rhs in _FD_CHECKS:
+        per_lhs = (
+            load(spark, sf_dir, table)
+            .groupBy(F.col(lhs).alias("l"))
+            .agg(F.countDistinct(rhs).cast("bigint").alias("k"))
+        )
+        branch = per_lhs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lhs_values"),
+            F.sum(F.when(F.col("k") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_lhs"),
+            F.max("k").cast("bigint").alias("max_rhs_variants"),
+            (F.max("k") == 1).alias("holds"),
+        ).select(F.lit(f"{table}: {lhs} -> {rhs}").alias("dependency"), "*")
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("dependency")

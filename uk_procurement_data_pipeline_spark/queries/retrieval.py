@@ -1011,3 +1011,95 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("margin_bin")
     )
+
+
+@register(
+    name="distinctive_terms_log_odds",
+    survey="A7 W1 J5 F28",
+    doc="Distinctive vocabulary per source by Dirichlet-smoothed "
+    "log-odds z-score (Monroe et al. 2008 'Fightin' Words' - the "
+    "principled replacement for raw tf ratios when comparing a "
+    "subcorpus against the rest): per (source, term), delta = "
+    "ln((y+a)/(n+A-y-a)) - ln((Y+a)/(N+A-Y-a)) against the "
+    "complement corpus, variance ~ 1/(y+a) + 1/(Y+a), z = "
+    "delta/sqrt(var) quantized to integer micro units (the ln() "
+    "contract), top-5 terms per source by (z_micro DESC, term). "
+    "Every ln/sqrt input is an exact integer-count expression "
+    "(identical operand trees in both engines) and the final window "
+    "partitions by the bounded source domain. Counts: one "
+    "(source, term) aggregate; complement counts by broadcast "
+    "global-term join - linear shuffles only.",
+    oracle="""
+        WITH st AS (
+            SELECT source, term, CAST(count(*) AS BIGINT) AS y
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS term
+                  FROM documents)
+            GROUP BY source, term),
+        tot AS (
+            SELECT term, CAST(SUM(y) AS BIGINT) AS yg FROM st GROUP BY term),
+        ns AS (
+            SELECT source, CAST(SUM(y) AS BIGINT) AS n FROM st
+            GROUP BY source),
+        ng AS (SELECT CAST(SUM(n) AS BIGINT) AS ntot FROM ns),
+        scored AS (
+            SELECT st.source, st.term, st.y,
+                   (ln((CAST(st.y AS DOUBLE) + 0.5)
+                       / (CAST(ns.n AS DOUBLE) + 1.0
+                          - CAST(st.y AS DOUBLE) - 0.5))
+                    - ln((CAST(tot.yg - st.y AS DOUBLE) + 0.5)
+                         / (CAST(ng.ntot - ns.n AS DOUBLE) + 1.0
+                            - CAST(tot.yg - st.y AS DOUBLE) - 0.5)))
+                   / sqrt(1.0 / (CAST(st.y AS DOUBLE) + 0.5)
+                          + 1.0 / (CAST(tot.yg - st.y AS DOUBLE) + 0.5))
+                       AS zraw
+            FROM st
+            JOIN tot USING (term)
+            JOIN ns ON ns.source = st.source
+            CROSS JOIN ng)
+        SELECT source, term, y AS n_in_source, z_micro, rk
+        FROM (SELECT source, term, y,
+                     CAST(floor(zraw * 1000000 + 0.5) AS BIGINT) AS z_micro,
+                     row_number() OVER (
+                         PARTITION BY source
+                         ORDER BY CAST(floor(zraw * 1000000 + 0.5) AS BIGINT)
+                                  DESC, term) AS rk
+              FROM scored)
+        WHERE rk <= 5
+        ORDER BY source, rk
+    """,
+)
+def distinctive_terms_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    st = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    tot = st.groupBy("term").agg(F.sum("y").cast("bigint").alias("yg"))
+    ns = st.groupBy("source").agg(F.sum("y").cast("bigint").alias("n"))
+    ng = ns.agg(F.sum("n").cast("bigint").alias("ntot"))
+    y = F.col("y").cast("double")
+    n = F.col("n").cast("double")
+    ycomp = (F.col("yg") - F.col("y")).cast("double")
+    ncomp = (F.col("ntot") - F.col("n")).cast("double")
+    delta = F.log((y + 0.5) / (n + 1.0 - y - 0.5)) - F.log(
+        (ycomp + 0.5) / (ncomp + 1.0 - ycomp - 0.5)
+    )
+    zraw = delta / F.sqrt(1.0 / (y + 0.5) + 1.0 / (ycomp + 0.5))
+    # ln() may differ in the last ulp between engines (module contract):
+    # quantize the z-score to integer micro units BEFORE ranking so both
+    # the ordering and the emitted value are bit-identical.
+    z_micro = F.floor(zraw * F.lit(1000000.0) + F.lit(0.5)).cast("bigint")
+    scored = (
+        st.join(tot, "term")
+        .join(F.broadcast(ns), "source")
+        .join(F.broadcast(ng))
+        .select("source", "term", "y", z_micro.alias("z_micro"))
+    )
+    w = Window.partitionBy("source").orderBy(F.col("z_micro").desc(), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 5)
+        .select("source", "term", F.col("y").alias("n_in_source"), "z_micro", "rk")
+        .orderBy("source", "rk")
+    )

@@ -1357,3 +1357,96 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "dist", z.alias("z"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    name="kmeans_label_purity",
+    survey="J9 A7 W1 J5",
+    doc="External cluster-quality audit of the Lloyd cells against the "
+    "held ground-truth labels (the evaluation loop run before "
+    "trusting unsupervised cells for SemDeDup-style pruning or IVF "
+    "routing): composes the REGISTERED kmeans_lloyd_cells plan "
+    "(Spark literally calls it; the oracle embeds its SQL as a "
+    "subquery), joins the label column, and reports per cluster the "
+    "size, majority label (argmax tiebroken by label ascending), "
+    "its count, and purity = majority/size as one int/int division. "
+    "Everything after the kmeans plan runs on the bounded (cluster "
+    "x label) contingency table.",
+    oracle=None,  # assigned below: embeds the registered kmeans oracle
+)
+def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assign = kmeans_lloyd_cells(spark, sf_dir).select("vec_id", "cluster")
+    labels = load(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cells = (
+        assign.join(labels, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.col("n").desc(), "label")
+    per_cluster = cells.groupBy("cluster").agg(
+        F.sum("n").cast("bigint").alias("n_vectors")
+    )
+    majority = (
+        cells.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select(
+            "cluster",
+            F.col("label").alias("majority_label"),
+            F.col("n").alias("n_majority"),
+        )
+    )
+    return (
+        per_cluster.join(F.broadcast(majority), "cluster")
+        .select(
+            "cluster",
+            "n_vectors",
+            "majority_label",
+            "n_majority",
+            (F.col("n_majority").cast("double") / F.col("n_vectors").cast("double"))
+            .alias("purity"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _km_purity_oracle() -> str:
+    from uk_procurement_data_pipeline_spark.queries.base import _REGISTRY
+
+    km = _REGISTRY["kmeans_lloyd_cells"].oracle
+    return f"""
+        WITH assign AS ({km}),
+        cells AS (
+            SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n
+            FROM assign a JOIN embeddings e USING (vec_id)
+            GROUP BY a.cluster, e.label),
+        per_cluster AS (
+            SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_vectors
+            FROM cells GROUP BY cluster),
+        majority AS (
+            SELECT cluster, label AS majority_label, n AS n_majority
+            FROM (SELECT *, row_number() OVER (PARTITION BY cluster
+                                               ORDER BY n DESC, label) AS rk
+                  FROM cells)
+            WHERE rk = 1)
+        SELECT p.cluster, p.n_vectors, m.majority_label, m.n_majority,
+               CAST(m.n_majority AS DOUBLE) / CAST(p.n_vectors AS DOUBLE)
+                   AS purity
+        FROM per_cluster p JOIN majority m USING (cluster)
+        ORDER BY p.cluster
+    """
+
+
+# The kmeans oracle is only final once the module finishes registering, so
+# patch the spec in place (frozen dataclass -> rebuild).
+def _attach_km_purity_oracle() -> None:
+    import dataclasses
+
+    from uk_procurement_data_pipeline_spark.queries.base import _REGISTRY
+
+    spec = _REGISTRY["kmeans_label_purity"]
+    _REGISTRY["kmeans_label_purity"] = dataclasses.replace(
+        spec, oracle=_km_purity_oracle()
+    )
+
+
+_attach_km_purity_oracle()
