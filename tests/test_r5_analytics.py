@@ -263,3 +263,43 @@ def test_fd_check_verdicts_match_counts(spark, sf_dir):
         assert r["holds"] == (r["max_rhs_variants"] == 1)
         assert r["holds"] == (r["n_violating_lhs"] == 0)
         assert r["n_violating_lhs"] <= r["n_lhs_values"]
+
+
+def test_gap_interpolation_fills_every_calendar_day(spark, sf_dir):
+    rows = registry()["daily_gap_interpolation"].fn(spark, sf_dir).collect()
+    days = [r["day_idx"] for r in rows]
+    assert days == list(range(days[0], days[-1] + 1))
+    assert not rows[0]["is_interpolated"] and not rows[-1]["is_interpolated"]
+    by_day = {r["day_idx"]: r for r in rows}
+    for r in rows:
+        if r["is_interpolated"]:
+            assert r["n_observed"] is None
+            lo = max(d for d in days if d < r["day_idx"] and not by_day[d]["is_interpolated"])
+            hi = min(d for d in days if d > r["day_idx"] and not by_day[d]["is_interpolated"])
+            a, b = by_day[lo]["n_filled"], by_day[hi]["n_filled"]
+            assert min(a, b) - 1e-9 <= r["n_filled"] <= max(a, b) + 1e-9
+        else:
+            assert r["n_filled"] == float(r["n_observed"])
+
+
+def test_retention_fit_r2_in_unit_range(spark, sf_dir):
+    (r,) = registry()["retention_decay_fit"].fn(spark, sf_dir).collect()
+    assert r["n_offsets"] >= 3
+    assert 0.0 <= r["r_squared"] <= 1.0
+    if r["decay_per_day"] < 0:
+        assert r["half_life_days"] is not None and r["half_life_days"] > 0
+        assert abs(r["half_life_days"] - 0.6931471805599453 / -r["decay_per_day"]) < 1e-9
+    else:
+        assert r["half_life_days"] is None
+
+
+def test_association_rules_metrics_recompute(spark, sf_dir):
+    rows = registry()["association_rules_parts"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["n_co"] >= 3
+        assert abs(r["conf_a_to_b"] - r["n_co"] / r["n_a"]) < 1e-12
+        assert abs(r["conf_b_to_a"] - r["n_co"] / r["n_b"]) < 1e-12
+        assert 0.0 < r["support"] <= 1.0

@@ -35,6 +35,10 @@ from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
 
 # name -> {flag: reason}. A whitelisted flag still prints, marked OK'd.
 WHITELIST: dict[str, dict[str, str]] = {
+    "daily_gap_interpolation": {
+        "GLOBALWIN": "neighbor-lookup frames over ONE ROW PER CALENDAR DAY "
+        "(bounded domain) — input is already aggregate-sized",
+    },
     "power_iteration_top_pc": {
         "GLOBALWIN": "L1 normalization over ONE ROW PER EMBEDDING DIM "
         "(64 rows, bounded domain) — input is already aggregate-sized",

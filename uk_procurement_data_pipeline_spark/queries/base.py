@@ -63,6 +63,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "daily_gap_interpolation",
+    "retention_decay_fit",
+    "association_rules_parts",
     "kmeans_label_purity",
     "distinctive_terms_log_odds",
     "functional_dependency_check",
@@ -110,14 +113,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "entropy_per_source",
     "stream_stateful_user_totals",
     "session_path_topk",
-    "orders_open_interval_sweep",
-    "rfm_customer_segments",
-    "weighted_sample_es",
 )
 
 # r06 window candidates, in priority order (README rotation policy):
 # 1. never-driver-checked r04 additions deferred from this window:
-#    bigram_surprisal_quality, percentiles_per_type_banded,
+#    orders_open_interval_sweep, rfm_customer_segments,
+#    weighted_sample_es, bigram_surprisal_quality, percentiles_per_type_banded,
 #    adamic_adar_link_prediction,
 #    ols2_regression_per_type, abtest_proportions_ztest,
 #    lognormal_fit_values, kaplan_meier_customer_lifetime,

@@ -2407,3 +2407,102 @@ def markov_prediction_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev")
     )
+
+
+@register(
+    name="daily_gap_interpolation",
+    survey="W2 F14 F15 A7 J7",
+    doc="Linear gap-fill of a sparse daily series (the imputation step "
+    "before feeding calendar-aligned features to a model): the "
+    "high-value event subset (value > 280) leaves missing days, the "
+    "full calendar comes from one sequence() explode between the "
+    "observed bounds, and each gap day interpolates between its "
+    "nearest observed neighbors via last/first IGNORE NULLS frames "
+    "over the calendar-bounded day axis - prev + (next - prev) * "
+    "(day - prev_day) / (next_day - prev_day), integer operands, one "
+    "IEEE division. Every window runs on ONE ROW PER CALENDAR DAY "
+    "(bounded domain); the only row-sized work is the first "
+    "filtered aggregation.",
+    oracle="""
+        WITH obs AS (
+          SELECT CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events WHERE value > 280 GROUP BY 1
+        ), cal AS (
+          SELECT unnest(range((SELECT min(d) FROM obs),
+                              (SELECT max(d) FROM obs) + 1)) AS d
+        ), j AS (
+          SELECT cal.d, obs.n FROM cal LEFT JOIN obs USING (d)
+        ), ctx AS (
+          SELECT d, n,
+                 last_value(n IGNORE NULLS) OVER (
+                     ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS prev_n,
+                 last_value(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS)
+                     OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS prev_d,
+                 first_value(n IGNORE NULLS) OVER (
+                     ORDER BY d ROWS BETWEEN CURRENT ROW
+                     AND UNBOUNDED FOLLOWING) AS next_n,
+                 first_value(CASE WHEN n IS NOT NULL THEN d END IGNORE NULLS)
+                     OVER (ORDER BY d ROWS BETWEEN CURRENT ROW
+                           AND UNBOUNDED FOLLOWING) AS next_d
+          FROM j)
+        SELECT d AS day_idx, n AS n_observed,
+               CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+                    ELSE CAST(prev_n AS DOUBLE)
+                         + CAST(next_n - prev_n AS DOUBLE)
+                           * CAST(d - prev_d AS DOUBLE)
+                           / CAST(next_d - prev_d AS DOUBLE)
+               END AS n_filled,
+               n IS NULL AS is_interpolated
+        FROM ctx
+        ORDER BY d
+    """,
+)
+def daily_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    obs = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value") > 280)
+        .groupBy(
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    bounds = obs.agg(F.min("d").alias("d0"), F.max("d").alias("d1"))
+    cal = bounds.selectExpr("explode(sequence(d0, d1)) AS d")
+    j = cal.join(obs, "d", "left")
+    # Calendar-bounded axis: one row per day — the cusum/autocorr
+    # justification for the unpartitioned frames below.
+    wb = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    wf = Window.orderBy("d").rowsBetween(0, Window.unboundedFollowing)
+    known_d = F.when(F.col("n").isNotNull(), F.col("d"))
+    ctx = j.select(
+        "d",
+        "n",
+        F.last("n", ignorenulls=True).over(wb).alias("prev_n"),
+        F.last(known_d, ignorenulls=True).over(wb).alias("prev_d"),
+        F.first("n", ignorenulls=True).over(wf).alias("next_n"),
+        F.first(known_d, ignorenulls=True).over(wf).alias("next_d"),
+    )
+    filled = F.when(F.col("n").isNotNull(), F.col("n").cast("double")).otherwise(
+        F.col("prev_n").cast("double")
+        + (F.col("next_n") - F.col("prev_n")).cast("double")
+        * (F.col("d") - F.col("prev_d")).cast("double")
+        / (F.col("next_d") - F.col("prev_d")).cast("double")
+    )
+    return ctx.select(
+        F.col("d").alias("day_idx"),
+        F.col("n").alias("n_observed"),
+        filled.alias("n_filled"),
+        F.col("n").isNull().alias("is_interpolated"),
+    ).orderBy("day_idx")

@@ -836,3 +836,114 @@ def burst_day_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_events") >= 6)
         .orderBy("user_id", "day")
     )
+
+
+_LN2 = 0.6931471805599453  # math.log(2), shared literal for both engines
+
+
+@register(
+    name="retention_decay_fit",
+    survey="A7 J6 F15 F28 W2",
+    doc="Exponential retention-decay fit: aggregate the cohort "
+    "retention matrix across cohorts to active-user counts per "
+    "day-offset, then fit ln(active) = a + b*offset by closed-form "
+    "OLS over the calendar-bounded offset domain (offsets >= 1; "
+    "ln() micro-quantized per the retrieval.py contract, all "
+    "moments exact BIGINT sums) and report the daily decay rate, "
+    "the implied retention half-life ln(2)/-b (NULL if activity is "
+    "not decaying), and the fit's R^2. The cohort matrix costs one "
+    "user-keyed join + aggregate; everything after runs on at most "
+    "a-calendar-span rows.",
+    oracle=f"""
+        WITH first_seen AS (
+            SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+            FROM events GROUP BY user_id),
+        ret AS (
+            SELECT date_diff('day', f.cohort_day, date_trunc('day', e.ts))
+                       AS day_offset,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS active
+            FROM events e JOIN first_seen f USING (user_id)
+            GROUP BY 1),
+        pts AS (
+            SELECT CAST(day_offset AS BIGINT) AS x,
+                   CAST(floor(ln(CAST(active AS DOUBLE)) * 1000000 + 0.5)
+                        AS BIGINT) AS y
+            FROM ret WHERE day_offset >= 1),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(SUM(x) AS BIGINT) AS sx,
+                   CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy
+            FROM pts)
+        SELECT k AS n_offsets,
+               (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               / 1000000.0 AS decay_per_day,
+               CASE WHEN (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) < 0
+                    THEN {_LN2!r}
+                         / (-((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                              / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                                 - CAST(sx AS DOUBLE)
+                                   * CAST(sx AS DOUBLE))
+                              / 1000000.0))
+               END AS half_life_days,
+               ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                * (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+               / ((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                  * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS r_squared
+        FROM m
+    """,
+)
+def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("cohort_day")
+    )
+    ret = (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            F.datediff(F.date_trunc("day", "ts"), F.col("cohort_day"))
+            .cast("bigint")
+            .alias("day_offset")
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("active"))
+    )
+    pts = ret.where(F.col("day_offset") >= 1).select(
+        F.col("day_offset").alias("x"),
+        F.floor(F.log(F.col("active").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    num = k * sxy - sx * sy
+    slope = num / (k * sxx - sx * sx) / F.lit(1000000.0)
+    return m.select(
+        F.col("k").alias("n_offsets"),
+        slope.alias("decay_per_day"),
+        F.when(num < 0, F.lit(_LN2) / (-slope)).alias("half_life_days"),
+        ((num * num) / ((k * sxx - sx * sx) * (k * syy - sy * sy))).alias(
+            "r_squared"
+        ),
+    )

@@ -1450,3 +1450,96 @@ def _attach_km_purity_oracle() -> None:
 
 
 _attach_km_purity_oracle()
+
+
+@register(
+    name="association_rules_parts",
+    survey="J6 A7 O4 F28",
+    doc="Market-basket association rules over order baskets (the "
+    "support/confidence/lift triple behind 'frequently bought "
+    "together' merchandising, completing item_cooccurrence_cosine "
+    "with the canonical Agrawal-style metrics): distinct (order, "
+    "part) pairs, within-basket pair counts with a min-support "
+    "floor (co >= 3 - lift otherwise degenerates to rare-pair "
+    "flukes), support = co/N, both directed confidences, lift = "
+    "co*N/(na*nb) on exact integer products (all < 2^53, one IEEE "
+    "division each), global top-20 by (lift DESC, part_a, part_b) "
+    "via sort-limit. Linear equi-keyed shuffles; pair explosion "
+    "bounded by basket size.",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem),
+        nb AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_baskets
+               FROM op),
+        freq AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS n FROM op GROUP BY p),
+        co AS (
+            SELECT a.p AS part_a, b.p AS part_b,
+                   CAST(count(*) AS BIGINT) AS n_co
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+            GROUP BY a.p, b.p
+            HAVING count(*) >= 3)
+        SELECT co.part_a, co.part_b, co.n_co,
+               fa.n AS n_a, fb.n AS n_b,
+               CAST(co.n_co AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE)
+                   AS support,
+               CAST(co.n_co AS DOUBLE) / CAST(fa.n AS DOUBLE)
+                   AS conf_a_to_b,
+               CAST(co.n_co AS DOUBLE) / CAST(fb.n AS DOUBLE)
+                   AS conf_b_to_a,
+               CAST(co.n_co * nb.n_baskets AS DOUBLE)
+               / CAST(fa.n * fb.n AS DOUBLE) AS lift
+        FROM co
+        JOIN freq fa ON fa.p = co.part_a
+        JOIN freq fb ON fb.p = co.part_b
+        CROSS JOIN nb
+        ORDER BY lift DESC, part_a, part_b
+        LIMIT 20
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    nb = op.agg(F.countDistinct("o").cast("bigint").alias("n_baskets"))
+    freq = op.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    a = op.alias("a")
+    b = op.alias("b")
+    co = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("part_a"), F.col("b.p").alias("part_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_co"))
+        .where(F.col("n_co") >= 3)
+    )
+    fa = freq.selectExpr("p AS part_a", "n AS n_a")
+    fb = freq.selectExpr("p AS part_b", "n AS n_b")
+    return (
+        co.join(fa, "part_a")
+        .join(fb, "part_b")
+        .join(F.broadcast(nb))
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            "n_a",
+            "n_b",
+            (F.col("n_co").cast("double") / F.col("n_baskets").cast("double")).alias(
+                "support"
+            ),
+            (F.col("n_co").cast("double") / F.col("n_a").cast("double")).alias(
+                "conf_a_to_b"
+            ),
+            (F.col("n_co").cast("double") / F.col("n_b").cast("double")).alias(
+                "conf_b_to_a"
+            ),
+            (
+                (F.col("n_co") * F.col("n_baskets")).cast("double")
+                / (F.col("n_a") * F.col("n_b")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "part_a", "part_b")
+        .limit(20)
+    )
