@@ -303,3 +303,37 @@ def test_association_rules_metrics_recompute(spark, sf_dir):
         assert abs(r["conf_a_to_b"] - r["n_co"] / r["n_a"]) < 1e-12
         assert abs(r["conf_b_to_a"] - r["n_co"] / r["n_b"]) < 1e-12
         assert 0.0 < r["support"] <= 1.0
+
+
+def test_forecast_backtest_mae_recomputes(spark, sf_dir):
+    rows = registry()["moving_forecast_backtest"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_scored_days"] >= 1
+        assert abs(r["mae"] - r["abs_err7_sum"] / (7.0 * r["n_scored_days"])) < 1e-9
+        assert r["relative_mae"] >= 0.0
+
+
+def test_blocking_report_bounds(spark, sf_dir):
+    (r,) = registry()["blocking_quality_report"].fn(spark, sf_dir).collect()
+    total_pairs = r["n_docs"] * (r["n_docs"] - 1) // 2
+    assert 0 <= r["n_candidate_pairs"] <= total_pairs
+    assert 0.0 <= r["reduction_ratio"] <= 1.0
+    if r["n_true_pairs"] > 0:
+        assert 0 <= r["n_true_pairs_blocked"] <= r["n_true_pairs"]
+        assert 0.0 <= r["pair_completeness"] <= 1.0
+        # identical texts have identical signatures: every truth pair
+        # must share all bands, so LSH blocking recovers them all
+        assert r["pair_completeness"] == 1.0
+    else:
+        assert r["pair_completeness"] is None
+
+
+def test_distinct_ngram_ratios_ordered(spark, sf_dir):
+    rows = registry()["distinct_ngram_diversity"].fn(spark, sf_dir).collect()
+    for r in rows:
+        for n in (1, 2, 3):
+            assert 0 < r[f"d{n}"] <= r[f"n{n}"]
+            assert 0.0 < r[f"distinct{n}"] <= 1.0
+        # higher-order n-grams are at least as distinct per token
+        assert r["distinct2"] >= r["distinct1"] - 1e-12
+        assert r["n1"] >= r["n2"] >= r["n3"]

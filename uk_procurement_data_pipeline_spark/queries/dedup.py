@@ -1020,3 +1020,129 @@ def dedup_methods_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("low_novelty_docs").alias("method"), "n")
     )
     return exact.unionAll(mh).unionAll(low_novel)
+
+
+@register(
+    name="blocking_quality_report",
+    survey="D3 J9-pattern A7 A8",
+    doc="Entity-resolution blocking-quality audit of the MinHash LSH "
+    "scheme (the two numbers every blocking key is judged by - "
+    "Christen's reduction ratio and pair completeness): candidate "
+    "pairs from the SAME banded keys minhash_near_dup joins on, "
+    "ground-truth duplicate pairs from exact content identity "
+    "(md5(text) groups), and the fraction of truth pairs the blocks "
+    "recover. Candidates and truth pairs are both bounded equi-joins "
+    "(band keys / content hash); the total-pair denominator is the "
+    "closed form n*(n-1)/2, so nothing quadratic ever materializes. "
+    "pair_completeness is NULL when the corpus holds no exact "
+    "duplicates (identical in both engines).",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_D_SHINGLES} AS sh, md5(text) AS content_hash
+            FROM documents),
+        sg AS (
+            SELECT doc_id, {_D_SIG} AS sig
+            FROM (SELECT doc_id, {_D_HS} AS hs FROM d)),
+        b AS (
+            SELECT doc_id, t.i AS band_idx,
+                   md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
+                                       '|')) AS band_key
+            FROM sg, generate_series(0, {_BANDS - 1}) t(i)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
+            FROM b a JOIN b z
+              ON a.band_idx = z.band_idx AND a.band_key = z.band_key
+             AND a.doc_id < z.doc_id),
+        truth AS (
+            SELECT x.doc_id AS doc_a, y.doc_id AS doc_b
+            FROM d x JOIN d y
+              ON x.content_hash = y.content_hash AND x.doc_id < y.doc_id),
+        hit AS (
+            SELECT count(*) AS n
+            FROM truth t JOIN cand c
+              ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b),
+        cnt AS (
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_docs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cand)
+                       AS n_candidate_pairs,
+                   (SELECT CAST(count(*) AS BIGINT) FROM truth)
+                       AS n_true_pairs,
+                   (SELECT CAST(n AS BIGINT) FROM hit)
+                       AS n_true_pairs_blocked)
+        SELECT n_docs, n_candidate_pairs, n_true_pairs,
+               n_true_pairs_blocked,
+               1.0 - CAST(n_candidate_pairs AS DOUBLE)
+                     / (CAST(n_docs AS DOUBLE)
+                        * (CAST(n_docs AS DOUBLE) - 1.0) / 2.0)
+                   AS reduction_ratio,
+               CASE WHEN n_true_pairs > 0
+                    THEN CAST(n_true_pairs_blocked AS DOUBLE)
+                         / CAST(n_true_pairs AS DOUBLE)
+               END AS pair_completeness
+        FROM cnt
+    """,
+)
+def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = docs.selectExpr(
+        "doc_id", f"{_SHINGLES} AS sh", "md5(CAST(text AS BINARY)) AS content_hash"
+    ).localCheckpoint(eager=True)
+    sg = d.selectExpr("doc_id", "sh", f"{_HS} AS hs").selectExpr(
+        "doc_id", f"{_SIG} AS sig"
+    )
+    bands = sg.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {_BANDS - 1}),
+                      b -> struct(b AS band_idx,
+                                  md5(concat_ws('|', transform(
+                                      slice(sig, b*{_ROWS}+1, {_ROWS}),
+                                      x -> cast(x AS string)))) AS band_key))"""
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+    a, z = bands.alias("a"), bands.alias("z")
+    cand = (
+        a.join(
+            z,
+            (F.col("a.band_idx") == F.col("z.band_idx"))
+            & (F.col("a.band_key") == F.col("z.band_key"))
+            & (F.col("a.doc_id") < F.col("z.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("z.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("content_hash").alias("ha"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("content_hash").alias("hb"))
+    truth = x.join(
+        y, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b"))
+    ).select("doc_a", "doc_b")
+    hit = truth.join(cand, ["doc_a", "doc_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_true_pairs_blocked")
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidate_pairs"))
+    n_truth = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true_pairs"))
+    nd = F.col("n_docs").cast("double")
+    return (
+        n_docs.join(F.broadcast(n_cand))
+        .join(F.broadcast(n_truth))
+        .join(F.broadcast(hit))
+        .select(
+            "n_docs",
+            "n_candidate_pairs",
+            "n_true_pairs",
+            "n_true_pairs_blocked",
+            (
+                F.lit(1.0)
+                - F.col("n_candidate_pairs").cast("double")
+                / (nd * (nd - F.lit(1.0)) / F.lit(2.0))
+            ).alias("reduction_ratio"),
+            F.when(
+                F.col("n_true_pairs") > 0,
+                F.col("n_true_pairs_blocked").cast("double")
+                / F.col("n_true_pairs").cast("double"),
+            ).alias("pair_completeness"),
+        )
+    )

@@ -2506,3 +2506,92 @@ def daily_gap_interpolation(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("n_filled"),
         F.col("n").isNull().alias("is_interpolated"),
     ).orderBy("day_idx")
+
+
+@register(
+    name="moving_forecast_backtest",
+    survey="W2 W3 A7 F15 F28",
+    doc="Backtest of the 7-day moving-average forecaster on the daily "
+    "event-count series per type (the capacity-planning sanity loop: "
+    "before shipping any fancier model, beat the naive seasonal-free "
+    "baseline): forecast(day) = mean of the 7 PRECEDING days "
+    "(integer sum / 7, strictly out-of-sample), scored only where "
+    "the full lookback exists, reporting per type the mean absolute "
+    "error in micro units (exact bigint sum of |actual*7 - sum7| "
+    "scaled once - no per-row double rounding), the mean actual, "
+    "and the relative MAE. All windows run on the calendar-bounded "
+    "daily rollup partitioned by type.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), win AS (
+          SELECT event_type, d, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                     AS sum7,
+                 COUNT(n) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                     AS k7
+          FROM daily)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_scored_days,
+               CAST(SUM(abs(n * 7 - sum7)) AS BIGINT) AS abs_err7_sum,
+               CAST(SUM(abs(n * 7 - sum7)) AS DOUBLE)
+               / (7.0 * CAST(count(*) AS DOUBLE)) AS mae,
+               CAST(SUM(n) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_actual,
+               (CAST(SUM(abs(n * 7 - sum7)) AS DOUBLE)
+                / (7.0 * CAST(count(*) AS DOUBLE)))
+               / (CAST(SUM(n) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                   AS relative_mae
+        FROM win
+        WHERE k7 = 7
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def moving_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    win = daily.select(
+        "event_type",
+        "d",
+        "n",
+        F.sum("n").over(w).alias("sum7"),
+        F.count("n").over(w).alias("k7"),
+    )
+    err = F.sum(F.abs(F.col("n") * 7 - F.col("sum7"))).cast("bigint")
+    cnt = F.count(F.lit(1)).cast("bigint")
+    mae = err.cast("double") / (F.lit(7.0) * cnt.cast("double"))
+    mean_actual = F.sum("n").cast("double") / cnt.cast("double")
+    return (
+        win.where(F.col("k7") == 7)
+        .groupBy("event_type")
+        .agg(
+            cnt.alias("n_scored_days"),
+            err.alias("abs_err7_sum"),
+            mae.alias("mae"),
+            mean_actual.alias("mean_actual"),
+            (mae / mean_actual).alias("relative_mae"),
+        )
+        .orderBy("event_type")
+    )

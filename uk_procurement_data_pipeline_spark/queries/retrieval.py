@@ -1103,3 +1103,83 @@ def distinctive_terms_log_odds(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "term", F.col("y").alias("n_in_source"), "z_micro", "rk")
         .orderBy("source", "rk")
     )
+
+
+@register(
+    name="distinct_ngram_diversity",
+    survey="A7 A8 F17 F28",
+    doc="Distinct-n diversity per source (the self-BLEU-adjacent "
+    "repetitiveness metric used to audit generated or scraped "
+    "corpora - low distinct-2/3 ratios expose template spam): per "
+    "source the total and distinct counts of unigrams, bigrams and "
+    "trigrams (n-grams within documents; docs shorter than n "
+    "contribute none, IF-guarded against Spark's descending "
+    "sequence(1,0) quirk), each ratio one int/int division. One "
+    "explode per n plus (source, gram)-keyed aggregates - linear "
+    "shuffles on high-cardinality keys.",
+    oracle="""
+        WITH t AS (
+            SELECT source, string_split(text, ' ') AS w FROM documents),
+        g1 AS (
+            SELECT source, w[f.i] AS g
+            FROM t, LATERAL (SELECT unnest(range(1, len(w) + 1)) AS i) f),
+        g2 AS (
+            SELECT source, w[f.i] || ' ' || w[f.i + 1] AS g
+            FROM t, LATERAL (SELECT unnest(range(1, len(w))) AS i) f),
+        g3 AS (
+            SELECT source,
+                   w[f.i] || ' ' || w[f.i + 1] || ' ' || w[f.i + 2] AS g
+            FROM t, LATERAL (SELECT unnest(range(1, len(w) - 1)) AS i) f),
+        s1 AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n1,
+                   CAST(count(DISTINCT g) AS BIGINT) AS d1
+            FROM g1 GROUP BY source),
+        s2 AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n2,
+                   CAST(count(DISTINCT g) AS BIGINT) AS d2
+            FROM g2 GROUP BY source),
+        s3 AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n3,
+                   CAST(count(DISTINCT g) AS BIGINT) AS d3
+            FROM g3 GROUP BY source)
+        SELECT s1.source, n1, d1,
+               CAST(d1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS distinct1,
+               n2, d2, CAST(d2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS distinct2,
+               n3, d3, CAST(d3 AS DOUBLE) / CAST(n3 AS DOUBLE) AS distinct3
+        FROM s1 JOIN s2 USING (source) JOIN s3 USING (source)
+        ORDER BY s1.source
+    """,
+)
+def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load(spark, sf_dir, "documents").selectExpr(
+        "source", "split(text, ' ') AS w"
+    )
+
+    def grams(n: int):
+        if n == 1:
+            return t.select("source", F.explode("w").alias("g"))
+        parts = " || ' ' || ".join(f"w[i + {k}]" for k in range(n))
+        return t.selectExpr(
+            "source",
+            f"explode(IF(size(w) < {n}, array(),"
+            f" transform(sequence(0, size(w) - {n}),"
+            f" i -> {parts}))) AS g",
+        )
+
+    out = None
+    for n in (1, 2, 3):
+        s = grams(n).groupBy("source").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n{n}"),
+            F.countDistinct("g").cast("bigint").alias(f"d{n}"),
+        )
+        s = s.withColumn(
+            f"distinct{n}",
+            F.col(f"d{n}").cast("double") / F.col(f"n{n}").cast("double"),
+        )
+        out = s if out is None else out.join(s, "source")
+    return out.select(
+        "source",
+        "n1", "d1", "distinct1",
+        "n2", "d2", "distinct2",
+        "n3", "d3", "distinct3",
+    ).orderBy("source")
