@@ -337,3 +337,75 @@ def test_distinct_ngram_ratios_ordered(spark, sf_dir):
         # higher-order n-grams are at least as distinct per token
         assert r["distinct2"] >= r["distinct1"] - 1e-12
         assert r["n1"] >= r["n2"] >= r["n3"]
+
+
+def test_conformal_coverage_at_least_nominal(spark, sf_dir):
+    rows = registry()["conformal_interval_backtest"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["half_width"] >= 0.0
+        assert 0 <= r["n_covered"] <= r["n_calibration_days"]
+        # the ceil(0.9*(m+1)) order statistic guarantees >= 90% in-sample
+        assert r["empirical_coverage"] >= 0.9 - 1e-12
+
+
+def test_target_encoding_is_leakage_free(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = registry()["target_encoding_oof"].fn(spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "value",
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 5 AS fold",
+        )
+        .collect()
+    )
+    from collections import defaultdict
+
+    sums = defaultdict(float)
+    cnts = defaultdict(int)
+    for e in ev:
+        sums[(e["event_type"], e["fold"])] += e["value"]
+        cnts[(e["event_type"], e["fold"])] += 1
+    for r in rows:
+        others = [
+            (sums[(r["event_type"], f)], cnts[(r["event_type"], f)])
+            for f in range(5)
+            if f != r["fold"]
+        ]
+        s = sum(x for x, _ in others)
+        n = sum(c for _, c in others)
+        assert n > 0
+        assert abs(r["oof_mean"] - s / n) < 1e-6
+
+
+def test_attribution_credit_conserves_mass(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = registry()["position_attribution_credit"].fn(spark, sf_dir).collect()
+    total_micro = sum(r["credit_micro_sum"] for r in rows)
+    # purchases with at least one touch each contribute ~1e6 micro units
+    # (up to (k-2) floor-division remainders lost per purchase)
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purch = ev.where(F.col("event_type") == "purchase").selectExpr(
+        "event_id AS pid", "user_id", "ts AS pts"
+    )
+    touched = (
+        purch.join(
+            ev.where(F.col("event_type").isin("view", "click")).select(
+                "user_id", F.col("ts").alias("tts")
+            ),
+            "user_id",
+        )
+        .where(
+            (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTE"))
+            & (F.col("tts") < F.col("pts"))
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert touched * 1_000_000 >= total_micro > touched * 990_000

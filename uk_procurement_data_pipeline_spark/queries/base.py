@@ -63,6 +63,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "conformal_interval_backtest",
+    "target_encoding_oof",
+    "position_attribution_credit",
     "moving_forecast_backtest",
     "blocking_quality_report",
     "distinct_ngram_diversity",
@@ -110,13 +113,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "kcore_peel_unrolled",
     "constraint_check_orders",
     "embedding_covariance",
-    "ks_binned_two_sample",
-    "mutual_information_type_band",
-    "lorenz_gini_binned",
 )
 
 # r06 window candidates, in priority order (README rotation policy):
 # 1. never-driver-checked r04 additions deferred from this window:
+#    ks_binned_two_sample, mutual_information_type_band, lorenz_gini_binned,
 #    entropy_per_source, stream_stateful_user_totals, session_path_topk,
 #    orders_open_interval_sweep, rfm_customer_segments,
 #    weighted_sample_es, bigram_surprisal_quality, percentiles_per_type_banded,

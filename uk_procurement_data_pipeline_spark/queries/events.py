@@ -2595,3 +2595,316 @@ def moving_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    name="conformal_interval_backtest",
+    survey="W1 W3 A7 F28",
+    doc="Split-conformal prediction interval for the 7-day moving-"
+    "average forecaster (the distribution-free uncertainty wrapper "
+    "modern forecast pipelines ship instead of parametric bands): "
+    "per event type, the absolute residuals of the out-of-sample "
+    "7-day-mean forecast form the calibration set, the interval "
+    "half-width is their ceil(0.9*(m+1))-th order statistic (exact "
+    "rank over the calendar-bounded residual set - no interpolated "
+    "quantile), and the reported empirical coverage is the fraction "
+    "of days whose actual lands within the band. Residuals are "
+    "integer micro units (|actual*7 - sum7| scaled), so ranking and "
+    "coverage comparisons are exact in both engines.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), win AS (
+          SELECT event_type, d, n,
+                 SUM(n) OVER (PARTITION BY event_type ORDER BY d
+                              ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                     AS sum7,
+                 COUNT(n) OVER (PARTITION BY event_type ORDER BY d
+                                ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+                     AS k7
+          FROM daily
+        ), resid AS (
+          SELECT event_type, d, abs(n * 7 - sum7) AS r7
+          FROM win WHERE k7 = 7
+        ), ranked AS (
+          SELECT event_type, d, r7,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY r7, d) AS rk,
+                 count(*) OVER (PARTITION BY event_type) AS m
+          FROM resid
+        ), q AS (
+          SELECT event_type, CAST(max(m) AS BIGINT) AS m,
+                 CAST(MAX(CASE WHEN rk = CAST(ceil(0.9 * (m + 1)) AS BIGINT)
+                               THEN r7 END) AS BIGINT) AS q90_r7
+          FROM ranked
+          WHERE rk = CAST(ceil(0.9 * (m + 1)) AS BIGINT)
+          GROUP BY event_type
+        )
+        SELECT r.event_type, q.m AS n_calibration_days,
+               CAST(q.q90_r7 AS DOUBLE) / 7.0 AS half_width,
+               CAST(SUM(CASE WHEN r.r7 <= q.q90_r7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered,
+               CAST(SUM(CASE WHEN r.r7 <= q.q90_r7 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS empirical_coverage
+        FROM resid r JOIN q ON r.event_type = q.event_type
+        GROUP BY r.event_type, q.m, q.q90_r7
+        ORDER BY r.event_type
+    """,
+)
+def conformal_interval_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    wma = Window.partitionBy("event_type").orderBy("d").rowsBetween(-7, -1)
+    resid = (
+        daily.select(
+            "event_type",
+            "d",
+            "n",
+            F.sum("n").over(wma).alias("sum7"),
+            F.count("n").over(wma).alias("k7"),
+        )
+        .where(F.col("k7") == 7)
+        .select(
+            "event_type", "d", F.abs(F.col("n") * 7 - F.col("sum7")).alias("r7")
+        )
+    )
+    wr = Window.partitionBy("event_type").orderBy("r7", "d")
+    ranked = resid.select(
+        "event_type",
+        "r7",
+        F.row_number().over(wr).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("m"),
+    )
+    q = (
+        ranked.where(F.col("rk") == F.ceil(0.9 * (F.col("m") + 1)).cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.max("m").cast("bigint").alias("m"),
+            F.max("r7").cast("bigint").alias("q90_r7"),
+        )
+    )
+    covered = F.sum(
+        F.when(F.col("r7") <= F.col("q90_r7"), 1).otherwise(0)
+    ).cast("bigint")
+    return (
+        resid.join(F.broadcast(q), "event_type")
+        .groupBy("event_type", "m", "q90_r7")
+        .agg(
+            covered.alias("n_covered"),
+            (covered.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "empirical_coverage"
+            ),
+        )
+        .select(
+            "event_type",
+            F.col("m").alias("n_calibration_days"),
+            (F.col("q90_r7").cast("double") / F.lit(7.0)).alias("half_width"),
+            "n_covered",
+            "empirical_coverage",
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    name="target_encoding_oof",
+    survey="A7 J5 F28 UD4",
+    doc="Leakage-free out-of-fold target encoding of event_type "
+    "against value (the categorical-feature workhorse of tabular "
+    "ML: each fold's encoding uses only the OTHER folds' rows, so "
+    "the feature never sees its own target): md5-bucket 5-fold "
+    "assignment (engine-portable, the stratified_split rule), per "
+    "(type, fold) exact-decimal value sums, and the OOF mean as "
+    "(sum_type - sum_fold) / (n_type - n_fold) - a subtraction of "
+    "exact decimals then ONE IEEE division, never a re-aggregation. "
+    "Two bounded-domain aggregates over one linear keyed pass; the "
+    "global prior mean is reported beside each encoding for the "
+    "smoothing step downstream.",
+    oracle="""
+        WITH f AS (
+          SELECT event_type, value,
+                 CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 5 AS fold
+          FROM events WHERE value IS NOT NULL
+        ), per_fold AS (
+          SELECT event_type, fold,
+                 CAST(count(*) AS BIGINT) AS n_fold,
+                 SUM(CAST(value AS DECIMAL(38,8))) AS s_fold
+          FROM f GROUP BY event_type, fold
+        ), per_type AS (
+          SELECT event_type,
+                 CAST(SUM(n_fold) AS BIGINT) AS n_type,
+                 SUM(s_fold) AS s_type
+          FROM per_fold GROUP BY event_type
+        ), g AS (
+          SELECT CAST(ROUND(SUM(s_fold), 4) AS DOUBLE)
+                 / CAST(SUM(n_fold) AS DOUBLE) AS prior_mean
+          FROM per_fold
+        )
+        SELECT pf.event_type, pf.fold, pf.n_fold,
+               CAST(ROUND(pt.s_type - pf.s_fold, 4) AS DOUBLE)
+               / CAST(pt.n_type - pf.n_fold AS DOUBLE) AS oof_mean,
+               g.prior_mean
+        FROM per_fold pf
+        JOIN per_type pt USING (event_type)
+        CROSS JOIN g
+        ORDER BY pf.event_type, pf.fold
+    """,
+)
+def target_encoding_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    f = (
+        load(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .selectExpr(
+            "event_type",
+            "value",
+            "CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 5 AS fold",
+        )
+    )
+    per_fold = f.groupBy("event_type", "fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_fold"),
+        F.sum(dec("value")).alias("s_fold"),
+    )
+    per_type = per_fold.groupBy("event_type").agg(
+        F.sum("n_fold").cast("bigint").alias("n_type"),
+        F.sum("s_fold").alias("s_type"),
+    )
+    g = per_fold.agg(
+        (
+            F.round(F.sum("s_fold"), 4).cast("double")
+            / F.sum("n_fold").cast("double")
+        ).alias("prior_mean")
+    )
+    return (
+        per_fold.join(F.broadcast(per_type), "event_type")
+        .join(F.broadcast(g))
+        .select(
+            "event_type",
+            "fold",
+            "n_fold",
+            (
+                F.round(F.col("s_type") - F.col("s_fold"), 4).cast("double")
+                / (F.col("n_type") - F.col("n_fold")).cast("double")
+            ).alias("oof_mean"),
+            "prior_mean",
+        )
+        .orderBy("event_type", "fold")
+    )
+
+
+@register(
+    name="position_attribution_credit",
+    survey="J6 W1 A7 F15 F28",
+    doc="U-shaped (position-based) multi-touch attribution: every "
+    "purchase distributes 1.0 of credit over the SAME user's view/"
+    "click touches in the preceding 60 minutes - 40% to the first "
+    "touch, 40% to the last, the middle 20% split evenly (single "
+    "touch takes all, a pair splits 50/50) - complementing the "
+    "last-touch-style events_interval_join_attribution. Credits "
+    "live in exact integer micro units (the middle share is one "
+    "floor division, identical in both engines), positions come "
+    "from row_number within each (user, purchase) touch window, and "
+    "the output is credit mass per touch type. The only row-sized "
+    "work is the user-keyed time-bounded join; windows partition by "
+    "(user_id, purchase event).",
+    oracle="""
+        WITH purch AS (
+          SELECT event_id AS pid, user_id, ts AS pts
+          FROM events WHERE event_type = 'purchase'
+        ), touch AS (
+          SELECT p.pid, p.user_id, e.event_id, e.event_type, e.ts
+          FROM purch p JOIN events e
+            ON e.user_id = p.user_id
+           AND e.event_type IN ('view', 'click')
+           AND e.ts >= p.pts - INTERVAL 60 MINUTE
+           AND e.ts < p.pts
+        ), ranked AS (
+          SELECT pid, event_type,
+                 row_number() OVER (PARTITION BY pid
+                                    ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY pid) AS k
+          FROM touch
+        ), credited AS (
+          SELECT event_type,
+                 CASE WHEN k = 1 THEN 1000000
+                      WHEN rn = 1 OR rn = k
+                           THEN CASE WHEN k = 2 THEN 500000 ELSE 400000 END
+                      ELSE 200000 // (k - 2)
+                 END AS credit_micro
+          FROM ranked
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(SUM(credit_micro) AS BIGINT) AS credit_micro_sum,
+               CAST(SUM(credit_micro) AS DOUBLE) / 1000000.0
+                   AS credited_conversions
+        FROM credited
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def position_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"), "user_id", F.col("ts").alias("pts")
+    )
+    touch = purch.join(
+        ev.where(F.col("event_type").isin("view", "click")).select(
+            "user_id", "event_id", "event_type", "ts"
+        ),
+        ["user_id"],
+    ).where(
+        (F.col("ts") >= F.col("pts") - F.expr("INTERVAL 60 MINUTE"))
+        & (F.col("ts") < F.col("pts"))
+    )
+    wp = Window.partitionBy("pid").orderBy("ts", "event_id")
+    ranked = touch.select(
+        "pid",
+        "event_type",
+        F.row_number().over(wp).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("pid")).alias("k"),
+    )
+    credit = (
+        F.when(F.col("k") == 1, F.lit(1000000))
+        .when(
+            (F.col("rn") == 1) | (F.col("rn") == F.col("k")),
+            F.when(F.col("k") == 2, F.lit(500000)).otherwise(F.lit(400000)),
+        )
+        .otherwise(F.expr("200000 div (k - 2)"))
+    )
+    return (
+        ranked.select("event_type", credit.alias("credit_micro"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+            F.sum("credit_micro").cast("bigint").alias("credit_micro_sum"),
+            (F.sum("credit_micro").cast("double") / F.lit(1000000.0)).alias(
+                "credited_conversions"
+            ),
+        )
+        .orderBy("event_type")
+    )
