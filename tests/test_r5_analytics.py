@@ -409,3 +409,27 @@ def test_attribution_credit_conserves_mass(spark, sf_dir):
         .count()
     )
     assert touched * 1_000_000 >= total_micro > touched * 990_000
+
+
+def test_feature_vector_covers_every_customer(spark, sf_dir):
+    rows = registry()["customer_feature_vector"].fn(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert len(rows) == n_cust
+    for r in rows:
+        f = r["features"]
+        assert len(f) == 6
+        n_orders, total, days, avg = f[1], f[2], f[3], f[4]
+        if n_orders == 0.0:
+            assert total == 0.0 and days == -1.0 and avg == 0.0
+        else:
+            assert abs(avg - total / n_orders) < 1e-9
+            assert days >= 0.0
+
+
+def test_cross_source_matrix_is_upper_triangular_rollup(spark, sf_dir):
+    rows = registry()["cross_source_dup_matrix"].fn(spark, sf_dir).collect()
+    pairs = registry()["minhash_near_dup"].fn(spark, sf_dir).count()
+    assert sum(r["n_dup_pairs"] for r in rows) == pairs
+    for r in rows:
+        assert r["source_a"] <= r["source_b"]
+        assert r["n_dup_pairs"] > 0

@@ -1146,3 +1146,48 @@ def blocking_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair_completeness"),
         )
     )
+
+
+@register(
+    name="cross_source_dup_matrix",
+    survey="D3 A7 J6 U1",
+    doc="Cross-source near-duplication matrix: the MinHash near-dup "
+    "pairs (the exact minhash_near_dup plan - Spark calls it, the "
+    "oracle embeds its SQL) rolled up to (source_a, source_b) pair "
+    "counts plus each source's duplicated-doc rate - the "
+    "contamination view that tells a corpus curator WHICH feeds "
+    "copy from which before mixing weights are chosen. Pair source "
+    "lookup is two broadcast-able doc->source joins; the matrix "
+    "domain is bounded by source count; sources are ordered "
+    "lexicographically so each unordered pair appears once.",
+    oracle=f"""
+        WITH pairs AS ({_MINHASH_ORACLE.replace('>= 0.8', '>= 0.8')}),
+        src AS (SELECT doc_id, source FROM documents),
+        tagged AS (
+            SELECT LEAST(sa.source, sb.source) AS source_a,
+                   GREATEST(sa.source, sb.source) AS source_b
+            FROM pairs p
+            JOIN src sa ON p.doc_a = sa.doc_id
+            JOIN src sb ON p.doc_b = sb.doc_id)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_dup_pairs
+        FROM tagged
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = minhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    src = load(spark, sf_dir, "documents").select("doc_id", "source")
+    sa = src.selectExpr("doc_id AS doc_a", "source AS src_a")
+    sb = src.selectExpr("doc_id AS doc_b", "source AS src_b")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

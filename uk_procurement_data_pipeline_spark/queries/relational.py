@@ -1761,3 +1761,79 @@ def orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_delta",
         F.sum("n_delta").over(wrun).cast("bigint").alias("n_open"),
     )
+
+
+@register(
+    name="customer_feature_vector",
+    survey="J6 J7 A7 F17 UD4",
+    doc="Feature-store materialization: one dense array<double> feature "
+    "vector per customer assembled from profile and behavioral "
+    "aggregates (balance, order count, exact-decimal total spend, "
+    "days since last order, avg order value, nation key) - the "
+    "assemble-and-freeze step upstream of any tabular trainer. "
+    "Left join keeps order-less customers (zero-imputed the same "
+    "way in both engines); every monetary stat goes through the "
+    "exact-decimal fold; the array is built positionally so schema "
+    "evolution is explicit. One customer-keyed aggregate plus one "
+    "broadcast-able join; linear shuffles.",
+    oracle="""
+        WITH agg AS (
+          SELECT o_custkey,
+                 CAST(count(*) AS BIGINT) AS n_orders,
+                 CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,8))), 4)
+                      AS DOUBLE) AS total_spend,
+                 CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                                DATE '2002-01-01') AS BIGINT)
+                     AS days_since_last
+          FROM orders GROUP BY o_custkey)
+        SELECT c.c_custkey,
+               [CAST(c.c_acctbal AS DOUBLE),
+                CAST(COALESCE(a.n_orders, 0) AS DOUBLE),
+                COALESCE(a.total_spend, 0.0),
+                CAST(COALESCE(a.days_since_last, -1) AS DOUBLE),
+                CASE WHEN COALESCE(a.n_orders, 0) > 0
+                     THEN a.total_spend / CAST(a.n_orders AS DOUBLE)
+                     ELSE 0.0 END,
+                CAST(c.c_nationkey AS DOUBLE)] AS features
+        FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+        ORDER BY c.c_custkey
+    """,
+)
+def customer_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    agg = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.round(F.sum(dec("o_totalprice")), 4)
+            .cast("double")
+            .alias("total_spend"),
+            F.datediff(
+                F.lit("2002-01-01").cast("date"), F.max("o_orderdate").cast("date")
+            )
+            .cast("bigint")
+            .alias("days_since_last"),
+        )
+    )
+    c = load(spark, sf_dir, "customer")
+    avg_order = F.when(
+        F.coalesce(F.col("n_orders"), F.lit(0)) > 0,
+        F.col("total_spend") / F.col("n_orders").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        c.join(agg, c.c_custkey == agg.o_custkey, "left")
+        .select(
+            "c_custkey",
+            F.array(
+                F.col("c_acctbal").cast("double"),
+                F.coalesce(F.col("n_orders"), F.lit(0)).cast("double"),
+                F.coalesce(F.col("total_spend"), F.lit(0.0)),
+                F.coalesce(F.col("days_since_last"), F.lit(-1)).cast("double"),
+                avg_order,
+                F.col("c_nationkey").cast("double"),
+            ).alias("features"),
+        )
+        .orderBy("c_custkey")
+    )
