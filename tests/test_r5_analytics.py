@@ -433,3 +433,54 @@ def test_cross_source_matrix_is_upper_triangular_rollup(spark, sf_dir):
     for r in rows:
         assert r["source_a"] <= r["source_b"]
         assert r["n_dup_pairs"] > 0
+
+
+def test_mann_kendall_s_bounds(spark, sf_dir):
+    rows = registry()["mann_kendall_trend"].fn(spark, sf_dir).collect()
+    for r in rows:
+        max_pairs = r["n_days"] * (r["n_days"] - 1) // 2
+        assert -max_pairs <= r["s_stat"] <= max_pairs
+        # |z| of a corrected S is bounded by the uncorrected normalizer
+        var = r["n_days"] * (r["n_days"] - 1) * (2 * r["n_days"] + 5) / 18.0
+        assert abs(r["z_stat"]) <= (abs(r["s_stat"]) + 1) / var**0.5 + 1e-12
+
+
+def test_dow_eta2_in_unit_range(spark, sf_dir):
+    rows = registry()["dow_anova_eta2"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert -1e-4 <= r["ss_between"] <= r["ss_total"] + 1e-4
+        assert 0.0 - 1e-9 <= r["eta2"] <= 1.0 + 1e-9
+
+
+def test_pareto_8020_crossing_is_minimal(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    (r,) = registry()["pareto_8020_users"].fn(spark, sf_dir).collect()
+    assert 1 <= r["top_users_for_80pct"] <= r["n_users"]
+    assert r["actual_share"] >= 0.8 - 1e-12
+    counts = sorted(
+        (
+            row["count"]
+            for row in spark.read.parquet(f"{sf_dir}/events.parquet")
+            .groupBy("user_id")
+            .count()
+            .collect()
+        ),
+        reverse=True,
+    )
+    cum = 0
+    total = sum(counts)
+    for i, c in enumerate(counts, 1):
+        cum += c
+        if 5 * cum >= 4 * total:
+            assert r["top_users_for_80pct"] == i
+            break
+
+
+def test_reconciliation_bands_partition_orders(spark, sf_dir):
+    rows = registry()["order_total_reconciliation"].fn(spark, sf_dir).collect()
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows) == n_orders
+    assert {r["band"] for r in rows} <= {
+        "exact", "within_1pct", "within_10pct", "over_10pct", "no_lineitems"
+    }

@@ -2908,3 +2908,192 @@ def position_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    name="mann_kendall_trend",
+    survey="A7 J6 F15 F28",
+    doc="Mann-Kendall nonparametric trend test per event type - the "
+    "significance companion to theil_sen_daily_trend (same pairwise "
+    "construction, but the statistic is the exact integer "
+    "S = sum sign(n_j - n_i) over day pairs i < j, with the normal "
+    "approximation z = (S -+ 1)/sqrt(n(n-1)(2n+5)/18) and the no-"
+    "ties variance in exact integer arithmetic). The pairwise join "
+    "runs on the calendar-bounded daily rollup; sqrt of an exact "
+    "integer is IEEE-identical in both engines.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                                CAST(date_trunc('day', ts) AS DATE))
+                      AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), s AS (
+          SELECT a.event_type,
+                 CAST(SUM(CASE WHEN b.n > a.n THEN 1
+                               WHEN b.n < a.n THEN -1 ELSE 0 END)
+                      AS BIGINT) AS s_stat
+          FROM daily a JOIN daily b
+            ON a.event_type = b.event_type AND a.d < b.d
+          GROUP BY a.event_type
+        ), m AS (
+          SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+          FROM daily GROUP BY event_type)
+        SELECT m.event_type, m.n_days, s.s_stat,
+               CASE WHEN s.s_stat > 0 THEN CAST(s.s_stat - 1 AS DOUBLE)
+                    WHEN s.s_stat < 0 THEN CAST(s.s_stat + 1 AS DOUBLE)
+                    ELSE 0.0 END
+               / sqrt(CAST(m.n_days * (m.n_days - 1) * (2 * m.n_days + 5)
+                           AS DOUBLE) / 18.0) AS z_stat
+        FROM m JOIN s USING (event_type)
+        ORDER BY m.event_type
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            F.broadcast(b),
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.n") > F.col("a.n"), 1)
+                .when(F.col("b.n") < F.col("a.n"), -1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("s_stat")
+        )
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    nd = F.col("n_days")
+    corrected = (
+        F.when(F.col("s_stat") > 0, (F.col("s_stat") - 1).cast("double"))
+        .when(F.col("s_stat") < 0, (F.col("s_stat") + 1).cast("double"))
+        .otherwise(F.lit(0.0))
+    )
+    var = (nd * (nd - 1) * (2 * nd + 5)).cast("double") / F.lit(18.0)
+    return (
+        m.join(s, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            "s_stat",
+            (corrected / F.sqrt(var)).alias("z_stat"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    name="dow_anova_eta2",
+    survey="A7 F15 F28",
+    doc="Day-of-week seasonality strength per event type as one-way "
+    "ANOVA eta^2: the fraction of daily-count variance explained by "
+    "the weekday factor (between-group SS over total SS, both from "
+    "EXACT integer moments of the calendar-bounded daily rollup - "
+    "the decomposition feeding 'is there weekly seasonality worth "
+    "modeling'). All sums are bigint - the per-weekday s^2/k terms "
+    "are floor-quantized at 1e-4 via pure integer arithmetic before "
+    "summation (order-independent) - and eta^2 is one final "
+    "division.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 date_trunc('day', ts) AS day,
+                 CAST(dayofweek(date_trunc('day', ts)) AS BIGINT) AS dow,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2, 3
+        ), g AS (
+          SELECT event_type, dow,
+                 CAST(count(*) AS BIGINT) AS k,
+                 CAST(SUM(n) AS BIGINT) AS s
+          FROM daily GROUP BY event_type, dow
+        ), tot AS (
+          SELECT event_type,
+                 CAST(SUM(k) AS BIGINT) AS m,
+                 CAST(SUM(s) AS BIGINT) AS st,
+                 (SELECT CAST(SUM(n * n) AS BIGINT) FROM daily d
+                  WHERE d.event_type = g.event_type) AS sqt
+          FROM g GROUP BY event_type)
+        SELECT t.event_type, t.m AS n_days,
+               CAST(SUM((g.s * g.s * 10000) // g.k) AS DOUBLE) / 10000.0
+               - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+                 / CAST(t.m AS DOUBLE) AS ss_between,
+               CAST(t.sqt AS DOUBLE)
+               - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+                 / CAST(t.m AS DOUBLE) AS ss_total,
+               (CAST(SUM((g.s * g.s * 10000) // g.k) AS DOUBLE) / 10000.0
+                - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+                  / CAST(t.m AS DOUBLE))
+               / (CAST(t.sqt AS DOUBLE)
+                  - CAST(t.st AS DOUBLE) * CAST(t.st AS DOUBLE)
+                    / CAST(t.m AS DOUBLE)) AS eta2
+        FROM g JOIN tot t USING (event_type)
+        GROUP BY t.event_type, t.m, t.st, t.sqt
+        ORDER BY t.event_type
+    """,
+)
+def dow_anova_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.dayofweek(F.date_trunc("day", "ts")).cast("bigint").alias("dow"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    g = daily.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("s"),
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m"),
+        F.sum("n").cast("bigint").alias("st"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("sqt"),
+    )
+    # Each s^2/k term is floor-quantized at 1e-4 via pure INTEGER
+    # arithmetic before summation (7 double terms would sum in
+    # engine-dependent order); s^2*1e4 stays far below 2^63.
+    between_term = (
+        F.sum(F.expr("(s * s * 10000) div k")).cast("double") / F.lit(10000.0)
+    )
+    grand = (
+        F.col("st").cast("double")
+        * F.col("st").cast("double")
+        / F.col("m").cast("double")
+    )
+    ss_between = between_term - F.max(grand)
+    ss_total = F.max(F.col("sqt").cast("double")) - F.max(grand)
+    return (
+        g.join(F.broadcast(tot), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("m").alias("n_days"),
+            ss_between.alias("ss_between"),
+            ss_total.alias("ss_total"),
+            (ss_between / ss_total).alias("eta2"),
+        )
+        .orderBy("event_type")
+    )

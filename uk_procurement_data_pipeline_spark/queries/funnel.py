@@ -947,3 +947,101 @@ def retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r_squared"
         ),
     )
+
+
+@register(
+    name="pareto_8020_users",
+    survey="W1 A7 F28 O4",
+    doc="Pareto concentration point of user activity: the smallest "
+    "top-K user set owning >= 80% of all events, reported as a "
+    "count and fraction with its actual share (the '80/20' "
+    "complement to lorenz_gini_binned's full curve). Users rank by "
+    "(count DESC, user_id) through the banded global-rank rewrite - "
+    "rank within each COUNT VALUE band (bounded domain) plus "
+    "broadcast higher-band offsets, so no global sort of the user "
+    "table - and the crossing test is integer cross-multiplied "
+    "(5*cum >= 4*total), exact at any scale. The crossing row "
+    "itself arrives via sort-limit on the (tiny) filtered set.",
+    oracle="""
+        WITH per_user AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY user_id
+        ), ranked AS (
+          SELECT user_id, c,
+                 row_number() OVER (ORDER BY c DESC, user_id) AS rk,
+                 SUM(c) OVER (ORDER BY c DESC, user_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM per_user
+        ), t AS (
+          SELECT CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(SUM(c) AS BIGINT) AS total_events
+          FROM per_user
+        ), hit AS (
+          SELECT rk, cum FROM ranked, t
+          WHERE 5 * cum >= 4 * total_events
+          ORDER BY rk LIMIT 1)
+        SELECT t.n_users, t.total_events,
+               CAST(h.rk AS BIGINT) AS top_users_for_80pct,
+               CAST(h.rk AS DOUBLE) / CAST(t.n_users AS DOUBLE)
+                   AS user_frac,
+               CAST(h.cum AS DOUBLE) / CAST(t.total_events AS DOUBLE)
+                   AS actual_share
+        FROM t CROSS JOIN hit h
+    """,
+)
+def pareto_8020_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_user = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    # Banded global rank: the band IS the count value (bounded domain),
+    # ordered DESC; offsets come from strictly higher bands.
+    sizes = per_user.groupBy("c").agg(
+        F.count(F.lit(1)).alias("bn"), F.sum("c").alias("bs")
+    )
+    hi = sizes.select(
+        F.col("c").alias("hc"), F.col("bn").alias("hn"), F.col("bs").alias("hs")
+    )
+    offsets = (
+        sizes.join(F.broadcast(hi), F.col("hc") > F.col("c"), "left")
+        .groupBy("c")
+        .agg(
+            F.coalesce(F.sum("hn"), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("hs"), F.lit(0)).alias("off_s"),
+        )
+    )
+    wband = Window.partitionBy("c").orderBy("user_id")
+    ranked = (
+        per_user.join(F.broadcast(offsets), "c")
+        .withColumn("rk", F.col("off_n") + F.row_number().over(wband))
+        .withColumn(
+            "cum",
+            F.col("off_s")
+            + F.sum("c").over(wband.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    t = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("c").cast("bigint").alias("total_events"),
+    )
+    hit = (
+        ranked.join(F.broadcast(t))
+        .where(5 * F.col("cum") >= 4 * F.col("total_events"))
+        .orderBy("rk")
+        .limit(1)
+        .select("rk", "cum")
+    )
+    return t.join(F.broadcast(hit)).select(
+        "n_users",
+        "total_events",
+        F.col("rk").cast("bigint").alias("top_users_for_80pct"),
+        (F.col("rk").cast("double") / F.col("n_users").cast("double")).alias(
+            "user_frac"
+        ),
+        (F.col("cum").cast("double") / F.col("total_events").cast("double")).alias(
+            "actual_share"
+        ),
+    )

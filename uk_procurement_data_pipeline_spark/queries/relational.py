@@ -1837,3 +1837,77 @@ def customer_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    name="order_total_reconciliation",
+    survey="A7 J6 E5 F28",
+    doc="Fact-table reconciliation audit: per order, the header "
+    "o_totalprice vs the total DERIVED from its line items "
+    "(extendedprice * (1 - discount) * (1 + tax), each product one "
+    "deterministic double expression cast to exact decimal before "
+    "the order-level sum), rolled up into relative-error bands "
+    "(exact / <=1% / <=10% / >10% / no-lineitems) - the first "
+    "integrity check any warehouse runs between a header and its "
+    "detail table. One lineitem aggregation + one order-keyed "
+    "broadcast-able join; band domain bounded.",
+    oracle="""
+        WITH derived AS (
+          SELECT l_orderkey,
+                 CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                     * (1 + l_tax) AS DECIMAL(38,8))), 4)
+                      AS DOUBLE) AS derived_total
+          FROM lineitem GROUP BY l_orderkey
+        ), banded AS (
+          SELECT CASE
+                   WHEN d.derived_total IS NULL THEN 'no_lineitems'
+                   WHEN abs(o.o_totalprice - d.derived_total)
+                        <= 1e-9 * o.o_totalprice THEN 'exact'
+                   WHEN abs(o.o_totalprice - d.derived_total)
+                        <= 0.01 * o.o_totalprice THEN 'within_1pct'
+                   WHEN abs(o.o_totalprice - d.derived_total)
+                        <= 0.10 * o.o_totalprice THEN 'within_10pct'
+                   ELSE 'over_10pct'
+                 END AS band
+          FROM orders o LEFT JOIN derived d ON o.o_orderkey = d.l_orderkey)
+        SELECT band, CAST(count(*) AS BIGINT) AS n_orders
+        FROM banded GROUP BY band ORDER BY band
+    """,
+)
+def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    derived = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(
+                    dec(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * (1 + F.col("l_tax"))
+                    )
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("derived_total")
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    err = F.abs(F.col("o_totalprice") - F.col("derived_total"))
+    band = (
+        F.when(F.col("derived_total").isNull(), "no_lineitems")
+        .when(err <= 1e-9 * F.col("o_totalprice"), "exact")
+        .when(err <= 0.01 * F.col("o_totalprice"), "within_1pct")
+        .when(err <= 0.10 * F.col("o_totalprice"), "within_10pct")
+        .otherwise("over_10pct")
+    )
+    return (
+        o.join(derived, o.o_orderkey == derived.l_orderkey, "left")
+        .select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
+        .orderBy("band")
+    )
