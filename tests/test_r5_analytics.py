@@ -484,3 +484,27 @@ def test_reconciliation_bands_partition_orders(spark, sf_dir):
     assert {r["band"] for r in rows} <= {
         "exact", "within_1pct", "within_10pct", "over_10pct", "no_lineitems"
     }
+
+
+def test_table_checksum_detects_any_row_change(spark, sf_dir):
+    import tempfile
+
+    rows = {r["table_name"]: r for r in registry()["table_checksum_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"region", "nation", "customer", "orders"}
+    # mutate one orders row into a copied fixture dir; checksum must move
+    tmp = tempfile.mkdtemp()
+    import shutil, os
+
+    for t in ("region", "nation", "customer", "orders", "supplier", "part",
+              "lineitem", "events", "documents", "embeddings"):
+        shutil.copy(f"{sf_dir}/{t}.parquet", os.path.join(tmp, f"{t}.parquet"))
+    import pandas as pd
+
+    df = pd.read_parquet(os.path.join(tmp, "orders.parquet"))
+    df.loc[0, "o_orderstatus"] = "Z"
+    df.to_parquet(os.path.join(tmp, "orders.parquet"))
+    mutated = {r["table_name"]: r for r in registry()["table_checksum_audit"].fn(spark, tmp).collect()}
+    assert mutated["orders"]["n_rows"] == rows["orders"]["n_rows"]
+    assert mutated["orders"]["checksum"] != rows["orders"]["checksum"]
+    for t in ("region", "nation", "customer"):
+        assert mutated[t]["checksum"] == rows[t]["checksum"]

@@ -519,3 +519,69 @@ def functional_dependency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(f"{table}: {lhs} -> {rhs}").alias("dependency"), "*")
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("dependency")
+
+
+_CHECKSUM_TABLES = (
+    ("region", "CAST(r_regionkey AS VARCHAR) || '|' || r_name"),
+    ("nation", "CAST(n_nationkey AS VARCHAR) || '|' || n_name || '|' "
+               "|| CAST(n_regionkey AS VARCHAR)"),
+    ("customer", "CAST(c_custkey AS VARCHAR) || '|' "
+                 "|| CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment"),
+    ("orders", "CAST(o_orderkey AS VARCHAR) || '|' "
+               "|| CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus "
+               "|| '|' || o_orderpriority"),
+)
+
+
+def _checksum_duck(table: str, key: str) -> str:
+    return f"""
+        SELECT '{table}' AS table_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(CAST('0x' || substr(md5({key}), 1, 15)
+                                 AS BIGINT)) AS BIGINT) AS checksum
+        FROM {table}"""
+
+
+@register(
+    name="table_checksum_audit",
+    survey="A7 U1 E5 F1",
+    doc="Order-insensitive table fingerprints (the cross-engine "
+    "row-hash-sum trick this repo's own oracle harness is built on, "
+    "exposed as an operator): per table, the row count and the exact "
+    "BIGINT sum of 60-bit md5 row hashes over the STABLE (non-"
+    "float) columns, with explicit '|' separators so distinct rows "
+    "can never concatenate equal. Two replicas of a table match iff "
+    "counts and checksums match - the cheap pre-diff run before any "
+    "row-level reconciliation. One linear aggregation per table; "
+    "sums stay far below 2^63 (60-bit terms).",
+    oracle=" UNION ALL ".join(_checksum_duck(t, k) for t, k in _CHECKSUM_TABLES)
+    + " ORDER BY table_name",
+)
+def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark_keys = {
+        "region": "CAST(r_regionkey AS STRING) || '|' || r_name",
+        "nation": "CAST(n_nationkey AS STRING) || '|' || n_name || '|' "
+                  "|| CAST(n_regionkey AS STRING)",
+        "customer": "CAST(c_custkey AS STRING) || '|' "
+                    "|| CAST(c_nationkey AS STRING) || '|' || c_mktsegment",
+        "orders": "CAST(o_orderkey AS STRING) || '|' "
+                  "|| CAST(o_custkey AS STRING) || '|' || o_orderstatus "
+                  "|| '|' || o_orderpriority",
+    }
+    out = None
+    for table, _k in _CHECKSUM_TABLES:
+        branch = (
+            load(spark, sf_dir, table)
+            .selectExpr(
+                "CAST(conv(substr(md5("
+                + spark_keys[table]
+                + "), 1, 15), 16, 10) AS BIGINT) AS h"
+            )
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.expr("bit_xor(h)").cast("bigint").alias("checksum"),
+            )
+            .select(F.lit(table).alias("table_name"), "*")
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("table_name")
