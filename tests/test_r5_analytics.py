@@ -508,3 +508,35 @@ def test_table_checksum_detects_any_row_change(spark, sf_dir):
     assert mutated["orders"]["checksum"] != rows["orders"]["checksum"]
     for t in ("region", "nation", "customer"):
         assert mutated[t]["checksum"] == rows[t]["checksum"]
+
+
+def test_skew_kurtosis_match_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = registry()["skew_kurtosis_per_type"].fn(spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where("value IS NOT NULL")
+        .select("event_type", "value")
+        .collect()
+    )
+    vals: dict[str, list] = {}
+    for e in ev:
+        vals.setdefault(e["event_type"], []).append(e["value"])
+    for r in rows:
+        x = np.array(vals[r["event_type"]])
+        m2 = ((x - x.mean()) ** 2).mean()
+        g1 = ((x - x.mean()) ** 3).mean() / m2**1.5
+        g2 = ((x - x.mean()) ** 4).mean() / m2**2 - 3.0
+        assert abs(r["skewness"] - g1) < 1e-4
+        assert abs(r["excess_kurtosis"] - g2) < 1e-4
+
+
+def test_cardinality_estimate_exact_for_fk_joins(spark, sf_dir):
+    rows = registry()["join_cardinality_estimate"].fn(spark, sf_dir).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["actual_rows"] > 0
+        # FK->PK containment joins: the Selinger estimate is exact up to
+        # integer-floor rounding of n_left * n_right / max(ndv)
+        assert 0.99 <= r["est_over_actual"] <= 1.01

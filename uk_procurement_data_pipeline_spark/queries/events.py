@@ -3097,3 +3097,98 @@ def dow_anova_eta2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    name="skew_kurtosis_per_type",
+    survey="A7 F28",
+    doc="Exact skewness and excess kurtosis of value per event type "
+    "from raw power sums (the shape diagnostics beside mean/stddev "
+    "in any profiling pass): sums of v, v^2, v^3, v^4 as exact "
+    "decimals (scale-8 terms; output scales sized per the exact.py "
+    "scale-budget rule - v^4 sums round at scale 0), central "
+    "moments via the standard raw-to-central identities in ONE "
+    "fixed-order double expression each, g1 = m3/m2^1.5, g2 = "
+    "m4/m2^2 - 3. One partial+final hash aggregate; no second "
+    "pass, no window.",
+    oracle="""
+        WITH m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(ROUND(SUM(CAST(value AS DECIMAL(38,8))), 4)
+                      AS DOUBLE) AS s1,
+                 CAST(ROUND(SUM(CAST(value * value AS DECIMAL(38,8))), 2)
+                      AS DOUBLE) AS s2,
+                 CAST(ROUND(SUM(CAST(value * value * value
+                                     AS DECIMAL(38,8))), 1)
+                      AS DOUBLE) AS s3,
+                 CAST(ROUND(SUM(CAST(value * value * value * value
+                                     AS DECIMAL(38,8))), 0)
+                      AS DOUBLE) AS s4
+          FROM events WHERE value IS NOT NULL
+          GROUP BY event_type)
+        SELECT event_type, n,
+               s1 / CAST(n AS DOUBLE) AS mean,
+               (s2 / CAST(n AS DOUBLE)
+                - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                   AS m2,
+               (s3 / CAST(n AS DOUBLE)
+                - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s2 / CAST(n AS DOUBLE))
+                + 2.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                      * (s1 / CAST(n AS DOUBLE)))
+               / ((s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                  * sqrt(s2 / CAST(n AS DOUBLE)
+                         - (s1 / CAST(n AS DOUBLE))
+                           * (s1 / CAST(n AS DOUBLE)))) AS skewness,
+               (s4 / CAST(n AS DOUBLE)
+                - 4.0 * (s1 / CAST(n AS DOUBLE)) * (s3 / CAST(n AS DOUBLE))
+                + 6.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                      * (s2 / CAST(n AS DOUBLE))
+                - 3.0 * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))
+                      * (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+               / ((s2 / CAST(n AS DOUBLE)
+                   - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE)))
+                  * (s2 / CAST(n AS DOUBLE)
+                     - (s1 / CAST(n AS DOUBLE)) * (s1 / CAST(n AS DOUBLE))))
+               - 3.0 AS excess_kurtosis
+        FROM m
+        ORDER BY event_type
+    """,
+)
+def skew_kurtosis_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    v = F.col("value")
+    m = (
+        load(spark, sf_dir, "events")
+        .where(v.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.sum(dec(v)), 4).cast("double").alias("s1"),
+            F.round(F.sum(dec(v * v)), 2).cast("double").alias("s2"),
+            F.round(F.sum(dec(v * v * v)), 1).cast("double").alias("s3"),
+            F.round(F.sum(dec(v * v * v * v)), 0).cast("double").alias("s4"),
+        )
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3.0 * mu * (F.col("s2") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4.0 * mu * (F.col("s3") / n)
+        + 6.0 * mu * mu * (F.col("s2") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    return m.select(
+        "event_type",
+        "n",
+        mu.alias("mean"),
+        m2.alias("m2"),
+        # m2 * sqrt(m2), not pow(m2, 1.5): sqrt is IEEE-correctly-rounded
+        # in both engines, pow is a libm hazard (the ln() contract).
+        (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
+    ).orderBy("event_type")

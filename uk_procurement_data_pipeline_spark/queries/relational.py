@@ -1911,3 +1911,86 @@ def order_total_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_orders"))
         .orderBy("band")
     )
+
+
+_CARD_JOINS = (
+    ("orders x customer on custkey", "orders", "o_custkey", "customer",
+     "c_custkey"),
+    ("lineitem x orders on orderkey", "lineitem", "l_orderkey", "orders",
+     "o_orderkey"),
+    ("lineitem x part on partkey", "lineitem", "l_partkey", "part",
+     "p_partkey"),
+)
+
+
+def _card_duck(label, ta, ka, tb, kb) -> str:
+    return f"""
+        SELECT '{label}' AS join_label,
+               a.n AS n_left, b.n AS n_right,
+               a.d AS ndv_left, b.d AS ndv_right,
+               CAST((a.n * b.n) // GREATEST(a.d, b.d) AS BIGINT)
+                   AS est_rows,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM {ta} x JOIN {tb} y ON x.{ka} = y.{kb}) AS actual_rows,
+               CAST((a.n * b.n) // GREATEST(a.d, b.d) AS DOUBLE)
+               / CAST((SELECT count(*) FROM {ta} x JOIN {tb} y
+                       ON x.{ka} = y.{kb}) AS DOUBLE) AS est_over_actual
+        FROM (SELECT CAST(count({ka}) AS BIGINT) AS n,
+                     CAST(count(DISTINCT {ka}) AS BIGINT) AS d
+              FROM {ta}) a,
+             (SELECT CAST(count({kb}) AS BIGINT) AS n,
+                     CAST(count(DISTINCT {kb}) AS BIGINT) AS d
+              FROM {tb}) b"""
+
+
+@register(
+    name="join_cardinality_estimate",
+    survey="A7 A8 J6 U1",
+    doc="Optimizer-style join cardinality estimation audited against "
+    "truth: for three star-schema joins, the textbook containment "
+    "estimate |A|*|B| / max(ndv_A, ndv_B) (System-R / Selinger) "
+    "computed from exact side statistics, the ACTUAL join count, "
+    "and their ratio - the misestimation report that tells you "
+    "where a cost-based planner would pick a wrong strategy. "
+    "Statistics are one aggregate per side; each truth join is the "
+    "real equi-join counted (broadcast-able dims); integer floor "
+    "division keeps the estimate engine-identical.",
+    oracle=" UNION ALL ".join(_card_duck(*j) for j in _CARD_JOINS)
+    + " ORDER BY join_label",
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for label, ta, ka, tb, kb in _CARD_JOINS:
+        da = load(spark, sf_dir, ta)
+        db = load(spark, sf_dir, tb)
+        a = da.agg(
+            F.count(ka).cast("bigint").alias("n_left"),
+            F.countDistinct(ka).cast("bigint").alias("ndv_left"),
+        )
+        b = db.agg(
+            F.count(kb).cast("bigint").alias("n_right"),
+            F.countDistinct(kb).cast("bigint").alias("ndv_right"),
+        )
+        actual = (
+            da.join(db, da[ka] == db[kb])
+            .agg(F.count(F.lit(1)).cast("bigint").alias("actual_rows"))
+        )
+        est = F.expr("(n_left * n_right) div GREATEST(ndv_left, ndv_right)")
+        branch = (
+            a.join(F.broadcast(b))
+            .join(F.broadcast(actual))
+            .select(
+                F.lit(label).alias("join_label"),
+                "n_left",
+                "n_right",
+                "ndv_left",
+                "ndv_right",
+                est.cast("bigint").alias("est_rows"),
+                "actual_rows",
+                (est.cast("double") / F.col("actual_rows").cast("double")).alias(
+                    "est_over_actual"
+                ),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("join_label")
