@@ -540,3 +540,14 @@ def test_cardinality_estimate_exact_for_fk_joins(spark, sf_dir):
         # FK->PK containment joins: the Selinger estimate is exact up to
         # integer-floor rounding of n_left * n_right / max(ndv)
         assert 0.99 <= r["est_over_actual"] <= 1.01
+
+
+def test_markov_removal_effects_are_probability_drops(spark, sf_dir):
+    rows = registry()["markov_removal_attribution"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    for r in rows:
+        assert 0 < r["base_conv_micro"] <= 1_000_000
+        assert 0 <= r["removed_conv_micro"] <= r["base_conv_micro"]
+        assert 0.0 <= r["removal_effect"] <= 1.0
+    shares = sum(r["credit_share"] for r in rows)
+    assert abs(shares - 1.0) < 1e-9

@@ -35,6 +35,10 @@ from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
 
 # name -> {flag: reason}. A whitelisted flag still prints, marked OK'd.
 WHITELIST: dict[str, dict[str, str]] = {
+    "markov_removal_attribution": {
+        "GLOBALWIN": "credit normalization over ONE ROW PER CHANNEL "
+        "(4 rows, bounded domain) — input is already aggregate-sized",
+    },
     "daily_gap_interpolation": {
         "GLOBALWIN": "neighbor-lookup frames over ONE ROW PER CALENDAR DAY "
         "(bounded domain) — input is already aggregate-sized",

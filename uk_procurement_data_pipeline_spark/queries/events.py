@@ -3192,3 +3192,261 @@ def skew_kurtosis_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         (m3 / (m2 * F.sqrt(m2))).alias("skewness"),
         (m4 / (m2 * m2) - F.lit(3.0)).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+_MRE_STEPS = 12
+_MRE_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _mre_transitions_sql() -> str:
+    """Shared transition-extraction CTEs (journeys absorb at purchase)."""
+    return """
+        seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) = 1
+                     AS is_last
+          FROM events),
+        raw_t AS (
+          SELECT prev, event_type AS next FROM seq
+          WHERE prev IS NOT NULL AND prev <> 'purchase'
+          UNION ALL
+          SELECT event_type AS prev, 'END' AS next FROM seq
+          WHERE is_last AND event_type <> 'purchase'),
+        starts AS (
+          SELECT event_type AS s, CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE prev IS NULL GROUP BY event_type),
+        nstart AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM starts)"""
+
+
+def _mre_scenario_sql(tag: str, removed: str | None) -> str:
+    """One scenario: redirect transitions into `removed` to END, build
+    micro-probabilities, unroll absorption steps. v holds only transient
+    states; purchase contributes p(s->purchase)*1e6 each step."""
+    redirect = (
+        f"CASE WHEN next = '{removed}' THEN 'END' ELSE next END"
+        if removed
+        else "next"
+    )
+    sql = f"""
+        t_{tag} AS (
+          SELECT prev, {redirect} AS next, CAST(count(*) AS BIGINT) AS n
+          FROM raw_t GROUP BY prev, {redirect}),
+        p_{tag} AS (
+          SELECT prev, next,
+                 (n * 1000000) // SUM(n) OVER (PARTITION BY prev)
+                     AS p_micro
+          FROM t_{tag}),
+        v_{tag}_0 AS (
+          SELECT prev AS s, CAST(0 AS BIGINT) AS v
+          FROM p_{tag} GROUP BY prev)"""
+    for k in range(1, _MRE_STEPS + 1):
+        sql += f""",
+        v_{tag}_{k} AS (
+          SELECT p.prev AS s,
+                 CAST(SUM(p.p_micro
+                          * (CASE WHEN p.next = 'purchase' THEN 1000000
+                                  WHEN p.next = 'END' THEN 0
+                                  ELSE COALESCE(v.v, 0) END)) // 1000000
+                      AS BIGINT) AS v
+          FROM p_{tag} p LEFT JOIN v_{tag}_{k - 1} v ON p.next = v.s
+          GROUP BY p.prev)"""
+    sql += f""",
+        conv_{tag} AS (
+          SELECT CAST(SUM(st.n * COALESCE(v.v,
+                      CASE WHEN st.s = 'purchase' THEN 1000000 END))
+                      // (SELECT tot FROM nstart) AS BIGINT) AS conv_micro
+          FROM starts st LEFT JOIN v_{tag}_{_MRE_STEPS} v ON st.s = v.s)"""
+    return sql
+
+
+def _mre_oracle() -> str:
+    parts = ["WITH" + _mre_transitions_sql()]
+    parts.append(_mre_scenario_sql("base", None))
+    for c in _MRE_CHANNELS:
+        parts.append(_mre_scenario_sql(c, c))
+    effects = " UNION ALL ".join(
+        f"""SELECT '{c}' AS channel,
+               (SELECT conv_micro FROM conv_base) AS base_conv_micro,
+               (SELECT conv_micro FROM conv_{c}) AS removed_conv_micro,
+               CAST((SELECT conv_micro FROM conv_base)
+                    - (SELECT conv_micro FROM conv_{c}) AS DOUBLE)
+               / CAST((SELECT conv_micro FROM conv_base) AS DOUBLE)
+                   AS removal_effect"""
+        for c in _MRE_CHANNELS
+    )
+    return (
+        ",".join(parts)
+        + f""",
+        eff AS ({effects})
+        SELECT channel, base_conv_micro, removed_conv_micro, removal_effect,
+               removal_effect / SUM(removal_effect) OVER () AS credit_share
+        FROM eff
+        ORDER BY channel"""
+    )
+
+
+@register(
+    name="markov_removal_attribution",
+    survey="W2 J6 A7 F28 J5",
+    doc="Markov removal-effect attribution (the data-driven multi-touch "
+    "model of Anderl et al.: a channel's credit is how much the "
+    "journey-level conversion probability DROPS when that channel is "
+    "deleted from the transition graph and its traffic falls to the "
+    "null absorber): per-user journeys absorb at purchase, "
+    "transition probabilities are integer micro units (floor "
+    "(n*1e6)/row-total), absorption probabilities come from 12 "
+    "unrolled value-iteration steps in PURE integer arithmetic "
+    "(products div 1e6 - engine-identical, geometrically converged "
+    "at the bounded state domain), and each of the five scenarios "
+    "(base + 4 removals) re-runs the same bounded-matrix iteration. "
+    "The only row-sized work is the one lag() pass; everything "
+    "after lives on a <=6x6 transition table. Output: per channel "
+    "the removal effect and its normalized credit share.",
+    oracle=_mre_oracle(),
+    eager=True,  # fn materializes the bounded transition table once
+)
+def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev"),
+        (
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            )
+            == 1
+        ).alias("is_last"),
+    )
+    raw_t = (
+        seq.where(F.col("prev").isNotNull() & (F.col("prev") != "purchase"))
+        .select("prev", F.col("event_type").alias("next"))
+        .unionByName(
+            seq.where(F.col("is_last") & (F.col("event_type") != "purchase")).select(
+                F.col("event_type").alias("prev"), F.lit("END").alias("next")
+            )
+        )
+    )
+    starts = (
+        seq.where(F.col("prev").isNull())
+        .groupBy(F.col("event_type").alias("s"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    nstart = starts.agg(F.sum("n").cast("bigint").alias("tot"))
+
+    # ALL scenarios ride one DataFrame via a scenario column, so the
+    # 12-step value iteration runs ONCE over a (scenario x prev x next)
+    # bounded table instead of once per scenario (5x fewer tiny jobs).
+    scen = spark.createDataFrame(
+        [("base", None)] + [(c, c) for c in _MRE_CHANNELS],
+        "scenario string, removed string",
+    )
+    redirected = raw_t.join(F.broadcast(scen)).select(
+        "scenario",
+        "prev",
+        F.when(F.col("next") == F.col("removed"), F.lit("END"))
+        .otherwise(F.col("next"))
+        .alias("next"),
+    )
+    t = redirected.groupBy("scenario", "prev", "next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    # bounded (<=5 x 6 x 6) domain: the per-(scenario, prev) window is
+    # aggregate-sized
+    p = t.select(
+        "scenario",
+        "prev",
+        "next",
+        F.expr(
+            "(n * 1000000) div SUM(n) OVER (PARTITION BY scenario, prev)"
+        ).alias("p_micro"),
+    ).localCheckpoint(eager=True)
+    v = (
+        p.select("scenario", F.col("prev").alias("s"))
+        .distinct()
+        .select("scenario", "s", F.lit(0).cast("bigint").alias("v"))
+    )
+    for _ in range(_MRE_STEPS):
+        v = (
+            p.join(
+                F.broadcast(
+                    v.select(
+                        F.col("scenario").alias("vscen"), F.col("s").alias("vs"), "v"
+                    )
+                ),
+                (F.col("scenario") == F.col("vscen"))
+                & (F.col("next") == F.col("vs")),
+                "left",
+            )
+            .groupBy("scenario", "prev")
+            .agg(
+                F.expr(
+                    "CAST(SUM(p_micro * (CASE WHEN next = 'purchase'"
+                    " THEN 1000000 WHEN next = 'END' THEN 0"
+                    " ELSE COALESCE(v, 0) END)) div 1000000 AS BIGINT)"
+                ).alias("v")
+            )
+            .select("scenario", F.col("prev").alias("s"), "v")
+        )
+    conv = (
+        scen.select("scenario")
+        .join(starts)
+        .join(
+            F.broadcast(
+                v.select(F.col("scenario").alias("vscen"), F.col("s").alias("vs"), "v")
+            ),
+            (F.col("scenario") == F.col("vscen")) & (F.col("s") == F.col("vs")),
+            "left",
+        )
+        .join(F.broadcast(nstart))
+        .groupBy("scenario")
+        .agg(
+            F.expr(
+                "CAST(SUM(n * COALESCE(v, CASE WHEN s = 'purchase'"
+                " THEN 1000000 END)) div MAX(tot) AS BIGINT)"
+            ).alias("conv_micro")
+        )
+        .localCheckpoint(eager=True)
+    )
+    base = conv.where(F.col("scenario") == "base").select(
+        F.col("conv_micro").alias("base_conv_micro")
+    )
+    out = (
+        conv.where(F.col("scenario") != "base")
+        .select(
+            F.col("scenario").alias("channel"),
+            F.col("conv_micro").alias("removed_conv_micro"),
+        )
+        .join(F.broadcast(base))
+        .select(
+            "channel",
+            "base_conv_micro",
+            "removed_conv_micro",
+            (
+                (F.col("base_conv_micro") - F.col("removed_conv_micro")).cast(
+                    "double"
+                )
+                / F.col("base_conv_micro").cast("double")
+            ).alias("removal_effect"),
+        )
+    )
+    wall = Window.partitionBy()
+    return out.select(
+        "channel",
+        "base_conv_micro",
+        "removed_conv_micro",
+        "removal_effect",
+        (F.col("removal_effect") / F.sum("removal_effect").over(wall)).alias(
+            "credit_share"
+        ),
+    ).orderBy("channel")
