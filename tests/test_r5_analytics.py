@@ -551,3 +551,35 @@ def test_markov_removal_effects_are_probability_drops(spark, sf_dir):
         assert 0.0 <= r["removal_effect"] <= 1.0
     shares = sum(r["credit_share"] for r in rows)
     assert abs(shares - 1.0) < 1e-9
+
+
+def test_char_entropy_bounds(spark, sf_dir):
+    import math
+
+    rows = registry()["char_entropy_quality"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["n_distinct_chars"] <= r["n_chars"]
+        # entropy bounded by ln(alphabet size); micro-rounding slack
+        assert -1e-6 <= r["char_entropy_nats"] <= math.log(r["n_distinct_chars"]) + 1e-4
+
+
+def test_shipping_percentiles_ordered(spark, sf_dir):
+    rows = registry()["shipping_delay_percentiles"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["p50_days"] <= r["p90_days"] <= r["p99_days"]
+
+
+def test_mmd_matches_numpy_mean_distance(spark, sf_dir):
+    import numpy as np
+
+    rows = registry()["embedding_mmd_linear"].fn(spark, sf_dir).collect()
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    by_label: dict[int, list] = {}
+    for e in embs:
+        by_label.setdefault(e["label"], []).append(e["embedding"])
+    for r in rows[:10]:
+        mu_a = np.array(by_label[r["label_a"]], dtype=np.float64).mean(axis=0)
+        mu_b = np.array(by_label[r["label_b"]], dtype=np.float64).mean(axis=0)
+        want = float(((mu_a - mu_b) ** 2).sum())
+        assert abs(r["mmd2_linear"] - want) < 1e-5
+        assert r["n_a"] == len(by_label[r["label_a"]])

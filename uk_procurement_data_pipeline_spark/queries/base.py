@@ -63,6 +63,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "char_entropy_quality",
+    "shipping_delay_percentiles",
+    "embedding_mmd_linear",
     "markov_removal_attribution",
     "skew_kurtosis_per_type",
     "join_cardinality_estimate",
@@ -110,13 +113,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "kmv_union_jaccard",
     "psi_value_drift",
     "profile_orders_columns",
-    "hourly_baseline_outliers",
-    "pmi_collocations",
-    "neyman_stratified_sample",
 )
 
 # r06 window candidates, in priority order (README rotation policy):
 # 1. never-driver-checked r04 additions deferred from this window:
+#    hourly_baseline_outliers, pmi_collocations, neyman_stratified_sample,
 #    gopher_quality_rules, bpe_pair_counts, temperature_mixture_weights,
 #    semdedup_prune, allpairs_prefix_jaccard, markov_transition_matrix, cusum_changepoint,
 #    kcore_peel_unrolled, constraint_check_orders, embedding_covariance,

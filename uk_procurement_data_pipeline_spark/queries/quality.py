@@ -331,3 +331,71 @@ ORACLE_SCORE_SQL = f"""
       FROM {{src}}
     )
 """
+
+
+@register(
+    name="char_entropy_quality",
+    survey="A7 F17 F28 UD4",
+    doc="Character-level Shannon entropy per document (the "
+    "compressibility proxy that catches mojibake, binary spill and "
+    "key-mash spam that token-level filters miss): explode each "
+    "text to single characters, per-(doc, char) counts, entropy "
+    "-sum(p ln p) as an exact BIGINT sum of micro-quantized "
+    "char terms (the ln() contract - each term floor((c*1e6*ln(c/n))"
+    ") computed on identical integer operands) divided once by the "
+    "doc length. Flags the lowest-entropy tail (bottom decile "
+    "threshold computed from the bounded entropy-value domain is "
+    "left to the consumer; the score itself is the operator). One "
+    "explode plus (doc, char)-keyed aggregates - linear.",
+    oracle="""
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+          FROM documents),
+        cc AS (
+          SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c
+          FROM chars WHERE ch <> '' GROUP BY doc_id, ch),
+        n AS (
+          SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n
+          FROM cc GROUP BY doc_id)
+        SELECT cc.doc_id,
+               CAST(max(n.n) AS BIGINT) AS n_chars,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               CAST(SUM(CAST(floor(-ln(CAST(cc.c AS DOUBLE)
+                                       / CAST(n.n AS DOUBLE))
+                                   * CAST(cc.c AS DOUBLE)
+                                   * 1000000 + 0.5) AS BIGINT))
+                    AS DOUBLE)
+               / CAST(max(n.n) AS DOUBLE) / 1000000.0
+                   AS char_entropy_nats
+        FROM cc JOIN n USING (doc_id)
+        GROUP BY cc.doc_id
+        ORDER BY cc.doc_id
+    """,
+)
+def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cc = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", "explode(split(text, '')) AS ch")
+        .where(F.col("ch") != "")
+        .groupBy("doc_id", "ch")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    n = cc.groupBy("doc_id").agg(F.sum("c").cast("bigint").alias("n"))
+    term = F.expr(
+        "CAST(floor(-ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+        " * CAST(c AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"
+    )
+    return (
+        cc.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").cast("bigint").alias("n_chars"),
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct_chars"),
+            (
+                F.sum(term).cast("double")
+                / F.max("n").cast("double")
+                / F.lit(1000000.0)
+            ).alias("char_entropy_nats"),
+        )
+        .orderBy("doc_id")
+    )

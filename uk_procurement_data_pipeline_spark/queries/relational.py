@@ -1994,3 +1994,100 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("join_label")
+
+
+@register(
+    name="shipping_delay_percentiles",
+    survey="W1 A7 J6 F15",
+    doc="Order-to-ship SLA distribution per order priority: exact "
+    "p50/p90/p99 of the lineitem ship delay (l_shipdate minus "
+    "o_orderdate, integer days) through the banded global-rank "
+    "construction - rank within (priority, delay-day band) plus "
+    "broadcast lower-band offsets, so no priority ever sorts its "
+    "full partition in one task (the percentiles_per_type_banded "
+    "rewrite applied to a join result). The only row-sized work is "
+    "the orders join (orderkey-keyed) and the band rollup.",
+    oracle="""
+        WITH d AS (
+          SELECT o.o_orderpriority AS priority,
+                 CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) AS BIGINT)
+                     AS delay,
+                 l.l_orderkey * 10 + l.l_linenumber AS uid
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), n AS (
+          SELECT priority, CAST(count(*) AS BIGINT) AS n
+          FROM d GROUP BY priority
+        ), ranked AS (
+          SELECT priority, delay,
+                 ROW_NUMBER() OVER (PARTITION BY priority
+                                    ORDER BY delay, uid) AS rn
+          FROM d)
+        SELECT n.priority, n.n,
+               MAX(CASE WHEN rn = (n + 1) // 2 THEN delay END) AS p50_days,
+               MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN delay END)
+                   AS p90_days,
+               MAX(CASE WHEN rn = (99 * n + 99) // 100 THEN delay END)
+                   AS p99_days
+        FROM ranked JOIN n USING (priority)
+        GROUP BY n.priority, n.n
+        ORDER BY n.priority
+    """,
+)
+def shipping_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_orderdate")
+    d = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
+        .cast("bigint")
+        .alias("delay"),
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
+    )
+    # 64-day-wide bands: the fixture's delay domain spans ~4900 distinct
+    # days, and per-DAY bands made the lower-band offsets self-join
+    # quadratic in the band count (measured 10.5s at sf0.1; 64-day bands
+    # cut it to ~80 bands while each in-band sort stays tiny).
+    banded = d.withColumn("band", F.expr("delay div 64"))
+    in_band = F.row_number().over(
+        Window.partitionBy("priority", "band").orderBy("delay", "uid")
+    )
+    sizes = banded.groupBy("priority", "band").agg(F.count(F.lit(1)).alias("bn"))
+    lo = sizes.select(
+        F.col("priority").alias("lp"), F.col("band").alias("lband"),
+        F.col("bn").alias("ln"),
+    )
+    offsets = (
+        sizes.join(
+            F.broadcast(lo),
+            (F.col("lp") == F.col("priority")) & (F.col("lband") < F.col("band")),
+            "left",
+        )
+        .groupBy("priority", "band")
+        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
+    )
+    n = banded.groupBy("priority").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ranked = (
+        banded.withColumn("rk", in_band)
+        .join(F.broadcast(offsets), ["priority", "band"])
+        .join(F.broadcast(n), "priority")
+        .withColumn("rn", F.col("off") + F.col("rk"))
+    )
+    return (
+        ranked.groupBy("priority", "n")
+        .agg(
+            F.max(
+                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay"))
+            ).alias("p50_days"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("delay"))
+            ).alias("p90_days"),
+            F.max(
+                F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("delay"))
+            ).alias("p99_days"),
+        )
+        .select("priority", "n", "p50_days", "p90_days", "p99_days")
+        .orderBy("priority")
+    )

@@ -1543,3 +1543,96 @@ def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "part_a", "part_b")
         .limit(20)
     )
+
+
+@register(
+    name="embedding_mmd_linear",
+    survey="A7 UD4 F17 J6",
+    doc="Linear-kernel Maximum Mean Discrepancy between embedding "
+    "label groups (the two-sample distribution-shift test in "
+    "representation space: MMD^2 = ||mu_a - mu_b||^2 for the linear "
+    "kernel - zero iff the group means coincide): per-(label, dim) "
+    "micro-quantized integer sums give exact group means, and "
+    "MMD^2 folds per label pair as one sum of squared per-dim "
+    "differences, floor-quantized before the final bounded-domain "
+    "aggregation. All pairs of the (small) label domain are "
+    "reported; shuffles are linear in corpus size (one cell "
+    "aggregation), then everything lives on labels x dims rows.",
+    oracle="""
+        WITH cells AS (
+            SELECT label, f.i AS dim, CAST(embedding[f.i] AS DOUBLE) AS x
+            FROM embeddings,
+                 LATERAL (SELECT unnest(range(1, len(embedding) + 1))
+                          AS i) f),
+        mu AS (
+            SELECT label, dim,
+                   CAST(SUM(CAST(floor(x * 100000000) AS BIGINT))
+                        AS DOUBLE) / 100000000
+                   / CAST(count(*) AS DOUBLE) AS m
+            FROM cells GROUP BY label, dim),
+        sizes AS (
+            SELECT label, CAST(count(DISTINCT dim) AS BIGINT) AS d,
+                   (SELECT CAST(count(*) AS BIGINT) FROM embeddings e
+                    WHERE e.label = mu.label) AS n
+            FROM mu GROUP BY label)
+        SELECT a.label AS label_a, b.label AS label_b,
+               sa.n AS n_a, sb.n AS n_b,
+               CAST(SUM(CAST(floor((a.m - b.m) * (a.m - b.m) * 1000000000000)
+                             AS BIGINT)) AS DOUBLE) / 1000000000000
+                   AS mmd2_linear
+        FROM mu a
+        JOIN mu b ON a.dim = b.dim AND a.label < b.label
+        JOIN sizes sa ON sa.label = a.label
+        JOIN sizes sb ON sb.label = b.label
+        GROUP BY a.label, b.label, sa.n, sb.n
+        ORDER BY a.label, b.label
+    """,
+)
+def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "embeddings")
+        .selectExpr(
+            "label",
+            "posexplode(transform(embedding, x -> CAST(x AS DOUBLE)))"
+            " AS (i0, x)",
+        )
+        .selectExpr("label", "CAST(i0 + 1 AS INT) AS dim", "x")
+    )
+    mu = cells.groupBy("label", "dim").agg(
+        (
+            F.sum(F.floor(F.col("x") * F.lit(1e8)).cast("bigint")).cast("double")
+            / F.lit(1e8)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    sizes = (
+        load(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    a = mu.selectExpr("label AS label_a", "dim", "m AS ma")
+    b = mu.selectExpr("label AS label_b", "dim AS dim_b", "m AS mb")
+    sa = sizes.selectExpr("label AS label_a", "n AS n_a")
+    sb = sizes.selectExpr("label AS label_b", "n AS n_b")
+    term = F.floor(
+        (F.col("ma") - F.col("mb")) * (F.col("ma") - F.col("mb"))
+        * F.lit(1000000000000.0)
+    ).cast("bigint")
+    return (
+        a.join(
+            b,
+            (F.col("dim") == F.col("dim_b"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .drop("dim_b")
+        .join(F.broadcast(sa), "label_a")
+        .join(F.broadcast(sb), "label_b")
+        .groupBy("label_a", "label_b", "n_a", "n_b")
+        .agg(
+            (F.sum(term).cast("double") / F.lit(1000000000000.0)).alias(
+                "mmd2_linear"
+            )
+        )
+        .select("label_a", "label_b", "n_a", "n_b", "mmd2_linear")
+        .orderBy("label_a", "label_b")
+    )
