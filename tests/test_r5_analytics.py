@@ -583,3 +583,9 @@ def test_mmd_matches_numpy_mean_distance(spark, sf_dir):
         want = float(((mu_a - mu_b) ** 2).sum())
         assert abs(r["mmd2_linear"] - want) < 1e-5
         assert r["n_a"] == len(by_label[r["label_a"]])
+
+
+def test_assortativity_in_valid_range(spark, sf_dir):
+    (r,) = registry()["degree_assortativity"].fn(spark, sf_dir).collect()
+    assert r["n_edge_ends"] > 0 and r["n_edge_ends"] % 2 == 0
+    assert -1.0 - 1e-9 <= r["assortativity"] <= 1.0 + 1e-9

@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "degree_assortativity",
     "char_entropy_quality",
     "shipping_delay_percentiles",
     "embedding_mmd_linear",
@@ -112,11 +113,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pointintime_customer_orders",
     "kmv_union_jaccard",
     "psi_value_drift",
-    "profile_orders_columns",
 )
 
 # r06 window candidates, in priority order (README rotation policy):
 # 1. never-driver-checked r04 additions deferred from this window:
+#    profile_orders_columns,
 #    hourly_baseline_outliers, pmi_collocations, neyman_stratified_sample,
 #    gopher_quality_rules, bpe_pair_counts, temperature_mixture_weights,
 #    semdedup_prune, allpairs_prefix_jaccard, markov_transition_matrix, cusum_changepoint,

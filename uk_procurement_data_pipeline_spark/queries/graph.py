@@ -531,3 +531,96 @@ def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    name="degree_assortativity",
+    survey="J6 A7 F28",
+    doc="Degree assortativity of the part co-purchase graph (Newman's "
+    "r: the Pearson correlation of endpoint degrees over edges - "
+    "positive when hubs buy with hubs, the one-number summary of "
+    "hub mixing that decides whether degree-based partitioning will "
+    "skew): distinct within-order part pairs as edges, distinct-"
+    "neighbor degrees, both edge directions included (the standard "
+    "symmetrization), and the correlation from EXACT integer "
+    "moments in one fixed-order double expression. Edge building is "
+    "the basket pair explosion (bounded by order size); everything "
+    "after is degree-keyed equi-joins.",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.p AS pa, b.p AS pb
+            FROM op a JOIN op b ON a.o = b.o AND a.p < b.p),
+        deg AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS d
+            FROM (SELECT pa AS p FROM e UNION ALL SELECT pb AS p FROM e)
+            GROUP BY p),
+        both_dirs AS (
+            SELECT da.d AS dx, db.d AS dy
+            FROM e JOIN deg da ON e.pa = da.p JOIN deg db ON e.pb = db.p
+            UNION ALL
+            SELECT db.d AS dx, da.d AS dy
+            FROM e JOIN deg da ON e.pa = da.p JOIN deg db ON e.pb = db.p),
+        m AS (
+            SELECT CAST(count(*) AS BIGINT) AS k,
+                   CAST(SUM(dx) AS BIGINT) AS sx,
+                   CAST(SUM(dy) AS BIGINT) AS sy,
+                   CAST(SUM(dx * dy) AS BIGINT) AS sxy,
+                   CAST(SUM(dx * dx) AS BIGINT) AS sxx,
+                   CAST(SUM(dy * dy) AS BIGINT) AS syy
+            FROM both_dirs)
+        SELECT k AS n_edge_ends,
+               (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / sqrt((CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                   AS assortativity
+        FROM m
+    """,
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("pa").alias("p"))
+        .unionAll(e.select(F.col("pb").alias("p")))
+        .groupBy("p")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    da = deg.selectExpr("p AS pa", "d AS dxa")
+    db = deg.selectExpr("p AS pb", "d AS dyb")
+    joined = e.join(da, "pa").join(db, "pb")
+    both = joined.selectExpr("dxa AS dx", "dyb AS dy").unionAll(
+        joined.selectExpr("dyb AS dx", "dxa AS dy")
+    )
+    m = both.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("dx").cast("bigint").alias("sx"),
+        F.sum("dy").cast("bigint").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("syy"),
+    )
+    k = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    return m.select(
+        F.col("k").alias("n_edge_ends"),
+        (
+            (k * sxy - sx * sy)
+            / F.sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
+        ).alias("assortativity"),
+    )
