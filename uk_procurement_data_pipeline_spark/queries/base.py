@@ -115,33 +115,52 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "psi_value_drift",
 )
 
-# r06 window candidates, in priority order (README rotation policy):
-# 1. never-driver-checked r04 additions deferred from this window:
-#    profile_orders_columns,
-#    hourly_baseline_outliers, pmi_collocations, neyman_stratified_sample,
+# r06 window candidates (generated this round from the actual
+# CORRECTNESS_r01..r03 coverage; 98 registered queries have never
+# had a driver row and did not fit the 50-slot r05 window — all are
+# green in this round's local 3-SF oracle sweeps; rotate them in
+# 50-per-round, newest-first, until exhausted, then back-rotate
+# longest-out-first):
+#    triangle_count_doulion, kcore_peel_unrolled,
+#    adamic_adar_link_prediction, clustering_coefficient_local,
+#    spearman_price_acctbal, lorenz_gini_binned, rfm_customer_segments,
+#    kaplan_meier_customer_lifetime, window_funnel_timeout,
+#    conversion_lag_stats, winnowing_fingerprints,
+#    golden_record_survivorship, dedup_methods_report, vocab_encode_docs,
+#    pack_chunks_into_sequences, cdc_chunk_docs, cdc_chunk_dedup_ratio,
+#    pps_sample_docs, token_budget_selection, training_shuffle_order,
+#    weighted_sample_es, ngram_novelty_rate, embedding_int8_quantize,
+#    contrastive_pairs, hard_negatives_lsh, inverted_index_dot_pairs,
+#    jl_random_projection, rrf_fusion_ann, embedding_covariance,
+#    als_rank1_item_step, media_decode_resize_profile,
+#    events_range_frame_sum, event_type_value_chi2, value_outliers_iqr,
+#    value_trend_per_user, events_interval_join_attribution,
+#    value_outliers_mad, stream_dedup_pairs, hourly_baseline_outliers,
+#    markov_transition_matrix, cusum_changepoint, ks_binned_two_sample,
+#    mutual_information_type_band, stream_stateful_user_totals,
+#    session_path_topk, percentiles_per_type_banded,
+#    abtest_proportions_ztest, lognormal_fit_values,
+#    ols2_regression_per_type, subsample_stability_ci,
+#    decision_stump_value_split, daily_autocorr_lag1,
+#    props_map_key_stats, countmin_word_sketch,
+#    token_length_distribution, q3_shipping_priority, q10_returned_items,
+#    q18_large_volume_orders, snapshot_diff_customers,
+#    revenue_share_within_region, q5_local_supplier_volume,
+#    q6_forecast_revenue, q7_volume_shipping, q8_market_share,
+#    q14_promo_revenue, q19_disjunctive_revenue, zorder_cell_stats,
+#    bloom_semi_join_prefilter, q13_customer_distribution,
+#    q15_top_supplier, q17_small_quantity_revenue,
+#    q22_global_sales_opportunity, orders_open_interval_sweep,
+#    q2_min_cost_supplier, q4_order_priority, q9_product_type_profit,
+#    q11_important_stock, q12_priority_line_classes,
+#    q16_supplier_part_counts, q20_promotion_candidates,
+#    q21_waiting_suppliers, pmi_collocations, entropy_per_source,
+#    bigram_surprisal_quality, zipf_exponent_fit, vocab_coverage_curve,
+#    kl_divergence_sources, naive_bayes_source_classifier,
+#    neyman_stratified_sample, hhi_source_concentration,
+#    profile_orders_columns, constraint_check_orders,
 #    gopher_quality_rules, bpe_pair_counts, temperature_mixture_weights,
-#    semdedup_prune, allpairs_prefix_jaccard, markov_transition_matrix, cusum_changepoint,
-#    kcore_peel_unrolled, constraint_check_orders, embedding_covariance,
-#    ks_binned_two_sample, mutual_information_type_band, lorenz_gini_binned,
-#    entropy_per_source, stream_stateful_user_totals, session_path_topk,
-#    orders_open_interval_sweep, rfm_customer_segments,
-#    weighted_sample_es, bigram_surprisal_quality, percentiles_per_type_banded,
-#    adamic_adar_link_prediction,
-#    ols2_regression_per_type, abtest_proportions_ztest,
-#    lognormal_fit_values, kaplan_meier_customer_lifetime,
-#    als_rank1_item_step, subsample_stability_ci,
-#    zipf_exponent_fit, vocab_coverage_curve, ngram_novelty_rate,
-#    golden_record_survivorship, dedup_methods_report, window_funnel_timeout, hhi_source_concentration,
-#    kl_divergence_sources, token_length_distribution, spearman_price_acctbal,
-#    naive_bayes_source_classifier, decision_stump_value_split,
-#    ann_recall_report, daily_autocorr_lag1, conversion_lag_stats
-# 2. the 50 queries that made up the r04 window (q2..q22 TPC-H analogs,
-#    events_interval_join_attribution, media_decode_resize_profile, the
-#    retrieval/sketch batch): they rotate back in if CORRECTNESS_r04.json
-#    never materialized (it was absent at r05 start) — first-row priority.
-# 3. back-rotation longest-out-first: pricing_summary, revenue_by_region,
-#    top_orders_by_revenue, order_priority_semi, customers_without_orders,
-#    orders_per_customer, ...
+#    semdedup_prune, allpairs_prefix_jaccard, ann_recall_report
 
 
 def registry() -> dict[str, QuerySpec]:
