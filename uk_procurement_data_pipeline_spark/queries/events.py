@@ -3450,3 +3450,186 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "credit_share"
         ),
     ).orderBy("channel")
+
+
+@register(
+    name="session_bounce_dwell",
+    survey="W2 A7 F28 ST2",
+    doc="Per-entry-point session quality: sessionize each user's stream "
+    "with a 30-minute inactivity gap (the window-function twin of "
+    "events_session_window's session_window operator), then roll "
+    "sessions up by the event_type of their FIRST event — n_sessions, "
+    "bounce rate (single-event sessions), and mean dwell time. All "
+    "session stats are exact integer microsecond arithmetic; the only "
+    "doubles are the two final divisions, written identically in both "
+    "engines. Scale shape: one user-keyed window shuffle, a (user, "
+    "session) hash agg that reuses the same key prefix, and a "
+    "bounded-domain final rollup. The first-event pick is a row_number "
+    "with a total (u, event_id) tiebreak, never an engine-specific "
+    "first()/arg_min.",
+    oracle="""
+        WITH ord AS (
+          SELECT user_id, event_id, event_type, epoch_us(ts) AS u,
+                 CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                         > 1800000000
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        ), sess AS (
+          SELECT user_id, event_id, event_type, u,
+                 SUM(new_s) OVER (PARTITION BY user_id
+                                  ORDER BY u, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+          FROM ord
+        ), firsts AS (
+          SELECT user_id, sid, event_type FROM (
+            SELECT user_id, sid, event_type,
+                   row_number() OVER (PARTITION BY user_id, sid
+                                      ORDER BY u, event_id) AS rn
+            FROM sess) t
+          WHERE rn = 1
+        ), stats AS (
+          SELECT user_id, sid, CAST(count(*) AS BIGINT) AS n_events,
+                 MAX(u) - MIN(u) AS dur_us
+          FROM sess GROUP BY 1, 2
+        )
+        SELECT f.event_type AS first_type,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(SUM(CASE WHEN s.n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounce,
+               CAST(SUM(CASE WHEN s.n_events = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE) AS bounce_rate,
+               CAST(SUM(s.dur_us) AS BIGINT) AS total_dwell_us,
+               CAST(SUM(s.dur_us) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 1000000.0 AS avg_dwell_s
+        FROM stats s
+        JOIN firsts f ON s.user_id = f.user_id AND s.sid = f.sid
+        GROUP BY f.event_type
+        ORDER BY first_type
+    """,
+)
+def session_bounce_dwell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", "event_id", "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("u")
+    )
+    w = Window.partitionBy("user_id").orderBy("u", "event_id")
+    ord_ = ev.withColumn(
+        "new_s",
+        F.when(
+            F.lag("u").over(w).isNull()
+            | (F.col("u") - F.lag("u").over(w) > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    sess = ord_.withColumn(
+        "sid",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    ws = Window.partitionBy("user_id", "sid").orderBy("u", "event_id")
+    firsts = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .where(F.col("rn") == 1)
+        .select("user_id", "sid", "event_type")
+    )
+    stats = sess.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("u") - F.min("u")).alias("dur_us"),
+    )
+    n_bounce = F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("bigint")
+    return (
+        stats.join(firsts, ["user_id", "sid"])
+        .groupBy(F.col("event_type").alias("first_type"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+            n_bounce.alias("n_bounce"),
+            (
+                n_bounce.cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("bounce_rate"),
+            F.sum("dur_us").cast("bigint").alias("total_dwell_us"),
+            (
+                F.sum("dur_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1000000.0)
+            ).alias("avg_dwell_s"),
+        )
+        .orderBy("first_type")
+    )
+
+
+@register(
+    name="twap_user_value",
+    survey="W2 A7 F28",
+    doc="Time-weighted average value per user (the TWAP/metering "
+    "semantics: each observation's value holds until the next event, so "
+    "long-lived readings weigh more than bursts — the corrective twin of "
+    "the plain arithmetic mean). Each hold interval is exact bigint "
+    "microseconds from lead(); the value x duration term is a "
+    "decimal(24,8) x decimal(13,0) product in value-microsecond units — "
+    "exact in BOTH engines (precision 38 exactly, hugeint storage in the "
+    "oracle engine, no reduction) because "
+    "values are 2-dp-quantized and intervals are microsecond integers. "
+    "Per-user sums are order-independent decimal adds rounded at scale "
+    "0 (budget: max_value x calendar span ~ 1.5e15 < 2^53 at ANY SF — "
+    "the span is calendar-bounded, so more rows never widen the sum), "
+    "and the TWAP is one IEEE division written identically in both "
+    "engines; the microseconds cancel in the ratio. One user-keyed window "
+    "shuffle + a same-key hash agg; linear at any SF.",
+    oracle="""
+        WITH ord AS (
+          SELECT user_id, value, epoch_us(ts) AS u,
+                 lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                          ORDER BY epoch_us(ts), event_id)
+                     - epoch_us(ts) AS dt_us
+          FROM events
+        ), terms AS (
+          SELECT user_id, dt_us,
+                 CAST(value AS DECIMAL(24,8))
+                   * CAST(dt_us AS DECIMAL(13,0)) AS term
+          FROM ord WHERE dt_us IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_intervals,
+               CAST(SUM(dt_us) AS BIGINT) AS span_us,
+               CAST(ROUND(SUM(term), 0) AS DOUBLE)
+                   / CAST(SUM(dt_us) AS DOUBLE) AS twap_value
+        FROM terms
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+)
+def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("u", "event_id")
+    ord_ = (
+        load(spark, sf_dir, "events")
+        .select("user_id", "event_id", "value", F.unix_micros(F.col("ts").cast("timestamp")).alias("u"))
+        .withColumn("dt_us", F.lead("u").over(w) - F.col("u"))
+        .where(F.col("dt_us").isNotNull())
+    )
+    # decimal(12,8) x decimal(13,6): Spark result precision 12+13+1=26,
+    # DuckDB 12+13=25(+scale) — both under 38, so the product is exact and
+    # the per-user decimal sum is order-independent (functions/exact.py).
+    terms = ord_.select(
+        "user_id",
+        "dt_us",
+        (
+            F.col("value").cast("decimal(24,8)")
+            * F.col("dt_us").cast("decimal(13,0)")
+        ).alias("term"),
+    )
+    return (
+        terms.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dt_us").cast("bigint").alias("span_us"),
+            (
+                F.round(F.sum("term"), 0).cast("double")
+                / F.sum("dt_us").cast("double")
+            ).alias("twap_value"),
+        )
+        .orderBy("user_id")
+    )
