@@ -2091,3 +2091,129 @@ def shipping_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("priority", "n", "p50_days", "p90_days", "p99_days")
         .orderBy("priority")
     )
+
+
+@register(
+    name="feature_gini_ranking",
+    survey="A7 U1 F28 W1",
+    doc="Decision-tree-style split-quality ranking across candidate "
+    "features: unpivot four banded lineitem features (line status, "
+    "quantity decile band, discount 2-point band, ship-month band) "
+    "and score each "
+    "by the Gini impurity of l_returnflag after splitting on it — the "
+    "first step of any distributed tree/feature-selection trainer, and "
+    "the multi-feature generalization of decision_stump_value_split. "
+    "Weighted impurity 1 - (1/N) * sum_b(sum_c n_bc^2 / n_b) uses "
+    "integer-floor-quantized per-band micro terms (the X125/X126 "
+    "cross-multiplication house pattern), so the only IEEE op is the "
+    "final display division. Scale shape: the stack() explode happens "
+    "BEFORE the first aggregation but partial (map-side) agg collapses "
+    "it straight onto the bounded (feature, band, class) domain — no "
+    "row-sized shuffle, one scan, then trivially-small rollups. "
+    "Budget note: the n_bc^2 x 1e6 bigint term holds to n_b ~ 3e6 "
+    "rows-per-band; past that swap the quantum for a decimal(38,0) "
+    "product (documented rather than paid now, matching the house "
+    "budget-rule practice in functions/exact.py).",
+    oracle="""
+        WITH feats AS (
+          SELECT 'linestatus' AS feature, l_linestatus AS band,
+                 l_returnflag AS cls FROM lineitem
+          UNION ALL
+          SELECT 'ship_month',
+                 CAST(CAST(month(l_shipdate) AS BIGINT) AS VARCHAR),
+                 l_returnflag FROM lineitem
+          UNION ALL
+          SELECT 'qty_band',
+                 CAST(CAST(FLOOR(l_quantity / 10.0) AS BIGINT) AS VARCHAR),
+                 l_returnflag FROM lineitem
+          UNION ALL
+          SELECT 'disc_band',
+                 CAST(CAST(FLOOR(l_discount * 100.0 / 2.0) AS BIGINT)
+                      AS VARCHAR),
+                 l_returnflag FROM lineitem
+        ), bc AS (
+          SELECT feature, band, cls, CAST(count(*) AS BIGINT) AS n_bc
+          FROM feats GROUP BY 1, 2, 3
+        ), bands AS (
+          SELECT feature, band,
+                 SUM(n_bc) AS n_b,
+                 SUM(n_bc * n_bc) AS s_b
+          FROM bc GROUP BY 1, 2
+        ), terms AS (
+          SELECT feature, band, n_b,
+                 (s_b * 1000000) // n_b AS term_micro
+          FROM bands
+        ), scored AS (
+          SELECT feature,
+                 CAST(count(*) AS BIGINT) AS n_bands,
+                 CAST(SUM(n_b) AS BIGINT) AS n_rows,
+                 CAST(SUM(term_micro) AS BIGINT) AS purity_micro
+          FROM terms GROUP BY feature
+        )
+        SELECT feature, n_bands, n_rows, purity_micro,
+               1.0 - CAST(purity_micro AS DOUBLE) / 1000000.0
+                   / CAST(n_rows AS DOUBLE) AS weighted_gini,
+               CAST(row_number() OVER (
+                   ORDER BY purity_micro * 1000000 // n_rows DESC, feature)
+                 AS BIGINT) AS rank
+        FROM scored
+        ORDER BY rank
+    """,
+)
+def feature_gini_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_linestatus",
+        "l_shipdate",
+        "l_quantity",
+        "l_discount",
+        "l_returnflag",
+    )
+    feats = li.select(
+        F.expr(
+            "stack(4,"
+            " 'linestatus', l_linestatus,"
+            " 'ship_month', CAST(CAST(month(l_shipdate) AS BIGINT)"
+            "               AS STRING),"
+            " 'qty_band', CAST(CAST(FLOOR(l_quantity / 10.0) AS BIGINT)"
+            "             AS STRING),"
+            " 'disc_band', CAST(CAST(FLOOR(l_discount * 100.0 / 2.0)"
+            "              AS BIGINT) AS STRING)"
+            ") AS (feature, band)"
+        ),
+        F.col("l_returnflag").alias("cls"),
+    )
+    bc = feats.groupBy("feature", "band", "cls").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bc")
+    )
+    bands = bc.groupBy("feature", "band").agg(
+        F.sum("n_bc").alias("n_b"),
+        F.sum(F.col("n_bc") * F.col("n_bc")).alias("s_b"),
+    )
+    terms = bands.select(
+        "feature",
+        "n_b",
+        F.expr("(s_b * 1000000) div n_b").alias("term_micro"),
+    )
+    scored = terms.groupBy("feature").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+        F.sum("n_b").cast("bigint").alias("n_rows"),
+        F.sum("term_micro").cast("bigint").alias("purity_micro"),
+    )
+    # Rank on an integer key (purity normalized by the feature's row
+    # count) so tie order can never hinge on an IEEE division.
+    w = Window.orderBy(F.expr("purity_micro * 1000000 div n_rows").desc(), "feature")
+    return scored.select(
+        "feature",
+        "n_bands",
+        "n_rows",
+        "purity_micro",
+        (
+            F.lit(1.0)
+            - F.col("purity_micro").cast("double")
+            / F.lit(1000000.0)
+            / F.col("n_rows").cast("double")
+        ).alias("weighted_gini"),
+        F.row_number().over(w).cast("bigint").alias("rank"),
+    ).orderBy("rank")
