@@ -55,6 +55,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
     },
+    "feature_gini_ranking": {
+        "GLOBALWIN": "rank over ONE ROW PER CANDIDATE FEATURE (4 rows, "
+        "bounded domain) — input is already aggregate-sized",
+    },
     "temperature_mixture_weights": {
         "GLOBALWIN": "largest-remainder rank over ONE ROW PER SOURCE "
         "(bounded domain) — input is already aggregate-sized",

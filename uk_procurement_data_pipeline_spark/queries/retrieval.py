@@ -1183,3 +1183,186 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2", "d2", "distinct2",
         "n3", "d3", "distinct3",
     ).orderBy("source")
+
+
+@register(
+    name="recommender_hitrate_backtest",
+    survey="J6 J7 W1 A7 F15",
+    doc="Item-based collaborative-filtering backtest: split orders at "
+    "the 3/4 point of the order-date range, build an item-item "
+    "co-purchase matrix from the train window (same-order part pairs), "
+    "prune it to each part's top-20 co-items, recommend every "
+    "customer's top-3 unseen parts by summed co-purchase score, and "
+    "measure the hit rate against their test-window purchases. This "
+    "composes the retrieval stack end-to-end — temporal split, "
+    "candidate generation, per-key pruning, anti-join novelty filter, "
+    "top-k with total tiebreaks, evaluation join — the way a "
+    "production recommender offline-eval does. Everything is integer "
+    "counts and epoch-day arithmetic; the single division is the final "
+    "hit rate. Scale shape: pair generation self-joins lineitem on "
+    "orderkey (baskets are <=7 lines, so the fan-out is bounded x7); "
+    "the top-20-per-part prune caps the per-customer candidate "
+    "expansion at 20 x train-basket, and every join is a keyed "
+    "equi-join — no cross products anywhere.",
+    oracle="""
+        WITH bounds AS (
+          SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS mn,
+                 CAST(date_diff('day',
+                      CAST(min(CAST(o_orderdate AS DATE)) AS DATE),
+                      CAST(max(CAST(o_orderdate AS DATE)) AS DATE))
+                   AS BIGINT) AS span
+          FROM orders
+        ), marked AS (
+          SELECT o.o_orderkey, o.o_custkey,
+                 CASE WHEN CAST(date_diff('day', b.mn,
+                                CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                      < (b.span * 3) // 4
+                      THEN 1 ELSE 0 END AS is_train
+          FROM orders o CROSS JOIN bounds b
+        ), basket AS (
+          SELECT m.o_orderkey, m.o_custkey, m.is_train,
+                 l.l_partkey AS part
+          FROM marked m JOIN lineitem l ON m.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2, 3, 4
+        ), cust_train AS (
+          SELECT DISTINCT o_custkey AS cust, part
+          FROM basket WHERE is_train = 1
+        ), cust_test AS (
+          SELECT DISTINCT o_custkey AS cust, part
+          FROM basket WHERE is_train = 0
+        ), pairs AS (
+          SELECT a.part AS p1, b.part AS p2,
+                 CAST(count(*) AS BIGINT) AS co
+          FROM (SELECT o_orderkey, part FROM basket WHERE is_train = 1) a
+          JOIN (SELECT o_orderkey, part FROM basket WHERE is_train = 1) b
+            ON a.o_orderkey = b.o_orderkey AND a.part <> b.part
+          GROUP BY 1, 2
+        ), pruned AS (
+          SELECT p1, p2, co FROM (
+            SELECT p1, p2, co,
+                   row_number() OVER (PARTITION BY p1
+                                      ORDER BY co DESC, p2) AS rn
+            FROM pairs) t
+          WHERE rn <= 20
+        ), cand AS (
+          SELECT ct.cust, pr.p2 AS part,
+                 CAST(SUM(pr.co) AS BIGINT) AS score
+          FROM cust_train ct JOIN pruned pr ON ct.part = pr.p1
+          WHERE NOT EXISTS (SELECT 1 FROM cust_train s
+                            WHERE s.cust = ct.cust AND s.part = pr.p2)
+          GROUP BY 1, 2
+        ), recs AS (
+          SELECT cust, part FROM (
+            SELECT cust, part,
+                   row_number() OVER (PARTITION BY cust
+                                      ORDER BY score DESC, part) AS rn
+            FROM cand) t
+          WHERE rn <= 3
+        ), eval_cust AS (
+          SELECT r.cust,
+                 MAX(CASE WHEN tt.part IS NOT NULL THEN 1 ELSE 0 END)
+                     AS hit
+          FROM recs r
+          LEFT JOIN cust_test tt
+            ON r.cust = tt.cust AND r.part = tt.part
+          WHERE r.cust IN (SELECT DISTINCT cust FROM cust_test)
+          GROUP BY r.cust
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_customers_eval,
+               CAST(SUM(hit) AS BIGINT) AS n_hit,
+               CAST(SUM(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS hit_rate
+        FROM eval_cust
+    """,
+)
+def recommender_hitrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    bounds = orders.agg(
+        F.min("od").alias("mn"),
+        F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("span"),
+    )
+    marked = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.datediff(F.col("od"), F.col("mn")).cast("bigint")
+            < F.expr("span * 3 div 4"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_train"),
+    )
+    basket = (
+        marked.join(li, marked.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_custkey", "is_train", F.col("l_partkey").alias("part"))
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    # basket feeds three consumers (train/test profiles + the pair
+    # self-join). Recomputing the cheap scan+join per consumer measured
+    # FASTER here than localCheckpoint materialization (5.1s vs 6.7s at
+    # sf0.1); on a cluster with an expensive upstream, cache() it.
+    cust_train = (
+        basket.where(F.col("is_train") == 1)
+        .select(F.col("o_custkey").alias("cust"), "part")
+        .distinct()
+    )
+    cust_test = (
+        basket.where(F.col("is_train") == 0)
+        .select(F.col("o_custkey").alias("cust"), "part")
+        .distinct()
+    )
+    train_b = basket.where(F.col("is_train") == 1).select("o_orderkey", "part")
+    a = train_b.alias("a")
+    b = train_b.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("p1"), F.col("b.part").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    wp = Window.partitionBy("p1").orderBy(F.col("co").desc(), "p2")
+    pruned = pairs.withColumn("rn", F.row_number().over(wp)).where(
+        F.col("rn") <= 20
+    ).drop("rn")
+    cand = (
+        cust_train.join(pruned, cust_train.part == pruned.p1)
+        .select("cust", F.col("p2").alias("cpart"), "co")
+        # novelty filter: drop items the customer already bought in train
+        .join(
+            cust_train.select("cust", F.col("part").alias("cpart")),
+            ["cust", "cpart"],
+            "left_anti",
+        )
+        .groupBy("cust", F.col("cpart").alias("part"))
+        .agg(F.sum("co").cast("bigint").alias("score"))
+    )
+    wc = Window.partitionBy("cust").orderBy(F.col("score").desc(), "part")
+    recs = (
+        cand.withColumn("rn", F.row_number().over(wc))
+        .where(F.col("rn") <= 3)
+        .select("cust", "part")
+    )
+    eval_cust = (
+        recs.join(cust_test.select("cust").distinct(), "cust", "left_semi")
+        .join(
+            cust_test.withColumn("hit_flag", F.lit(1)),
+            ["cust", "part"],
+            "left",
+        )
+        .groupBy("cust")
+        .agg(F.max(F.coalesce("hit_flag", F.lit(0))).alias("hit"))
+    )
+    return eval_cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers_eval"),
+        F.sum("hit").cast("bigint").alias("n_hit"),
+        (F.sum("hit").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "hit_rate"
+        ),
+    )
