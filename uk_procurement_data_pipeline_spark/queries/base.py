@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "rake_keyphrases",
+    "label_propagation_communities",
     "recommender_hitrate_backtest",
     "feature_gini_ranking",
     "session_bounce_dwell",
@@ -110,15 +112,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "burst_day_detection",
     "bm25_topk_docs",
     "unigram_surprisal_quality",
-    "kmv_distinct_sketch",
-    "equidepth_value_bins",
-    "domain_mixture_resample",
 )
 
 # r06 window candidates also include kmv_union_jaccard, psi_value_drift,
-# pointintime_customer_orders, and ewma_user_value (displaced from the
-# r05 window by the session/TWAP/gini/recommender additions above; all
-# stay green in the local sweep).
+# pointintime_customer_orders, ewma_user_value, and
+# domain_mixture_resample (displaced from the
+# r05 window by this round's seven query additions; all stay green in
+# the local sweep).
 # r06 window candidates (generated this round from the actual
 # CORRECTNESS_r01..r03 coverage; 98 registered queries have never
 # had a driver row and did not fit the 50-slot r05 window — all are

@@ -624,3 +624,95 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((k * sxx - sx * sx) * (k * syy - sy * sy))
         ).alias("assortativity"),
     )
+
+
+@register(
+    name="label_propagation_communities",
+    survey="J6 A7 W1 U1",
+    doc="Community detection by synchronous label propagation "
+    "(Raghavan et al. 2007) on the part co-purchase graph: two "
+    "unrolled sync rounds where each node adopts its neighbors' "
+    "plurality label with a (count DESC, label ASC) total tiebreak — "
+    "fully deterministic, unlike async LPA whose result depends on "
+    "visit order. Complements connected_components (which finds "
+    "reachability classes; LPA finds DENSE cores inside them) and "
+    "minhash_components. Each round is one edge-keyed equi-join + one "
+    "(node, label) hash agg + one row_number argmax; edges are the "
+    "bounded basket pair explosion. Output is the community-size "
+    "head (top-20 by size with label tiebreak), a bounded domain. "
+    "The 2-round unroll references each round's label table exactly "
+    "once (the CTE-inlining contract for iterative oracles).",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+        l1 AS (
+            SELECT src AS v, lab FROM (
+              SELECT e.src, e.dst AS lab,
+                     row_number() OVER (
+                       PARTITION BY e.src
+                       ORDER BY count(*) DESC, e.dst) AS rn
+              FROM e GROUP BY e.src, e.dst) t
+            WHERE rn = 1),
+        votes2 AS (
+            SELECT e.src AS v, l.lab, CAST(count(*) AS BIGINT) AS cnt
+            FROM e JOIN l1 l ON e.dst = l.v
+            GROUP BY e.src, l.lab),
+        l2 AS (
+            SELECT v, lab FROM (
+              SELECT v, lab,
+                     row_number() OVER (PARTITION BY v
+                                        ORDER BY cnt DESC, lab) AS rn
+              FROM votes2) t
+            WHERE rn = 1)
+        SELECT lab AS community, CAST(count(*) AS BIGINT) AS size
+        FROM l2
+        GROUP BY lab
+        ORDER BY size DESC, community
+        LIMIT 20
+    """,
+)
+def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    # Round 1: every node starts labeled with itself, so the neighbor
+    # plurality vote is just the most frequent neighbor id.
+    w1 = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
+    l1 = (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(F.col("src").alias("v"), F.col("dst").alias("lab"))
+    )
+    votes2 = (
+        e.join(l1, e.dst == l1.v)
+        .groupBy(F.col("src").alias("v2"), "lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w2 = Window.partitionBy("v2").orderBy(F.col("cnt").desc(), "lab")
+    l2 = (
+        votes2.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(F.col("v2").alias("v"), "lab")
+    )
+    return (
+        l2.groupBy(F.col("lab").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

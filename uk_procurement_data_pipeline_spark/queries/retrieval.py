@@ -1366,3 +1366,126 @@ def recommender_hitrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hit_rate"
         ),
     )
+
+
+@register(
+    name="rake_keyphrases",
+    survey="A1 A7 J5 W1 F17 O4",
+    doc="RAKE keyphrase extraction (Rose et al. 2010) with data-derived "
+    "stopwords: the corpus's top-20 tokens by frequency act as phrase "
+    "delimiters, candidate phrases are the maximal runs of non-stop "
+    "tokens (gaps-and-islands: pos - row_number marks each run) capped "
+    "at 4 tokens, word scores are the classic degree/frequency ratio "
+    "over candidate-phrase members, and a phrase scores the sum of its "
+    "member words. Every score is integer-quantized BEFORE any "
+    "ordering ((deg * 1e6) div freq — pure integer division, no libm, "
+    "no IEEE sums), so the global top-15 with (score, phrase) tiebreak "
+    "is engine-exact. In-run token order is pinned by sort_array over "
+    "(pos, word) structs — never a bare collect_list. Scale shape: "
+    "shuffles key on doc_id or word only; the stopword list is a "
+    "broadcast 20-row table; phrase stats live on the bounded "
+    "candidate-phrase domain.",
+    oracle="""
+        WITH pos AS (
+            SELECT d.doc_id, s.i AS pos,
+                   (string_split(d.text, ' '))[s.i] AS word
+            FROM documents d,
+                 LATERAL (SELECT unnest(range(1,
+                              len(string_split(d.text, ' ')) + 1)) AS i) s),
+        uni AS (SELECT word, CAST(count(*) AS BIGINT) AS n_w
+                FROM pos GROUP BY word),
+        stop AS (
+            SELECT word FROM (
+              SELECT word,
+                     row_number() OVER (ORDER BY n_w DESC, word) AS rn
+              FROM uni) t
+            WHERE rn <= 20),
+        nonstop AS (
+            SELECT p.doc_id, p.pos, p.word,
+                   p.pos - row_number() OVER (PARTITION BY p.doc_id
+                                              ORDER BY p.pos) AS grp
+            FROM pos p
+            WHERE p.word NOT IN (SELECT word FROM stop)),
+        runs AS (
+            SELECT doc_id, grp,
+                   string_agg(word, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS plen
+            FROM nonstop GROUP BY doc_id, grp
+            HAVING count(*) <= 4),
+        members AS (
+            SELECT n.word, r.plen, r.doc_id, r.grp
+            FROM nonstop n
+            JOIN runs r ON n.doc_id = r.doc_id AND n.grp = r.grp),
+        wstats AS (
+            SELECT word,
+                   (SUM(plen) * 1000000) // count(*) AS score_micro
+            FROM members GROUP BY word),
+        pscore AS (
+            SELECT m.doc_id, m.grp,
+                   CAST(SUM(w.score_micro) AS BIGINT) AS phrase_micro
+            FROM members m JOIN wstats w ON m.word = w.word
+            GROUP BY m.doc_id, m.grp),
+        rolled AS (
+            SELECT r.phrase,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(MAX(p.phrase_micro) AS BIGINT) AS score_micro
+            FROM runs r
+            JOIN pscore p ON r.doc_id = p.doc_id AND r.grp = p.grp
+            GROUP BY r.phrase)
+        SELECT phrase, n_occurrences, score_micro
+        FROM rolled
+        ORDER BY score_micro DESC, phrase
+        LIMIT 15
+    """,
+)
+def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pos = docs.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos0, word)"
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
+    uni = pos.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
+    stop = (
+        uni.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.col("n_w").desc(), "word"))
+        )
+        .where(F.col("rn") <= 20)
+        .select("word")
+    )
+    nonstop = (
+        pos.join(F.broadcast(stop), "word", "left_anti")
+        .withColumn(
+            "grp",
+            F.col("pos")
+            - F.row_number().over(Window.partitionBy("doc_id").orderBy("pos")),
+        )
+    )
+    runs = (
+        nonstop.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list(F.struct("pos", "word"))).word, " "
+            ).alias("phrase"),
+            F.count(F.lit(1)).cast("bigint").alias("plen"),
+        )
+        .where(F.col("plen") <= 4)
+    )
+    members = nonstop.select("doc_id", "grp", "word").join(
+        runs.select("doc_id", "grp", "plen"), ["doc_id", "grp"]
+    )
+    wstats = members.groupBy("word").agg(
+        F.expr("(SUM(plen) * 1000000) div count(*)").alias("score_micro")
+    )
+    pscore = (
+        members.join(wstats, "word")
+        .groupBy("doc_id", "grp")
+        .agg(F.sum("score_micro").cast("bigint").alias("phrase_micro"))
+    )
+    rolled = (
+        runs.join(pscore, ["doc_id", "grp"])
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.max("phrase_micro").cast("bigint").alias("score_micro"),
+        )
+    )
+    return rolled.orderBy(F.col("score_micro").desc(), "phrase").limit(15)
