@@ -112,13 +112,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "burst_day_detection",
     "bm25_topk_docs",
     "unigram_surprisal_quality",
+    "kmv_distinct_sketch",
 )
 
 # r06 window candidates also include kmv_union_jaccard, psi_value_drift,
-# pointintime_customer_orders, ewma_user_value, and
-# domain_mixture_resample (displaced from the
-# r05 window by this round's seven query additions; all stay green in
-# the local sweep).
+# pointintime_customer_orders, ewma_user_value, equidepth_value_bins,
+# and domain_mixture_resample (displaced from the r05 window by this
+# round's six query additions; all stay green in the local sweep).
 # r06 window candidates (generated this round from the actual
 # CORRECTNESS_r01..r03 coverage; 98 registered queries have never
 # had a driver row and did not fit the 50-slot r05 window — all are
