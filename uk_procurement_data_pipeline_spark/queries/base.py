@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "sequence_pattern_match",
+    "business_days_to_ship",
     "rake_keyphrases",
     "label_propagation_communities",
     "recommender_hitrate_backtest",
@@ -111,14 +113,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "benford_first_digit",
     "burst_day_detection",
     "bm25_topk_docs",
-    "unigram_surprisal_quality",
-    "kmv_distinct_sketch",
 )
 
 # r06 window candidates also include kmv_union_jaccard, psi_value_drift,
 # pointintime_customer_orders, ewma_user_value, equidepth_value_bins,
-# and domain_mixture_resample (displaced from the r05 window by this
-# round's six query additions; all stay green in the local sweep).
+# domain_mixture_resample, unigram_surprisal_quality, and
+# kmv_distinct_sketch (displaced from the r05 window by this round's
+# eight query additions; all stay green in the local sweep).
 # r06 window candidates (generated this round from the actual
 # CORRECTNESS_r01..r03 coverage; 98 registered queries have never
 # had a driver row and did not fit the 50-slot r05 window — all are

@@ -3633,3 +3633,92 @@ def twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    name="sequence_pattern_match",
+    survey="A1 W1 F9 F17 A7",
+    doc="MATCH_RECOGNIZE-style sequence pattern detection without the "
+    "clause (Spark lacks it): encode each user's event stream as a "
+    "character string (one letter per event type, order pinned by "
+    "(ts, event_id)) and count NON-OVERLAPPING regex matches — the "
+    "conversion funnel 'VC+P' (view, 1+ clicks, purchase) and the "
+    "error-burst 'EE+' — then roll up match statistics per pattern. "
+    "Both engines use leftmost-first non-overlapping greedy matching "
+    "for these patterns, so counts are engine-exact. The per-user "
+    "string is bounded by per-key activity (the same per-key memory "
+    "contract as any collect_list sequence op; at cluster scale, "
+    "window the sequence by month first). One user-keyed sort-agg "
+    "shuffle, then a bounded per-pattern rollup.",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id,
+                 string_agg(CASE event_type
+                              WHEN 'click' THEN 'C'
+                              WHEN 'error' THEN 'E'
+                              WHEN 'purchase' THEN 'P'
+                              WHEN 'signup' THEN 'S'
+                              ELSE 'V' END, ''
+                            ORDER BY epoch_us(ts), event_id) AS s
+          FROM events GROUP BY user_id
+        ), counts AS (
+          SELECT user_id,
+                 CAST(len(regexp_extract_all(s, 'VC+P')) AS BIGINT)
+                     AS funnel_vcp,
+                 CAST(len(regexp_extract_all(s, 'EE+')) AS BIGINT)
+                     AS error_burst
+          FROM seq
+        ), unp AS (
+          SELECT user_id, 'funnel_vcp' AS pattern, funnel_vcp AS n
+          FROM counts
+          UNION ALL
+          SELECT user_id, 'error_burst', error_burst FROM counts
+        )
+        SELECT pattern,
+               CAST(SUM(CASE WHEN n > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_users_matched,
+               CAST(SUM(n) AS BIGINT) AS total_matches,
+               CAST(MAX(n) AS BIGINT) AS max_matches_per_user
+        FROM unp
+        GROUP BY pattern
+        ORDER BY pattern
+    """,
+)
+def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+        F.when(F.col("event_type") == "click", "C")
+        .when(F.col("event_type") == "error", "E")
+        .when(F.col("event_type") == "purchase", "P")
+        .when(F.col("event_type") == "signup", "S")
+        .otherwise("V")
+        .alias("ch"),
+    )
+    seq = ev.groupBy("user_id").agg(
+        F.array_join(
+            F.sort_array(F.collect_list(F.struct("u", "event_id", "ch"))).ch, ""
+        ).alias("s")
+    )
+    counts = seq.select(
+        "user_id",
+        F.regexp_count("s", F.lit("VC+P")).cast("bigint").alias("funnel_vcp"),
+        F.regexp_count("s", F.lit("EE+")).cast("bigint").alias("error_burst"),
+    )
+    unp = counts.selectExpr(
+        "user_id",
+        "stack(2, 'funnel_vcp', funnel_vcp, 'error_burst', error_burst)"
+        " AS (pattern, n)",
+    )
+    return (
+        unp.groupBy("pattern")
+        .agg(
+            F.sum(F.when(F.col("n") > 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_users_matched"),
+            F.sum("n").cast("bigint").alias("total_matches"),
+            F.max("n").cast("bigint").alias("max_matches_per_user"),
+        )
+        .orderBy("pattern")
+    )

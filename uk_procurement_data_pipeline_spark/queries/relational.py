@@ -2217,3 +2217,89 @@ def feature_gini_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("weighted_gini"),
         F.row_number().over(w).cast("bigint").alias("rank"),
     ).orderBy("rank")
+
+
+@register(
+    name="business_days_to_ship",
+    survey="J6 A7 F15 F28",
+    doc="Operational SLA latency in BUSINESS days (weekends excluded) "
+    "from order to line shipment, rolled up per order priority — the "
+    "calendar-aware twin of shipping_delay_percentiles. Uses the "
+    "closed-form weekday counter W(d) = 5*(days div 7) + "
+    "least(days mod 7, 5) with days measured from a Monday epoch "
+    "(1994-12-26, before the data's range so the integer div/mod "
+    "never sees negatives — negative division semantics differ "
+    "between engines); business days = W(ship) - W(order). Pure "
+    "integer arithmetic except the single mean division. Also "
+    "reports the weekend-shipment fraction (days mod 7 >= 5). One "
+    "orderkey equi-join and one bounded-domain rollup.",
+    oracle="""
+        WITH j AS (
+          SELECT o.o_orderpriority AS priority,
+                 CAST(date_diff('day', DATE '1994-12-26',
+                      CAST(o.o_orderdate AS DATE)) AS BIGINT) AS od,
+                 CAST(date_diff('day', DATE '1994-12-26',
+                      CAST(l.l_shipdate AS DATE)) AS BIGINT) AS sd
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        ), b AS (
+          SELECT priority,
+                 (5 * (sd // 7) + least(sd % 7, 5))
+                 - (5 * (od // 7) + least(od % 7, 5)) AS bdays,
+                 CASE WHEN sd % 7 >= 5 THEN 1 ELSE 0 END AS weekend_ship
+          FROM j
+        )
+        SELECT priority,
+               CAST(count(*) AS BIGINT) AS n_lines,
+               CAST(MIN(bdays) AS BIGINT) AS min_bdays,
+               CAST(MAX(bdays) AS BIGINT) AS max_bdays,
+               CAST(SUM(bdays) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS avg_bdays,
+               CAST(SUM(weekend_ship) AS BIGINT) AS n_weekend_ship,
+               CAST(SUM(weekend_ship) AS DOUBLE)
+                   / CAST(count(*) AS DOUBLE) AS weekend_ship_rate
+        FROM b
+        GROUP BY priority
+        ORDER BY priority
+    """,
+)
+def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1994-12-26").cast("date")
+        )
+        .cast("bigint")
+        .alias("od"),
+    )
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.lit("1994-12-26").cast("date")
+        )
+        .cast("bigint")
+        .alias("sd"),
+    )
+    b = orders.join(li, orders.o_orderkey == li.l_orderkey).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("(5 * (sd div 7) + least(sd % 7, 5))"
+               " - (5 * (od div 7) + least(od % 7, 5))").alias("bdays"),
+        F.when(F.expr("sd % 7 >= 5"), 1).otherwise(0).alias("weekend_ship"),
+    )
+    return (
+        b.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+            F.min("bdays").cast("bigint").alias("min_bdays"),
+            F.max("bdays").cast("bigint").alias("max_bdays"),
+            (F.sum("bdays").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "avg_bdays"
+            ),
+            F.sum("weekend_ship").cast("bigint").alias("n_weekend_ship"),
+            (
+                F.sum("weekend_ship").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("weekend_ship_rate"),
+        )
+        .orderBy("priority")
+    )
