@@ -3722,3 +3722,151 @@ def sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pattern")
     )
+
+
+@register(
+    name="wasserstein_value_distance",
+    survey="A7 J6 W3 F28 U1",
+    doc="EXACT 1-Wasserstein (earth-mover) distance between the value "
+    "distributions of every event-type pair — the drift metric that, "
+    "unlike KS/PSI/KL (all registered), weighs HOW FAR mass moved, "
+    "not just whether it did. Key scale move: values are 2-dp "
+    "quantized, so the first aggregation collapses the row-sized "
+    "input onto the bounded (type, cent) domain (<=56k cents); the "
+    "CDF windows, grid gaps, and pair joins all run on that bounded "
+    "domain and cost the same at any SF. W1 = sum over the merged "
+    "grid of |cumA*nB - cumB*nA| * gap, cross-multiplied in "
+    "decimal(18,0) products (exact, order-independent sum), divided "
+    "once by nA*nB*100 at the end — no per-row IEEE arithmetic "
+    "anywhere. Ten output rows (5 choose 2 type pairs). Final-cast "
+    "budget: the decimal sum stays ~1e11 at sf0.1, far under the 2^53 "
+    "double-cast bound (functions/exact.py rule); at cluster scale "
+    "divide by nA*nB inside decimal first.",
+    oracle="""
+        WITH cnt AS (
+          SELECT event_type AS t,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cent,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1, 2
+        ), tot AS (
+          SELECT t, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY t
+        ), grid AS (
+          SELECT DISTINCT cent FROM cnt
+        ), gaps AS (
+          SELECT cent,
+                 lead(cent) OVER (ORDER BY cent) - cent AS gap
+          FROM grid
+        ), expanded AS (
+          SELECT tt.t, g.cent, COALESCE(cnt.c, 0) AS c
+          FROM grid g CROSS JOIN (SELECT DISTINCT t FROM cnt) tt
+          LEFT JOIN cnt ON cnt.t = tt.t AND cnt.cent = g.cent
+        ), cum AS (
+          SELECT t, cent,
+                 SUM(c) OVER (PARTITION BY t ORDER BY cent
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM expanded
+        ), paired AS (
+          SELECT a.t AS type_a, b.t AS type_b, a.cent,
+                 ABS(CAST(a.cum AS DECIMAL(18,0))
+                     * CAST(tb.n AS DECIMAL(18,0))
+                   - CAST(b.cum AS DECIMAL(18,0))
+                     * CAST(ta.n AS DECIMAL(18,0)))
+                 * CAST(g.gap AS DECIMAL(18,0)) AS term
+          FROM cum a
+          JOIN cum b ON a.cent = b.cent AND a.t < b.t
+          JOIN gaps g ON g.cent = a.cent
+          JOIN tot ta ON ta.t = a.t
+          JOIN tot tb ON tb.t = b.t
+          WHERE g.gap IS NOT NULL
+        )
+        SELECT p.type_a, p.type_b, ta.n AS n_a, tb.n AS n_b,
+               CAST(SUM(p.term) AS DOUBLE)
+                 / (CAST(ta.n AS DOUBLE) * CAST(tb.n AS DOUBLE) * 100.0)
+                   AS w1_distance
+        FROM paired p
+        JOIN tot ta ON ta.t = p.type_a
+        JOIN tot tb ON tb.t = p.type_b
+        GROUP BY p.type_a, p.type_b, ta.n, tb.n
+        ORDER BY type_a, type_b
+    """,
+)
+def wasserstein_value_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cnt = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("t"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cent"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.groupBy("t").agg(F.sum("c").cast("bigint").alias("n"))
+    grid = cnt.select("cent").distinct()
+    gaps = grid.withColumn(
+        "gap", F.lead("cent").over(Window.orderBy("cent")) - F.col("cent")
+    )
+    types = cnt.select("t").distinct()
+    expanded = (
+        grid.crossJoin(F.broadcast(types))
+        .join(cnt, ["t", "cent"], "left")
+        .select("t", "cent", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    cum = expanded.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("t")
+            .orderBy("cent")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    a = cum.alias("a")
+    b = cum.alias("b")
+    ta = tot.select(F.col("t").alias("type_a"), F.col("n").alias("n_a"))
+    tb = tot.select(F.col("t").alias("type_b"), F.col("n").alias("n_b"))
+    paired = (
+        a.join(
+            b,
+            (F.col("a.cent") == F.col("b.cent")) & (F.col("a.t") < F.col("b.t")),
+        )
+        .select(
+            F.col("a.t").alias("type_a"),
+            F.col("b.t").alias("type_b"),
+            F.col("a.cent").alias("cent"),
+            F.col("a.cum").alias("cum_a"),
+            F.col("b.cum").alias("cum_b"),
+        )
+        .join(gaps.where(F.col("gap").isNotNull()), "cent")
+        .join(F.broadcast(ta), "type_a")
+        .join(F.broadcast(tb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (
+                F.abs(
+                    F.col("cum_a").cast("decimal(18,0)")
+                    * F.col("n_b").cast("decimal(18,0)")
+                    - F.col("cum_b").cast("decimal(18,0)")
+                    * F.col("n_a").cast("decimal(18,0)")
+                )
+                * F.col("gap").cast("decimal(18,0)")
+            ).alias("term"),
+        )
+    )
+    return (
+        paired.groupBy("type_a", "type_b", "n_a", "n_b")
+        .agg(
+            (
+                F.sum("term").cast("double")
+                / (
+                    F.col("n_a").cast("double")
+                    * F.col("n_b").cast("double")
+                    * F.lit(100.0)
+                )
+            ).alias("w1_distance")
+        )
+        .select("type_a", "type_b", "n_a", "n_b", "w1_distance")
+        .orderBy("type_a", "type_b")
+    )
