@@ -55,6 +55,14 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
     },
+    "wasserstein_value_distance": {
+        "GLOBALWIN": "grid-gap lead() over ONE ROW PER DISTINCT CENT "
+        "(<=56k, value-domain-bounded) — input is already aggregate-sized",
+    },
+    "mmr_diversified_rerank": {
+        "GLOBALWIN": "greedy argmax windows over the 12-row candidate "
+        "pool (bounded by the top-k cut) — input is already tiny",
+    },
     "feature_gini_ranking": {
         "GLOBALWIN": "rank over ONE ROW PER CANDIDATE FEATURE (4 rows, "
         "bounded domain) — input is already aggregate-sized",

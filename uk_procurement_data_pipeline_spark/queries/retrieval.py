@@ -1444,13 +1444,9 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "posexplode(split(text, ' ')) AS (pos0, word)"
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
     uni = pos.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("n_w"))
-    stop = (
-        uni.withColumn(
-            "rn", F.row_number().over(Window.orderBy(F.col("n_w").desc(), "word"))
-        )
-        .where(F.col("rn") <= 20)
-        .select("word")
-    )
+    # orderBy+limit -> TakeOrderedAndProject: distributed top-20 even
+    # over a web-scale vocabulary (no single-partition window sort).
+    stop = uni.orderBy(F.col("n_w").desc(), "word").limit(20).select("word")
     nonstop = (
         pos.join(F.broadcast(stop), "word", "left_anti")
         .withColumn(

@@ -1636,3 +1636,154 @@ def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("label_a", "label_b", "n_a", "n_b", "mmd2_linear")
         .orderBy("label_a", "label_b")
     )
+
+
+@register(
+    name="mmr_diversified_rerank",
+    survey="J9 UD4 W1 J7",
+    doc="Maximal-marginal-relevance re-ranking (Carbonell & Goldstein "
+    "1998) — the diversified retrieval stage a RAG pipeline runs after "
+    "ANN recall: take the query's top-12 cosine candidates, then pick "
+    "4 results greedily where round r maximizes 0.7*relevance - "
+    "0.3*max-similarity-to-already-picked. The candidate pool and its "
+    "12x12 similarity matrix are computed ONCE (Spark: lazy "
+    "localCheckpoint so the greedy rounds never re-scan the embedding "
+    "table; oracle: MATERIALIZED CTEs — the sanctioned pattern for "
+    "multi-referenced iterative stages). All cosines are "
+    "sequential-fold dot products (bit-identical across engines, see "
+    "module docstring); each greedy argmax uses a (score DESC, "
+    "vec_id) total tiebreak. Scale shape: one linear scan + broadcast "
+    "of ONE query row for candidate generation; everything after "
+    "lives on the 12-row pool.",
+    oracle=f"""
+        WITH e AS MATERIALIZED (
+            SELECT vec_id, embedding,
+                   sqrt({_D_DOT.format(a='embedding', b='embedding')}) AS nrm
+            FROM embeddings),
+        q AS (
+            SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+        cand AS MATERIALIZED (
+            SELECT vec_id, embedding, nrm, rel FROM (
+              SELECT e.vec_id, e.embedding, e.nrm,
+                     {_D_DOT.format(a='qv', b='embedding')} / (qn * e.nrm)
+                         AS rel,
+                     ROW_NUMBER() OVER (ORDER BY
+                       {_D_DOT.format(a='qv', b='embedding')} / (qn * e.nrm)
+                         DESC, e.vec_id) AS rn
+              FROM e CROSS JOIN q WHERE e.vec_id <> 0) t
+            WHERE rn <= 12),
+        pairs AS MATERIALIZED (
+            SELECT a.vec_id AS ca, b.vec_id AS cb,
+                   {_D_DOT.format(a='a.embedding', b='b.embedding')}
+                     / (a.nrm * b.nrm) AS sim
+            FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        s1 AS (
+            SELECT vec_id, rel, rel AS mmr FROM (
+              SELECT vec_id, rel,
+                     ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id) AS rn
+              FROM cand) t WHERE rn = 1),
+        s2 AS (
+            SELECT vec_id, rel, mmr FROM (
+              SELECT c.vec_id, c.rel,
+                     0.7 * c.rel - 0.3 * MAX(p.sim) AS mmr,
+                     ROW_NUMBER() OVER (ORDER BY
+                       0.7 * c.rel - 0.3 * MAX(p.sim) DESC, c.vec_id) AS rn
+              FROM cand c
+              JOIN pairs p ON p.ca = c.vec_id
+                          AND p.cb IN (SELECT vec_id FROM s1)
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s1)
+              GROUP BY c.vec_id, c.rel) t WHERE rn = 1),
+        s3 AS (
+            SELECT vec_id, rel, mmr FROM (
+              SELECT c.vec_id, c.rel,
+                     0.7 * c.rel - 0.3 * MAX(p.sim) AS mmr,
+                     ROW_NUMBER() OVER (ORDER BY
+                       0.7 * c.rel - 0.3 * MAX(p.sim) DESC, c.vec_id) AS rn
+              FROM cand c
+              JOIN pairs p ON p.ca = c.vec_id
+                          AND p.cb IN (SELECT vec_id FROM s1
+                                       UNION ALL SELECT vec_id FROM s2)
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+                                     UNION ALL SELECT vec_id FROM s2)
+              GROUP BY c.vec_id, c.rel) t WHERE rn = 1),
+        s4 AS (
+            SELECT vec_id, rel, mmr FROM (
+              SELECT c.vec_id, c.rel,
+                     0.7 * c.rel - 0.3 * MAX(p.sim) AS mmr,
+                     ROW_NUMBER() OVER (ORDER BY
+                       0.7 * c.rel - 0.3 * MAX(p.sim) DESC, c.vec_id) AS rn
+              FROM cand c
+              JOIN pairs p ON p.ca = c.vec_id
+                          AND p.cb IN (SELECT vec_id FROM s1
+                                       UNION ALL SELECT vec_id FROM s2
+                                       UNION ALL SELECT vec_id FROM s3)
+              WHERE c.vec_id NOT IN (SELECT vec_id FROM s1
+                                     UNION ALL SELECT vec_id FROM s2
+                                     UNION ALL SELECT vec_id FROM s3)
+              GROUP BY c.vec_id, c.rel) t WHERE rn = 1)
+        SELECT CAST(1 AS BIGINT) AS rank, vec_id, rel, mmr FROM s1
+        UNION ALL SELECT 2, vec_id, rel, mmr FROM s2
+        UNION ALL SELECT 3, vec_id, rel, mmr FROM s3
+        UNION ALL SELECT 4, vec_id, rel, mmr FROM s4
+        ORDER BY rank
+    """,
+)
+def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm",
+    )
+    q = e.where(F.col("vec_id") == 0).selectExpr(
+        "embedding AS qv", "nrm AS qn"
+    )
+    scored = e.where(F.col("vec_id") != 0).join(F.broadcast(q)).selectExpr(
+        "vec_id",
+        "embedding",
+        "nrm",
+        f"{_DOT.format(a='qv', b='embedding')} / (qn * nrm) AS rel",
+    )
+    # orderBy+limit compiles to TakeOrderedAndProject (distributed
+    # per-partition top-k + merge), not a single-partition window sort.
+    cand = (
+        scored.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(12)
+        # 12-row pool feeds the pair matrix and all four greedy rounds;
+        # checkpoint so the rounds never re-run the candidate scan.
+        .localCheckpoint(eager=False)
+    )
+    a = cand.alias("a")
+    b = cand.alias("b")
+    pairs = a.join(b, F.col("a.vec_id") != F.col("b.vec_id")).selectExpr(
+        "a.vec_id AS ca",
+        "b.vec_id AS cb",
+        f"{_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS sim",
+    ).localCheckpoint(eager=False)
+
+    def pick_first(df: DataFrame, order_col: str) -> DataFrame:
+        w = Window.orderBy(F.col(order_col).desc(), "vec_id")
+        return df.withColumn("rn", F.row_number().over(w)).where(
+            F.col("rn") == 1
+        ).select("vec_id", "rel", F.col(order_col).alias("mmr"))
+
+    s1 = pick_first(cand.select("vec_id", "rel", F.col("rel").alias("score")), "score")
+    picked = s1.select("vec_id")
+    rounds = [s1]
+    for _ in range(3):
+        scored_r = (
+            cand.join(picked, "vec_id", "left_anti")
+            .join(pairs, F.col("vec_id") == F.col("ca"))
+            .join(picked.select(F.col("vec_id").alias("cb")), "cb", "left_semi")
+            .groupBy("vec_id", "rel")
+            .agg((F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.max("sim")).alias("score"))
+        )
+        s = pick_first(scored_r, "score")
+        rounds.append(s)
+        picked = picked.unionByName(s.select("vec_id"))
+    out = None
+    for i, s in enumerate(rounds, start=1):
+        row = s.select(
+            F.lit(i).cast("bigint").alias("rank"), "vec_id", "rel", "mmr"
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("rank")
