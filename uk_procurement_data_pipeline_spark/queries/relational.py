@@ -2303,3 +2303,84 @@ def business_days_to_ship(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority")
     )
+
+
+@register(
+    name="partition_layout_planner",
+    survey="A7 F15 F28 S7",
+    doc="Write-layout planning audit for a ship-month-partitioned sink "
+    "(the sizing pass you run BEFORE a 100 TB repartition+write, "
+    "companion to the physical compaction in sources/sinks.py "
+    "compact_parquet and the read-side join_key_skew_report): per "
+    "partition key, exact in-memory row-byte estimate (fixed widths "
+    "for numerics + octet_length for strings — deterministic in both "
+    "engines), the 128 MiB-target file count via integer ceiling "
+    "division, each partition's byte share, and its skew vs the mean "
+    "partition. One scan, one bounded-domain hash agg, one broadcast "
+    "one-row total; the only doubles are the two share/skew display "
+    "divisions.",
+    oracle="""
+        WITH per_row AS (
+          SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate)
+                 AS BIGINT) AS ship_month,
+                 68 + strlen(l_returnflag)
+                    + strlen(l_linestatus) AS row_bytes
+          FROM lineitem
+        ), per_part AS (
+          SELECT ship_month,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(row_bytes) AS BIGINT) AS est_bytes
+          FROM per_row GROUP BY ship_month
+        ), tot AS (
+          SELECT CAST(SUM(est_bytes) AS BIGINT) AS total_bytes,
+                 CAST(count(*) AS BIGINT) AS n_parts
+          FROM per_part
+        )
+        SELECT p.ship_month, p.n_rows, p.est_bytes,
+               (p.est_bytes + 134217727) // 134217728 AS n_target_files,
+               CAST(p.est_bytes AS DOUBLE)
+                 / CAST(t.total_bytes AS DOUBLE) AS bytes_share,
+               CAST(p.est_bytes AS DOUBLE) * CAST(t.n_parts AS DOUBLE)
+                 / CAST(t.total_bytes AS DOUBLE) AS skew_vs_mean
+        FROM per_part p CROSS JOIN tot t
+        ORDER BY ship_month
+    """,
+)
+def partition_layout_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_row = load(spark, sf_dir, "lineitem").select(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate"))
+        .cast("bigint")
+        .alias("ship_month"),
+        (
+            F.lit(68)
+            + F.octet_length("l_returnflag")
+            + F.octet_length("l_linestatus")
+        ).alias("row_bytes"),
+    )
+    per_part = per_row.groupBy("ship_month").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("row_bytes").cast("bigint").alias("est_bytes"),
+    )
+    tot = per_part.agg(
+        F.sum("est_bytes").cast("bigint").alias("total_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .select(
+            "ship_month",
+            "n_rows",
+            "est_bytes",
+            F.expr("(est_bytes + 134217727) div 134217728").alias("n_target_files"),
+            (
+                F.col("est_bytes").cast("double")
+                / F.col("total_bytes").cast("double")
+            ).alias("bytes_share"),
+            (
+                F.col("est_bytes").cast("double")
+                * F.col("n_parts").cast("double")
+                / F.col("total_bytes").cast("double")
+            ).alias("skew_vs_mean"),
+        )
+        .orderBy("ship_month")
+    )

@@ -1485,3 +1485,87 @@ def rake_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rolled.orderBy(F.col("score_micro").desc(), "phrase").limit(15)
+
+
+@register(
+    name="vocab_chao1_richness",
+    survey="A7 A8 F17 F28",
+    doc="Unseen-vocabulary estimation per source — the curation question "
+    "'how much of this domain's vocabulary have we NOT crawled yet': "
+    "Chao1 richness D + f1^2/(2*f2) (Chao 1984) from singleton/doubleton "
+    "counts, plus the Good-Turing unseen-probability mass f1/N. "
+    "Complements vocab_coverage_curve (which ranks SEEN mass) with the "
+    "nonparametric estimate of what is missing. Two hash aggs — "
+    "(source, word) counts, then frequency-of-frequency — both keyed "
+    "and linear; the f1/f2/D terms are exact integers and the two "
+    "estimator divisions are single IEEE ops written identically in "
+    "both engines (f2=0 guarded to the bias-corrected "
+    "f1*(f1-1)/2 form).",
+    oracle="""
+        WITH wc AS (
+          SELECT source, (string_split(text, ' '))[s.i] AS word,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM documents d,
+               LATERAL (SELECT unnest(range(1,
+                            len(string_split(d.text, ' ')) + 1)) AS i) s
+          GROUP BY 1, 2
+        ), stats AS (
+          SELECT source,
+                 CAST(count(*) AS BIGINT) AS d_distinct,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS f1,
+                 CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS f2
+          FROM wc GROUP BY source
+        )
+        SELECT source, d_distinct, n_tokens, f1, f2,
+               CAST(d_distinct AS DOUBLE)
+                 + CASE WHEN f2 > 0
+                        THEN CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+                             / (2.0 * CAST(f2 AS DOUBLE))
+                        ELSE CAST(f1 AS DOUBLE)
+                             * CAST(f1 - 1 AS DOUBLE) / 2.0
+                   END AS chao1,
+               CAST(f1 AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                   AS good_turing_unseen_mass
+        FROM stats
+        ORDER BY source
+    """,
+)
+def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    stats = wc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d_distinct"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("f1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("bigint").alias("f2"),
+    )
+    return stats.select(
+        "source",
+        "d_distinct",
+        "n_tokens",
+        "f1",
+        "f2",
+        (
+            F.col("d_distinct").cast("double")
+            + F.when(
+                F.col("f2") > 0,
+                F.col("f1").cast("double")
+                * F.col("f1").cast("double")
+                / (F.lit(2.0) * F.col("f2").cast("double")),
+            ).otherwise(
+                F.col("f1").cast("double")
+                * (F.col("f1") - 1).cast("double")
+                / F.lit(2.0)
+            )
+        ).alias("chao1"),
+        (F.col("f1").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "good_turing_unseen_mass"
+        ),
+    ).orderBy("source")
