@@ -2384,3 +2384,114 @@ def partition_layout_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ship_month")
     )
+
+
+# --- logistic_newton_2step: shared engine-identical expression templates.
+# z, sigma, w, and the per-row gradient/Hessian micro terms are the SAME
+# SQL text in Spark and the oracle; both engines evaluate the identical
+# fixed-order IEEE expression per row, FLOOR(x * 1e6) pins each term to an
+# integer, and the bigint sums are order-independent.
+_LG_Z = "({b0} + {b1} * x)"
+_LG_S = "(0.5 + " + _LG_Z + " / (2.0 * (1.0 + abs(" + _LG_Z + "))))"
+_LG_W = "(" + _LG_S + " * (1.0 - " + _LG_S + "))"
+
+
+def _lg_sums(b0: str, b1: str) -> str:
+    """Aggregate list: micro-quantized G0, G1, H00, H01, H11."""
+    s = _LG_S.format(b0=b0, b1=b1)
+    w = _LG_W.format(b0=b0, b1=b1)
+    mk = "CAST(SUM(CAST(FLOOR(({v}) * 1000000.0) AS BIGINT)) AS BIGINT)"
+    return ", ".join(
+        [
+            mk.format(v=f"(y - {s})") + " AS g0",
+            mk.format(v=f"(y - {s}) * x") + " AS g1",
+            mk.format(v=w) + " AS h00",
+            mk.format(v=f"{w} * x") + " AS h01",
+            mk.format(v=f"{w} * x * x") + " AS h11",
+        ]
+    )
+
+
+# 2x2 Newton solve on the de-quantized sums; same text in both engines.
+_LG_STEP = """
+    {pb0} + ((CAST(h11 AS DOUBLE) / 1000000.0) * (CAST(g0 AS DOUBLE) / 1000000.0)
+       - (CAST(h01 AS DOUBLE) / 1000000.0) * (CAST(g1 AS DOUBLE) / 1000000.0))
+      / ((CAST(h00 AS DOUBLE) / 1000000.0) * (CAST(h11 AS DOUBLE) / 1000000.0)
+       - (CAST(h01 AS DOUBLE) / 1000000.0) * (CAST(h01 AS DOUBLE) / 1000000.0))
+      AS b0,
+    {pb1} + ((CAST(h00 AS DOUBLE) / 1000000.0) * (CAST(g1 AS DOUBLE) / 1000000.0)
+       - (CAST(h01 AS DOUBLE) / 1000000.0) * (CAST(g0 AS DOUBLE) / 1000000.0))
+      / ((CAST(h00 AS DOUBLE) / 1000000.0) * (CAST(h11 AS DOUBLE) / 1000000.0)
+       - (CAST(h01 AS DOUBLE) / 1000000.0) * (CAST(h01 AS DOUBLE) / 1000000.0))
+      AS b1
+"""
+
+
+@register(
+    name="logistic_newton_2step",
+    survey="A7 J5 F28",
+    doc="Distributed logistic-style regression by two unrolled Newton/"
+    "IRLS steps — the canonical 'big-data ML' pattern: each step is ONE "
+    "map-side-combinable aggregation of per-row gradient and Hessian "
+    "terms, then a closed-form 2x2 solve on the driver-sized one-row "
+    "result, broadcast back for the next pass. P(returnflag='R') ~ "
+    "quantity. The link is the RATIONAL fast sigmoid 0.5 + z/(2(1+|z|)) "
+    "(Elliott 1993) instead of exp()-based logistic, because exp is a "
+    "libm hazard across engines while +,*,/,abs are IEEE-exact — the "
+    "documented determinism contract; the optimization STRUCTURE "
+    "(exact distributed Newton) is the operator under test. Every "
+    "per-row term is FLOOR(x*1e6)-pinned before the bigint sum "
+    "(order-independent); term magnitude x rows stays ~4e14 at sf0.1, "
+    "under bigint — at cluster scale widen to decimal(38,0) sums. Two "
+    "linear scans, no shuffle beyond the final 1-row aggs.",
+    oracle=f"""
+        WITH src AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+          FROM lineitem
+        ), r1 AS (
+          SELECT {_lg_sums('0.0', '0.0')},
+                 CAST(count(*) AS BIGINT) AS n
+          FROM src
+        ), beta1 AS (
+          SELECT n, {_LG_STEP.format(pb0='0.0', pb1='0.0')}
+          FROM r1
+        ), r2 AS (
+          SELECT b.n, b.b0 AS pb0, b.b1 AS pb1, {_lg_sums('b.b0', 'b.b1')}
+          FROM src CROSS JOIN beta1 b
+          GROUP BY b.n, b.b0, b.b1
+        ), beta2 AS (
+          SELECT n, {_LG_STEP.format(pb0='pb0', pb1='pb1')}
+          FROM r2
+        )
+        SELECT n AS n_rows, b0, b1 FROM beta2
+    """,
+)
+def logistic_newton_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The per-row term templates above ARE the implementation contract;
+    # Spark runs the same fixed-order expressions through spark.sql so
+    # the two engines cannot drift. Catalyst still plans this as two
+    # scans with map-side partial aggregation into one-row results.
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_lg")
+    return spark.sql(f"""
+        WITH src AS (
+          SELECT CAST(l_quantity AS DOUBLE) AS x,
+                 CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y
+          FROM lineitem_lg
+        ), r1 AS (
+          SELECT {_lg_sums('0.0', '0.0')},
+                 CAST(count(*) AS BIGINT) AS n
+          FROM src
+        ), beta1 AS (
+          SELECT n, {_LG_STEP.format(pb0='0.0', pb1='0.0')}
+          FROM r1
+        ), r2 AS (
+          SELECT b.n, b.b0 AS pb0, b.b1 AS pb1, {_lg_sums('b.b0', 'b.b1')}
+          FROM src CROSS JOIN beta1 b
+          GROUP BY b.n, b.b0, b.b1
+        ), beta2 AS (
+          SELECT n, {_LG_STEP.format(pb0='pb0', pb1='pb1')}
+          FROM r2
+        )
+        SELECT n AS n_rows, b0, b1 FROM beta2
+    """)
