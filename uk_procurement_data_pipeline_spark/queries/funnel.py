@@ -1045,3 +1045,100 @@ def pareto_8020_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             "actual_share"
         ),
     )
+
+
+@register(
+    name="user_type_signature",
+    survey="A7 A8 F28 W2",
+    doc="Early-behavior signature census: encode the SET of event types "
+    "in each user's FIRST 10 events as a 5-bit mask (bit_or of fixed "
+    "per-type powers of two — set-algebraic, order-independent, no "
+    "collect; the first-10 cut is a user-keyed row_number with a "
+    "total (ts, event_id) tiebreak), then census the signature "
+    "space: users per exact signature, breadth via bit_count, and "
+    "the mean day-span of that early window (exact integer days, one "
+    "display division). The segmentation pass a personalization "
+    "pipeline runs to size onboarding cohorts. One user-keyed window "
+    "+ two hash aggs, then a rollup onto the bounded <=31-row "
+    "signature domain.",
+    oracle="""
+        WITH first10 AS (
+          SELECT user_id, event_type, ts FROM (
+            SELECT user_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+                       AS rn
+            FROM events) t
+          WHERE rn <= 10
+        ), ut AS (
+          SELECT user_id,
+                 bit_or(CASE event_type
+                          WHEN 'click' THEN 1
+                          WHEN 'error' THEN 2
+                          WHEN 'purchase' THEN 4
+                          WHEN 'signup' THEN 8
+                          ELSE 16 END) AS sig,
+                 CAST(date_diff('day',
+                      CAST(min(date_trunc('day', ts)) AS DATE),
+                      CAST(max(date_trunc('day', ts)) AS DATE))
+                   AS BIGINT) AS span_days
+          FROM first10 GROUP BY user_id
+        )
+        SELECT CAST(sig AS BIGINT) AS signature,
+               CAST(bit_count(CAST(sig AS BIGINT)) AS BIGINT) AS breadth,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(SUM(span_days) AS BIGINT) AS total_span_days,
+               CAST(SUM(span_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS avg_span_days
+        FROM ut
+        GROUP BY sig
+        ORDER BY signature
+    """,
+)
+def user_type_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros(F.col("ts").cast("timestamp")), "event_id"
+    )
+    first10 = (
+        load(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+    )
+    ut = (
+        first10
+        .select(
+            "user_id",
+            F.when(F.col("event_type") == "click", 1)
+            .when(F.col("event_type") == "error", 2)
+            .when(F.col("event_type") == "purchase", 4)
+            .when(F.col("event_type") == "signup", 8)
+            .otherwise(16)
+            .alias("bit"),
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.expr("bit_or(bit)").alias("sig"),
+            F.datediff(F.max("day"), F.min("day")).cast("bigint").alias("span_days"),
+        )
+    )
+    return (
+        ut.groupBy(F.col("sig").cast("bigint").alias("signature"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum("span_days").cast("bigint").alias("total_span_days"),
+            (
+                F.sum("span_days").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("avg_span_days"),
+        )
+        .select(
+            "signature",
+            F.bit_count("signature").cast("bigint").alias("breadth"),
+            "n_users",
+            "total_span_days",
+            "avg_span_days",
+        )
+        .orderBy("signature")
+    )

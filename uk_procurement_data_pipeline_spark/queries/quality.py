@@ -399,3 +399,132 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    name="quantile_normalize_lengths",
+    survey="A7 W3 J6 F13 F28",
+    doc="Quantile normalization of per-source document-length "
+    "distributions onto the global distribution (the microarray-style "
+    "normalizer, used to make per-domain features comparable before "
+    "mixing corpora): for each source and decile d, report the "
+    "source's own decile value and the GLOBAL value at the "
+    "proportionally mapped rank floor((p-1)*(N-1)/(n_s-1))+1. The "
+    "scale move: no per-row rank windows anywhere — both quantile "
+    "functions are inverted CDFs over the bounded (source, n_chars) "
+    "COUNT domain (first aggregation collapses rows onto it), so the "
+    "cumulative windows and min-value lookups cost the same at any "
+    "SF. All rank arithmetic is exact integers; output is 20 sources "
+    "x 11 deciles.",
+    oracle="""
+        WITH cnt AS (
+          SELECT source, n_chars AS len, CAST(count(*) AS BIGINT) AS c
+          FROM documents GROUP BY 1, 2
+        ), cum AS (
+          SELECT source, len, c,
+                 SUM(c) OVER (PARTITION BY source ORDER BY len
+                              ROWS UNBOUNDED PRECEDING) AS cum
+          FROM cnt
+        ), ns AS (
+          SELECT source, CAST(SUM(c) AS BIGINT) AS n_s FROM cnt
+          GROUP BY source
+        ), gcnt AS (
+          SELECT len, CAST(SUM(c) AS BIGINT) AS c FROM cnt GROUP BY len
+        ), gcum AS (
+          SELECT len, SUM(c) OVER (ORDER BY len ROWS UNBOUNDED
+                                   PRECEDING) AS cum
+          FROM gcnt
+        ), n_tot AS (
+          SELECT CAST(SUM(c) AS BIGINT) AS n FROM gcnt
+        ), pos AS (
+          SELECT ns.source, ns.n_s, d.d,
+                 ((ns.n_s - 1) * d.d) // 10 + 1 AS p_src
+          FROM ns CROSS JOIN (SELECT unnest(range(0, 11)) AS d) d
+        ), mapped AS (
+          SELECT p.source, p.d, p.p_src, p.n_s, t.n,
+                 CASE WHEN p.n_s > 1
+                      THEN ((p.p_src - 1) * (t.n - 1)) // (p.n_s - 1) + 1
+                      ELSE 1 END AS p_glob
+          FROM pos p CROSS JOIN n_tot t
+        ), src_val AS (
+          SELECT m.source, m.d, m.p_src, m.p_glob,
+                 MIN(c.len) AS src_value
+          FROM mapped m JOIN cum c
+            ON c.source = m.source AND c.cum >= m.p_src
+          GROUP BY 1, 2, 3, 4
+        )
+        SELECT s.source, CAST(s.d AS BIGINT) AS decile,
+               CAST(s.p_src AS BIGINT) AS src_rank,
+               CAST(s.src_value AS BIGINT) AS src_value,
+               CAST(MIN(g.len) AS BIGINT) AS mapped_value
+        FROM src_val s JOIN gcum g ON g.cum >= s.p_glob
+        GROUP BY s.source, s.d, s.p_src, s.src_value
+        ORDER BY source, decile
+    """,
+)
+def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cnt = (
+        load(spark, sf_dir, "documents")
+        .groupBy("source", F.col("n_chars").alias("len"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cum = cnt.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.partitionBy("source")
+            .orderBy("len")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    ns = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n_s"))
+    gcnt = cnt.groupBy("len").agg(F.sum("c").cast("bigint").alias("c"))
+    gcum = gcnt.withColumn(
+        "cum",
+        F.sum("c").over(
+            Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    n_tot = gcnt.agg(F.sum("c").cast("bigint").alias("n"))
+    deciles = spark.range(0, 11).select(F.col("id").cast("bigint").alias("d"))
+    pos = ns.crossJoin(F.broadcast(deciles)).select(
+        "source",
+        "n_s",
+        "d",
+        F.expr("((n_s - 1) * d) div 10 + 1").alias("p_src"),
+    )
+    mapped = pos.crossJoin(F.broadcast(n_tot)).select(
+        "source",
+        "d",
+        "p_src",
+        F.when(
+            F.col("n_s") > 1,
+            F.expr("((p_src - 1) * (n - 1)) div (n_s - 1) + 1"),
+        )
+        .otherwise(F.lit(1))
+        .alias("p_glob"),
+    )
+    src_val = (
+        mapped.join(
+            cum.select("source", "len", "cum"),
+            (mapped.source == cum.source) & (cum.cum >= mapped.p_src),
+        )
+        .drop(cum.source)
+        .groupBy("source", "d", "p_src", "p_glob")
+        .agg(F.min("len").alias("src_value"))
+    )
+    return (
+        src_val.join(gcum.select(F.col("len").alias("glen"), F.col("cum").alias("gc")),
+                     F.col("gc") >= F.col("p_glob"))
+        .groupBy("source", "d", "p_src", "src_value")
+        .agg(F.min("glen").cast("bigint").alias("mapped_value"))
+        .select(
+            "source",
+            F.col("d").cast("bigint").alias("decile"),
+            F.col("p_src").cast("bigint").alias("src_rank"),
+            F.col("src_value").cast("bigint").alias("src_value"),
+            "mapped_value",
+        )
+        .orderBy("source", "decile")
+    )
