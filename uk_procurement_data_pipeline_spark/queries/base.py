@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "segment_migration_matrix",
     "quantile_normalize_lengths",
     "user_type_signature",
     "logistic_newton_2step",
@@ -112,14 +113,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "join_key_skew_report",
     "source_vocab_jaccard",
     "nb_margin_calibration",
-    "winsorized_stats_per_type",
 )
 
 # r06 window candidates also include kmv_union_jaccard, psi_value_drift,
 # pointintime_customer_orders, ewma_user_value, equidepth_value_bins,
 # domain_mixture_resample, unigram_surprisal_quality, bm25_topk_docs,
 # burst_day_detection, theil_sen_daily_trend, benford_first_digit,
-# power_iteration_top_pc, split_leakage_report,
+# power_iteration_top_pc, split_leakage_report, winsorized_stats_per_type,
 # exact_substr_dedup_spans, and kmv_distinct_sketch (displaced from the r05 window by this round's
 # eight query additions; all stay green in the local sweep).
 # r06 window candidates (generated this round from the actual

@@ -1142,3 +1142,117 @@ def user_type_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("signature")
     )
+
+
+@register(
+    name="segment_migration_matrix",
+    survey="A7 J7 U1 F15 F28",
+    doc="Customer lifecycle migration matrix — the period-over-period "
+    "dynamics view that static RFM (rfm_customer_segments) cannot "
+    "show: split the order history at the midpoint of the date range, "
+    "band each customer's order count per half into activity segments "
+    "(absent / one / casual 2-3 / loyal 4+), and cross-tabulate the "
+    "H1 -> H2 transitions including churn (active -> absent) and "
+    "acquisition (absent -> active). A FULL OUTER join of the two "
+    "half-profiles keyed on customer implements the absent states "
+    "without scanning customers who never ordered. All counts are "
+    "exact integers; the within-H1-segment share is the single "
+    "display division. Bounded 4x4 output.",
+    oracle="""
+        WITH bounds AS (
+          SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS mn,
+                 CAST(date_diff('day',
+                      CAST(min(CAST(o_orderdate AS DATE)) AS DATE),
+                      CAST(max(CAST(o_orderdate AS DATE)) AS DATE))
+                   AS BIGINT) AS span
+          FROM orders
+        ), marked AS (
+          SELECT o.o_custkey,
+                 CASE WHEN CAST(date_diff('day', b.mn,
+                                CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                      < b.span // 2
+                      THEN 1 ELSE 2 END AS half
+          FROM orders o CROSS JOIN bounds b
+        ), per_half AS (
+          SELECT o_custkey, half, CAST(count(*) AS BIGINT) AS n_orders
+          FROM marked GROUP BY 1, 2
+        ), h1 AS (
+          SELECT o_custkey,
+                 CASE WHEN n_orders >= 4 THEN 'loyal_4plus'
+                      WHEN n_orders >= 2 THEN 'casual_2_3'
+                      ELSE 'one_order' END AS seg
+          FROM per_half WHERE half = 1
+        ), h2 AS (
+          SELECT o_custkey,
+                 CASE WHEN n_orders >= 4 THEN 'loyal_4plus'
+                      WHEN n_orders >= 2 THEN 'casual_2_3'
+                      ELSE 'one_order' END AS seg
+          FROM per_half WHERE half = 2
+        ), cells AS (
+          SELECT COALESCE(h1.seg, 'absent') AS seg_h1,
+                 COALESCE(h2.seg, 'absent') AS seg_h2,
+                 CAST(count(*) AS BIGINT) AS n_customers
+          FROM h1 FULL OUTER JOIN h2 ON h1.o_custkey = h2.o_custkey
+          GROUP BY 1, 2
+        )
+        SELECT seg_h1, seg_h2, n_customers,
+               CAST(n_customers AS DOUBLE)
+                 / CAST(SUM(n_customers) OVER (PARTITION BY seg_h1)
+                        AS DOUBLE) AS share_of_h1_segment
+        FROM cells
+        ORDER BY seg_h1, seg_h2
+    """,
+)
+def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    bounds = orders.agg(
+        F.min("od").alias("mn"),
+        F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("span"),
+    )
+    marked = orders.crossJoin(F.broadcast(bounds)).select(
+        "o_custkey",
+        F.when(
+            F.datediff(F.col("od"), F.col("mn")).cast("bigint")
+            < F.expr("span div 2"),
+            F.lit(1),
+        )
+        .otherwise(F.lit(2))
+        .alias("half"),
+    )
+    per_half = marked.groupBy("o_custkey", "half").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders")
+    )
+    seg = (
+        F.when(F.col("n_orders") >= 4, "loyal_4plus")
+        .when(F.col("n_orders") >= 2, "casual_2_3")
+        .otherwise("one_order")
+    )
+    h1 = per_half.where(F.col("half") == 1).select(
+        "o_custkey", seg.alias("seg1")
+    )
+    h2 = per_half.where(F.col("half") == 2).select(
+        F.col("o_custkey").alias("ck2"), seg.alias("seg2")
+    )
+    cells = (
+        h1.join(h2, h1.o_custkey == h2.ck2, "full_outer")
+        .select(
+            F.coalesce("seg1", F.lit("absent")).alias("seg_h1"),
+            F.coalesce("seg2", F.lit("absent")).alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+    )
+    wh1 = Window.partitionBy("seg_h1")
+    return cells.select(
+        "seg_h1",
+        "seg_h2",
+        "n_customers",
+        (
+            F.col("n_customers").cast("double")
+            / F.sum("n_customers").over(wh1).cast("double")
+        ).alias("share_of_h1_segment"),
+    ).orderBy("seg_h1", "seg_h2")
