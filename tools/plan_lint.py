@@ -55,6 +55,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
     },
+    "quantile_normalize_lengths": {
+        "GLOBALWIN": "global CDF cumsum over ONE ROW PER DISTINCT "
+        "n_chars (value-domain-bounded) — input is already "
+        "aggregate-sized",
+    },
     "wasserstein_value_distance": {
         "GLOBALWIN": "grid-gap lead() over ONE ROW PER DISTINCT CENT "
         "(<=56k, value-domain-bounded) — input is already aggregate-sized",

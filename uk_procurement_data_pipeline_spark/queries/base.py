@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "frequent_triples",
+    "shapley_channel_attribution",
     "segment_migration_matrix",
     "quantile_normalize_lengths",
     "user_type_signature",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "embedding_norm_outliers",
     "markov_prediction_accuracy",
     "join_key_skew_report",
-    "source_vocab_jaccard",
-    "nb_margin_calibration",
 )
 
 # r06 window candidates also include kmv_union_jaccard, psi_value_drift,
@@ -120,7 +120,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # domain_mixture_resample, unigram_surprisal_quality, bm25_topk_docs,
 # burst_day_detection, theil_sen_daily_trend, benford_first_digit,
 # power_iteration_top_pc, split_leakage_report, winsorized_stats_per_type,
-# exact_substr_dedup_spans, and kmv_distinct_sketch (displaced from the r05 window by this round's
+# exact_substr_dedup_spans, source_vocab_jaccard, nb_margin_calibration,
+# and kmv_distinct_sketch (displaced from the r05 window by this round's
 # eight query additions; all stay green in the local sweep).
 # r06 window candidates (generated this round from the actual
 # CORRECTNESS_r01..r03 coverage; 98 registered queries have never

@@ -3870,3 +3870,164 @@ def wasserstein_value_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("type_a", "type_b", "n_a", "n_b", "w1_distance")
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    name="shapley_channel_attribution",
+    survey="A7 J5 F28 W2 U1",
+    doc="EXACT Shapley-value channel attribution (Shapley 1953) — "
+    "completing the attribution family (position/U-shaped/Markov "
+    "removal are registered) with the one game-theoretically fair "
+    "scheme: channels are the 4 pre-conversion event types, each "
+    "user's touch COALITION is the bit-or mask of types seen before "
+    "their first purchase, the characteristic function v(S) is the "
+    "conversion rate among users whose touches fit inside S, and "
+    "Shapley_i = sum over S not containing i of w(|S|)*(v(S+i)-v(S)). "
+    "The scale trick: users collapse onto the 16-row mask domain "
+    "FIRST (one user-keyed agg), so the entire coalition lattice — "
+    "subset sums, v values, the 2^4 Shapley expansion — lives on "
+    "broadcast-sized tables. v is integer-micro quantized "
+    "((c*1e6) div n) BEFORE the weighted sum, and the factorial "
+    "weights ride the common denominator 24 as exact integers "
+    "(6,2,2,6), so the only IEEE op is the final /24e6 display "
+    "division.",
+    oracle="""
+        WITH first_p AS (
+          SELECT user_id, min(epoch_us(ts)) AS pu
+          FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        ), touches AS (
+          SELECT e.user_id,
+                 bit_or(CASE e.event_type
+                          WHEN 'click' THEN 1
+                          WHEN 'error' THEN 2
+                          WHEN 'signup' THEN 4
+                          WHEN 'view' THEN 8
+                          ELSE 0 END) AS mask,
+                 MAX(CASE WHEN f.user_id IS NOT NULL
+                          THEN 1 ELSE 0 END) AS converted
+          FROM events e LEFT JOIN first_p f ON e.user_id = f.user_id
+          WHERE e.event_type <> 'purchase'
+            AND (f.pu IS NULL OR epoch_us(e.ts) < f.pu)
+          GROUP BY e.user_id
+        ), mask_stats AS (
+          SELECT mask, CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(converted) AS BIGINT) AS c
+          FROM touches WHERE mask <> 0 GROUP BY mask
+        ), coal AS (
+          SELECT CAST(s.s AS BIGINT) AS s
+          FROM (SELECT unnest(range(0, 16)) AS s) s
+        ), v AS (
+          SELECT co.s,
+                 CASE WHEN COALESCE(SUM(m.n), 0) > 0
+                      THEN (COALESCE(SUM(m.c), 0) * 1000000)
+                           // SUM(m.n)
+                      ELSE 0 END AS v_micro
+          FROM coal co
+          LEFT JOIN mask_stats m ON (m.mask & ~co.s) = 0
+          GROUP BY co.s
+        ), chan AS (
+          SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)),
+                                ('error', CAST(2 AS BIGINT)),
+                                ('signup', CAST(4 AS BIGINT)),
+                                ('view', CAST(8 AS BIGINT)))
+                   AS t(channel, bit)
+        ), terms AS (
+          SELECT ch.channel,
+                 CASE bit_count(co.s) WHEN 0 THEN 6 WHEN 1 THEN 2
+                                      WHEN 2 THEN 2 ELSE 6 END
+                 * (vi.v_micro - vs.v_micro) AS term24
+          FROM chan ch
+          JOIN coal co ON (co.s & ch.bit) = 0
+          JOIN v vs ON vs.s = co.s
+          JOIN v vi ON vi.s = co.s + ch.bit
+        )
+        SELECT channel,
+               CAST(SUM(term24) AS BIGINT) AS shapley_micro24,
+               CAST(SUM(term24) AS DOUBLE) / 24000000.0 AS shapley_value
+        FROM terms
+        GROUP BY channel
+        ORDER BY channel
+    """,
+)
+def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+    )
+    first_p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min("u").alias("pu"))
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(first_p, "user_id", "left")
+        .where(F.col("pu").isNull() | (F.col("u") < F.col("pu")))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "bit_or(CASE event_type WHEN 'click' THEN 1"
+                " WHEN 'error' THEN 2 WHEN 'signup' THEN 4"
+                " WHEN 'view' THEN 8 ELSE 0 END)"
+            ).alias("mask"),
+            F.max(
+                F.when(F.col("pu").isNotNull(), 1).otherwise(0)
+            ).alias("converted"),
+        )
+    )
+    mask_stats = (
+        touches.where(F.col("mask") != 0)
+        .groupBy("mask")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("converted").cast("bigint").alias("c"),
+        )
+    )
+    coal = spark.range(0, 16).select(F.col("id").cast("bigint").alias("s"))
+    v = (
+        coal.join(
+            F.broadcast(mask_stats),
+            F.expr("(mask & ~s) = 0"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(
+            F.expr(
+                "CASE WHEN COALESCE(SUM(n), 0) > 0"
+                " THEN (COALESCE(SUM(c), 0) * 1000000) div SUM(n)"
+                " ELSE 0 END"
+            ).alias("v_micro")
+        )
+    )
+    chan = spark.createDataFrame(
+        [("click", 1), ("error", 2), ("signup", 4), ("view", 8)],
+        "channel string, bit bigint",
+    )
+    vs = v.select(F.col("s").alias("s0"), F.col("v_micro").alias("v0"))
+    vi = v.select(F.col("s").alias("s1"), F.col("v_micro").alias("v1"))
+    terms = (
+        chan.join(F.broadcast(coal), F.expr("(s & bit) = 0"))
+        .join(F.broadcast(vs), F.col("s0") == F.col("s"))
+        .join(F.broadcast(vi), F.col("s1") == F.col("s") + F.col("bit"))
+        .select(
+            "channel",
+            (
+                F.expr(
+                    "CASE bit_count(s) WHEN 0 THEN 6 WHEN 1 THEN 2"
+                    " WHEN 2 THEN 2 ELSE 6 END"
+                )
+                * (F.col("v1") - F.col("v0"))
+            ).alias("term24"),
+        )
+    )
+    return (
+        terms.groupBy("channel")
+        .agg(
+            F.sum("term24").cast("bigint").alias("shapley_micro24"),
+            (F.sum("term24").cast("double") / F.lit(24000000.0)).alias(
+                "shapley_value"
+            ),
+        )
+        .orderBy("channel")
+    )

@@ -1256,3 +1256,56 @@ def segment_migration_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_customers").over(wh1).cast("double")
         ).alias("share_of_h1_segment"),
     ).orderBy("seg_h1", "seg_h2")
+
+
+@register(
+    name="frequent_triples",
+    survey="J6 A7 O4 F28",
+    doc="Frequent 3-itemset mining over order baskets — one lattice "
+    "level above association_rules_parts' pairs: two ascending "
+    "self-joins of the distinct basket-membership table (p1 < p2 < "
+    "p3 canonicalizes each set to ONE row, no post-dedup), support "
+    "counted per triple, global top-15 with full lexicographic "
+    "tiebreak via orderBy+limit (TakeOrderedAndProject — no "
+    "single-partition window). Fan-out is C(basket,3) <= 35 per "
+    "order at TPC-H basket sizes, so the expansion stays linear in "
+    "orders; all joins key on the order id.",
+    oracle="""
+        WITH op AS (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+        ), tri AS (
+          SELECT a.p AS p1, b.p AS p2, c.p AS p3,
+                 CAST(count(*) AS BIGINT) AS support
+          FROM op a
+          JOIN op b ON a.o = b.o AND a.p < b.p
+          JOIN op c ON b.o = c.o AND b.p < c.p
+          GROUP BY 1, 2, 3
+        )
+        SELECT p1, p2, p3, support
+        FROM tri
+        ORDER BY support DESC, p1, p2, p3
+        LIMIT 15
+    """,
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    c = op.alias("c")
+    tri = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .join(c, (F.col("b.o") == F.col("c.o")) & (F.col("b.p") < F.col("c.p")))
+        .groupBy(
+            F.col("a.p").alias("p1"),
+            F.col("b.p").alias("p2"),
+            F.col("c.p").alias("p3"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+    )
+    return tri.orderBy(
+        F.col("support").desc(), "p1", "p2", "p3"
+    ).limit(15)
