@@ -2495,3 +2495,157 @@ def logistic_newton_2step(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT n AS n_rows, b0, b1 FROM beta2
     """)
+
+
+# cuped_adjusted_lift: the theta / adjusted-mean arithmetic as ONE shared
+# fixed-order expression text per quantity (identical in Spark and the
+# oracle — same IEEE ops in the same order on identical integer inputs).
+_CUPED_THETA = (
+    "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+)
+_CUPED_R2 = (
+    "((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+)
+_CUPED_ADJ = (
+    "CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE) - ({theta})"
+    " * (CAST(sxg AS DOUBLE) / CAST(ng AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+
+
+@register(
+    name="cuped_adjusted_lift",
+    survey="A7 J5 F28 F15",
+    doc="CUPED variance-reduced experiment readout (Deng et al. 2013) — "
+    "the modern A/B analysis that abtest_proportions_ztest lacks: "
+    "per-customer pre-period spend (first date-range half) is the "
+    "covariate x, post-period spend the metric y, assignment is the "
+    "deterministic md5(custkey) mod 2 split, theta = cov(x,y)/var(x) "
+    "is estimated POOLED, and each group reports raw vs "
+    "theta-adjusted mean with the achieved variance-reduction r^2. "
+    "Spend is floored to hundred-dollar integer units so ALL five "
+    "moment sums are exact bigints within the 2^53 display budget "
+    "(cents^2 sums overflow; the unit choice is the functions/"
+    "exact.py input-shrinking rule done structurally, not by dividing "
+    "doubles). theta/r^2/adjusted means are shared fixed-order double "
+    "expression templates — bit-identical across engines. One "
+    "customer-keyed agg, one 5-integer global rollup broadcast back.",
+    oracle=f"""
+        WITH bounds AS (
+          SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS mn,
+                 CAST(date_diff('day',
+                      CAST(min(CAST(o_orderdate AS DATE)) AS DATE),
+                      CAST(max(CAST(o_orderdate AS DATE)) AS DATE))
+                   AS BIGINT) AS span
+          FROM orders
+        ), cust AS (
+          SELECT o.o_custkey,
+                 CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 2 AS grp,
+                 SUM(CASE WHEN CAST(date_diff('day', b.mn,
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                          < b.span // 2
+                          THEN CAST(ROUND(o.o_totalprice * 100)
+                               AS BIGINT) ELSE 0 END) // 10000 AS x,
+                 SUM(CASE WHEN CAST(date_diff('day', b.mn,
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                          >= b.span // 2
+                          THEN CAST(ROUND(o.o_totalprice * 100)
+                               AS BIGINT) ELSE 0 END) // 10000 AS y
+          FROM orders o CROSS JOIN bounds b
+          GROUP BY 1, 2
+        ), g AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy,
+                 CAST(SUM(y * y) AS BIGINT) AS syy
+          FROM cust
+        ), per_grp AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS ng,
+                 CAST(SUM(x) AS BIGINT) AS sxg,
+                 CAST(SUM(y) AS BIGINT) AS syg
+          FROM cust GROUP BY grp
+        )
+        SELECT p.grp AS grp, p.ng AS n_users,
+               CAST(p.syg AS DOUBLE) / CAST(p.ng AS DOUBLE)
+                   AS raw_mean_y_units,
+               {_CUPED_ADJ.format(theta=_CUPED_THETA).replace('syg', 'p.syg').replace('sxg', 'p.sxg').replace('ng', 'p.ng')}
+                   AS adj_mean_y_units,
+               {_CUPED_THETA} AS theta,
+               {_CUPED_R2} AS var_reduction_r2
+        FROM per_grp p CROSS JOIN g
+        ORDER BY grp
+    """,
+)
+def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
+    )
+    bounds = orders.agg(
+        F.min("od").alias("mn"),
+        F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("span"),
+    )
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    in_h1 = (
+        "CAST(datediff(od, mn) AS BIGINT) < span div 2"
+    )
+    cust = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "o_custkey",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("grp"),
+        )
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN {in_h1} THEN {cents} ELSE 0 END) div 10000"
+            ).alias("x"),
+            F.expr(
+                f"SUM(CASE WHEN NOT ({in_h1}) THEN {cents} ELSE 0 END)"
+                " div 10000"
+            ).alias("y"),
+        )
+    )
+    g = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    per_grp = cust.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ng"),
+        F.sum("x").cast("bigint").alias("sxg"),
+        F.sum("y").cast("bigint").alias("syg"),
+    )
+    return (
+        per_grp.crossJoin(F.broadcast(g))
+        .select(
+            F.col("grp"),
+            F.col("ng").alias("n_users"),
+            F.expr("CAST(syg AS DOUBLE) / CAST(ng AS DOUBLE)").alias(
+                "raw_mean_y_units"
+            ),
+            F.expr(_CUPED_ADJ.format(theta=_CUPED_THETA)).alias(
+                "adj_mean_y_units"
+            ),
+            F.expr(_CUPED_THETA).alias("theta"),
+            F.expr(_CUPED_R2).alias("var_reduction_r2"),
+        )
+        .orderBy("grp")
+    )
