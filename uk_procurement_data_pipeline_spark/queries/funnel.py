@@ -1309,3 +1309,163 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.orderBy(
         F.col("support").desc(), "p1", "p2", "p3"
     ).limit(15)
+
+
+@register(
+    name="logrank_two_group",
+    survey="A7 W3 J5 F15 F28",
+    doc="Two-group log-rank test on customer lifetimes — the "
+    "significance companion to kaplan_meier_customer_lifetime (same "
+    "lifetime/censoring contract: lifetime = first-to-last-order "
+    "days, censored within 90 days of corpus end), comparing the "
+    "md5(custkey) mod 2 cohorts: at every distinct event day, "
+    "observed group-1 events vs the hypergeometric expectation "
+    "d*r1/r and variance d*r1*(r-r1)*(r-d)/(r^2*(r-1)). Both are "
+    "integer-micro quantized with SEQUENTIAL integer divisions "
+    "(documented estimator definition; keeps every term inside "
+    "bigint), so the O-E and variance sums are exact and the chi^2 "
+    "is one fixed-order double expression. At-risk counts come from "
+    "total-minus-running-sum over the calendar-bounded lifetime-day "
+    "domain — the only row-sized work is the per-customer rollup.",
+    oracle="""
+        WITH cust AS (
+          SELECT o_custkey,
+                 CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 2 AS grp,
+                 CAST(date_diff('day',
+                      min(date_trunc('day', o_orderdate)),
+                      max(date_trunc('day', o_orderdate))) AS BIGINT)
+                     AS lifetime,
+                 (date_diff('day', max(date_trunc('day', o_orderdate)),
+                            (SELECT max(date_trunc('day', o_orderdate))
+                             FROM orders)) < 90) AS censored
+          FROM orders GROUP BY o_custkey
+        ), totals AS (
+          SELECT grp, CAST(count(*) AS BIGINT) AS n_g
+          FROM cust GROUP BY grp
+        ), per_day AS (
+          SELECT lifetime AS t, grp,
+                 CAST(count(*) AS BIGINT) AS ended,
+                 CAST(count(*) FILTER (WHERE NOT censored) AS BIGINT)
+                     AS d_g
+          FROM cust GROUP BY 1, 2
+        ), grid AS (
+          SELECT DISTINCT t FROM per_day
+        ), cells AS (
+          SELECT g.t, tt.grp,
+                 COALESCE(p.ended, 0) AS ended,
+                 COALESCE(p.d_g, 0) AS d_g
+          FROM grid g
+          CROSS JOIN (SELECT DISTINCT grp FROM cust) tt
+          LEFT JOIN per_day p ON p.t = g.t AND p.grp = tt.grp
+        ), risk AS (
+          SELECT c.t, c.grp, c.d_g,
+                 tt.n_g - (SUM(c.ended) OVER (PARTITION BY c.grp
+                           ORDER BY c.t ROWS UNBOUNDED PRECEDING)
+                           - c.ended) AS r_g
+          FROM cells c JOIN totals tt ON tt.grp = c.grp
+        ), days AS (
+          SELECT t,
+                 SUM(CASE WHEN grp = 1 THEN d_g ELSE 0 END) AS d1,
+                 SUM(d_g) AS d,
+                 SUM(CASE WHEN grp = 1 THEN r_g ELSE 0 END) AS r1,
+                 SUM(r_g) AS r
+          FROM risk GROUP BY t
+        ), terms AS (
+          SELECT d1,
+                 (d * r1 * 1000000) // r AS e1_micro,
+                 ((((d * r1 * (r - r1)) // r) * (r - d)) * 1000000)
+                   // (r * (r - 1)) AS v1_micro
+          FROM days WHERE d > 0 AND r > 1
+        )
+        SELECT CAST(SUM(d1) AS BIGINT) AS o1,
+               CAST(SUM(e1_micro) AS BIGINT) AS e1_micro,
+               CAST(SUM(v1_micro) AS BIGINT) AS v1_micro,
+               (CAST(SUM(d1) * 1000000 - SUM(e1_micro) AS DOUBLE)
+                / 1000000.0)
+               * (CAST(SUM(d1) * 1000000 - SUM(e1_micro) AS DOUBLE)
+                / 1000000.0)
+               / (CAST(SUM(v1_micro) AS DOUBLE) / 1000000.0)
+                   AS logrank_chi2
+        FROM terms
+    """,
+)
+def logrank_two_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("day", "o_orderdate").cast("date").alias("od")
+    )
+    corpus_end = orders.agg(F.max("od").alias("end"))
+    cust = (
+        orders.crossJoin(F.broadcast(corpus_end))
+        .groupBy(
+            "o_custkey",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("grp"),
+        )
+        .agg(
+            F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("lifetime"),
+            (F.datediff(F.max("end"), F.max("od")) < 90).alias("censored"),
+        )
+    )
+    totals = cust.groupBy("grp").agg(F.count(F.lit(1)).cast("bigint").alias("n_g"))
+    per_day = cust.groupBy(F.col("lifetime").alias("t"), "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ended"),
+        F.sum(F.when(~F.col("censored"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("d_g"),
+    )
+    grid = per_day.select("t").distinct()
+    grps = cust.select("grp").distinct()
+    cells = (
+        grid.crossJoin(F.broadcast(grps))
+        .join(per_day, ["t", "grp"], "left")
+        .select(
+            "t",
+            "grp",
+            F.coalesce("ended", F.lit(0)).alias("ended"),
+            F.coalesce("d_g", F.lit(0)).alias("d_g"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("grp").orderBy("t").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    risk = cells.join(totals, "grp").select(
+        "t",
+        "grp",
+        "d_g",
+        (
+            F.col("n_g")
+            - (F.sum("ended").over(wcum) - F.col("ended"))
+        ).alias("r_g"),
+    )
+    days = risk.groupBy("t").agg(
+        F.sum(F.when(F.col("grp") == 1, F.col("d_g")).otherwise(0)).alias("d1"),
+        F.sum("d_g").alias("d"),
+        F.sum(F.when(F.col("grp") == 1, F.col("r_g")).otherwise(0)).alias("r1"),
+        F.sum("r_g").alias("r"),
+    )
+    terms = days.where((F.col("d") > 0) & (F.col("r") > 1)).select(
+        "d1",
+        F.expr("(d * r1 * 1000000) div r").alias("e1_micro"),
+        F.expr(
+            "((((d * r1 * (r - r1)) div r) * (r - d)) * 1000000)"
+            " div (r * (r - 1))"
+        ).alias("v1_micro"),
+    )
+    return terms.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("e1_micro").cast("bigint").alias("e1_micro"),
+        F.sum("v1_micro").cast("bigint").alias("v1_micro"),
+        F.expr(
+            "(CAST(SUM(d1) * 1000000 - SUM(e1_micro) AS DOUBLE) / 1000000.0)"
+            " * (CAST(SUM(d1) * 1000000 - SUM(e1_micro) AS DOUBLE)"
+            " / 1000000.0)"
+            " / (CAST(SUM(v1_micro) AS DOUBLE) / 1000000.0)"
+        ).alias("logrank_chi2"),
+    )
