@@ -1569,3 +1569,250 @@ def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_turing_unseen_mass"
         ),
     ).orderBy("source")
+
+
+@register(
+    name="loso_source_influence",
+    survey="A7 J5 J6 W1 F28",
+    doc="Leave-one-source-out data valuation (the Shapley-lite "
+    "influence probe an LLM curation pipeline runs to find "
+    "distinctive vs redundant sources): for every source s, classify "
+    "s's documents' LANGUAGE with a multinomial NB model trained on "
+    "the corpus MINUS s, and report the held-out accuracy — sources "
+    "whose own docs survive removal are redundant; accuracy craters "
+    "mark irreplaceable content. The trick that makes 20 models ONE "
+    "pass: minus-s counts are global-minus-per-source DIFFERENCES "
+    "(the target_encoding_oof exclusion identity), so no model is "
+    "retrained — scoring joins each doc's terms to (global, own-"
+    "source) count pairs and derives the excluded weight in place. "
+    "ln weights are micro-quantized pre-argmax (the NB contract); "
+    "priors are Laplace-smoothed so a lang monopolized by one source "
+    "never hits ln(0). Shuffles key on (doc, term), (term, lang), "
+    "term, doc, source — all linear with a x5 lang fan-out.",
+    oracle="""
+        WITH tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tfc
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+                FROM documents)
+          GROUP BY doc_id, term
+        ), truth AS (
+          SELECT doc_id, source, lang FROM documents
+        ), cg AS (
+          SELECT t.term, d.lang, CAST(SUM(t.tfc) AS BIGINT) AS c
+          FROM tf t JOIN truth d USING (doc_id)
+          GROUP BY 1, 2
+        ), cs AS (
+          SELECT d.source, t.term, d.lang, CAST(SUM(t.tfc) AS BIGINT) AS c
+          FROM tf t JOIN truth d USING (doc_id)
+          GROUP BY 1, 2, 3
+        ), totg AS (
+          SELECT lang, CAST(SUM(c) AS BIGINT) AS tot FROM cg GROUP BY lang
+        ), tots AS (
+          SELECT source, lang, CAST(SUM(c) AS BIGINT) AS tot
+          FROM cs GROUP BY 1, 2
+        ), vs AS (
+          SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM tf
+        ), langs AS (
+          SELECT DISTINCT lang FROM truth
+        ), nl AS (
+          SELECT CAST(count(*) AS BIGINT) AS l FROM langs
+        ), ndg AS (
+          SELECT lang, CAST(count(*) AS BIGINT) AS nd FROM truth
+          GROUP BY lang
+        ), nds AS (
+          SELECT source, lang, CAST(count(*) AS BIGINT) AS nd FROM truth
+          GROUP BY 1, 2
+        ), ntot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM truth
+        ), nsrc AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n FROM truth
+          GROUP BY source
+        ), term_scores AS (
+          SELECT t.doc_id, d.source, l.lang,
+                 CAST(SUM(t.tfc * CAST(floor(ln(
+                       CAST(COALESCE(g.c, 0) - COALESCE(s.c, 0) + 1
+                            AS DOUBLE)
+                       / CAST(tg.tot - COALESCE(ts.tot, 0) + v.v
+                              AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+                   AS BIGINT) AS tscore
+          FROM tf t
+          JOIN truth d USING (doc_id)
+          CROSS JOIN langs l
+          CROSS JOIN vs v
+          LEFT JOIN cg g ON g.term = t.term AND g.lang = l.lang
+          LEFT JOIN cs s ON s.source = d.source AND s.term = t.term
+                        AND s.lang = l.lang
+          JOIN totg tg ON tg.lang = l.lang
+          LEFT JOIN tots ts ON ts.source = d.source AND ts.lang = l.lang
+          GROUP BY 1, 2, 3
+        ), scores AS (
+          SELECT t.doc_id, t.source, t.lang,
+                 t.tscore + CAST(floor(ln(
+                       CAST(COALESCE(g.nd, 0) - COALESCE(s.nd, 0) + 1
+                            AS DOUBLE)
+                       / CAST(n.n - ns.n + l2.l AS DOUBLE))
+                     * 1000000 + 0.5) AS BIGINT) AS score_micro
+          FROM term_scores t
+          LEFT JOIN ndg g ON g.lang = t.lang
+          LEFT JOIN nds s ON s.source = t.source AND s.lang = t.lang
+          JOIN nsrc ns ON ns.source = t.source
+          CROSS JOIN ntot n CROSS JOIN nl l2
+        ), best AS (
+          SELECT doc_id, source, lang AS pred_lang FROM (
+            SELECT doc_id, source, lang,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY score_micro DESC, lang)
+                       AS rn
+            FROM scores) t
+          WHERE rn = 1
+        )
+        SELECT b.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN b.pred_lang = tr.lang THEN 1 ELSE 0
+                        END) AS BIGINT) AS n_correct_loso,
+               CAST(SUM(CASE WHEN b.pred_lang = tr.lang THEN 1 ELSE 0
+                        END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS acc_loso
+        FROM best b JOIN truth tr USING (doc_id)
+        GROUP BY b.source
+        ORDER BY b.source
+    """,
+)
+def loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tfc"))
+    )
+    truth = docs.select("doc_id", "source", "lang")
+    cg = (
+        tf.join(truth, "doc_id")
+        .groupBy("term", "lang")
+        .agg(F.sum("tfc").cast("bigint").alias("gc"))
+    )
+    cs = (
+        tf.join(truth, "doc_id")
+        .groupBy("source", "term", "lang")
+        .agg(F.sum("tfc").cast("bigint").alias("sc"))
+    )
+    totg = cg.groupBy("lang").agg(F.sum("gc").cast("bigint").alias("gtot"))
+    tots = cs.groupBy("source", "lang").agg(
+        F.sum("sc").cast("bigint").alias("stot")
+    )
+    vs = tf.agg(F.countDistinct("term").cast("bigint").alias("v"))
+    langs = truth.select("lang").distinct()
+    nl = langs.agg(F.count(F.lit(1)).cast("bigint").alias("l"))
+    ndg = truth.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("gnd"))
+    nds = truth.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("snd")
+    )
+    ntot = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    nsrc = truth.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("ns")
+    )
+    lg = langs.select(F.col("lang").alias("ml"))
+    term_scores = (
+        tf.join(truth.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(lg))
+        .crossJoin(F.broadcast(vs))
+        .join(
+            cg.select(F.col("term").alias("gt"), F.col("lang").alias("gl"), "gc"),
+            (F.col("gt") == F.col("term")) & (F.col("gl") == F.col("ml")),
+            "left",
+        )
+        .join(
+            cs.select(
+                F.col("source").alias("ss"),
+                F.col("term").alias("st"),
+                F.col("lang").alias("sl"),
+                "sc",
+            ),
+            (F.col("ss") == F.col("source"))
+            & (F.col("st") == F.col("term"))
+            & (F.col("sl") == F.col("ml")),
+            "left",
+        )
+        .join(
+            F.broadcast(totg.select(F.col("lang").alias("tl"), "gtot")),
+            F.col("tl") == F.col("ml"),
+        )
+        .join(
+            F.broadcast(
+                tots.select(
+                    F.col("source").alias("os"), F.col("lang").alias("ol"), "stot"
+                )
+            ),
+            (F.col("os") == F.col("source")) & (F.col("ol") == F.col("ml")),
+            "left",
+        )
+        .groupBy("doc_id", "source", F.col("ml").alias("lang"))
+        .agg(
+            F.sum(
+                F.col("tfc")
+                * F.expr(
+                    "CAST(floor(ln(CAST(COALESCE(gc, 0) - COALESCE(sc, 0)"
+                    " + 1 AS DOUBLE) / CAST(gtot - COALESCE(stot, 0) + v"
+                    " AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("tscore")
+        )
+    )
+    scores = (
+        term_scores.join(
+            F.broadcast(ndg.select(F.col("lang").alias("pl"), "gnd")),
+            F.col("pl") == F.col("lang"),
+            "left",
+        )
+        .join(
+            F.broadcast(
+                nds.select(
+                    F.col("source").alias("qs"), F.col("lang").alias("ql"), "snd"
+                )
+            ),
+            (F.col("qs") == F.col("source")) & (F.col("ql") == F.col("lang")),
+            "left",
+        )
+        .join(F.broadcast(nsrc.select(F.col("source").alias("rs"), "ns")),
+              F.col("rs") == F.col("source"))
+        .crossJoin(F.broadcast(ntot))
+        .crossJoin(F.broadcast(nl))
+        .select(
+            "doc_id",
+            "source",
+            "lang",
+            F.expr(
+                "tscore + CAST(floor(ln(CAST(COALESCE(gnd, 0)"
+                " - COALESCE(snd, 0) + 1 AS DOUBLE)"
+                " / CAST(n - ns + l AS DOUBLE)) * 1000000 + 0.5)"
+                " AS BIGINT)"
+            ).alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_micro"), "lang")
+    best = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", "source", F.col("lang").alias("pred_lang"))
+    )
+    return (
+        best.join(truth.select("doc_id", F.col("lang").alias("true_lang")), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct_loso"),
+            (
+                F.sum(
+                    F.when(F.col("pred_lang") == F.col("true_lang"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("acc_loso"),
+        )
+        .orderBy("source")
+    )
