@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "referential_integrity_audit",
+    "dispersion_index_per_type",
     "loso_source_influence",
     "logrank_two_group",
     "cuped_adjusted_lift",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "distinctive_terms_log_odds",
     "functional_dependency_check",
     "stream_static_enrich",
-    "k_anonymity_report",
-    "item_cooccurrence_cosine",
 )
 
 # r06 window candidates also include kmv_union_jaccard, psi_value_drift,
@@ -122,7 +122,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # power_iteration_top_pc, split_leakage_report, winsorized_stats_per_type,
 # exact_substr_dedup_spans, source_vocab_jaccard, nb_margin_calibration,
 # join_key_skew_report, markov_prediction_accuracy,
-# embedding_norm_outliers, and kmv_distinct_sketch (displaced from the r05 window by this round's
+# embedding_norm_outliers, k_anonymity_report,
+# item_cooccurrence_cosine, and kmv_distinct_sketch (displaced from the r05 window by this round's
 # eight query additions; all stay green in the local sweep).
 # r06 window candidates (generated this round from the actual
 # CORRECTNESS_r01..r03 coverage; 98 registered queries have never

@@ -4031,3 +4031,77 @@ def shapley_channel_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@register(
+    name="dispersion_index_per_type",
+    survey="A7 F15 F28",
+    doc="Count overdispersion screen per event type — the Poisson "
+    "sanity check a capacity planner runs before trusting a mean-rate "
+    "model: the variance-to-mean ratio (index of dispersion) of the "
+    "DAILY count series, plus the chi-square statistic (n-1)*VMR "
+    "whose large values reject equidispersion. Daily counts are "
+    "exact integers on the calendar-bounded day domain, the moments "
+    "are integer sums (counts and squared counts), and VMR/chi2 are "
+    "fixed-order double expressions on those integers — no "
+    "per-row floating point anywhere. One row-sized agg, then "
+    "everything on the bounded (type, day) domain.",
+    oracle="""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '2024-01-01',
+                      CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+                     AS d,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2
+        ), m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n_days,
+                 CAST(SUM(n) AS BIGINT) AS s1,
+                 CAST(SUM(n * n) AS BIGINT) AS s2
+          FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n_days, s1 AS total_events,
+               (CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) * CAST(s1 AS DOUBLE))
+                   AS dispersion_index,
+               (CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+               / (CAST(n_days AS DOUBLE) * CAST(s1 AS DOUBLE))
+               * (CAST(n_days AS DOUBLE) - 1.0) AS chi2_stat
+        FROM m
+        ORDER BY event_type
+    """,
+)
+def dispersion_index_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.datediff(
+                F.date_trunc("day", "ts").cast("date"),
+                F.lit("2024-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("d"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    m = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("n").cast("bigint").alias("s1"),
+        F.sum(F.col("n") * F.col("n")).cast("bigint").alias("s2"),
+    )
+    vmr = (
+        "(CAST(n_days AS DOUBLE) * CAST(s2 AS DOUBLE)"
+        " - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))"
+        " / (CAST(n_days AS DOUBLE) * CAST(s1 AS DOUBLE))"
+    )
+    return m.select(
+        "event_type",
+        "n_days",
+        F.col("s1").alias("total_events"),
+        F.expr(vmr).alias("dispersion_index"),
+        F.expr(f"{vmr} * (CAST(n_days AS DOUBLE) - 1.0)").alias("chi2_stat"),
+    ).orderBy("event_type")

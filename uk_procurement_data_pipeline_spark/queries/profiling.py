@@ -585,3 +585,132 @@ def table_checksum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out.orderBy("table_name")
+
+
+@register(
+    name="referential_integrity_audit",
+    survey="J7 A7 U1 F28",
+    doc="Star-schema referential-integrity audit — the cross-TABLE "
+    "counterpart of constraint_check_orders' single-table rules: for "
+    "every foreign-key edge (lineitem->orders, lineitem->part, "
+    "lineitem->supplier, orders->customer, customer->nation, "
+    "supplier->nation, nation->region), count child rows, orphan "
+    "rows (left-anti join on the parent key), and distinct orphan "
+    "keys. Each edge is one anti-join keyed on its FK — dimension "
+    "parents broadcast, the two fact-side edges shuffle on the key "
+    "they would naturally bucket by. Clean fixtures make every "
+    "orphan count 0; the audit's value is the nonzero row you see "
+    "the day an ingest breaks — and the all-green row proves the "
+    "join graph every other query relies on.",
+    oracle="""
+        WITH edges AS (
+          SELECT 'lineitem->orders' AS fk_edge,
+                 CAST(count(*) AS BIGINT) AS n_child,
+                 CAST(count(*) FILTER (WHERE o.o_orderkey IS NULL)
+                      AS BIGINT) AS n_orphans,
+                 CAST(count(DISTINCT CASE WHEN o.o_orderkey IS NULL
+                      THEN l.l_orderkey END) AS BIGINT) AS n_orphan_keys
+          FROM lineitem l LEFT JOIN orders o
+            ON l.l_orderkey = o.o_orderkey
+          UNION ALL
+          SELECT 'lineitem->part', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE p.p_partkey IS NULL)
+                      AS BIGINT),
+                 CAST(count(DISTINCT CASE WHEN p.p_partkey IS NULL
+                      THEN l.l_partkey END) AS BIGINT)
+          FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+          UNION ALL
+          SELECT 'lineitem->supplier', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE s.s_suppkey IS NULL)
+                      AS BIGINT),
+                 CAST(count(DISTINCT CASE WHEN s.s_suppkey IS NULL
+                      THEN l.l_suppkey END) AS BIGINT)
+          FROM lineitem l LEFT JOIN supplier s
+            ON l.l_suppkey = s.s_suppkey
+          UNION ALL
+          SELECT 'orders->customer', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE c.c_custkey IS NULL)
+                      AS BIGINT),
+                 CAST(count(DISTINCT CASE WHEN c.c_custkey IS NULL
+                      THEN o.o_custkey END) AS BIGINT)
+          FROM orders o LEFT JOIN customer c
+            ON o.o_custkey = c.c_custkey
+          UNION ALL
+          SELECT 'customer->nation', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL)
+                      AS BIGINT),
+                 CAST(count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                      THEN c.c_nationkey END) AS BIGINT)
+          FROM customer c LEFT JOIN nation n
+            ON c.c_nationkey = n.n_nationkey
+          UNION ALL
+          SELECT 'supplier->nation', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE n.n_nationkey IS NULL)
+                      AS BIGINT),
+                 CAST(count(DISTINCT CASE WHEN n.n_nationkey IS NULL
+                      THEN s.s_nationkey END) AS BIGINT)
+          FROM supplier s LEFT JOIN nation n
+            ON s.s_nationkey = n.n_nationkey
+          UNION ALL
+          SELECT 'nation->region', CAST(count(*) AS BIGINT),
+                 CAST(count(*) FILTER (WHERE r.r_regionkey IS NULL)
+                      AS BIGINT),
+                 CAST(count(DISTINCT CASE WHEN r.r_regionkey IS NULL
+                      THEN n.n_regionkey END) AS BIGINT)
+          FROM nation n LEFT JOIN region r
+            ON n.n_regionkey = r.r_regionkey
+        )
+        SELECT fk_edge, n_child, n_orphans, n_orphan_keys,
+               (n_orphans = 0) AS is_clean
+        FROM edges
+        ORDER BY fk_edge
+    """,
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def edge(name, child, ckey, parent, pkey, broadcast_parent=True):
+        p = load(spark, sf_dir, parent).select(F.col(pkey).alias("_pk"))
+        if broadcast_parent:
+            p = F.broadcast(p)
+        j = load(spark, sf_dir, child).select(F.col(ckey).alias("_ck")).join(
+            p, F.col("_ck") == F.col("_pk"), "left"
+        )
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).cast("bigint").alias("n_child"),
+            F.sum(F.when(F.col("_pk").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+            F.countDistinct(
+                F.when(F.col("_pk").isNull(), F.col("_ck"))
+            )
+            .cast("bigint")
+            .alias("n_orphan_keys"),
+        )
+
+    # dimension parents broadcast; the orders parent of lineitem is
+    # fact-sized, so that edge uses a shuffled join (broadcast=False).
+    edges = [
+        edge("lineitem->orders", "lineitem", "l_orderkey", "orders",
+             "o_orderkey", broadcast_parent=False),
+        edge("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey", "supplier",
+             "s_suppkey"),
+        edge("orders->customer", "orders", "o_custkey", "customer",
+             "c_custkey"),
+        edge("customer->nation", "customer", "c_nationkey", "nation",
+             "n_nationkey"),
+        edge("supplier->nation", "supplier", "s_nationkey", "nation",
+             "n_nationkey"),
+        edge("nation->region", "nation", "n_regionkey", "region",
+             "r_regionkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.select(
+        "fk_edge",
+        "n_child",
+        "n_orphans",
+        "n_orphan_keys",
+        (F.col("n_orphans") == 0).alias("is_clean"),
+    ).orderBy("fk_edge")
