@@ -115,63 +115,68 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "stream_static_enrich",
 )
 
-# r06 window candidates also include kmv_union_jaccard, psi_value_drift,
-# pointintime_customer_orders, ewma_user_value, equidepth_value_bins,
-# domain_mixture_resample, unigram_surprisal_quality, bm25_topk_docs,
-# burst_day_detection, theil_sen_daily_trend, benford_first_digit,
-# power_iteration_top_pc, split_leakage_report, winsorized_stats_per_type,
-# exact_substr_dedup_spans, source_vocab_jaccard, nb_margin_calibration,
-# join_key_skew_report, markov_prediction_accuracy,
-# embedding_norm_outliers, k_anonymity_report,
-# item_cooccurrence_cosine, and kmv_distinct_sketch (displaced from the r05 window by this round's
-# eight query additions; all stay green in the local sweep).
-# r06 window candidates (generated this round from the actual
-# CORRECTNESS_r01..r03 coverage; 98 registered queries have never
-# had a driver row and did not fit the 50-slot r05 window — all are
-# green in this round's local 3-SF oracle sweeps; rotate them in
+# r06 window candidates — regenerated at the end of round 5 from the
+# actual driver coverage (CORRECTNESS_r01..r03; no r04 file was
+# written by the driver, so round 4's window additions are still
+# uncovered): 121 registered queries have never had a driver
+# CORRECTNESS row and did not fit the 50-slot r05 window. All are
+# green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
-# longest-out-first):
-#    triangle_count_doulion, kcore_peel_unrolled,
-#    adamic_adar_link_prediction, clustering_coefficient_local,
-#    spearman_price_acctbal, lorenz_gini_binned, rfm_customer_segments,
-#    kaplan_meier_customer_lifetime, window_funnel_timeout,
-#    conversion_lag_stats, winnowing_fingerprints,
-#    golden_record_survivorship, dedup_methods_report, vocab_encode_docs,
-#    pack_chunks_into_sequences, cdc_chunk_docs, cdc_chunk_dedup_ratio,
-#    pps_sample_docs, token_budget_selection, training_shuffle_order,
-#    weighted_sample_es, ngram_novelty_rate, embedding_int8_quantize,
-#    contrastive_pairs, hard_negatives_lsh, inverted_index_dot_pairs,
-#    jl_random_projection, rrf_fusion_ann, embedding_covariance,
-#    als_rank1_item_step, media_decode_resize_profile,
-#    events_range_frame_sum, event_type_value_chi2, value_outliers_iqr,
-#    value_trend_per_user, events_interval_join_attribution,
-#    value_outliers_mad, stream_dedup_pairs, hourly_baseline_outliers,
-#    markov_transition_matrix, cusum_changepoint, ks_binned_two_sample,
-#    mutual_information_type_band, stream_stateful_user_totals,
-#    session_path_topk, percentiles_per_type_banded,
-#    abtest_proportions_ztest, lognormal_fit_values,
-#    ols2_regression_per_type, subsample_stability_ci,
-#    decision_stump_value_split, daily_autocorr_lag1,
-#    props_map_key_stats, countmin_word_sketch,
-#    token_length_distribution, q3_shipping_priority, q10_returned_items,
-#    q18_large_volume_orders, snapshot_diff_customers,
-#    revenue_share_within_region, q5_local_supplier_volume,
-#    q6_forecast_revenue, q7_volume_shipping, q8_market_share,
-#    q14_promo_revenue, q19_disjunctive_revenue, zorder_cell_stats,
-#    bloom_semi_join_prefilter, q13_customer_distribution,
-#    q15_top_supplier, q17_small_quantity_revenue,
-#    q22_global_sales_opportunity, orders_open_interval_sweep,
-#    q2_min_cost_supplier, q4_order_priority, q9_product_type_profit,
-#    q11_important_stock, q12_priority_line_classes,
-#    q16_supplier_part_counts, q20_promotion_candidates,
-#    q21_waiting_suppliers, pmi_collocations, entropy_per_source,
-#    bigram_surprisal_quality, zipf_exponent_fit, vocab_coverage_curve,
-#    kl_divergence_sources, naive_bayes_source_classifier,
-#    neyman_stratified_sample, hhi_source_concentration,
-#    profile_orders_columns, constraint_check_orders,
-#    gopher_quality_rules, bpe_pair_counts, temperature_mixture_weights,
-#    semdedup_prune, allpairs_prefix_jaccard, ann_recall_report
-
+# longest-out-first:
+#    abtest_proportions_ztest, adamic_adar_link_prediction,
+#    allpairs_prefix_jaccard, als_rank1_item_step,
+#    ann_recall_report, benford_first_digit,
+#    bigram_surprisal_quality, bloom_semi_join_prefilter,
+#    bm25_topk_docs, bpe_pair_counts, burst_day_detection,
+#    cdc_chunk_dedup_ratio, cdc_chunk_docs,
+#    clustering_coefficient_local, constraint_check_orders,
+#    contrastive_pairs, conversion_lag_stats, countmin_word_sketch,
+#    cusum_changepoint, daily_autocorr_lag1,
+#    decision_stump_value_split, dedup_methods_report,
+#    domain_mixture_resample, embedding_covariance,
+#    embedding_int8_quantize, embedding_norm_outliers,
+#    entropy_per_source, equidepth_value_bins,
+#    event_type_value_chi2, events_interval_join_attribution,
+#    events_range_frame_sum, ewma_user_value,
+#    exact_substr_dedup_spans, golden_record_survivorship,
+#    gopher_quality_rules, hard_negatives_lsh,
+#    hhi_source_concentration, hourly_baseline_outliers,
+#    inverted_index_dot_pairs, item_cooccurrence_cosine,
+#    jl_random_projection, join_key_skew_report, k_anonymity_report,
+#    kaplan_meier_customer_lifetime, kcore_peel_unrolled,
+#    kl_divergence_sources, kmv_distinct_sketch, kmv_union_jaccard,
+#    ks_binned_two_sample, lognormal_fit_values, lorenz_gini_binned,
+#    markov_prediction_accuracy, markov_transition_matrix,
+#    media_decode_resize_profile, mutual_information_type_band,
+#    naive_bayes_source_classifier, nb_margin_calibration,
+#    neyman_stratified_sample, ngram_novelty_rate,
+#    ols2_regression_per_type, orders_open_interval_sweep,
+#    pack_chunks_into_sequences, percentiles_per_type_banded,
+#    pmi_collocations, pointintime_customer_orders,
+#    power_iteration_top_pc, pps_sample_docs,
+#    profile_orders_columns, props_map_key_stats, psi_value_drift,
+#    q10_returned_items, q11_important_stock,
+#    q12_priority_line_classes, q13_customer_distribution,
+#    q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
+#    q17_small_quantity_revenue, q18_large_volume_orders,
+#    q19_disjunctive_revenue, q20_promotion_candidates,
+#    q21_waiting_suppliers, q22_global_sales_opportunity,
+#    q2_min_cost_supplier, q3_shipping_priority, q4_order_priority,
+#    q5_local_supplier_volume, q6_forecast_revenue,
+#    q7_volume_shipping, q8_market_share, q9_product_type_profit,
+#    revenue_share_within_region, rfm_customer_segments,
+#    rrf_fusion_ann, semdedup_prune, session_path_topk,
+#    snapshot_diff_customers, source_vocab_jaccard,
+#    spearman_price_acctbal, split_leakage_report,
+#    stream_dedup_pairs, stream_stateful_user_totals,
+#    subsample_stability_ci, temperature_mixture_weights,
+#    theil_sen_daily_trend, token_budget_selection,
+#    token_length_distribution, training_shuffle_order,
+#    triangle_count_doulion, unigram_surprisal_quality,
+#    value_outliers_iqr, value_outliers_mad, value_trend_per_user,
+#    vocab_coverage_curve, vocab_encode_docs, weighted_sample_es,
+#    window_funnel_timeout, winnowing_fingerprints,
+#    winsorized_stats_per_type, zipf_exponent_fit, zorder_cell_stats
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.
