@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "did_spend_estimator",
     "referential_integrity_audit",
     "dispersion_index_per_type",
     "loso_source_influence",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "kmeans_label_purity",
     "distinctive_terms_log_odds",
     "functional_dependency_check",
-    "stream_static_enrich",
 )
 
 # r06 window candidates — regenerated at the end of round 5 from the

@@ -2649,3 +2649,126 @@ def cuped_adjusted_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    name="did_spend_estimator",
+    survey="A7 J5 F15 F28",
+    doc="Difference-in-differences estimator — with cuped_adjusted_lift "
+    "and abtest_proportions_ztest this completes the experimentation "
+    "trio (DiD is the pre/post design when you CANNOT randomize "
+    "exposure time): per-customer spend in integer cents, cohorts by "
+    "the deterministic md5(custkey) mod 2 split, periods by the "
+    "date-range midpoint, and DiD = (T_post - T_pre) - (C_post - "
+    "C_pre) over the four cell means. Cell sums are exact bigint "
+    "cents (linear only — no squares, so no unit shrinking needed); "
+    "the four means and the estimator are one fixed-order double "
+    "expression. One customer-keyed agg onto the 4-cell domain.",
+    oracle="""
+        WITH bounds AS (
+          SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS mn,
+                 CAST(date_diff('day',
+                      CAST(min(CAST(o_orderdate AS DATE)) AS DATE),
+                      CAST(max(CAST(o_orderdate AS DATE)) AS DATE))
+                   AS BIGINT) AS span
+          FROM orders
+        ), cell AS (
+          SELECT CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 2 AS grp,
+                 CASE WHEN CAST(date_diff('day', b.mn,
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                      < b.span // 2 THEN 0 ELSE 1 END AS period,
+                 o.o_custkey,
+                 CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders o CROSS JOIN bounds b
+          GROUP BY 1, 2, 3
+        ), cells AS (
+          SELECT grp, period,
+                 CAST(count(*) AS BIGINT) AS n_cust,
+                 CAST(SUM(cents) AS BIGINT) AS s_cents
+          FROM cell GROUP BY 1, 2
+        ), wide AS (
+          SELECT
+            MAX(CASE WHEN grp = 1 AND period = 1
+                     THEN CAST(s_cents AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                END) AS t_post,
+            MAX(CASE WHEN grp = 1 AND period = 0
+                     THEN CAST(s_cents AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                END) AS t_pre,
+            MAX(CASE WHEN grp = 0 AND period = 1
+                     THEN CAST(s_cents AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                END) AS c_post,
+            MAX(CASE WHEN grp = 0 AND period = 0
+                     THEN CAST(s_cents AS DOUBLE) / CAST(n_cust AS DOUBLE)
+                END) AS c_pre
+          FROM cells
+        )
+        SELECT t_pre / 100.0 AS t_pre_mean,
+               t_post / 100.0 AS t_post_mean,
+               c_pre / 100.0 AS c_pre_mean,
+               c_post / 100.0 AS c_post_mean,
+               ((t_post - t_pre) - (c_post - c_pre)) / 100.0
+                   AS did_estimate
+        FROM wide
+    """,
+)
+def did_spend_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
+    )
+    bounds = orders.agg(
+        F.min("od").alias("mn"),
+        F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("span"),
+    )
+    cell = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("grp"),
+            F.when(
+                F.datediff(F.col("od"), F.col("mn")).cast("bigint")
+                < F.expr("span div 2"),
+                F.lit(0),
+            )
+            .otherwise(F.lit(1))
+            .alias("period"),
+            "o_custkey",
+        )
+        .agg(
+            F.sum(F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    cells = cell.groupBy("grp", "period").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("cents").cast("bigint").alias("s_cents"),
+    )
+    mean = "CAST(s_cents AS DOUBLE) / CAST(n_cust AS DOUBLE)"
+    wide = cells.agg(
+        F.max(F.expr(f"CASE WHEN grp = 1 AND period = 1 THEN {mean} END")).alias(
+            "t_post"
+        ),
+        F.max(F.expr(f"CASE WHEN grp = 1 AND period = 0 THEN {mean} END")).alias(
+            "t_pre"
+        ),
+        F.max(F.expr(f"CASE WHEN grp = 0 AND period = 1 THEN {mean} END")).alias(
+            "c_post"
+        ),
+        F.max(F.expr(f"CASE WHEN grp = 0 AND period = 0 THEN {mean} END")).alias(
+            "c_pre"
+        ),
+    )
+    return wide.select(
+        (F.col("t_pre") / 100.0).alias("t_pre_mean"),
+        (F.col("t_post") / 100.0).alias("t_post_mean"),
+        (F.col("c_pre") / 100.0).alias("c_pre_mean"),
+        (F.col("c_post") / 100.0).alias("c_post_mean"),
+        (
+            ((F.col("t_post") - F.col("t_pre")) - (F.col("c_post") - F.col("c_pre")))
+            / 100.0
+        ).alias("did_estimate"),
+    )
