@@ -55,6 +55,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
     },
+    "uplift_qini_deciles": {
+        "GLOBALWIN": "score-CDF cumsum over ONE ROW PER DISTINCT "
+        "hundred-dollar score band + the 10-row decile cumulative — "
+        "both bounded domains, input already aggregate-sized",
+    },
     "quantile_normalize_lengths": {
         "GLOBALWIN": "global CDF cumsum over ONE ROW PER DISTINCT "
         "n_chars (value-domain-bounded) — input is already "

@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "uplift_qini_deciles",
     "did_spend_estimator",
     "referential_integrity_audit",
     "dispersion_index_per_type",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "association_rules_parts",
     "kmeans_label_purity",
     "distinctive_terms_log_odds",
-    "functional_dependency_check",
 )
 
 # r06 window candidates — regenerated at the end of round 5 from the

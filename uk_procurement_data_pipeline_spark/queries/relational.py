@@ -2772,3 +2772,162 @@ def did_spend_estimator(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100.0
         ).alias("did_estimate"),
     )
+
+
+@register(
+    name="uplift_qini_deciles",
+    survey="A7 J5 W3 F28",
+    doc="Uplift (Qini) decile curve — the targeting readout on top of "
+    "the experimentation trio: customers are ranked by the pre-period "
+    "spend score, cut into deciles by BANDED ranks (cumulative counts "
+    "over the bounded hundred-dollar score domain, broadcast back — "
+    "no per-row global sort; equal scores share a decile by "
+    "construction, documented), and each decile reports treated vs "
+    "control post-period means, their difference (the uplift), and "
+    "the cumulative Qini-style gain. All sums are exact bigint cents "
+    "/ integer counts; means and gains are fixed-order double "
+    "expressions. The cumulative window runs on the 10-row decile "
+    "domain.",
+    oracle="""
+        WITH bounds AS (
+          SELECT CAST(min(CAST(o_orderdate AS DATE)) AS DATE) AS mn,
+                 CAST(date_diff('day',
+                      CAST(min(CAST(o_orderdate AS DATE)) AS DATE),
+                      CAST(max(CAST(o_orderdate AS DATE)) AS DATE))
+                   AS BIGINT) AS span
+          FROM orders
+        ), cust AS (
+          SELECT o.o_custkey,
+                 CAST('0x' || substr(md5(CAST(o.o_custkey AS VARCHAR)),
+                                     1, 8) AS BIGINT) % 2 AS grp,
+                 SUM(CASE WHEN CAST(date_diff('day', b.mn,
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                          < b.span // 2
+                          THEN CAST(ROUND(o.o_totalprice * 100)
+                               AS BIGINT) ELSE 0 END) // 10000 AS x,
+                 SUM(CASE WHEN CAST(date_diff('day', b.mn,
+                            CAST(o.o_orderdate AS DATE)) AS BIGINT)
+                          >= b.span // 2
+                          THEN CAST(ROUND(o.o_totalprice * 100)
+                               AS BIGINT) ELSE 0 END) AS y_cents
+          FROM orders o CROSS JOIN bounds b
+          GROUP BY 1, 2
+        ), xcnt AS (
+          SELECT x, CAST(count(*) AS BIGINT) AS c FROM cust GROUP BY x
+        ), xcum AS (
+          SELECT x,
+                 SUM(c) OVER (ORDER BY x DESC ROWS UNBOUNDED PRECEDING)
+                   - c AS n_above
+          FROM xcnt
+        ), ntot AS (
+          SELECT CAST(count(*) AS BIGINT) AS n FROM cust
+        ), dec AS (
+          SELECT cu.grp, cu.y_cents,
+                 (xc.n_above * 10) // t.n AS decile
+          FROM cust cu
+          JOIN xcum xc ON xc.x = cu.x
+          CROSS JOIN ntot t
+        ), cells AS (
+          SELECT decile,
+                 CAST(SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_t,
+                 CAST(SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_c,
+                 CAST(SUM(CASE WHEN grp = 1 THEN y_cents ELSE 0 END)
+                      AS BIGINT) AS y_t,
+                 CAST(SUM(CASE WHEN grp = 0 THEN y_cents ELSE 0 END)
+                      AS BIGINT) AS y_c
+          FROM dec GROUP BY decile
+        )
+        SELECT CAST(decile AS BIGINT) AS decile, n_t, n_c,
+               (CAST(y_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+                - CAST(y_c AS DOUBLE) / CAST(n_c AS DOUBLE)) / 100.0
+                   AS uplift_dollars,
+               (CAST(SUM(y_t) OVER w AS DOUBLE)
+                  / CAST(SUM(n_t) OVER w AS DOUBLE)
+                - CAST(SUM(y_c) OVER w AS DOUBLE)
+                  / CAST(SUM(n_c) OVER w AS DOUBLE)) / 100.0
+                   AS qini_cum_dollars
+        FROM cells
+        WINDOW w AS (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+        ORDER BY decile
+    """,
+)
+def uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("od")
+    )
+    bounds = orders.agg(
+        F.min("od").alias("mn"),
+        F.datediff(F.max("od"), F.min("od")).cast("bigint").alias("span"),
+    )
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    in_h1 = "CAST(datediff(od, mn) AS BIGINT) < span div 2"
+    cust = (
+        orders.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            "o_custkey",
+            F.expr(
+                "CAST(conv(substr(md5(CAST(o_custkey AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("grp"),
+        )
+        .agg(
+            F.expr(
+                f"SUM(CASE WHEN {in_h1} THEN {cents} ELSE 0 END) div 10000"
+            ).alias("x"),
+            F.expr(
+                f"SUM(CASE WHEN NOT ({in_h1}) THEN {cents} ELSE 0 END)"
+            ).alias("y_cents"),
+        )
+    )
+    xcnt = cust.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    xcum = xcnt.withColumn(
+        "n_above",
+        F.sum("c").over(
+            Window.orderBy(F.col("x").desc()).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        - F.col("c"),
+    ).select("x", "n_above")
+    ntot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    dec = (
+        cust.join(F.broadcast(xcum), "x")
+        .crossJoin(F.broadcast(ntot))
+        .select("grp", "y_cents", F.expr("(n_above * 10) div n").alias("decile"))
+    )
+    cells = dec.groupBy("decile").agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).cast("bigint").alias("n_t"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).cast("bigint").alias("n_c"),
+        F.sum(F.when(F.col("grp") == 1, F.col("y_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("y_t"),
+        F.sum(F.when(F.col("grp") == 0, F.col("y_cents")).otherwise(0))
+        .cast("bigint")
+        .alias("y_c"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return cells.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_t",
+        "n_c",
+        (
+            (
+                F.col("y_t").cast("double") / F.col("n_t").cast("double")
+                - F.col("y_c").cast("double") / F.col("n_c").cast("double")
+            )
+            / 100.0
+        ).alias("uplift_dollars"),
+        (
+            (
+                F.sum("y_t").over(wcum).cast("double")
+                / F.sum("n_t").over(wcum).cast("double")
+                - F.sum("y_c").over(wcum).cast("double")
+                / F.sum("n_c").over(wcum).cast("double")
+            )
+            / 100.0
+        ).alias("qini_cum_dollars"),
+    ).orderBy("decile")
