@@ -55,6 +55,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
     },
+    "ams_f2_sketch": {
+        "GLOBALWIN": "median rank over the 16-row estimator domain — "
+        "input is already aggregate-sized",
+    },
     "uplift_qini_deciles": {
         "GLOBALWIN": "score-CDF cumsum over ONE ROW PER DISTINCT "
         "hundred-dollar score band + the 10-row decile cumulative — "

@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "markov_stationary_distribution",
+    "ams_f2_sketch",
     "uplift_qini_deciles",
     "did_spend_estimator",
     "referential_integrity_audit",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "daily_gap_interpolation",
     "retention_decay_fit",
     "association_rules_parts",
-    "kmeans_label_purity",
-    "distinctive_terms_log_odds",
 )
 
 # r06 window candidates — regenerated at the end of round 5 from the

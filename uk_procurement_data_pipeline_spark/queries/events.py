@@ -4105,3 +4105,126 @@ def dispersion_index_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(vmr).alias("dispersion_index"),
         F.expr(f"{vmr} * (CAST(n_days AS DOUBLE) - 1.0)").alias("chi2_stat"),
     ).orderBy("event_type")
+
+
+def _stationary_cte_chain(rounds: int) -> str:
+    """pi_0 .. pi_R CTEs: micro-int power iteration on the 5x5 chain."""
+    ctes = [
+        "pi_0 AS (SELECT t AS st, CAST(200000 AS BIGINT) AS pi_micro"
+        " FROM (SELECT DISTINCT prev AS t FROM p) s)"
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"pi_{r} AS ("
+            f" SELECT p.next AS st,"
+            f" CAST(SUM(pi.pi_micro * p.p_micro) // 1000000 AS BIGINT)"
+            f" AS pi_micro"
+            f" FROM pi_{r - 1} pi JOIN p ON p.prev = pi.st"
+            f" GROUP BY p.next)"
+        )
+    return ",\n        ".join(ctes)
+
+
+@register(
+    name="markov_stationary_distribution",
+    survey="A7 J5 W2 F28",
+    doc="Stationary distribution of the user-behavior Markov chain — "
+    "the long-run state occupancy that markov_transition_matrix's "
+    "one-step probabilities imply, computed by TEN unrolled "
+    "power-iteration rounds entirely in integer micro arithmetic "
+    "(row-stochastic probabilities and the pi vector both live in "
+    "1e-6 units; each round is a 5x5 join + floor-div — "
+    "deterministic, no IEEE accumulation). The chain lives on the "
+    "bounded event-type domain, so every iteration costs a 5-row "
+    "join regardless of SF; the only row-sized work is the one "
+    "transition-count pass. Each CTE references its predecessor "
+    "exactly once (the iterative-oracle inlining contract). Output "
+    "compares the fixed point against the empirical state frequency "
+    "— agreement is the chain's ergodicity check.",
+    oracle=f"""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY epoch_us(ts), event_id)
+                     AS prev
+          FROM events
+        ), c AS (
+          SELECT prev, event_type AS next,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+        ), rowtot AS (
+          SELECT prev, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY prev
+        ), p AS (
+          SELECT c.prev, c.next,
+                 (c.n * 1000000) // r.tot AS p_micro
+          FROM c JOIN rowtot r ON r.prev = c.prev
+        ),
+        {{CHAIN}},
+        emp AS (
+          SELECT event_type AS st, CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1
+        ), etot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS tot FROM emp
+        )
+        SELECT f.st AS event_type,
+               f.pi_micro AS stationary_micro,
+               CAST(f.pi_micro AS DOUBLE) / 1000000.0 AS stationary_prob,
+               CAST(e.n AS DOUBLE) / CAST(t.tot AS DOUBLE)
+                   AS empirical_share
+        FROM pi_10 f
+        JOIN emp e ON e.st = f.st
+        CROSS JOIN etot t
+        ORDER BY event_type
+    """.replace("{CHAIN}", _stationary_cte_chain(10)),
+)
+def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("u", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w))
+    c = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowtot = c.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = c.join(rowtot, "prev").select(
+        "prev", "next", F.expr("(n * 1000000) div tot").alias("p_micro")
+    )
+    pi = p.select(F.col("prev").alias("st")).distinct().withColumn(
+        "pi_micro", F.lit(200000).cast("bigint")
+    )
+    for _ in range(10):
+        pi = (
+            p.join(pi, p.prev == pi.st)
+            .groupBy(F.col("next").alias("st2"))
+            .agg(
+                F.expr("CAST(SUM(pi_micro * p_micro) div 1000000 AS BIGINT)").alias(
+                    "pi_micro"
+                )
+            )
+            .select(F.col("st2").alias("st"), "pi_micro")
+        )
+    emp = load(spark, sf_dir, "events").groupBy(
+        F.col("event_type").alias("st")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    etot = emp.agg(F.sum("n").cast("bigint").alias("tot"))
+    return (
+        pi.join(emp, "st")
+        .crossJoin(F.broadcast(etot))
+        .select(
+            F.col("st").alias("event_type"),
+            F.col("pi_micro").alias("stationary_micro"),
+            (F.col("pi_micro").cast("double") / 1000000.0).alias("stationary_prob"),
+            (F.col("n").cast("double") / F.col("tot").cast("double")).alias(
+                "empirical_share"
+            ),
+        )
+        .orderBy("event_type")
+    )

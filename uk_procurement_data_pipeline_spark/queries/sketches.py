@@ -369,3 +369,97 @@ def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filled.select(
         "band", "n0", "n1", F.expr(_PSI_TERM).alias("psi_term_micro")
     )
+
+
+@register(
+    name="ams_f2_sketch",
+    survey="A7 A8 F28 W1",
+    doc="AMS second-frequency-moment sketch (Alon-Matias-Szegedy 1996) "
+    "vs the exact F2 of the part-key stream — the self-join-size "
+    "estimator a cost-based optimizer wants, joining the registered "
+    "sketch family (KMV distinct, count-min, bloom, simhash): 16 "
+    "independent +/-1 hash estimators (md5(part||k) parity — the "
+    "engine-portable hash family), each a signed frequency sum whose "
+    "SQUARE estimates F2, combined by the explicit-order-statistic "
+    "median (avg of ranks 8 and 9 — never an engine median()). "
+    "Everything is exact integer arithmetic; the x16 estimator "
+    "fan-out collapses by map-side partial agg onto the 16-row "
+    "estimator domain. The exact side is one (part) hash agg.",
+    oracle="""
+        WITH freq AS (
+          SELECT l_partkey AS p, CAST(count(*) AS BIGINT) AS f
+          FROM lineitem GROUP BY l_partkey
+        ), exact AS (
+          SELECT CAST(SUM(f * f) AS BIGINT) AS f2 FROM freq
+        ), est AS (
+          SELECT k.k,
+                 CAST(SUM(f * (CASE WHEN
+                   CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '-'
+                        || CAST(k.k AS VARCHAR)), 1, 8) AS BIGINT) % 2
+                   = 0 THEN 1 ELSE -1 END)) AS BIGINT) AS x
+          FROM freq CROSS JOIN (SELECT unnest(range(1, 17)) AS k) k
+          GROUP BY k.k
+        ), ranked AS (
+          SELECT x * x AS e,
+                 row_number() OVER (ORDER BY x * x, k) AS rn
+          FROM est
+        ), med AS (
+          SELECT CAST(SUM(CASE WHEN rn IN (8, 9) THEN e ELSE 0 END)
+                      AS BIGINT) // 2 AS ams_f2
+          FROM ranked
+        )
+        SELECT x.f2 AS exact_f2, m.ams_f2,
+               ABS(CAST(m.ams_f2 AS DOUBLE) - CAST(x.f2 AS DOUBLE))
+                 / CAST(x.f2 AS DOUBLE) AS rel_error
+        FROM exact x CROSS JOIN med m
+    """,
+)
+def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    freq = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("p"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    exact = freq.agg(F.sum(F.col("f") * F.col("f")).cast("bigint").alias("f2"))
+    ks = spark.range(1, 17).select(F.col("id").cast("bigint").alias("k"))
+    est = (
+        freq.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.col("f")
+                * F.expr(
+                    "CASE WHEN CAST(conv(substr(md5(CAST(p AS STRING) || '-'"
+                    " || CAST(k AS STRING)), 1, 8), 16, 10) AS BIGINT) % 2"
+                    " = 0 THEN 1 ELSE -1 END"
+                )
+            )
+            .cast("bigint")
+            .alias("x")
+        )
+    )
+    ranked = est.select(
+        (F.col("x") * F.col("x")).alias("e"),
+        F.row_number()
+        .over(Window.orderBy(F.expr("x * x"), "k"))
+        .alias("rn"),
+    )
+    med = ranked.agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN rn IN (8, 9) THEN e ELSE 0 END) AS BIGINT)"
+            " div 2"
+        ).alias("ams_f2")
+    )
+    return (
+        exact.crossJoin(F.broadcast(med))
+        .select(
+            F.col("f2").alias("exact_f2"),
+            "ams_f2",
+            (
+                F.abs(F.col("ams_f2").cast("double") - F.col("f2").cast("double"))
+                / F.col("f2").cast("double")
+            ).alias("rel_error"),
+        )
+    )
