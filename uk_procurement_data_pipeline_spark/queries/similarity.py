@@ -1787,3 +1787,132 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out.orderBy("rank")
+
+
+# nDCG discount weights floor(1e6 / log2(rank+1)) precomputed as exact
+# literals so NO runtime log2 (libm is not cross-engine reproducible);
+# IDCG for the graded 5..1 truth is likewise a constant.
+_NDCG_W = {1: 1000000, 2: 630929, 3: 500000, 4: 430676, 5: 386852}
+_NDCG_W_CASE = (
+    "CASE rank WHEN 1 THEN 1000000 WHEN 2 THEN 630929 WHEN 3 THEN 500000"
+    " WHEN 4 THEN 430676 ELSE 386852 END"
+)
+_NDCG_IDCG = sum((6 - r) * w for r, w in _NDCG_W.items())  # 10702596
+
+
+@register(
+    name="ann_ndcg_report",
+    survey="J9 UD4 W1 A7",
+    doc="Graded ranking quality of the LSH ANN path: nDCG@5 of "
+    "ann_lsh_bucketed's single-probe candidates against brute-force "
+    "cosine ground truth (relevance 5..1 by true rank) — the ranking "
+    "companion to ann_recall_report's set-overlap metric, separating "
+    "'found the right 5' from 'ordered them right'. The log2 "
+    "discounts are PRECOMPUTED micro-integer literals (runtime log2 "
+    "is a libm hazard), the ideal DCG for graded 5..1 truth is the "
+    "constant 10702596, and each query's DCG is an exact integer sum "
+    "— one IEEE division per query for the final nDCG. Candidate "
+    "generation is the registered bucket equi-join; truth is the "
+    "labeled brute-force baseline. Bounded output: one row per "
+    "query vector.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id, embedding,
+                   sqrt({_D_DOT.format(a='embedding', b='embedding')})
+                       AS nrm,
+                   {_D_SIGN_BUCKET.format(v='embedding')} AS bucket
+            FROM embeddings),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                   bucket AS qbucket
+            FROM e WHERE vec_id % 100 = 0),
+        truth AS (
+            SELECT query_id, neighbor_id, CAST(6 - rn AS BIGINT) AS rel
+            FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_D_DOT.format(a='qv', b='embedding')}
+                                / (qn * e.nrm) DESC, e.vec_id) AS rn
+              FROM q JOIN e ON e.vec_id <> q.query_id) t
+            WHERE rn <= 5),
+        sys AS (
+            SELECT query_id, neighbor_id, rn AS rank
+            FROM (
+              SELECT q.query_id, e.vec_id AS neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY q.query_id
+                       ORDER BY {_D_DOT.format(a='qv', b='embedding')}
+                                / (qn * e.nrm) DESC, e.vec_id) AS rn
+              FROM q JOIN e ON e.bucket = q.qbucket
+                           AND e.vec_id <> q.query_id) t
+            WHERE rn <= 5),
+        scored AS (
+            SELECT s.query_id,
+                   CAST(count(*) AS BIGINT) AS n_sys,
+                   CAST(SUM(COALESCE(tr.rel, 0)
+                            * ({_NDCG_W_CASE})) AS BIGINT) AS dcg_micro
+            FROM sys s
+            LEFT JOIN truth tr ON tr.query_id = s.query_id
+                              AND tr.neighbor_id = s.neighbor_id
+            GROUP BY s.query_id)
+        SELECT query_id, n_sys, dcg_micro,
+               CAST(dcg_micro AS DOUBLE) / {_NDCG_IDCG}.0 AS ndcg_at_5
+        FROM scored
+        ORDER BY query_id
+    """,
+)
+def ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "embedding",
+        f"sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm",
+        f"{_SIGN_BUCKET.format(v='embedding')} AS bucket",
+    )
+    q = e.where(F.col("vec_id") % 100 == 0).selectExpr(
+        "vec_id AS query_id", "embedding AS qv", "nrm AS qn", "bucket AS qbucket"
+    )
+    cos = f"{_DOT.format(a='qv', b='embedding')} / (qn * nrm)"
+    wq = Window.partitionBy("query_id")
+    truth = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .selectExpr("query_id", "vec_id AS neighbor_id", f"{cos} AS cosine")
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("cosine"), "neighbor_id")),
+        )
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", (6 - F.col("rn")).cast("bigint").alias("rel"))
+    )
+    sys_ = (
+        e.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .selectExpr("query_id", "vec_id AS neighbor_id", f"{cos} AS cosine")
+        .withColumn(
+            "rn",
+            F.row_number().over(wq.orderBy(F.desc("cosine"), "neighbor_id")),
+        )
+        .where(F.col("rn") <= 5)
+        .select("query_id", "neighbor_id", F.col("rn").alias("rank"))
+    )
+    scored = (
+        sys_.join(truth, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_sys"),
+            F.sum(
+                F.coalesce("rel", F.lit(0)) * F.expr(_NDCG_W_CASE)
+            )
+            .cast("bigint")
+            .alias("dcg_micro"),
+        )
+    )
+    return scored.select(
+        "query_id",
+        "n_sys",
+        "dcg_micro",
+        (F.col("dcg_micro").cast("double") / F.lit(float(_NDCG_IDCG))).alias(
+            "ndcg_at_5"
+        ),
+    ).orderBy("query_id")
