@@ -1816,3 +1816,96 @@ def loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    name="heaps_law_fit",
+    survey="A7 A8 J5 F28",
+    doc="Heaps'-law fit of vocabulary growth (V = K * N^beta) across "
+    "sources — with zipf_exponent_fit and vocab_chao1_richness this "
+    "completes the corpus-statistics triad; beta says how fast NEW "
+    "vocabulary keeps arriving as a crawl grows, the number that "
+    "sizes tokenizer and dedup-table budgets: per source, exact "
+    "(n_tokens, n_distinct) counts; ln of each micro-quantized "
+    "(floor(ln(x)*1e6+0.5) — the ln contract, quantized BEFORE "
+    "summation); then the log-log OLS slope/intercept from integer "
+    "micro moments over the bounded 20-source domain in fixed-order "
+    "double expressions. Two keyed hash aggs, then constant-size "
+    "arithmetic.",
+    oracle="""
+        WITH wc AS (
+          SELECT source, (string_split(text, ' '))[s.i] AS word,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM documents d,
+               LATERAL (SELECT unnest(range(1,
+                            len(string_split(d.text, ' ')) + 1)) AS i) s
+          GROUP BY 1, 2
+        ), pts AS (
+          SELECT source,
+                 CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 1000000 + 0.5)
+                      AS BIGINT) AS lnn,
+                 CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000
+                      + 0.5) AS BIGINT) AS lnv
+          FROM wc GROUP BY source
+        ), m AS (
+          SELECT CAST(count(*) AS BIGINT) AS k,
+                 CAST(SUM(lnn) AS BIGINT) AS sx,
+                 CAST(SUM(lnv) AS BIGINT) AS sy,
+                 CAST(SUM(lnn * lnn) AS BIGINT) AS sxx,
+                 CAST(SUM(lnn * lnv) AS BIGINT) AS sxy
+          FROM pts
+        )
+        SELECT k AS n_sources,
+               (CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   AS heaps_beta,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                   / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                  * CAST(sx AS DOUBLE))
+               / CAST(k AS DOUBLE) / 1000000.0 AS ln_k_intercept
+        FROM m
+    """,
+)
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wc = (
+        load(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    pts = wc.groupBy("source").agg(
+        F.expr(
+            "CAST(floor(ln(CAST(SUM(c) AS DOUBLE)) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("lnn"),
+        F.expr(
+            "CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000 + 0.5)"
+            " AS BIGINT)"
+        ).alias("lnv"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("lnn").cast("bigint").alias("sx"),
+        F.sum("lnv").cast("bigint").alias("sy"),
+        F.sum(F.col("lnn") * F.col("lnn")).cast("bigint").alias("sxx"),
+        F.sum(F.col("lnn") * F.col("lnv")).cast("bigint").alias("sxy"),
+    )
+    slope = (
+        "(CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return m.select(
+        F.col("k").alias("n_sources"),
+        F.expr(slope).alias("heaps_beta"),
+        F.expr(
+            f"(CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            " / CAST(k AS DOUBLE) / 1000000.0"
+        ).alias("ln_k_intercept"),
+    )
