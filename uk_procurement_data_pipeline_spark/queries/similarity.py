@@ -1916,3 +1916,134 @@ def ann_ndcg_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ndcg_at_5"
         ),
     ).orderBy("query_id")
+
+
+@register(
+    name="pq_codebook_train",
+    survey="J9 UD4 A7 F17",
+    doc="Product-quantization codebook training (Jegou et al. 2011) — "
+    "the memory layer under billion-scale ANN serving, extending the "
+    "registered scalar int8 path with SUBSPACE vector codes: the "
+    "64-dim embeddings split into 4 x 16-dim subvectors, each "
+    "subspace trains k=4 centroids (seeded from the first four "
+    "vectors, one Lloyd update with exact-decimal means — the "
+    "kmeans_lloyd_cells contract), and the output reports each "
+    "(subspace, code) cell's population and mean squared "
+    "reconstruction error. Assignment folds the 4 broadcast "
+    "centroids per row (zero-shuffle map pass, explicit (d2, cid) "
+    "tiebreak); the only shuffles are the two bounded-domain "
+    "centroid/MSE aggregations. 16 output rows.",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id, m.m,
+                   list_transform(embedding[m.m * 16 + 1 : m.m * 16 + 16],
+                                  x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings,
+                 (SELECT unnest(range(0, 4)) AS m) m),
+        seeds AS (
+            SELECT m, vec_id AS cid, v AS cv FROM sub WHERE vec_id < 4),
+        a1 AS (
+            SELECT s.vec_id, s.m, s.v, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid
+              FROM seeds c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        cent1 AS (
+            SELECT m, cid, d.dim,
+                   CAST(ROUND(SUM(CAST(v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+            FROM a1, (SELECT unnest(range(1, 17)) AS dim) d
+            GROUP BY m, cid, d.dim),
+        cb AS (
+            SELECT m, cid,
+                   list_transform(
+                     list_sort(list(struct_pack(dim := dim, mu := mu))),
+                     r -> r.mu) AS cv
+            FROM cent1 GROUP BY m, cid),
+        a2 AS (
+            SELECT s.vec_id, s.m, t.cid, t.d2
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid, {_D_SQD.format(a='s.v', b='c.cv')} AS d2
+              FROM cb c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true)
+        SELECT CAST(m AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(ROUND(SUM(CAST(d2 AS DECIMAL(38,8))), 4) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mse
+        FROM a2
+        GROUP BY m, cid
+        ORDER BY subspace, code
+    """,
+)
+def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
+
+    ms = spark.range(0, 4).select(F.col("id").cast("bigint").alias("m"))
+    sub = (
+        load(spark, sf_dir, "embeddings")
+        .crossJoin(F.broadcast(ms))
+        .selectExpr(
+            "vec_id",
+            "m",
+            "transform(slice(embedding, CAST(m * 16 + 1 AS INT), 16),"
+            " x -> CAST(x AS DOUBLE)) AS v",
+        )
+    )
+    seeds = sub.where(F.col("vec_id") < 4).selectExpr(
+        "m", "vec_id AS cid", "v AS cv"
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        cent_arr = cents.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
+        scored = (
+            f"aggregate(transform(cs, c -> named_struct("
+            f"'d2', {_SQD.format(a='v', b='c.cv')}, 'cid', c.cid)), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            "'cid', CAST(-1 AS BIGINT)), "
+            "(acc, s) -> IF(s.d2 < acc.d2"
+            " OR (s.d2 = acc.d2 AND s.cid < acc.cid), s, acc))"
+        )
+        return (
+            points.join(F.broadcast(cent_arr), "m")
+            .selectExpr("vec_id", "m", "v", f"{scored} AS best")
+            .selectExpr(
+                "vec_id", "m", "v", "best.cid AS cid", "best.d2 AS d2"
+            )
+        )
+
+    a1 = assign(sub, seeds)
+    cent1 = (
+        a1.selectExpr("m", "cid", "posexplode(v) AS (dim, val)")
+        .groupBy("m", "cid", "dim")
+        .agg(exact_avg("val", "mu"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cv")
+        )
+    )
+    a2 = assign(sub, cent1)
+    return (
+        a2.groupBy(
+            F.col("m").cast("bigint").alias("subspace"),
+            F.col("cid").cast("bigint").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (
+                F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mse"),
+        )
+        .orderBy("subspace", "code")
+    )
