@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "dictionary_encoding_advisor",
     "pq_codebook_train",
     "heaps_law_fit",
     "correlation_matrix_lineitem",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "target_encoding_oof",
     "position_attribution_credit",
     "moving_forecast_backtest",
-    "blocking_quality_report",
 )
 
 # r06 window candidates — regenerated at the end of round 5 from the

@@ -714,3 +714,76 @@ def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_orphan_keys",
         (F.col("n_orphans") == 0).alias("is_clean"),
     ).orderBy("fk_edge")
+
+
+@register(
+    name="dictionary_encoding_advisor",
+    survey="A7 A8 U1 F28",
+    doc="Columnar-storage encoding advisor — with partition_layout_"
+    "planner and zorder_cell_stats this completes the physical-design "
+    "audit trio: for each candidate string/low-cardinality column of "
+    "the two fact tables, exact row count, exact NDV, exact total "
+    "byte length (strlen/octet_length), and the dictionary-vs-plain "
+    "size model (dict page = ndv x avg_len + n x 4-byte codes vs "
+    "plain = total bytes), recommending ENCODE when the model says "
+    "dict is smaller. The per-column stats ride a stack() unpivot "
+    "collapsed by map-side partial agg; NDV is an exact "
+    "count-distinct per column (the profile contract — sketches are "
+    "the separate kmv/hll rows). All integers except the one ratio "
+    "division.",
+    oracle="""
+        WITH cols AS (
+          SELECT 'l_returnflag' AS col, l_returnflag AS val
+          FROM lineitem
+          UNION ALL SELECT 'l_linestatus', l_linestatus FROM lineitem
+          UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+          UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+        ), stats AS (
+          SELECT col,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(count(DISTINCT val) AS BIGINT) AS ndv,
+                 CAST(SUM(strlen(val)) AS BIGINT) AS plain_bytes
+          FROM cols GROUP BY col
+        )
+        SELECT col, n_rows, ndv, plain_bytes,
+               ndv * ((plain_bytes + n_rows - 1) // n_rows) + n_rows * 4
+                   AS dict_bytes_model,
+               CAST(ndv AS DOUBLE) / CAST(n_rows AS DOUBLE) AS ndv_ratio,
+               (ndv * ((plain_bytes + n_rows - 1) // n_rows)
+                + n_rows * 4 < plain_bytes) AS recommend_dict
+        FROM stats
+        ORDER BY col
+    """,
+)
+def dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").selectExpr(
+        "stack(2, 'l_returnflag', l_returnflag,"
+        " 'l_linestatus', l_linestatus) AS (col, val)"
+    )
+    od = load(spark, sf_dir, "orders").selectExpr(
+        "stack(2, 'o_orderstatus', o_orderstatus,"
+        " 'o_orderpriority', o_orderpriority) AS (col, val)"
+    )
+    stats = (
+        li.unionByName(od)
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("val").cast("bigint").alias("ndv"),
+            F.sum(F.octet_length("val")).cast("bigint").alias("plain_bytes"),
+        )
+    )
+    dict_model = (
+        "ndv * ((plain_bytes + n_rows - 1) div n_rows) + n_rows * 4"
+    )
+    return stats.select(
+        "col",
+        "n_rows",
+        "ndv",
+        "plain_bytes",
+        F.expr(dict_model).alias("dict_bytes_model"),
+        (F.col("ndv").cast("double") / F.col("n_rows").cast("double")).alias(
+            "ndv_ratio"
+        ),
+        F.expr(f"{dict_model} < plain_bytes").alias("recommend_dict"),
+    ).orderBy("col")
