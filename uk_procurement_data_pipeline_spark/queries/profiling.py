@@ -787,3 +787,149 @@ def dictionary_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr(f"{dict_model} < plain_bytes").alias("recommend_dict"),
     ).orderBy("col")
+
+
+@register(
+    name="consistent_hash_shard_audit",
+    survey="A7 J5 W1 F28",
+    doc="Consistent-hashing shard audit (Karger et al. 1997) — the "
+    "resharding-cost analysis behind every distributed cache/state "
+    "layer: place documents on an 8-shard md5 ring (4 virtual nodes "
+    "per shard), grow it to 9 shards, and measure the moved-key "
+    "fraction against naive mod-N assignment. The ring property says "
+    "~1/9 of keys move vs ~8/9 for mod — this query MEASURES it on "
+    "real hashed keys. Successor lookup is a (wrap-flag, vnode-hash) "
+    "row_number over the <=36-row broadcast ring per doc — one "
+    "doc-keyed window, no shuffle beyond it; every hash is in-engine "
+    "md5 (the portable family). Also reports the 8-shard ring's "
+    "max shard share as the balance check.",
+    oracle="""
+        WITH docs AS (
+          SELECT doc_id,
+                 CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) AS h
+          FROM documents
+        ), ring8 AS (
+          SELECT s.s AS shard,
+                 CAST('0x' || substr(md5('shard-' || CAST(s.s AS VARCHAR)
+                      || '-' || CAST(r.r AS VARCHAR)), 1, 15) AS BIGINT)
+                     AS vh
+          FROM (SELECT unnest(range(0, 8)) AS s) s,
+               (SELECT unnest(range(0, 4)) AS r) r
+        ), ring9 AS (
+          SELECT s.s AS shard,
+                 CAST('0x' || substr(md5('shard-' || CAST(s.s AS VARCHAR)
+                      || '-' || CAST(r.r AS VARCHAR)), 1, 15) AS BIGINT)
+                     AS vh
+          FROM (SELECT unnest(range(0, 9)) AS s) s,
+               (SELECT unnest(range(0, 4)) AS r) r
+        ), a8 AS (
+          SELECT doc_id, shard FROM (
+            SELECT d.doc_id, rg.shard,
+                   row_number() OVER (PARTITION BY d.doc_id
+                     ORDER BY CASE WHEN rg.vh >= d.h THEN 0 ELSE 1 END,
+                              rg.vh) AS rn
+            FROM docs d CROSS JOIN ring8 rg) t
+          WHERE rn = 1
+        ), a9 AS (
+          SELECT doc_id, shard FROM (
+            SELECT d.doc_id, rg.shard,
+                   row_number() OVER (PARTITION BY d.doc_id
+                     ORDER BY CASE WHEN rg.vh >= d.h THEN 0 ELSE 1 END,
+                              rg.vh) AS rn
+            FROM docs d CROSS JOIN ring9 rg) t
+          WHERE rn = 1
+        ), joined AS (
+          SELECT d.doc_id, d.h, a8.shard AS s8, a9.shard AS s9
+          FROM docs d
+          JOIN a8 ON a8.doc_id = d.doc_id
+          JOIN a9 ON a9.doc_id = d.doc_id
+        ), loads AS (
+          SELECT CAST(MAX(cnt) AS BIGINT) AS max_load FROM (
+            SELECT s8, count(*) AS cnt FROM joined GROUP BY s8) t
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ring_moved,
+               CAST(SUM(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS ring_moved_frac,
+               CAST(SUM(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS mod_moved,
+               CAST(SUM(CASE WHEN h % 8 <> h % 9 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mod_moved_frac,
+               CAST(l.max_load AS DOUBLE) * 8.0
+                 / CAST(count(*) AS DOUBLE) AS ring8_max_share_x8
+        FROM joined CROSS JOIN loads l
+        GROUP BY l.max_load
+    """,
+)
+def consistent_hash_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 15), 16, 10)"
+        " AS BIGINT) AS h",
+    )
+
+    def ring(n: int) -> DataFrame:
+        ss = spark.range(0, n).select(F.col("id").cast("bigint").alias("s"))
+        rr = spark.range(0, 4).select(F.col("id").cast("bigint").alias("r"))
+        return ss.crossJoin(rr).selectExpr(
+            "s AS shard",
+            "CAST(conv(substr(md5('shard-' || CAST(s AS STRING) || '-'"
+            " || CAST(r AS STRING)), 1, 15), 16, 10) AS BIGINT) AS vh",
+        )
+
+    def assign(ring_df: DataFrame, out: str) -> DataFrame:
+        w = Window.partitionBy("doc_id").orderBy(
+            F.expr("CASE WHEN vh >= h THEN 0 ELSE 1 END"), "vh"
+        )
+        return (
+            docs.crossJoin(F.broadcast(ring_df))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("doc_id", F.col("shard").alias(out))
+        )
+
+    joined = (
+        docs.join(assign(ring(8), "s8"), "doc_id")
+        .join(assign(ring(9), "s9"), "doc_id")
+    )
+    loads = (
+        joined.groupBy("s8")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.max("cnt").cast("bigint").alias("max_load"))
+    )
+    return (
+        joined.crossJoin(F.broadcast(loads))
+        .groupBy("max_load")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("ring_moved"),
+            (
+                F.sum(F.when(F.col("s8") != F.col("s9"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("ring_moved_frac"),
+            F.sum(F.when(F.expr("h % 8 <> h % 9"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("mod_moved"),
+            (
+                F.sum(F.when(F.expr("h % 8 <> h % 9"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mod_moved_frac"),
+            (
+                F.max("max_load").cast("double")
+                * 8.0
+                / F.count(F.lit(1)).cast("double")
+            ).alias("ring8_max_share_x8"),
+        )
+        .drop("max_load")
+    )
