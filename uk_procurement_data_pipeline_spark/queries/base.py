@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "geometric_median_embedding",
     "consistent_hash_shard_audit",
     "dictionary_encoding_advisor",
     "pq_codebook_train",
@@ -110,7 +111,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "order_total_reconciliation",
     "customer_feature_vector",
     "cross_source_dup_matrix",
-    "target_encoding_oof",
     "position_attribution_credit",
     "moving_forecast_backtest",
 )

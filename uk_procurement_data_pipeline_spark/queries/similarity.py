@@ -2047,3 +2047,127 @@ def pq_codebook_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("subspace", "code")
     )
+
+
+@register(
+    name="geometric_median_embedding",
+    survey="J5 A7 UD4 F17",
+    doc="Geometric median of the embedding cloud by two unrolled "
+    "Weiszfeld iterations (the robust aggregation used in federated/"
+    "Byzantine-tolerant averaging — a few corrupted vectors move the "
+    "arithmetic mean arbitrarily but barely dent this): start at the "
+    "exact-decimal per-dim mean, then twice re-weight every vector "
+    "by 1/max(dist, 1e-12) (sequential-fold distance, IEEE-exact) "
+    "and recompute the weighted center with exact-decimal sums of "
+    "the per-row dec()-cast terms (order-independent — the "
+    "functions/exact.py contract; the cast of ANY double to "
+    "decimal(38,8) rounds identically in both engines). Each "
+    "iteration is one broadcast of the 64-dim center + one linear "
+    "scan with map-side partial aggregation. Output: per-dim mean "
+    "vs geometric median.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        dims AS (SELECT unnest(range(1, 65)) AS dim),
+        m0 AS (
+            SELECT d.dim,
+                   CAST(ROUND(SUM(CAST(v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS c
+            FROM e, dims d GROUP BY d.dim),
+        x0 AS (
+            SELECT list_transform(list_sort(list(struct_pack(
+                       dim := dim, c := c))), r -> r.c) AS x
+            FROM m0),
+        w1 AS (
+            SELECT e.vec_id, e.v,
+                   1.0 / greatest(sqrt({_D_SQD.format(a='e.v', b='x0.x')}),
+                                  0.000000000001) AS w
+            FROM e CROSS JOIN x0),
+        m1 AS (
+            SELECT d.dim,
+                   CAST(ROUND(SUM(CAST(w * v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE)
+                   / CAST(ROUND(SUM(CAST(w AS DECIMAL(38,8))), 4)
+                          AS DOUBLE) AS c
+            FROM w1, dims d GROUP BY d.dim),
+        x1 AS (
+            SELECT list_transform(list_sort(list(struct_pack(
+                       dim := dim, c := c))), r -> r.c) AS x
+            FROM m1),
+        w2 AS (
+            SELECT e.vec_id, e.v,
+                   1.0 / greatest(sqrt({_D_SQD.format(a='e.v', b='x1.x')}),
+                                  0.000000000001) AS w
+            FROM e CROSS JOIN x1),
+        m2 AS (
+            SELECT d.dim,
+                   CAST(ROUND(SUM(CAST(w * v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE)
+                   / CAST(ROUND(SUM(CAST(w AS DECIMAL(38,8))), 4)
+                          AS DOUBLE) AS c
+            FROM w2, dims d GROUP BY d.dim)
+        SELECT m0.dim AS dim, m0.c AS mean_component,
+               m2.c AS gmedian_component
+        FROM m0 JOIN m2 ON m0.dim = m2.dim
+        ORDER BY dim
+    """,
+)
+def geometric_median_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+
+    def center_means(pts: DataFrame, weighted: bool) -> DataFrame:
+        ex = pts.selectExpr(
+            *(["w"] if weighted else []), "posexplode(v) AS (dim0, val)"
+        ).selectExpr(*(["w"] if weighted else []), "dim0 + 1 AS dim", "val")
+        if weighted:
+            return ex.groupBy("dim").agg(
+                (
+                    F.round(
+                        F.sum(F.expr("CAST(w * val AS DECIMAL(38,8))")), 4
+                    ).cast("double")
+                    / F.round(
+                        F.sum(F.expr("CAST(w AS DECIMAL(38,8))")), 4
+                    ).cast("double")
+                ).alias("c")
+            )
+        return ex.groupBy("dim").agg(
+            (
+                F.round(F.sum(F.expr("CAST(val AS DECIMAL(38,8))")), 4).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("c")
+        )
+
+    def pack(means: DataFrame) -> DataFrame:
+        return means.agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))),
+                lambda s: s["c"],
+            ).alias("x")
+        )
+
+    def reweight(x: DataFrame) -> DataFrame:
+        return e.crossJoin(F.broadcast(x)).selectExpr(
+            "vec_id",
+            "v",
+            f"1.0 / greatest(sqrt({_SQD.format(a='v', b='x')}),"
+            " 0.000000000001) AS w",
+        )
+
+    m0 = center_means(e, weighted=False)
+    m1 = center_means(reweight(pack(m0)), weighted=True)
+    m2 = center_means(reweight(pack(m1)), weighted=True)
+    return (
+        m0.select(F.col("dim"), F.col("c").alias("mean_component"))
+        .join(
+            m2.select(F.col("dim").alias("d2"), F.col("c").alias("gmedian_component")),
+            F.col("dim") == F.col("d2"),
+        )
+        .select("dim", "mean_component", "gmedian_component")
+        .orderBy("dim")
+    )
