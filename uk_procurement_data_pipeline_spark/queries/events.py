@@ -4228,3 +4228,117 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    name="huber_mean_per_type",
+    survey="A7 F28 J5",
+    doc="Huber M-estimator of location per event type — the 1-D "
+    "counterpart of geometric_median_embedding and the principled "
+    "middle ground between the mean (efficient, fragile) and the "
+    "median (robust, noisy), via two unrolled IRLS rounds ENTIRELY "
+    "in integer arithmetic: values are exact cents, the Huber weight "
+    "min(1, k/|residual|) is micro-quantized by integer division "
+    "(k = $50 tuning constant), and each round's weighted center is "
+    "one integer-ratio division. Budget: w_micro x cents x rows ~ "
+    "5.6e15 < 2^63 at sf0.1 (decimal(38,0) at cluster scale). Each "
+    "round is a broadcast of 5 centers + a linear scan with map-side "
+    "partial agg onto the event-type domain.",
+    oracle="""
+        WITH v AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), m0 AS (
+          SELECT event_type,
+                 CAST(SUM(cents) AS BIGINT) // CAST(count(*) AS BIGINT)
+                     AS mu,
+                 CAST(SUM(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   / 100.0 AS mean_dollars
+          FROM v GROUP BY event_type
+        ), r1 AS (
+          SELECT v.event_type, v.cents,
+                 CASE WHEN abs(v.cents - m.mu) <= 5000 THEN 1000000
+                      ELSE 5000000000 // abs(v.cents - m.mu) END
+                     AS w_micro
+          FROM v JOIN m0 m ON m.event_type = v.event_type
+        ), m1 AS (
+          SELECT event_type,
+                 CAST(SUM(w_micro * cents) AS BIGINT)
+                   // CAST(SUM(w_micro) AS BIGINT) AS mu
+          FROM r1 GROUP BY event_type
+        ), r2 AS (
+          SELECT v.event_type, v.cents,
+                 CASE WHEN abs(v.cents - m.mu) <= 5000 THEN 1000000
+                      ELSE 5000000000 // abs(v.cents - m.mu) END
+                     AS w_micro
+          FROM v JOIN m1 m ON m.event_type = v.event_type
+        ), m2 AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(SUM(w_micro * cents) AS BIGINT)
+                   // CAST(SUM(w_micro) AS BIGINT) AS mu,
+                 CAST(SUM(CASE WHEN w_micro < 1000000 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_downweighted
+          FROM r2 GROUP BY event_type
+        )
+        SELECT m2.event_type, m2.n,
+               m0.mean_dollars,
+               CAST(m2.mu AS DOUBLE) / 100.0 AS huber_mean_dollars,
+               m2.n_downweighted
+        FROM m2 JOIN m0 ON m0.event_type = m2.event_type
+        ORDER BY m2.event_type
+    """,
+)
+def huber_mean_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(ROUND(value * 100) AS BIGINT) AS cents"
+    )
+    m0 = v.groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(cents) AS BIGINT) div CAST(count(*) AS BIGINT)"
+        ).alias("mu"),
+        F.expr(
+            "CAST(SUM(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 100.0"
+        ).alias("mean_dollars"),
+    )
+
+    def irls(mus: DataFrame):
+        return (
+            v.join(F.broadcast(mus.select("event_type", "mu")), "event_type")
+            .selectExpr(
+                "event_type",
+                "cents",
+                "CASE WHEN abs(cents - mu) <= 5000 THEN 1000000"
+                " ELSE CAST(5000000000 AS BIGINT) div abs(cents - mu) END"
+                " AS w_micro",
+            )
+        )
+
+    m1 = irls(m0).groupBy("event_type").agg(
+        F.expr(
+            "CAST(SUM(w_micro * cents) AS BIGINT)"
+            " div CAST(SUM(w_micro) AS BIGINT)"
+        ).alias("mu")
+    )
+    m2 = irls(m1).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.expr(
+            "CAST(SUM(w_micro * cents) AS BIGINT)"
+            " div CAST(SUM(w_micro) AS BIGINT)"
+        ).alias("mu"),
+        F.sum(F.when(F.col("w_micro") < 1000000, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_downweighted"),
+    )
+    return (
+        m2.join(m0.select("event_type", "mean_dollars"), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "mean_dollars",
+            (F.col("mu").cast("double") / 100.0).alias("huber_mean_dollars"),
+            "n_downweighted",
+        )
+        .orderBy("event_type")
+    )
