@@ -118,34 +118,40 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # r06 window candidates — regenerated at the end of round 5 from the
 # actual driver coverage (CORRECTNESS_r01..r03; no r04 file was
 # written by the driver, so round 4's window additions are still
-# uncovered): 121 registered queries have never had a driver
+# uncovered): 133 registered queries have never had a driver
 # CORRECTNESS row and did not fit the 50-slot r05 window. All are
 # green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
 # longest-out-first:
 #    abtest_proportions_ztest, adamic_adar_link_prediction,
 #    allpairs_prefix_jaccard, als_rank1_item_step,
-#    ann_recall_report, benford_first_digit,
-#    bigram_surprisal_quality, bloom_semi_join_prefilter,
+#    ann_recall_report, association_rules_parts,
+#    benford_first_digit, bigram_surprisal_quality,
+#    blocking_quality_report, bloom_semi_join_prefilter,
 #    bm25_topk_docs, bpe_pair_counts, burst_day_detection,
 #    cdc_chunk_dedup_ratio, cdc_chunk_docs,
-#    clustering_coefficient_local, constraint_check_orders,
-#    contrastive_pairs, conversion_lag_stats, countmin_word_sketch,
-#    cusum_changepoint, daily_autocorr_lag1,
+#    clustering_coefficient_local, conformal_interval_backtest,
+#    constraint_check_orders, contrastive_pairs,
+#    conversion_lag_stats, countmin_word_sketch,
+#    customer_feature_vector, cusum_changepoint,
+#    daily_autocorr_lag1, daily_gap_interpolation,
 #    decision_stump_value_split, dedup_methods_report,
+#    distinct_ngram_diversity, distinctive_terms_log_odds,
 #    domain_mixture_resample, embedding_covariance,
 #    embedding_int8_quantize, embedding_norm_outliers,
 #    entropy_per_source, equidepth_value_bins,
 #    event_type_value_chi2, events_interval_join_attribution,
 #    events_range_frame_sum, ewma_user_value,
-#    exact_substr_dedup_spans, golden_record_survivorship,
-#    gopher_quality_rules, hard_negatives_lsh,
-#    hhi_source_concentration, hourly_baseline_outliers,
-#    inverted_index_dot_pairs, item_cooccurrence_cosine,
-#    jl_random_projection, join_key_skew_report, k_anonymity_report,
+#    exact_substr_dedup_spans, functional_dependency_check,
+#    golden_record_survivorship, gopher_quality_rules,
+#    hard_negatives_lsh, hhi_source_concentration,
+#    hourly_baseline_outliers, inverted_index_dot_pairs,
+#    item_cooccurrence_cosine, jl_random_projection,
+#    join_key_skew_report, k_anonymity_report,
 #    kaplan_meier_customer_lifetime, kcore_peel_unrolled,
-#    kl_divergence_sources, kmv_distinct_sketch, kmv_union_jaccard,
-#    ks_binned_two_sample, lognormal_fit_values, lorenz_gini_binned,
+#    kl_divergence_sources, kmeans_label_purity,
+#    kmv_distinct_sketch, kmv_union_jaccard, ks_binned_two_sample,
+#    lognormal_fit_values, lorenz_gini_binned,
 #    markov_prediction_accuracy, markov_transition_matrix,
 #    media_decode_resize_profile, mutual_information_type_band,
 #    naive_bayes_source_classifier, nb_margin_calibration,
@@ -164,19 +170,21 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    q2_min_cost_supplier, q3_shipping_priority, q4_order_priority,
 #    q5_local_supplier_volume, q6_forecast_revenue,
 #    q7_volume_shipping, q8_market_share, q9_product_type_profit,
-#    revenue_share_within_region, rfm_customer_segments,
-#    rrf_fusion_ann, semdedup_prune, session_path_topk,
-#    snapshot_diff_customers, source_vocab_jaccard,
-#    spearman_price_acctbal, split_leakage_report,
-#    stream_dedup_pairs, stream_stateful_user_totals,
-#    subsample_stability_ci, temperature_mixture_weights,
-#    theil_sen_daily_trend, token_budget_selection,
-#    token_length_distribution, training_shuffle_order,
-#    triangle_count_doulion, unigram_surprisal_quality,
-#    value_outliers_iqr, value_outliers_mad, value_trend_per_user,
-#    vocab_coverage_curve, vocab_encode_docs, weighted_sample_es,
-#    window_funnel_timeout, winnowing_fingerprints,
-#    winsorized_stats_per_type, zipf_exponent_fit, zorder_cell_stats
+#    retention_decay_fit, revenue_share_within_region,
+#    rfm_customer_segments, rrf_fusion_ann, semdedup_prune,
+#    session_path_topk, snapshot_diff_customers,
+#    source_vocab_jaccard, spearman_price_acctbal,
+#    split_leakage_report, stream_dedup_pairs,
+#    stream_stateful_user_totals, stream_static_enrich,
+#    subsample_stability_ci, target_encoding_oof,
+#    temperature_mixture_weights, theil_sen_daily_trend,
+#    token_budget_selection, token_length_distribution,
+#    training_shuffle_order, triangle_count_doulion,
+#    unigram_surprisal_quality, value_outliers_iqr,
+#    value_outliers_mad, value_trend_per_user, vocab_coverage_curve,
+#    vocab_encode_docs, weighted_sample_es, window_funnel_timeout,
+#    winnowing_fingerprints, winsorized_stats_per_type,
+#    zipf_exponent_fit, zorder_cell_stats
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.
