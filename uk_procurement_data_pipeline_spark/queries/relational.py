@@ -3022,3 +3022,128 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
         ).alias("pearson_r"),
     ).orderBy("pair")
+
+
+@register(
+    name="cramers_v_matrix",
+    survey="A7 U1 J6 F28",
+    doc="Cramer's V association matrix between categorical column "
+    "pairs — the categorical twin of correlation_matrix_lineitem, "
+    "over (orderpriority x orderstatus), (returnflag x linestatus), "
+    "and (returnflag x shipmonth): chi-square from contingency "
+    "counts with the expected-count division integer-micro quantized "
+    "per cell ((o*n - row*col/n ... done as (o*n - row*col) "
+    "cross-multiplication squared over row*col*n, each term "
+    "(num*num*1e6) div den in bigint-safe order), then V = "
+    "sqrt(chi2 / (n * min(r-1, c-1))). Every pair's work collapses "
+    "onto its bounded contingency domain via map-side partial agg; "
+    "sqrt is IEEE-exact so V is bit-identical. Term budget: "
+    "num ~ o*n <= 6e5*6e5 = 3.6e11, squared exceeds bigint — so the "
+    "quantized term divides ONCE as ((num*1e6) div den) * num div "
+    "den2 split sequentially (documented estimator definition).",
+    oracle="""
+        WITH pairs AS (
+          SELECT 'priority_x_status' AS pair,
+                 o_orderpriority AS a, o_orderstatus AS b FROM orders
+          UNION ALL
+          SELECT 'returnflag_x_linestatus', l_returnflag, l_linestatus
+          FROM lineitem
+          UNION ALL
+          SELECT 'returnflag_x_shipmonth', l_returnflag,
+                 CAST(CAST(month(l_shipdate) AS BIGINT) AS VARCHAR)
+          FROM lineitem
+        ), cell AS (
+          SELECT pair, a, b, CAST(count(*) AS BIGINT) AS o
+          FROM pairs GROUP BY 1, 2, 3
+        ), rows_ AS (
+          SELECT pair, a, CAST(SUM(o) AS BIGINT) AS ra
+          FROM cell GROUP BY 1, 2
+        ), cols_ AS (
+          SELECT pair, b, CAST(SUM(o) AS BIGINT) AS cb
+          FROM cell GROUP BY 1, 2
+        ), tot AS (
+          SELECT pair, CAST(SUM(o) AS BIGINT) AS n,
+                 CAST(count(DISTINCT a) AS BIGINT) AS r,
+                 CAST(count(DISTINCT b) AS BIGINT) AS c
+          FROM cell GROUP BY pair
+        ), terms AS (
+          SELECT c.pair,
+                 ((((c.o * t.n - r.ra * co.cb)
+                    * (c.o * t.n - r.ra * co.cb))
+                   // (r.ra * co.cb)) * 1000000) // t.n AS term_micro
+          FROM cell c
+          JOIN rows_ r ON r.pair = c.pair AND r.a = c.a
+          JOIN cols_ co ON co.pair = c.pair AND co.b = c.b
+          JOIN tot t ON t.pair = c.pair
+        )
+        SELECT tm.pair, t.n, t.r, t.c,
+               CAST(SUM(tm.term_micro) AS DOUBLE) / 1000000.0
+                 / CAST(t.n AS DOUBLE) AS chi2_over_n,
+               sqrt(CAST(SUM(tm.term_micro) AS DOUBLE) / 1000000.0
+                    / CAST(t.n AS DOUBLE)
+                    / CAST(least(t.r - 1, t.c - 1) AS DOUBLE))
+                   AS cramers_v
+        FROM terms tm JOIN tot t ON t.pair = tm.pair
+        GROUP BY tm.pair, t.n, t.r, t.c
+        ORDER BY tm.pair
+    """,
+)
+def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").selectExpr(
+        "'priority_x_status' AS pair",
+        "o_orderpriority AS a",
+        "o_orderstatus AS b",
+    )
+    li = load(spark, sf_dir, "lineitem")
+    p2 = li.selectExpr(
+        "'returnflag_x_linestatus' AS pair",
+        "l_returnflag AS a",
+        "l_linestatus AS b",
+    )
+    p3 = li.selectExpr(
+        "'returnflag_x_shipmonth' AS pair",
+        "l_returnflag AS a",
+        "CAST(CAST(month(l_shipdate) AS BIGINT) AS STRING) AS b",
+    )
+    cell = (
+        orders.unionByName(p2)
+        .unionByName(p3)
+        .groupBy("pair", "a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("o"))
+    )
+    rows_ = cell.groupBy("pair", "a").agg(F.sum("o").cast("bigint").alias("ra"))
+    cols_ = cell.groupBy("pair", "b").agg(F.sum("o").cast("bigint").alias("cb"))
+    tot = cell.groupBy("pair").agg(
+        F.sum("o").cast("bigint").alias("n"),
+        F.countDistinct("a").cast("bigint").alias("r"),
+        F.countDistinct("b").cast("bigint").alias("c"),
+    )
+    terms = (
+        cell.join(rows_, ["pair", "a"])
+        .join(cols_, ["pair", "b"])
+        .join(F.broadcast(tot), "pair")
+        .select(
+            "pair",
+            F.expr(
+                "((((o * n - ra * cb) * (o * n - ra * cb)) div (ra * cb))"
+                " * 1000000) div n"
+            ).alias("term_micro"),
+        )
+    )
+    return (
+        terms.join(F.broadcast(tot), "pair")
+        .groupBy("pair", "n", "r", "c")
+        .agg(
+            (
+                F.sum("term_micro").cast("double")
+                / 1000000.0
+                / F.col("n").cast("double")
+            ).alias("chi2_over_n"),
+            F.expr(
+                "sqrt(CAST(SUM(term_micro) AS DOUBLE) / 1000000.0"
+                " / CAST(n AS DOUBLE)"
+                " / CAST(least(r - 1, c - 1) AS DOUBLE))"
+            ).alias("cramers_v"),
+        )
+        .orderBy("pair")
+    )
