@@ -55,6 +55,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
     },
+    "negative_sampling_table": {
+        "GLOBALWIN": "cumulative-band windows over the 200-row "
+        "vocabulary cut — input is already aggregate-sized",
+    },
     "ams_f2_sketch": {
         "GLOBALWIN": "median rank over the 16-row estimator domain — "
         "input is already aggregate-sized",

@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "negative_sampling_table",
     "cramers_v_matrix",
     "huber_mean_per_type",
     "geometric_median_embedding",
@@ -109,7 +110,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "table_checksum_audit",
     "mann_kendall_trend",
     "dow_anova_eta2",
-    "pareto_8020_users",
     "cross_source_dup_matrix",
     "position_attribution_credit",
     "moving_forecast_backtest",

@@ -1246,3 +1246,124 @@ def split_leakage_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    name="negative_sampling_table",
+    survey="A7 W1 J6 F28 O4",
+    doc="Word2vec/NCE negative-sampling table (Mikolov et al. 2013): "
+    "the top-200 vocabulary gets unigram^0.75 smoothed sampling mass "
+    "— computed WITHOUT libm pow as sqrt(f)*sqrt(sqrt(f)) (sqrt is "
+    "IEEE-correctly-rounded in both engines, so f^0.75 is "
+    "bit-identical), micro-quantized into integer cumulative bands — "
+    "and 10,000 deterministic md5 draws are routed into those bands "
+    "by a range join, validating the table empirically (hits vs "
+    "expected mass per word). The draw x band join is bounded "
+    "(1e4 x 200); the vocabulary cut is a distributed "
+    "TakeOrderedAndProject; everything downstream of the one "
+    "row-sized word count lives on bounded domains. Output: top-20 "
+    "most-drawn words with expected vs empirical share.",
+    oracle="""
+        WITH wc AS (
+          SELECT (string_split(text, ' '))[s.i] AS word,
+                 CAST(count(*) AS BIGINT) AS f
+          FROM documents d,
+               LATERAL (SELECT unnest(range(1,
+                            len(string_split(d.text, ' ')) + 1)) AS i) s
+          GROUP BY 1
+        ), topw AS (
+          SELECT word, f FROM wc ORDER BY f DESC, word LIMIT 200
+        ), smoothed AS (
+          SELECT word, f,
+                 CAST(floor(sqrt(CAST(f AS DOUBLE))
+                      * sqrt(sqrt(CAST(f AS DOUBLE))) * 1000000)
+                   AS BIGINT) AS m_micro
+          FROM topw
+        ), banded AS (
+          SELECT word, f, m_micro,
+                 SUM(m_micro) OVER (ORDER BY m_micro DESC, word
+                                    ROWS UNBOUNDED PRECEDING)
+                   - m_micro AS lo,
+                 SUM(m_micro) OVER (ORDER BY m_micro DESC, word
+                                    ROWS UNBOUNDED PRECEDING) AS hi
+          FROM smoothed
+        ), tot AS (
+          SELECT CAST(SUM(m_micro) AS BIGINT) AS total FROM smoothed
+        ), draws AS (
+          SELECT i.i,
+                 CAST('0x' || substr(md5('draw-' || CAST(i.i AS VARCHAR)),
+                      1, 15) AS BIGINT) % t.total AS pos
+          FROM (SELECT unnest(range(0, 10000)) AS i) i CROSS JOIN tot t
+        ), hits AS (
+          SELECT b.word, b.m_micro, CAST(count(*) AS BIGINT) AS n_hits
+          FROM draws d JOIN banded b
+            ON d.pos >= b.lo AND d.pos < b.hi
+          GROUP BY 1, 2
+        )
+        SELECT h.word, h.n_hits,
+               CAST(h.m_micro AS DOUBLE) / CAST(t.total AS DOUBLE)
+                   AS expected_share,
+               CAST(h.n_hits AS DOUBLE) / 10000.0 AS empirical_share
+        FROM hits h CROSS JOIN tot t
+        ORDER BY n_hits DESC, word
+        LIMIT 20
+    """,
+)
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    wc = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    )
+    topw = wc.orderBy(F.col("f").desc(), "word").limit(200)
+    smoothed = topw.selectExpr(
+        "word",
+        "f",
+        "CAST(floor(sqrt(CAST(f AS DOUBLE))"
+        " * sqrt(sqrt(CAST(f AS DOUBLE))) * 1000000) AS BIGINT) AS m_micro",
+    )
+    wcum = Window.orderBy(F.col("m_micro").desc(), "word").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    banded = smoothed.select(
+        "word",
+        "f",
+        "m_micro",
+        (F.sum("m_micro").over(wcum) - F.col("m_micro")).alias("lo"),
+        F.sum("m_micro").over(wcum).alias("hi"),
+    )
+    tot = smoothed.agg(F.sum("m_micro").cast("bigint").alias("total"))
+    draws = (
+        spark.range(0, 10000)
+        .select(F.col("id").cast("bigint").alias("i"))
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "i",
+            "CAST(conv(substr(md5('draw-' || CAST(i AS STRING)), 1, 15),"
+            " 16, 10) AS BIGINT) % total AS pos",
+        )
+    )
+    hits = (
+        draws.join(
+            F.broadcast(banded),
+            (F.col("pos") >= F.col("lo")) & (F.col("pos") < F.col("hi")),
+        )
+        .groupBy("word", "m_micro")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        hits.crossJoin(F.broadcast(tot))
+        .select(
+            "word",
+            "n_hits",
+            (F.col("m_micro").cast("double") / F.col("total").cast("double")).alias(
+                "expected_share"
+            ),
+            (F.col("n_hits").cast("double") / 10000.0).alias("empirical_share"),
+        )
+        .orderBy(F.col("n_hits").desc(), "word")
+        .limit(20)
+    )
