@@ -118,7 +118,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # r06 window candidates — regenerated at the end of round 5 from the
 # actual driver coverage (CORRECTNESS_r01..r03; no r04 file was
 # written by the driver, so round 4's window additions are still
-# uncovered): 133 registered queries have never had a driver
+# uncovered): 135 registered queries have never had a driver
 # CORRECTNESS row and did not fit the 50-slot r05 window. All are
 # green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
@@ -156,8 +156,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    media_decode_resize_profile, mutual_information_type_band,
 #    naive_bayes_source_classifier, nb_margin_calibration,
 #    neyman_stratified_sample, ngram_novelty_rate,
-#    ols2_regression_per_type, orders_open_interval_sweep,
-#    pack_chunks_into_sequences, percentiles_per_type_banded,
+#    ols2_regression_per_type, order_total_reconciliation,
+#    orders_open_interval_sweep, pack_chunks_into_sequences,
+#    pareto_8020_users, percentiles_per_type_banded,
 #    pmi_collocations, pointintime_customer_orders,
 #    power_iteration_top_pc, pps_sample_docs,
 #    profile_orders_columns, props_map_key_stats, psi_value_drift,
