@@ -35,6 +35,20 @@ from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
 
 # name -> {flag: reason}. A whitelisted flag still prints, marked OK'd.
 WHITELIST: dict[str, dict[str, str]] = {
+    "roc_auc_mannwhitney": {
+        "GLOBALWIN": "cumulative-negatives window over ONE ROW PER DISTINCT "
+        "score-cents CELL (bounded by the 100 x max-dollar domain) — rows "
+        "collapse to cells before the window",
+    },
+    "bh_fdr_screen": {
+        "GLOBALWIN": "BH rank/threshold windows over ONE ROW PER EVENT TYPE "
+        "(5 rows, bounded domain) — input is already aggregate-sized",
+    },
+    "skyline_parts_pareto": {
+        "GLOBALWIN": "prefix-max window over ONE ROW PER REVENUE BAND "
+        "(bounded band cells, div 1e5) — per-part rows are pruned by a "
+        "band-keyed equi-join, never globally sorted",
+    },
     "markov_removal_attribution": {
         "GLOBALWIN": "credit normalization over ONE ROW PER CHANNEL "
         "(4 rows, bounded domain) — input is already aggregate-sized",
