@@ -40,6 +40,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "score-cents CELL (bounded by the 100 x max-dollar domain) — rows "
         "collapse to cells before the window",
     },
+    "lm_dirichlet_topk": {
+        "GLOBALWIN": "rank annotation over the ALREADY-LIMITED top-10 rows "
+        "(TakeOrderedAndProject runs first; the window sees 10 rows)",
+    },
     "bh_fdr_screen": {
         "GLOBALWIN": "BH rank/threshold windows over ONE ROW PER EVENT TYPE "
         "(5 rows, bounded domain) — input is already aggregate-sized",

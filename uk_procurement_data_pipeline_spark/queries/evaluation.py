@@ -483,3 +483,277 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@register(
+    name="feature_hashing_vectorize",
+    survey="A7 F28 UD4",
+    doc="Hashing-trick (feature hashing) vectorization audit: every token "
+    "maps to one of 64 buckets via the md5 hash family with a separate "
+    "md5-derived sign bit (the signed construction that makes collision "
+    "noise zero-mean). Output is the per-bucket audit a vectorizer needs "
+    "before committing to a width: distinct terms landing in the bucket "
+    "(collision pressure), total term frequency, and the signed sum. All "
+    "integer arithmetic; the hash family is the repo's cross-engine "
+    "conv/substr(md5) pattern. One explode + one hash agg — linear, "
+    "shuffle only on the 64-bucket key space.",
+    oracle="""
+        WITH tok AS (
+          SELECT unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), hashed AS (
+          SELECT w,
+                 CAST('0x' || substr(md5('fh-' || w), 1, 15) AS BIGINT) % 64
+                     AS bucket,
+                 CASE WHEN substr(md5('sign-' || w), 1, 1)
+                           IN ('0','1','2','3','4','5','6','7')
+                      THEN 1 ELSE -1 END AS sgn
+          FROM tok WHERE w <> ''
+        )
+        SELECT bucket,
+               CAST(COUNT(DISTINCT w) AS BIGINT) AS n_terms,
+               CAST(COUNT(*) AS BIGINT) AS total_tf,
+               CAST(SUM(sgn) AS BIGINT) AS signed_sum
+        FROM hashed
+        GROUP BY bucket
+        ORDER BY bucket
+    """,
+)
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    hashed = tok.selectExpr(
+        "w",
+        "CAST(conv(substr(md5('fh-' || w), 1, 15), 16, 10) AS BIGINT) % 64"
+        " AS bucket",
+        "CASE WHEN substr(md5('sign-' || w), 1, 1)"
+        " IN ('0','1','2','3','4','5','6','7') THEN 1 ELSE -1 END AS sgn",
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.countDistinct("w").cast("bigint").alias("n_terms"),
+            F.count(F.lit(1)).cast("bigint").alias("total_tf"),
+            F.sum("sgn").cast("bigint").alias("signed_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Dirichlet-smoothed query-likelihood per (doc, term), in micro units.
+# floor(ln * 1e6) BEFORE summation — the repo's libm-drift discipline
+# (see retrieval.py bm25): ranking happens on exact BIGINT sums.
+_DIRICHLET_MICRO = (
+    "CAST(floor(ln((CAST(tf AS DOUBLE)"
+    " + 2000.0 * CAST(c_t AS DOUBLE) / CAST(total_tokens AS DOUBLE))"
+    " / (CAST(len_d AS DOUBLE) + 2000.0)) * 1000000) AS BIGINT)"
+)
+
+
+@register(
+    name="lm_dirichlet_topk",
+    survey="A7 J5 W1 F28",
+    doc="Query-likelihood retrieval with Dirichlet smoothing (mu=2000): "
+    "score(d|q) = sum_t ln((tf + mu p_c(t)) / (len_d + mu)) — the "
+    "language-modeling counterpart of bm25_topk_docs. The corpus unigram "
+    "model and the 4-term query are broadcast (rows: n_terms x n_docs "
+    "via broadcast nested-loop over a 4-row side, then a left join picks "
+    "up per-doc tfs); absent terms contribute the smoothing-only mass, "
+    "exactly as the formula requires. Per-term ln is micro-quantized "
+    "before the exact BIGINT sum so ranking never touches drifting "
+    "doubles. Top-10 with doc_id tiebreak.",
+    oracle="""
+        WITH q(term) AS (
+          VALUES ('join'), ('hash'), ('window'), ('stream')
+        ), tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents
+        ), lens AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len_d
+          FROM tok WHERE w <> '' GROUP BY doc_id
+        ), corpus AS (
+          SELECT w, CAST(COUNT(*) AS BIGINT) AS c_t
+          FROM tok WHERE w <> '' GROUP BY w
+        ), total AS (
+          SELECT CAST(SUM(c_t) AS BIGINT) AS total_tokens FROM corpus
+        ), tfs AS (
+          SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+          FROM tok WHERE w <> '' GROUP BY doc_id, w
+        ), scored AS (
+          SELECT l.doc_id,
+                 CAST(SUM(CAST(floor(ln((CAST(COALESCE(t.tf, 0) AS DOUBLE)
+                   + 2000.0 * CAST(c.c_t AS DOUBLE)
+                     / CAST(tt.total_tokens AS DOUBLE))
+                   / (CAST(l.len_d AS DOUBLE) + 2000.0)) * 1000000)
+                   AS BIGINT)) AS BIGINT) AS score_micro
+          FROM lens l
+          CROSS JOIN q
+          JOIN corpus c ON c.w = q.term
+          CROSS JOIN total tt
+          LEFT JOIN tfs t ON t.doc_id = l.doc_id AND t.w = q.term
+          GROUP BY l.doc_id
+        )
+        SELECT doc_id, score_micro,
+               CAST(ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id)
+                    AS BIGINT) AS rnk
+        FROM scored
+        ORDER BY score_micro DESC, doc_id
+        LIMIT 10
+    """,
+)
+def lm_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    terms = spark.createDataFrame(
+        [("join",), ("hash",), ("window",), ("stream",)], ["term"]
+    )
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    lens = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("bigint").alias("len_d"))
+    corpus = tok.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("c_t"))
+    total = corpus.agg(F.sum("c_t").cast("bigint").alias("total_tokens"))
+    tfs = tok.groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    qmodel = (
+        terms.join(corpus, F.col("w") == F.col("term"))
+        .drop("w")
+        .crossJoin(total)
+    )
+    scored = (
+        lens.crossJoin(F.broadcast(qmodel))
+        .join(
+            tfs.withColumnRenamed("doc_id", "t_doc"),
+            (F.col("t_doc") == F.col("doc_id")) & (F.col("w") == F.col("term")),
+            "left",
+        )
+        .withColumn("tf", F.coalesce(F.col("tf"), F.lit(0)))
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr(_DIRICHLET_MICRO)).cast("bigint").alias("score_micro"))
+    )
+    # Top-10 FIRST (TakeOrderedAndProject — no global sort), THEN the rank
+    # annotation window over the 10 surviving rows only.
+    top = scored.orderBy(F.col("score_micro").desc(), "doc_id").limit(10)
+    w_rank = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    return top.select(
+        "doc_id",
+        "score_micro",
+        F.row_number().over(w_rank).cast("bigint").alias("rnk"),
+    ).orderBy(F.col("score_micro").desc(), "doc_id")
+
+
+@register(
+    name="l_diversity_report",
+    survey="A7 A8 F28",
+    doc="l-diversity audit, the companion to k_anonymity_report: for each "
+    "quasi-identifier group (nation x market segment) over customers, "
+    "the sensitive attribute (account-balance $1000 band) must take at "
+    "least l distinct values or the group is re-identifiable by "
+    "homogeneity even when k-anonymous. One hash agg over the bounded "
+    "QI domain; emits group size k, distinct-sensitive l, and the "
+    "l >= 3 pass flag per group, worst groups first.",
+    oracle="""
+        WITH g AS (
+          SELECT c_nationkey, c_mktsegment,
+                 CAST(COUNT(*) AS BIGINT) AS k_size,
+                 CAST(COUNT(DISTINCT
+                   CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+                     AS l_diversity
+          FROM customer
+          GROUP BY c_nationkey, c_mktsegment
+        )
+        SELECT c_nationkey, c_mktsegment, k_size, l_diversity,
+               CASE WHEN l_diversity >= 3 THEN 1 ELSE 0 END AS passes_l3
+        FROM g
+        ORDER BY l_diversity, k_size, c_nationkey, c_mktsegment
+    """,
+)
+def l_diversity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_size"),
+            F.countDistinct(F.expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)"))
+            .cast("bigint")
+            .alias("l_diversity"),
+        )
+    )
+    return g.selectExpr(
+        "c_nationkey",
+        "c_mktsegment",
+        "k_size",
+        "l_diversity",
+        "CASE WHEN l_diversity >= 3 THEN 1 ELSE 0 END AS passes_l3",
+    ).orderBy("l_diversity", "k_size", "c_nationkey", "c_mktsegment")
+
+
+@register(
+    name="dp_noised_counts",
+    survey="A7 F28",
+    doc="Differentially-private count release mechanics with a "
+    "DETERMINISTIC Laplace draw: per event type, noise = "
+    "-b sign(u) ln(1 - 2|u|) with u a md5-derived uniform in (-0.5, "
+    "0.5) and b = sensitivity/epsilon = 1/1.0 — the inverse-CDF "
+    "sampling a real DP release would do with a seeded RNG, made "
+    "replayable (and oracle-checkable) by hashing the partition key "
+    "instead of consuming RNG state. ln is micro-quantized before the "
+    "integer add (libm discipline). Emits true count, the uniform "
+    "draw, and the noised count per type; one hash agg over the "
+    "bounded type domain.",
+    oracle="""
+        WITH g AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS true_n
+          FROM events GROUP BY event_type
+        ), u AS (
+          SELECT event_type, true_n,
+                 (CAST(CAST('0x' || substr(md5('dp-' || event_type), 1, 15)
+                       AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0
+                   - 0.5 AS udraw
+          FROM g
+        ), n AS (
+          SELECT event_type, true_n, udraw,
+                 CAST(floor(
+                   -1.0 * (CASE WHEN udraw >= 0.0 THEN 1.0 ELSE -1.0 END)
+                   * ln(1.0 - 2.0 * abs(udraw)) * 1000000
+                 ) AS BIGINT) AS noise_micro
+          FROM u
+        )
+        SELECT event_type, true_n, udraw, noise_micro,
+               true_n + CAST(ROUND(CAST(noise_micro AS DOUBLE) / 1000000.0)
+                             AS BIGINT) AS noised_n
+        FROM n
+        ORDER BY event_type
+    """,
+)
+def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("true_n"))
+    )
+    u = g.selectExpr(
+        "event_type",
+        "true_n",
+        "(CAST(CAST(conv(substr(md5('dp-' || event_type), 1, 15), 16, 10)"
+        " AS BIGINT) % 1000000 AS DOUBLE) + 0.5) / 1000000.0 - 0.5 AS udraw",
+    )
+    n = u.selectExpr(
+        "event_type",
+        "true_n",
+        "udraw",
+        "CAST(floor("
+        " -1.0 * (CASE WHEN udraw >= 0.0 THEN 1.0 ELSE -1.0 END)"
+        " * ln(1.0 - 2.0 * abs(udraw)) * 1000000"
+        ") AS BIGINT) AS noise_micro",
+    )
+    return n.selectExpr(
+        "event_type",
+        "true_n",
+        "udraw",
+        "noise_micro",
+        "true_n + CAST(ROUND(CAST(noise_micro AS DOUBLE) / 1000000.0)"
+        " AS BIGINT) AS noised_n",
+    ).orderBy("event_type")
