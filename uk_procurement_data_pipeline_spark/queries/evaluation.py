@@ -757,3 +757,223 @@ def dp_noised_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_n + CAST(ROUND(CAST(noise_micro AS DOUBLE) / 1000000.0)"
         " AS BIGINT) AS noised_n",
     ).orderBy("event_type")
+
+
+_H_BITS = 4  # hilbert grid bits per dimension (16 x 16 cells)
+
+
+def _hilbert_oracle() -> str:
+    from uk_procurement_data_pipeline_spark.functions.hilbert import (
+        oracle_hilbert_ctes,
+    )
+
+    n = (1 << _H_BITS) - 1
+    chain, last = oracle_hilbert_ctes("cells", _H_BITS)
+    return f"""
+        WITH base AS (
+            SELECT o_custkey,
+                   date_diff('day', DATE '1995-01-01', o_orderdate) AS oday
+            FROM orders),
+        stats AS (
+            SELECT min(o_custkey) AS lo_c, max(o_custkey) AS hi_c,
+                   min(oday) AS lo_d, max(oday) AS hi_d
+            FROM base),
+        ranked AS (
+            SELECT o_custkey, oday,
+                   least({n}, greatest(0, CAST(floor(
+                       (CAST(o_custkey - lo_c AS DOUBLE)
+                        / CAST(hi_c - lo_c AS DOUBLE)) * {n})
+                       AS BIGINT))) AS hx,
+                   least({n}, greatest(0, CAST(floor(
+                       (CAST(oday - lo_d AS DOUBLE)
+                        / CAST(hi_d - lo_d AS DOUBLE)) * {n})
+                       AS BIGINT))) AS hy
+            FROM base, stats),
+        cells AS (
+            SELECT hx, hy,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(min(o_custkey) AS BIGINT) AS min_custkey,
+                   CAST(max(o_custkey) AS BIGINT) AS max_custkey,
+                   CAST(min(oday) AS BIGINT) AS min_day,
+                   CAST(max(oday) AS BIGINT) AS max_day
+            FROM ranked GROUP BY hx, hy),
+        {chain}
+        SELECT hd // 4 AS hcell,
+               CAST(SUM(n_orders) AS BIGINT) AS n_orders,
+               CAST(min(min_custkey) AS BIGINT) AS min_custkey,
+               CAST(max(max_custkey) AS BIGINT) AS max_custkey,
+               CAST(min(min_day) AS BIGINT) AS min_day,
+               CAST(max(max_day) AS BIGINT) AS max_day
+        FROM {last}
+        GROUP BY 1
+        ORDER BY 1
+    """
+
+
+@register(
+    name="hilbert_cell_stats",
+    survey="S7 A7 F15",
+    doc="Hilbert-curve clustering key over orders — the locality-tighter "
+    "companion to zorder_cell_stats (same (o_custkey, order-day) "
+    "min-max 4-bit ranks, same broadcast one-row stats join, directly "
+    "comparable per-cell span columns). The curve index is computed on "
+    "the AGGREGATED 16x16 cell table, not the row population: rows pay "
+    "only the rank arithmetic + one hash agg, then the unrolled xy2d "
+    "rotation (functions/hilbert.py, 4 staged projections, XOR expanded "
+    "to CASE — no engine bitwise dialect) runs over at most 256 rows. "
+    "At 100 TB the write-side use is identical to z-order: "
+    "repartitionByRange + sortWithinPartitions on hd.",
+    oracle=_hilbert_oracle(),
+)
+def hilbert_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.hilbert import with_hilbert_d
+    from uk_procurement_data_pipeline_spark.functions.zorder import int_rank
+
+    base = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("oday"),
+    )
+    stats = base.agg(
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+        F.min("oday").alias("lo_d"),
+        F.max("oday").alias("hi_d"),
+    )
+    ranked = base.join(F.broadcast(stats)).select(
+        "o_custkey",
+        "oday",
+        int_rank(F.col("o_custkey"), F.col("lo_c"), F.col("hi_c"), _H_BITS).alias(
+            "hx"
+        ),
+        int_rank(F.col("oday"), F.col("lo_d"), F.col("hi_d"), _H_BITS).alias("hy"),
+    )
+    cells = ranked.groupBy("hx", "hy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.min("o_custkey").cast("bigint").alias("min_custkey"),
+        F.max("o_custkey").cast("bigint").alias("max_custkey"),
+        F.min("oday").cast("bigint").alias("min_day"),
+        F.max("oday").cast("bigint").alias("max_day"),
+    )
+    keyed = with_hilbert_d(cells, "hx", "hy", _H_BITS)
+    return (
+        keyed.groupBy(F.expr("hd div 4").alias("hcell"))
+        .agg(
+            F.sum("n_orders").cast("bigint").alias("n_orders"),
+            F.min("min_custkey").cast("bigint").alias("min_custkey"),
+            F.max("max_custkey").cast("bigint").alias("max_custkey"),
+            F.min("min_day").cast("bigint").alias("min_day"),
+            F.max("max_day").cast("bigint").alias("max_day"),
+        )
+        .orderBy("hcell")
+    )
+
+
+# Fellegi-Sunter log2-free match weights in micro-nats, precomputed as
+# Python literals (math.log at plan-build time — ZERO libm in either
+# engine). Fields: market segment (m=.9, u=.2), $1000 balance band
+# (m=.95, u=.1), exact dollar balance (m=.8, u=1e-4).
+_FS_W = {
+    "seg": (1504077, -2079442),
+    "band": (2251292, -2890372),
+    "dollar": (8987197, -1609338),
+}
+_FS_UPPER = 4_000_000  # >= : link
+_FS_LOWER = -4_000_000  # <= : non-link
+
+
+@register(
+    name="fellegi_sunter_linkage",
+    survey="J6 A7 F28",
+    doc="Fellegi-Sunter probabilistic record linkage mechanics over "
+    "nation-blocked customer pairs: per-field agreement weights "
+    "ln(m/u) / ln((1-m)/(1-u)) with fixed published (m, u) priors, "
+    "precomputed to micro-nat INTEGER literals at plan build (no libm "
+    "in-engine). Emits the agreement-PATTERN histogram — pair count and "
+    "total match weight per (segment, $1000-band, exact-dollar) "
+    "agreement vector, with the classic link/possible/non-link "
+    "three-way classification — rather than per-pair rows, so output "
+    "stays bounded by the 2^3 pattern domain. Blocking is the standard "
+    "quadratic-cost control: the self-join is EQUI on c_nationkey; at "
+    "100 TB you block finer (nation x segment x band) to cap block "
+    "sizes, which this same plan expresses by adding join keys.",
+    oracle=f"""
+        WITH p AS (
+          SELECT
+            CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END
+                AS seg_agree,
+            CASE WHEN CAST(floor(a.c_acctbal / 1000.0) AS BIGINT)
+                      = CAST(floor(b.c_acctbal / 1000.0) AS BIGINT)
+                 THEN 1 ELSE 0 END AS band_agree,
+            CASE WHEN CAST(floor(a.c_acctbal) AS BIGINT)
+                      = CAST(floor(b.c_acctbal) AS BIGINT)
+                 THEN 1 ELSE 0 END AS dollar_agree
+          FROM customer a JOIN customer b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_custkey < b.c_custkey
+        ), g AS (
+          SELECT seg_agree, band_agree, dollar_agree,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(CASE WHEN seg_agree = 1 THEN {_FS_W["seg"][0]}
+                      ELSE {_FS_W["seg"][1]} END
+                 + CASE WHEN band_agree = 1 THEN {_FS_W["band"][0]}
+                      ELSE {_FS_W["band"][1]} END
+                 + CASE WHEN dollar_agree = 1 THEN {_FS_W["dollar"][0]}
+                      ELSE {_FS_W["dollar"][1]} END AS BIGINT)
+                     AS weight_micro
+          FROM p GROUP BY 1, 2, 3
+        )
+        SELECT seg_agree, band_agree, dollar_agree, n_pairs, weight_micro,
+               CASE WHEN weight_micro >= {_FS_UPPER} THEN 'link'
+                    WHEN weight_micro <= {_FS_LOWER} THEN 'non-link'
+                    ELSE 'possible' END AS decision
+        FROM g
+        ORDER BY weight_micro DESC, seg_agree, band_agree, dollar_agree
+    """,
+)
+def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    p = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .selectExpr(
+            "CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END"
+            " AS seg_agree",
+            "CASE WHEN CAST(floor(a.c_acctbal / 1000.0) AS BIGINT)"
+            " = CAST(floor(b.c_acctbal / 1000.0) AS BIGINT)"
+            " THEN 1 ELSE 0 END AS band_agree",
+            "CASE WHEN CAST(floor(a.c_acctbal) AS BIGINT)"
+            " = CAST(floor(b.c_acctbal) AS BIGINT)"
+            " THEN 1 ELSE 0 END AS dollar_agree",
+        )
+    )
+    wexpr = (
+        f"CAST(CASE WHEN seg_agree = 1 THEN {_FS_W['seg'][0]}"
+        f" ELSE {_FS_W['seg'][1]} END"
+        f" + CASE WHEN band_agree = 1 THEN {_FS_W['band'][0]}"
+        f" ELSE {_FS_W['band'][1]} END"
+        f" + CASE WHEN dollar_agree = 1 THEN {_FS_W['dollar'][0]}"
+        f" ELSE {_FS_W['dollar'][1]} END AS BIGINT)"
+    )
+    g = (
+        p.groupBy("seg_agree", "band_agree", "dollar_agree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("weight_micro", F.expr(wexpr))
+    )
+    return g.selectExpr(
+        "seg_agree",
+        "band_agree",
+        "dollar_agree",
+        "n_pairs",
+        "weight_micro",
+        f"CASE WHEN weight_micro >= {_FS_UPPER} THEN 'link'"
+        f" WHEN weight_micro <= {_FS_LOWER} THEN 'non-link'"
+        f" ELSE 'possible' END AS decision",
+    ).orderBy(
+        F.col("weight_micro").desc(), "seg_agree", "band_agree", "dollar_agree"
+    )
