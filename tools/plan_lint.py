@@ -40,6 +40,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "score-cents CELL (bounded by the 100 x max-dollar domain) — rows "
         "collapse to cells before the window",
     },
+    "exact_median_two_phase": {
+        "GLOBALWIN": "phase-1 cumulative count over ONE ROW PER $1000 BAND "
+        "(bounded by the price range) — the row population is histogrammed "
+        "first; phase-2 window is keyed and runs on bounded cents-in-band "
+        "cells",
+    },
     "lm_dirichlet_topk": {
         "GLOBALWIN": "rank annotation over the ALREADY-LIMITED top-10 rows "
         "(TakeOrderedAndProject runs first; the window sees 10 rows)",

@@ -63,6 +63,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "exact_median_two_phase",
+    "bpe_merge_unrolled",
+    "mahalanobis_outliers_2d",
     "hilbert_cell_stats",
     "fellegi_sunter_linkage",
     "feature_hashing_vectorize",
@@ -111,8 +114,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "feature_gini_ranking",
     "session_bounce_dwell",
     "twap_user_value",
-    "degree_assortativity",
-    "char_entropy_quality",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -121,7 +122,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # moving_forecast_backtest, skew_kurtosis_per_type,
 # join_cardinality_estimate, table_checksum_audit,
 # markov_removal_attribution, shipping_delay_percentiles,
-# embedding_mmd_linear.
+# embedding_mmd_linear, degree_assortativity, char_entropy_quality.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # actual driver coverage (CORRECTNESS_r01..r03; no r04 file was

@@ -977,3 +977,314 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(
         F.col("weight_micro").desc(), "seg_agree", "band_agree", "dollar_agree"
     )
+
+
+@register(
+    name="exact_median_two_phase",
+    survey="A7 W3 O4 F28",
+    doc="EXACT distributed median (lower median, k = (n+1) div 2) of "
+    "l_extendedprice without a global per-row sort — the two-phase "
+    "selection algorithm that scales: phase 1 histograms cents into "
+    "$1000 bands (one hash agg; band domain bounded by the price "
+    "range), cumulative-counts the BOUNDED band table to locate the "
+    "band containing the k-th value, and broadcasts that one row; "
+    "phase 2 rescans only rows in the selected band (predicate reaches "
+    "the scan), aggregates per distinct cent (bounded by 100k cents "
+    "per band) and cumulative-counts within the band. Both windows run "
+    "over bounded cell tables; row data is never globally sorted. The "
+    "oracle is the direct ORDER BY ... OFFSET selection.",
+    oracle="""
+        WITH v AS (
+          SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+          FROM lineitem
+        ), n AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 (CAST(COUNT(*) AS BIGINT) + 1) // 2 AS k
+          FROM v
+        )
+        SELECT n.n_rows, n.k,
+               (SELECT cents FROM v ORDER BY cents
+                LIMIT 1 OFFSET (SELECT k - 1 FROM n)) AS kth_cents,
+               CAST((SELECT cents FROM v ORDER BY cents
+                     LIMIT 1 OFFSET (SELECT k - 1 FROM n)) AS DOUBLE)
+                 / 100.0 AS median_dollars
+        FROM n
+    """,
+)
+def exact_median_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "lineitem").selectExpr(
+        "CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents"
+    )
+    banded = v.withColumn("band", F.expr("cents div 100000"))
+    hist = banded.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    totals = hist.agg(
+        F.sum("c").cast("bigint").alias("n_rows"),
+        F.expr("(CAST(SUM(c) AS BIGINT) + 1) div 2").alias("k"),
+    )
+    w_b = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)
+    cum = hist.select(
+        "band",
+        "c",
+        F.coalesce(F.sum("c").over(w_b), F.lit(0)).cast("bigint").alias("before"),
+    )
+    sel_band = (
+        cum.crossJoin(F.broadcast(totals))
+        .where((F.col("before") < F.col("k")) & (F.col("before") + F.col("c") >= F.col("k")))
+        .select("band", (F.col("k") - F.col("before")).alias("k_in_band"), "n_rows", "k")
+    )
+    in_band = banded.join(F.broadcast(sel_band), "band")
+    cents_cells = in_band.groupBy("cents", "k_in_band", "n_rows", "k").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cc")
+    )
+    w_c = Window.partitionBy("k_in_band").orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    picked = (
+        cents_cells.select(
+            "cents",
+            "cc",
+            "k_in_band",
+            "n_rows",
+            "k",
+            F.coalesce(F.sum("cc").over(w_c), F.lit(0)).cast("bigint").alias("cb"),
+        )
+        .where(
+            (F.col("cb") < F.col("k_in_band"))
+            & (F.col("cb") + F.col("cc") >= F.col("k_in_band"))
+        )
+    )
+    return picked.selectExpr(
+        "n_rows",
+        "k",
+        "cents AS kth_cents",
+        "CAST(cents AS DOUBLE) / 100.0 AS median_dollars",
+    )
+
+
+# Phrase-level BPE over word tokens: each round counts adjacent-token
+# pairs, takes the single best (count desc, pair asc), and merges its
+# greedy left-to-right non-overlapping occurrences corpus-wide. The merge
+# uses plain (non-regex) replace() on a DOUBLE-SPACED token string:
+# every token is flanked by two spaces, the search key " a  b " uses one
+# of each boundary pair, so matches align only at token boundaries and
+# consecutive occurrences ("a b a b") still merge independently —
+# lookaround regex would be needed otherwise, and DuckDB's RE2 has none.
+_BPE_SEP = "'  '"
+
+
+def _bpe_merge_sql(t: str, a: str, b: str) -> str:
+    """Engine-neutral SQL: merge pair (a, b) in doubled-space string t."""
+    return (
+        f"replace({t}, ' ' || {a} || '  ' || {b} || ' ',"
+        f" ' ' || {a} || '_' || {b} || ' ')"
+    )
+
+
+@register(
+    name="bpe_merge_unrolled",
+    survey="A7 O4 F17 F28 J5",
+    doc="Two unrolled BPE tokenizer-training merges at the word level "
+    "(the phrase-merge form of curation.py bpe_pair_counts' first "
+    "iteration): per round, count adjacent token pairs corpus-wide, "
+    "take THE top pair (TakeOrderedAndProject, full count-desc/pair-asc "
+    "tiebreak), broadcast it, and apply the greedy non-overlapping "
+    "merge with plain replace() on a doubled-space token string (no "
+    "regex — RE2 lacks lookaround; boundary safety comes from the "
+    "spacing invariant). Each round is one linear scan + one bounded "
+    "broadcast — the shape an N-round distributed tokenizer trainer "
+    "needs. Emits (round, left_sym, right_sym, pair_count).",
+    oracle=f"""
+        WITH t0 AS (
+          SELECT doc_id,
+                 {_BPE_SEP} || array_to_string(list_filter(
+                     string_split(text, ' '), x -> x <> ''), {_BPE_SEP})
+                 || {_BPE_SEP} AS t
+          FROM documents
+        ), toks1 AS (
+          SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '')
+                     AS a
+          FROM t0
+        ), pairs1 AS (
+          SELECT a[s.i] AS ls, a[s.i + 1] AS rs
+          FROM toks1, LATERAL (SELECT unnest(range(1, len(a))) AS i) s
+        ), top1 AS MATERIALIZED (
+          SELECT ls, rs, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs1 GROUP BY ls, rs
+          ORDER BY c DESC, ls, rs LIMIT 1
+        ), t1 AS (
+          SELECT t0.doc_id,
+                 {_BPE_SEP} || array_to_string(list_filter(string_split(
+                     {_bpe_merge_sql('t0.t', 'top1.ls', 'top1.rs')},
+                     ' '), x -> x <> ''), {_BPE_SEP}) || {_BPE_SEP} AS t
+          FROM t0, top1
+        ), toks2 AS (
+          SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '')
+                     AS a
+          FROM t1
+        ), pairs2 AS (
+          SELECT a[s.i] AS ls, a[s.i + 1] AS rs
+          FROM toks2, LATERAL (SELECT unnest(range(1, len(a))) AS i) s
+        ), top2 AS MATERIALIZED (
+          SELECT ls, rs, CAST(COUNT(*) AS BIGINT) AS c
+          FROM pairs2 GROUP BY ls, rs
+          ORDER BY c DESC, ls, rs LIMIT 1
+        )
+        SELECT CAST(1 AS BIGINT) AS round, ls AS left_sym, rs AS right_sym,
+               c AS pair_count
+        FROM top1
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), ls, rs, c FROM top2
+        ORDER BY round
+    """,
+)
+def bpe_merge_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "'  ' || array_join(filter(split(text, ' '), x -> x != ''), '  ')"
+        " || '  ' AS t",
+    )
+
+    def pair_counts(tdf: DataFrame) -> DataFrame:
+        toks = tdf.selectExpr("filter(split(t, ' '), x -> x != '') AS a")
+        pairs = toks.selectExpr(
+            "explode(IF(size(a) < 2, array(),"
+            " transform(sequence(1, size(a) - 1),"
+            " i -> struct(a[i - 1] AS ls, a[i] AS rs)))) AS p"
+        ).select("p.ls", "p.rs")
+        return pairs.groupBy("ls", "rs").agg(
+            F.count(F.lit(1)).cast("bigint").alias("c")
+        )
+
+    top1 = pair_counts(docs).orderBy(F.desc("c"), "ls", "rs").limit(1)
+    merged1 = docs.crossJoin(F.broadcast(top1.selectExpr("ls AS m_ls", "rs AS m_rs"))).selectExpr(
+        "doc_id",
+        "'  ' || array_join(filter(split("
+        + _bpe_merge_sql("t", "m_ls", "m_rs")
+        + ", ' '), x -> x != ''), '  ') || '  ' AS t",
+    )
+    top2 = pair_counts(merged1).orderBy(F.desc("c"), "ls", "rs").limit(1)
+    r1 = top1.selectExpr(
+        "CAST(1 AS BIGINT) AS round",
+        "ls AS left_sym",
+        "rs AS right_sym",
+        "c AS pair_count",
+    )
+    r2 = top2.selectExpr(
+        "CAST(2 AS BIGINT) AS round",
+        "ls AS left_sym",
+        "rs AS right_sym",
+        "c AS pair_count",
+    )
+    return r1.unionByName(r2).orderBy("round")
+
+
+# Mahalanobis distance from exact integer moment sums; x is DOLLAR-
+# quantized (not cents) so sum-of-squares stays under 2^53 through sf1
+# (1e5^2 x 6e6 rows ~ 6e16 needs bigint, double cast of the SUM is exact
+# only to 2^53 — dollars give 1e10 x 6e6 = 6e16... see doc).
+_MD2 = (
+    "((vyy * dx - vxy * dy) * dx + (vxx * dy - vxy * dx) * dy) / det"
+)
+
+
+@register(
+    name="mahalanobis_outliers_2d",
+    survey="A7 O4 F28",
+    doc="Top-20 bivariate outliers of (extended price, quantity) by "
+    "Mahalanobis distance: one linear scan collects exact BIGINT "
+    "moments (n, Sx, Sy, Sxx, Syy, Sxy) over dollar-quantized price "
+    "and integer quantity; the 2x2 covariance is inverted in closed "
+    "form and broadcast as one row; a second scan computes d^2 per "
+    "row and TakeOrderedAndProject keeps 20 (full orderkey/linenumber "
+    "tiebreak). The d^2 doubles come from identical expression trees "
+    "on both engines. Integer headroom: dollar^2 sums reach ~6e14 at "
+    "sf0.1 (2^63 exact; the double cast is exact below 2^53, holding "
+    "through sf1 — beyond that, rebase to kilodollars as exact.py "
+    "prescribes).",
+    oracle="""
+        WITH v AS (
+          SELECT l_orderkey, l_linenumber,
+                 CAST(ROUND(l_extendedprice) AS BIGINT) AS x,
+                 CAST(ROUND(l_quantity) AS BIGINT) AS y
+          FROM lineitem
+        ), m AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x * x) AS BIGINT) AS sxx,
+                 CAST(SUM(y * y) AS BIGINT) AS syy,
+                 CAST(SUM(x * y) AS BIGINT) AS sxy
+          FROM v
+        ), c AS (
+          SELECT n,
+                 CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+                 CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+                 (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vxx,
+                 (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vyy,
+                 (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+                    / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vxy
+          FROM m
+        ), d AS (
+          SELECT c.*, vxx * vyy - vxy * vxy AS det FROM c
+        ), scored AS (
+          SELECT v.l_orderkey, v.l_linenumber, v.x, v.y,
+                 ((vyy * (CAST(v.x AS DOUBLE) - mx)
+                     - vxy * (CAST(v.y AS DOUBLE) - my))
+                    * (CAST(v.x AS DOUBLE) - mx)
+                  + (vxx * (CAST(v.y AS DOUBLE) - my)
+                     - vxy * (CAST(v.x AS DOUBLE) - mx))
+                    * (CAST(v.y AS DOUBLE) - my)) / det AS md2
+          FROM v, d
+        )
+        SELECT l_orderkey, l_linenumber, x AS price_dollars, y AS qty, md2
+        FROM scored
+        ORDER BY md2 DESC, l_orderkey, l_linenumber
+        LIMIT 20
+    """,
+)
+def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "CAST(ROUND(l_extendedprice) AS BIGINT) AS x",
+        "CAST(ROUND(l_quantity) AS BIGINT) AS y",
+    )
+    m = v.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.expr("x * x")).cast("bigint").alias("sxx"),
+        F.sum(F.expr("y * y")).cast("bigint").alias("syy"),
+        F.sum(F.expr("x * y")).cast("bigint").alias("sxy"),
+    )
+    c = m.selectExpr(
+        "n",
+        "CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx",
+        "CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my",
+        "(CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vxx",
+        "(CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vyy",
+        "(CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)"
+        " / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) AS vxy",
+    ).withColumn("det", F.expr("vxx * vyy - vxy * vxy"))
+    scored = v.crossJoin(F.broadcast(c)).selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "x",
+        "y",
+        "((vyy * (CAST(x AS DOUBLE) - mx) - vxy * (CAST(y AS DOUBLE) - my))"
+        " * (CAST(x AS DOUBLE) - mx)"
+        " + (vxx * (CAST(y AS DOUBLE) - my) - vxy * (CAST(x AS DOUBLE) - mx))"
+        " * (CAST(y AS DOUBLE) - my)) / det AS md2",
+    )
+    return (
+        scored.selectExpr(
+            "l_orderkey", "l_linenumber", "x AS price_dollars", "y AS qty", "md2"
+        )
+        .orderBy(F.desc("md2"), "l_orderkey", "l_linenumber")
+        .limit(20)
+    )
