@@ -172,3 +172,39 @@ def test_mahalanobis_outliers_have_extreme_coords(spark, sf_dir):
     rows = registry()["mahalanobis_outliers_2d"].fn(spark, sf_dir).collect()
     assert all(r["md2"] >= 0 for r in rows)
     assert rows[0]["md2"] == max(r["md2"] for r in rows)
+
+
+def test_grid_spatial_join_matches_bruteforce(spark, sf_dir):
+    # The grid-blocked join must find EXACTLY the naive quadratic
+    # neighbor sets — no candidate lost at a cell boundary.
+    rows = registry()["grid_spatial_join"].fn(spark, sf_dir).collect()
+    got = {r["s_suppkey"]: r["n_within"] for r in rows}
+
+    def xy(prefix, key):
+        import hashlib
+
+        hx = int(hashlib.md5(f"{prefix}x-{key}".encode()).hexdigest()[:15], 16)
+        hy = int(hashlib.md5(f"{prefix}y-{key}".encode()).hexdigest()[:15], 16)
+        return (hx % 1000000) / 1000000.0, (hy % 1000000) / 1000000.0
+
+    cust = [
+        xy("c", r["c_custkey"])
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    ]
+    r2 = 0.02 * 0.02
+    expect = {}
+    for s in spark.read.parquet(f"{sf_dir}/supplier.parquet").collect():
+        sx, sy = xy("s", s["s_suppkey"])
+        n = sum(
+            1 for cx, cy in cust if (sx - cx) ** 2 + (sy - cy) ** 2 <= r2
+        )
+        if n:
+            expect[s["s_suppkey"]] = n
+    assert got == expect
+
+
+def test_ips_policy_value_sane(spark, sf_dir):
+    r = registry()["ips_offline_policy_value"].fn(spark, sf_dir).collect()[0]
+    # ESS is at most n and positive; SNIPS sits inside the reward range.
+    assert 0 < r["effective_sample_size"] <= r["n"]
+    assert 0 <= r["snips_value_dollars"] <= 500.0

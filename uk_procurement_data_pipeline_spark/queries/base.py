@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "grid_spatial_join",
+    "ips_offline_policy_value",
     "exact_median_two_phase",
     "bpe_merge_unrolled",
     "mahalanobis_outliers_2d",
@@ -111,9 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "rake_keyphrases",
     "label_propagation_communities",
     "recommender_hitrate_backtest",
-    "feature_gini_ranking",
-    "session_bounce_dwell",
-    "twap_user_value",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -122,7 +121,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # moving_forecast_backtest, skew_kurtosis_per_type,
 # join_cardinality_estimate, table_checksum_audit,
 # markov_removal_attribution, shipping_delay_percentiles,
-# embedding_mmd_linear, degree_assortativity, char_entropy_quality.
+# embedding_mmd_linear, degree_assortativity, char_entropy_quality,
+# feature_gini_ranking, session_bounce_dwell, twap_user_value.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # actual driver coverage (CORRECTNESS_r01..r03; no r04 file was

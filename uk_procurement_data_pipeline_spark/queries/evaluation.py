@@ -1288,3 +1288,229 @@ def mahalanobis_outliers_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("md2"), "l_orderkey", "l_linenumber")
         .limit(20)
     )
+
+
+# Deterministic pseudo-coordinates in [0, 1): the md5 hash family gives
+# every entity a stable position, so the spatial-join PATTERN (grid
+# blocking + neighbor-cell equi-join + exact refine) is exercised and
+# oracle-checkable without a geo column in the fixtures.
+_XY = (
+    "CAST(CAST({h} AS BIGINT) % 1000000 AS DOUBLE) / 1000000.0"
+)
+_R = 0.02  # join radius; grid cell size == radius => 3x3 neighbor probe
+
+
+def _spark_xy(prefix: str, key: str) -> tuple[str, str]:
+    hx = f"conv(substr(md5('{prefix}x-' || CAST({key} AS STRING)), 1, 15), 16, 10)"
+    hy = f"conv(substr(md5('{prefix}y-' || CAST({key} AS STRING)), 1, 15), 16, 10)"
+    return _XY.format(h=hx), _XY.format(h=hy)
+
+
+def _duck_xy(prefix: str, key: str) -> tuple[str, str]:
+    hx = (
+        f"CAST('0x' || substr(md5('{prefix}x-' || CAST({key} AS VARCHAR)), 1, 15)"
+        f" AS BIGINT)"
+    )
+    hy = (
+        f"CAST('0x' || substr(md5('{prefix}y-' || CAST({key} AS VARCHAR)), 1, 15)"
+        f" AS BIGINT)"
+    )
+    return _XY.format(h=hx), _XY.format(h=hy)
+
+
+@register(
+    name="grid_spatial_join",
+    survey="J6 J8 A7 F28",
+    doc="Distributed spatial (radius) join via grid blocking: suppliers "
+    "and customers get deterministic md5 pseudo-coordinates in the unit "
+    "square; each point maps to a radius-sized grid cell, the PROBE "
+    "side replicates to its 3x3 neighbor cells (explode of a 9-element "
+    "literal array), candidates meet in a plain EQUI-join on the cell "
+    "key, and an exact L2 filter refines. This is the standard "
+    "all-to-all-free spatial join: shuffle is linear in points x 9, "
+    "never |A| x |B|. The ORACLE deliberately uses the naive quadratic "
+    "distance join — two different algorithms must produce identical "
+    "neighbor sets. Output: per-supplier neighbor count and min "
+    "squared distance (IEEE-exact products).",
+    oracle=f"""
+        WITH c AS (
+          SELECT c_custkey,
+                 {_duck_xy("c", "c_custkey")[0]} AS x,
+                 {_duck_xy("c", "c_custkey")[1]} AS y
+          FROM customer
+        ), s AS (
+          SELECT s_suppkey,
+                 {_duck_xy("s", "s_suppkey")[0]} AS x,
+                 {_duck_xy("s", "s_suppkey")[1]} AS y
+          FROM supplier
+        )
+        SELECT s.s_suppkey,
+               CAST(COUNT(*) AS BIGINT) AS n_within,
+               MIN((s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y))
+                   AS min_dist2
+        FROM s JOIN c
+          ON (s.x - c.x) * (s.x - c.x) + (s.y - c.y) * (s.y - c.y)
+             <= {_R} * {_R}
+        GROUP BY s.s_suppkey
+        ORDER BY s.s_suppkey
+    """,
+)
+def grid_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cx, cy = _spark_xy("c", "c_custkey")
+    sx, sy = _spark_xy("s", "s_suppkey")
+    cust = (
+        load(spark, sf_dir, "customer")
+        .selectExpr("c_custkey", f"{cx} AS x", f"{cy} AS y")
+        .selectExpr(
+            "c_custkey",
+            "x",
+            "y",
+            f"CAST(floor(x / {_R}) AS BIGINT) AS gx",
+            f"CAST(floor(y / {_R}) AS BIGINT) AS gy",
+        )
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .selectExpr("s_suppkey", f"{sx} AS x", f"{sy} AS y")
+        .selectExpr(
+            "s_suppkey",
+            "x AS sx",
+            "y AS sy",
+            f"CAST(floor(x / {_R}) AS BIGINT) AS g0x",
+            f"CAST(floor(y / {_R}) AS BIGINT) AS g0y",
+        )
+        .selectExpr(
+            "s_suppkey",
+            "sx",
+            "sy",
+            "explode(array(-1, 0, 1)) AS dx",
+            "g0x",
+            "g0y",
+        )
+        .selectExpr(
+            "s_suppkey",
+            "sx",
+            "sy",
+            "g0x + dx AS gx",
+            "explode(array(g0y - 1, g0y, g0y + 1)) AS gy",
+        )
+    )
+    joined = supp.join(cust, ["gx", "gy"]).where(
+        F.expr(f"(sx - x) * (sx - x) + (sy - y) * (sy - y) <= {_R} * {_R}")
+    )
+    return (
+        joined.groupBy("s_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_within"),
+            F.min(F.expr("(sx - x) * (sx - x) + (sy - y) * (sy - y)")).alias(
+                "min_dist2"
+            ),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    name="ips_offline_policy_value",
+    survey="A7 F28 J5",
+    doc="Counterfactual (off-policy) evaluation via inverse-propensity "
+    "scoring: the event log is treated as a logged uniform-ish policy "
+    "(empirical propensity p(a) = n_a / N), the target policy is a "
+    "deterministic context rule (purchase for even user_id, click for "
+    "odd), and the IPS / self-normalized SNIPS estimates of the target "
+    "policy's expected reward come from exact BIGINT cell sums: rows "
+    "collapse to (action, target-matched) cells, so every ratio is "
+    "integer/integer with an identical double expression tree. "
+    "Effective sample size (sum w)^2 / sum w^2 quantifies the "
+    "propensity mismatch. One linear scan, bounded cell domain. NO "
+    "cross-cell double summation: each per-action term is quantized by "
+    "INTEGER division (micro for IPS/w/w2, with the shared-subterm "
+    "staging written identically in both engines) and summed as "
+    "BIGINT; only the final readout divides doubles. Headroom: "
+    "cents_m x 1e6 < 2^63 through sf1; beyond, drop the quantization "
+    "scale or widen to decimal(38,0).",
+    oracle="""
+        WITH v AS (
+          SELECT event_type AS a,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents,
+                 CASE WHEN (user_id % 2 = 0 AND event_type = 'purchase')
+                        OR (user_id % 2 = 1 AND event_type = 'click')
+                      THEN 1 ELSE 0 END AS matched
+          FROM events
+        ), na AS (
+          SELECT a, CAST(COUNT(*) AS BIGINT) AS n_a FROM v GROUP BY a
+        ), cells AS (
+          SELECT v.a, CAST(SUM(v.matched) AS BIGINT) AS n_m,
+                 CAST(SUM(CASE WHEN v.matched = 1 THEN v.cents ELSE 0 END)
+                      AS BIGINT) AS cents_m
+          FROM v GROUP BY v.a
+        ), tot AS (
+          SELECT CAST(SUM(n_a) AS BIGINT) AS n FROM na
+        ), terms AS (
+          SELECT t.n,
+                 (c.cents_m * 1000000) // na.n_a AS ips_micro,
+                 ((c.n_m * 1000000) // na.n_a) * t.n AS w_micro,
+                 ((c.cents_m * 1000) // na.n_a) * t.n AS wr_milli,
+                 ((((c.n_m * 1000000) // na.n_a) * t.n) // na.n_a) * t.n
+                     AS w2_micro
+          FROM cells c JOIN na ON na.a = c.a CROSS JOIN tot t
+        ), agg AS (
+          SELECT n,
+                 CAST(SUM(ips_micro) AS BIGINT) AS s_ips,
+                 CAST(SUM(w_micro) AS BIGINT) AS s_w,
+                 CAST(SUM(wr_milli) AS BIGINT) AS s_wr,
+                 CAST(SUM(w2_micro) AS BIGINT) AS s_w2
+          FROM terms GROUP BY n
+        )
+        SELECT n,
+               CAST(s_ips AS DOUBLE) / 1000000.0 / 100.0
+                   AS ips_value_dollars,
+               CAST(s_wr AS DOUBLE) * 1000.0 / CAST(s_w AS DOUBLE) / 100.0
+                   AS snips_value_dollars,
+               CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)
+                 / CAST(s_w2 AS DOUBLE) / 1000000.0
+                   AS effective_sample_size
+        FROM agg
+    """,
+)
+def ips_offline_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "events").selectExpr(
+        "event_type AS a",
+        "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        "CASE WHEN (user_id % 2 = 0 AND event_type = 'purchase')"
+        " OR (user_id % 2 = 1 AND event_type = 'click')"
+        " THEN 1 ELSE 0 END AS matched",
+    )
+    na = v.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("n_a"))
+    cells = v.groupBy("a").agg(
+        F.sum("matched").cast("bigint").alias("n_m"),
+        F.sum(F.expr("CASE WHEN matched = 1 THEN cents ELSE 0 END"))
+        .cast("bigint")
+        .alias("cents_m"),
+    )
+    tot = na.agg(F.sum("n_a").cast("bigint").alias("n"))
+    terms = (
+        cells.join(F.broadcast(na), "a")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "n",
+            "(cents_m * 1000000) div n_a AS ips_micro",
+            "((n_m * 1000000) div n_a) * n AS w_micro",
+            "((cents_m * 1000) div n_a) * n AS wr_milli",
+            "((((n_m * 1000000) div n_a) * n) div n_a) * n AS w2_micro",
+        )
+    )
+    agg = terms.groupBy("n").agg(
+        F.sum("ips_micro").cast("bigint").alias("s_ips"),
+        F.sum("w_micro").cast("bigint").alias("s_w"),
+        F.sum("wr_milli").cast("bigint").alias("s_wr"),
+        F.sum("w2_micro").cast("bigint").alias("s_w2"),
+    )
+    return agg.selectExpr(
+        "n",
+        "CAST(s_ips AS DOUBLE) / 1000000.0 / 100.0 AS ips_value_dollars",
+        "CAST(s_wr AS DOUBLE) * 1000.0 / CAST(s_w AS DOUBLE) / 100.0"
+        " AS snips_value_dollars",
+        "CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(s_w2 AS DOUBLE)"
+        " / 1000000.0 AS effective_sample_size",
+    )
