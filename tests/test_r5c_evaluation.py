@@ -208,3 +208,50 @@ def test_ips_policy_value_sane(spark, sf_dir):
     # ESS is at most n and positive; SNIPS sits inside the reward range.
     assert 0 < r["effective_sample_size"] <= r["n"]
     assert 0 <= r["snips_value_dollars"] <= 500.0
+
+
+def test_ransac_best_model_is_argmax(spark, sf_dir):
+    # The winning model's inlier count must dominate a recomputation
+    # over a sample of other candidate models, and inliers <= n_days.
+    r = registry()["ransac_line_fit"].fn(spark, sf_dir).collect()[0]
+    daily = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01') AS x",
+            "CAST(ROUND(value * 100) AS BIGINT) AS c",
+        )
+        .groupBy("x")
+        .agg(F.sum("c").alias("y"))
+        .collect()
+    )
+    pts = sorted((int(p["x"]), int(p["y"])) for p in daily)
+    assert 2 <= r["n_inliers"] <= len(pts)
+
+    def inliers(x1, y1, x2, y2):
+        return sum(
+            1
+            for x, y in pts
+            if abs((y - y1) * (x2 - x1) - (x - x1) * (y2 - y1))
+            <= 75000 * (x2 - x1)
+        )
+
+    best = max(
+        inliers(x1, y1, x2, y2)
+        for i, (x1, y1) in enumerate(pts)
+        for (x2, y2) in pts[i + 1 :]
+    )
+    assert r["n_inliers"] == best
+
+
+def test_arrow_token_profile_column_pruning(spark, sf_dir):
+    # Only (source, text) may cross the Arrow boundary — the scan's
+    # ReadSchema must not carry the other document columns.
+    plan = (
+        registry()["arrow_token_profile"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PythonMapInArrow" in plan or "MapInArrow" in plan
+    assert "n_chars" not in plan.split("ReadSchema")[-1]

@@ -1514,3 +1514,210 @@ def ips_offline_policy_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE) / CAST(s_w2 AS DOUBLE)"
         " / 1000000.0 AS effective_sample_size",
     )
+
+
+@register(
+    name="ransac_line_fit",
+    survey="A7 J6 O4 F15 F28",
+    doc="Deterministic RANSAC line fit of daily event revenue vs day "
+    "index, ENTIRELY in integer arithmetic: the row population first "
+    "collapses to the bounded daily-total table, candidate models are "
+    "ALL day pairs (exhaustive RANSAC is affordable and deterministic "
+    "on a bounded model domain — no RNG), and the inlier test clears "
+    "the slope fraction by cross-multiplication: a day (x, y) is an "
+    "inlier of the (x1,y1)-(x2,y2) line iff |(y-y1)(x2-x1) - "
+    "(x-x1)(y2-y1)| <= tol * (x2-x1) — exact BIGINTs, no epsilon. "
+    "Models x days is a bounded broadcast nested evaluation; the best "
+    "model is TakeOrdered with a full tiebreak. Only the readout "
+    "slope/intercept are doubles.",
+    oracle="""
+        WITH daily AS (
+          SELECT date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))
+                     AS x,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS y
+          FROM events GROUP BY 1
+        ), models AS (
+          SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+          FROM daily a JOIN daily b ON b.x > a.x
+        ), scored AS (
+          SELECT m.x1, m.y1, m.x2, m.y2,
+                 CAST(SUM(CASE WHEN abs((d.y - m.y1) * (m.x2 - m.x1)
+                                  - (d.x - m.x1) * (m.y2 - m.y1))
+                               <= 75000 * (m.x2 - m.x1)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS n_inliers
+          FROM models m CROSS JOIN daily d
+          GROUP BY m.x1, m.y1, m.x2, m.y2
+        ), best AS (
+          SELECT * FROM scored
+          ORDER BY n_inliers DESC, x1, x2 LIMIT 1
+        )
+        SELECT x1 AS anchor_day_1, x2 AS anchor_day_2, n_inliers,
+               CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) / 100.0
+                   AS slope_dollars_per_day,
+               (CAST(y1 AS DOUBLE)
+                - CAST(x1 AS DOUBLE) * CAST(y2 - y1 AS DOUBLE)
+                  / CAST(x2 - x1 AS DOUBLE)) / 100.0
+                   AS intercept_dollars
+        FROM best
+    """,
+)
+def ransac_line_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "datediff(CAST(ts AS DATE), DATE '2024-01-01') AS x",
+            "CAST(ROUND(value * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("x")
+        .agg(F.sum("cents").cast("bigint").alias("y"))
+    )
+    models = (
+        daily.alias("a")
+        .join(daily.alias("b"), F.col("b.x") > F.col("a.x"))
+        .selectExpr("a.x AS x1", "a.y AS y1", "b.x AS x2", "b.y AS y2")
+    )
+    scored = (
+        models.crossJoin(F.broadcast(daily.selectExpr("x AS dx", "y AS dy")))
+        .groupBy("x1", "y1", "x2", "y2")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN abs((dy - y1) * (x2 - x1)"
+                    " - (dx - x1) * (y2 - y1)) <= 75000 * (x2 - x1)"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("bigint")
+            .alias("n_inliers")
+        )
+    )
+    best = scored.orderBy(F.desc("n_inliers"), "x1", "x2").limit(1)
+    return best.selectExpr(
+        "x1 AS anchor_day_1",
+        "x2 AS anchor_day_2",
+        "n_inliers",
+        "CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) / 100.0"
+        " AS slope_dollars_per_day",
+        "(CAST(y1 AS DOUBLE) - CAST(x1 AS DOUBLE) * CAST(y2 - y1 AS DOUBLE)"
+        " / CAST(x2 - x1 AS DOUBLE)) / 100.0 AS intercept_dollars",
+    )
+
+
+@register(
+    name="federated_median_audit",
+    survey="A7 F28",
+    doc="Accuracy audit of the federated-quantile shortcut: the exact "
+    "per-event-type medians (computed group-local, as a federated site "
+    "would) are median-combined and compared against the TRUE global "
+    "median. Both medians interpolate even counts identically (mean of "
+    "the two middles — exact .5 doubles from integer cents). The audit "
+    "quantifies what the shortcut loses; the scale-exact alternative is "
+    "exact_median_two_phase. Per-group percentile sorts are bounded by "
+    "group size; the combine step is a 5-cell bounded aggregate.",
+    oracle="""
+        WITH v AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS cents
+          FROM events
+        ), per_t AS (
+          SELECT event_type, median(cents) AS m FROM v GROUP BY event_type
+        ), fed AS (
+          SELECT median(m) AS fed_median_cents FROM per_t
+        ), tru AS (
+          SELECT median(cents) AS true_median_cents FROM v
+        )
+        SELECT fed.fed_median_cents / 100.0 AS fed_median_dollars,
+               tru.true_median_cents / 100.0 AS true_median_dollars,
+               abs(fed.fed_median_cents - tru.true_median_cents) / 100.0
+                   AS abs_error_dollars
+        FROM fed, tru
+    """,
+)
+def federated_median_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "events").selectExpr(
+        "event_type", "CAST(ROUND(value * 100) AS BIGINT) AS cents"
+    )
+    per_t = v.groupBy("event_type").agg(
+        F.expr("percentile(cents, 0.5)").alias("m")
+    )
+    fed = per_t.agg(F.expr("percentile(m, 0.5)").alias("fed_median_cents"))
+    tru = v.agg(F.expr("percentile(cents, 0.5)").alias("true_median_cents"))
+    return (
+        fed.crossJoin(tru)
+        .selectExpr(
+            "fed_median_cents / 100.0 AS fed_median_dollars",
+            "true_median_cents / 100.0 AS true_median_dollars",
+            "abs(fed_median_cents - true_median_cents) / 100.0"
+            " AS abs_error_dollars",
+        )
+    )
+
+
+@register(
+    name="arrow_token_profile",
+    survey="UD4 A7 F28",
+    doc="mapInArrow vectorized stage (the zero-copy sibling of "
+    "mapInPandas — batches stay pyarrow RecordBatches, no pandas "
+    "conversion): per-document token counts computed with "
+    "pyarrow.compute list/split kernels, then aggregated per source "
+    "with exact BIGINT sums. The oracle recomputes the same counts in "
+    "pure SQL, pinning the Arrow kernel semantics (split on single "
+    "space, empty tokens dropped) cross-engine. Arrow batch shape and "
+    "column pruning (only doc_id/source/text reach Python) are the "
+    "scale-relevant properties.",
+    oracle="""
+        WITH t AS (
+          SELECT source,
+                 CAST(len(list_filter(string_split(text, ' '),
+                      x -> x <> '')) AS BIGINT) AS n_tok
+          FROM documents
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+               CAST(MIN(n_tok) AS BIGINT) AS min_tokens,
+               CAST(MAX(n_tok) AS BIGINT) AS max_tokens
+        FROM t GROUP BY source
+        ORDER BY source
+    """,
+)
+def arrow_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    def count_tokens(batches):
+        import numpy as np
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            split = pc.split_pattern(tbl.column("text"), pattern=" ")
+            # Non-empty tokens per row = list length minus the number of
+            # empty strings, re-aggregated per row via the list offsets
+            # (all Arrow/numpy kernels — no Python per-row loop).
+            la = split.combine_chunks()
+            total = np.asarray(pc.list_value_length(la), dtype=np.int64)
+            empty = np.asarray(pc.equal(pc.list_flatten(la), ""), dtype=np.int64)
+            off = np.asarray(la.offsets)
+            emp_cum = np.concatenate([[0], np.cumsum(empty)])
+            n_tok = total - (emp_cum[off[1:]] - emp_cum[off[:-1]])
+            yield pa.RecordBatch.from_arrays(
+                [
+                    tbl.column("source").combine_chunks(),
+                    pa.array(n_tok, type=pa.int64()),
+                ],
+                names=["source", "n_tok"],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("source", "text")
+    profiled = docs.mapInArrow(count_tokens, schema="source string, n_tok long")
+    return (
+        profiled.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+            F.min("n_tok").cast("bigint").alias("min_tokens"),
+            F.max("n_tok").cast("bigint").alias("max_tokens"),
+        )
+        .orderBy("source")
+    )
