@@ -255,3 +255,40 @@ def test_arrow_token_profile_column_pruning(spark, sf_dir):
     )
     assert "PythonMapInArrow" in plan or "MapInArrow" in plan
     assert "n_chars" not in plan.split("ReadSchema")[-1]
+
+
+def test_python_datasource_partitions_and_rows(spark):
+    # The custom source must honor its page partitioning (8 input
+    # partitions) and produce exactly n deterministic rows.
+    from uk_procurement_data_pipeline_spark.sources.python_datasource import (
+        feed_row,
+        register_notice_feed,
+    )
+
+    register_notice_feed(spark)
+    df = (
+        spark.read.format("notice_feed")
+        .option("n", 100)
+        .option("pages", 8)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 8
+    rows = sorted(df.collect(), key=lambda r: r["notice_id"])
+    assert len(rows) == 100
+    for r in rows[:10]:
+        i, region, cents, pub = feed_row(r["notice_id"])
+        assert (r["region"], r["amount_cents"], r["published"]) == (
+            region,
+            cents,
+            pub,
+        )
+
+
+def test_variant_decode_agrees_with_from_json(spark, sf_dir):
+    # The VARIANT path and the declared-schema from_json path must
+    # extract identical k sums.
+    v = registry()["variant_props_decode"].fn(spark, sf_dir).collect()
+    legacy = registry()["props_json_extract"].fn(spark, sf_dir).collect()
+    assert {r["event_type"]: r["sum_k"] for r in v} == {
+        r["event_type"]: r["sum_k"] for r in legacy
+    }

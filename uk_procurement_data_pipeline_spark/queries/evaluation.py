@@ -1721,3 +1721,127 @@ def arrow_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    name="python_datasource_feed",
+    survey="S4 S9 A7 F28 UD1",
+    doc="Custom connector through the Spark 4 Python Data Source API "
+    "(sources/python_datasource.py): the synthetic notice feed is a "
+    "registered spark.read.format('notice_feed') source whose "
+    "partitions() yields one InputPartition per page, so executors "
+    "generate pages in parallel — the DataFrame-native form of the "
+    "reference's paginated HTTP ingest loop. Every field is a pure md5 "
+    "function of the row id, so the DuckDB oracle REGENERATES the "
+    "entire feed from generate_series with identical arithmetic and "
+    "must aggregate to the same per-region totals — connector, "
+    "partitioning, and schema all differentially checked. Fixed n=2000 "
+    "over 8 pages (a connector contract, not an sf-scaled table).",
+    oracle="""
+        WITH feed AS (
+          SELECT i AS notice_id,
+                 ['AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST']
+                   [(CAST('0x' || substr(md5('nfr-' || CAST(i AS VARCHAR)),
+                          1, 15) AS BIGINT) % 5) + 1] AS region,
+                 CAST('0x' || substr(md5('nfa-' || CAST(i AS VARCHAR)),
+                      1, 15) AS BIGINT) % 10000000 AS amount_cents,
+                 DATE '2024-01-01'
+                   + CAST(CAST('0x' || substr(md5('nfd-' ||
+                         CAST(i AS VARCHAR)), 1, 15) AS BIGINT) % 365
+                     AS INTEGER) AS published
+          FROM generate_series(0, 1999) t(i)
+        )
+        SELECT region,
+               CAST(COUNT(*) AS BIGINT) AS n_notices,
+               CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+               CAST(min(notice_id) AS BIGINT) AS min_id,
+               CAST(date_diff('day', DATE '2024-01-01', min(published))
+                    AS BIGINT) AS min_pub_day,
+               CAST(date_diff('day', DATE '2024-01-01', max(published))
+                    AS BIGINT) AS max_pub_day
+        FROM feed
+        GROUP BY region
+        ORDER BY region
+    """,
+)
+def python_datasource_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.sources.python_datasource import (
+        register_notice_feed,
+    )
+
+    register_notice_feed(spark)
+    feed = (
+        spark.read.format("notice_feed")
+        .option("n", 2000)
+        .option("pages", 8)
+        .load()
+    )
+    return (
+        feed.groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_notices"),
+            F.sum("amount_cents").cast("bigint").alias("total_cents"),
+            F.min("notice_id").cast("bigint").alias("min_id"),
+            F.datediff(F.min("published"), F.lit("2024-01-01"))
+            .cast("bigint")
+            .alias("min_pub_day"),
+            F.datediff(F.max("published"), F.lit("2024-01-01"))
+            .cast("bigint")
+            .alias("max_pub_day"),
+        )
+        .orderBy("region")
+    )
+
+
+@register(
+    name="variant_props_decode",
+    survey="F22 A7 P6 P8",
+    doc="Semi-structured decoding through the Spark 4 VARIANT type: "
+    "parse_json lifts events.props into a variant, variant_get "
+    "extracts typed paths ('$.k' as bigint), try_variant_get returns "
+    "null (not an error) for a missing path — the shape-tolerant "
+    "ingestion the F22/from_json row does with a declared schema, now "
+    "schemaless. At 100 TB VARIANT's binary encoding decodes once at "
+    "scan time instead of re-parsing JSON text per expression. The "
+    "oracle uses DuckDB's json_extract on identical paths; outputs "
+    "are engine-neutral integers.",
+    oracle="""
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
+               CAST(SUM(CASE WHEN json_extract_string(props, '$.absent')
+                             IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_absent_path,
+               CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k')
+                                       AS BIGINT) % 2 = 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_even_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def variant_props_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "event_type",
+        "parse_json(props) AS v",
+    )
+    decoded = ev.selectExpr(
+        "event_type",
+        "variant_get(v, '$.k', 'bigint') AS k",
+        "try_variant_get(v, '$.absent', 'string') AS absent",
+    )
+    return (
+        decoded.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.sum(F.expr("CASE WHEN absent IS NULL THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_absent_path"),
+            F.sum(F.expr("CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_even_k"),
+        )
+        .orderBy("event_type")
+    )
