@@ -292,3 +292,37 @@ def test_variant_decode_agrees_with_from_json(spark, sf_dir):
     assert {r["event_type"]: r["sum_k"] for r in v} == {
         r["event_type"]: r["sum_k"] for r in legacy
     }
+
+
+def test_python_datasource_stream_replay(spark):
+    # readBetweenOffsets must replay any offset range identically — the
+    # checkpoint-recovery contract.
+    from uk_procurement_data_pipeline_spark.sources.python_datasource import (
+        NoticeFeedDataSource,
+        feed_row,
+    )
+
+    ds = NoticeFeedDataSource(options={"n": 40, "page_rows": 15})
+    r = ds.simpleStreamReader(None)
+    assert r.initialOffset() == {"cursor": 0}
+    rows1, off1 = r.read({"cursor": 0})
+    assert off1 == {"cursor": 15}
+    replay = list(r.readBetweenOffsets({"cursor": 0}, {"cursor": 15}))
+    assert list(rows1) == replay == [feed_row(i) for i in range(15)]
+    # final page is short and the cursor pins at n
+    rows3, off3 = r.read({"cursor": 30})
+    assert off3 == {"cursor": 40} and len(list(rows3)) == 10
+    _, off4 = r.read({"cursor": 40})
+    assert off4 == {"cursor": 40}
+
+
+def test_iter_udf_plan_is_arrow(spark, sf_dir):
+    plan = (
+        registry()["iter_udf_source_normalize"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan

@@ -242,3 +242,29 @@ def test_zorder_layout_bounds_both_dimensions(spark, sf_dir, tmp_path):
     zk = avg_span_frac(zdir, "l_orderkey", lo_k, hi_k)
     zp = avg_span_frac(zdir, "l_partkey", lo_p, hi_p)
     assert zk < 0.7 and zp < 0.7, (zk, zp)
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    """S7 addendum: partitionOverwriteMode=dynamic must replace ONLY the
+    partitions present in the incoming write, leaving siblings intact —
+    static overwrite (the default) would truncate the whole table. This
+    is the idempotent-backfill write pattern at 100 TB: re-running one
+    day's job rewrites that day's partition alone."""
+    out = str(tmp_path / "dynpart")
+    spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 10)], ["p", "v"]
+    ).write.partitionBy("p").mode("overwrite").parquet(out)
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        spark.createDataFrame([("a", 99)], ["p", "v"]).write.partitionBy(
+            "p"
+        ).mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    got = {
+        (r["p"], r["v"]) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {("a", 99), ("b", 10)}

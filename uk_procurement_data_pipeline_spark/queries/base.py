@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "python_datasource_stream_feed",
+    "iter_udf_source_normalize",
     "python_datasource_feed",
     "variant_props_decode",
     "ransac_line_fit",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "logistic_newton_2step",
     "vocab_chao1_richness",
     "partition_layout_planner",
-    "mmr_diversified_rerank",
-    "wasserstein_value_distance",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -125,7 +125,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # feature_gini_ranking, session_bounce_dwell, twap_user_value,
 # rake_keyphrases, label_propagation_communities,
 # recommender_hitrate_backtest, sequence_pattern_match,
-# business_days_to_ship.
+# business_days_to_ship, mmr_diversified_rerank,
+# wasserstein_value_distance.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # actual driver coverage (CORRECTNESS_r01..r03; no r04 file was

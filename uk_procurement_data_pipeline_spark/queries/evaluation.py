@@ -18,6 +18,9 @@ transcendentals).
 
 from __future__ import annotations
 
+from typing import Iterator  # noqa: F401 — resolved by pandas_udf type hints
+
+import pandas as pd  # noqa: F401 — resolved by pandas_udf type hints
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1844,4 +1847,126 @@ def variant_props_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_even_k"),
         )
         .orderBy("event_type")
+    )
+
+
+@register(
+    name="python_datasource_stream_feed",
+    survey="S4 ST5 ST1 A7 UD1",
+    eager=True,
+    doc="The same Python Data Source consumed through its STREAMING face "
+    "(SimpleDataSourceStreamReader): offsets are page cursors, each "
+    "micro-batch advances one 500-row page, readBetweenOffsets replays "
+    "ranges deterministically (the checkpoint-recovery contract), and a "
+    "complete-mode aggregation drains into a memory sink until the "
+    "finite feed is exhausted. Complete mode makes the final table "
+    "batch-identical however the pages landed in micro-batches, so the "
+    "SAME DuckDB feed-regeneration oracle checks the streaming path "
+    "end-to-end. Four micro-batches at n=2000.",
+    oracle="""
+        WITH feed AS (
+          SELECT i AS notice_id,
+                 ['AFRICA', 'AMERICA', 'ASIA', 'EUROPE', 'MIDDLE EAST']
+                   [(CAST('0x' || substr(md5('nfr-' || CAST(i AS VARCHAR)),
+                          1, 15) AS BIGINT) % 5) + 1] AS region,
+                 CAST('0x' || substr(md5('nfa-' || CAST(i AS VARCHAR)),
+                      1, 15) AS BIGINT) % 10000000 AS amount_cents
+          FROM generate_series(0, 1999) t(i)
+        )
+        SELECT region,
+               CAST(COUNT(*) AS BIGINT) AS n_notices,
+               CAST(SUM(amount_cents) AS BIGINT) AS total_cents
+        FROM feed
+        GROUP BY region
+        ORDER BY region
+    """,
+)
+def python_datasource_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import time
+    import zlib
+
+    from uk_procurement_data_pipeline_spark.sources.python_datasource import (
+        register_notice_feed,
+    )
+
+    register_notice_feed(spark)
+    qname = f"pyds_stream_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    n = 2000
+    src = (
+        spark.readStream.format("notice_feed")
+        .option("n", n)
+        .option("page_rows", 500)
+        .load()
+    )
+    agg = src.groupBy("region").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_notices"),
+        F.sum("amount_cents").cast("bigint").alias("total_cents"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            rows = spark.table(qname).agg(F.sum("n_notices")).collect()
+            if rows and rows[0][0] == n:
+                break
+            time.sleep(0.25)
+        else:
+            raise TimeoutError(
+                f"notice_feed stream did not drain {n} rows in 240s"
+            )
+    finally:
+        q.stop()
+    return spark.table(qname).orderBy("region")
+
+
+@register(
+    name="iter_udf_source_normalize",
+    survey="UD4 A7 F28",
+    doc="Iterator-form Pandas UDF (SCALAR_ITER): the Iterator[pd.Series] "
+    "-> Iterator[pd.Series] signature lets per-WORKER initialization "
+    "(here a compiled regex, standing in for a tokenizer/model load) "
+    "happen once per Python worker instead of once per batch — the "
+    "shape that matters when the init is 100s of ms and a 100 TB scan "
+    "has millions of batches. Normalizes source labels (digits -> '#') "
+    "and aggregates; the oracle mirrors with SQL regexp_replace, "
+    "pinning the UDF's semantics.",
+    oracle="""
+        SELECT regexp_replace(source, '[0-9]+', '#', 'g') AS norm_source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY 1
+        ORDER BY 1
+    """,
+)
+def iter_udf_source_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Iterator/pd live in MODULE globals (imports at the top of this
+    # file): pandas_udf resolves the postponed string annotations with
+    # typing.get_type_hints against the function's globals, so names
+    # imported only inside this enclosing function would not resolve.
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def normalize(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        import re
+
+        pat = re.compile(r"[0-9]+")  # once per worker, amortized
+        for s in batches:
+            yield s.str.replace(pat, "#", regex=True)
+
+    docs = load(spark, sf_dir, "documents").select("source", "n_chars")
+    return (
+        docs.withColumn("norm_source", normalize(F.col("source")))
+        .groupBy("norm_source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+        .orderBy("norm_source")
     )
