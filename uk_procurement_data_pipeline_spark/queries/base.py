@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "recursive_cte_reachability",
+    "lateral_top2_per_order",
     "python_datasource_stream_feed",
     "iter_udf_source_normalize",
     "python_datasource_feed",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "quantile_normalize_lengths",
     "user_type_signature",
     "logistic_newton_2step",
-    "vocab_chao1_richness",
-    "partition_layout_planner",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -126,79 +126,93 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # rake_keyphrases, label_propagation_communities,
 # recommender_hitrate_backtest, sequence_pattern_match,
 # business_days_to_ship, mmr_diversified_rerank,
-# wasserstein_value_distance.
+# wasserstein_value_distance, vocab_chao1_richness,
+# partition_layout_planner.
 
 # r06 window candidates — regenerated at the end of round 5 from the
-# actual driver coverage (CORRECTNESS_r01..r03; no r04 file was
-# written by the driver, so round 4's window additions are still
-# uncovered): 135 registered queries have never had a driver
-# CORRECTNESS row and did not fit the 50-slot r05 window. All are
-# green in this round's local 3-SF oracle sweeps. Rotate them in
+# union of driver coverage files (CORRECTNESS_r01..r03; the driver
+# wrote no r04 file): 160 registered queries have never had a
+# driver CORRECTNESS row and did not fit the 50-slot r05 window. All
+# are green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
 # longest-out-first:
-#    abtest_proportions_ztest, adamic_adar_link_prediction,
-#    allpairs_prefix_jaccard, als_rank1_item_step,
-#    ann_recall_report, association_rules_parts,
-#    benford_first_digit, bigram_surprisal_quality,
-#    blocking_quality_report, bloom_semi_join_prefilter,
-#    bm25_topk_docs, bpe_pair_counts, burst_day_detection,
-#    cdc_chunk_dedup_ratio, cdc_chunk_docs,
-#    clustering_coefficient_local, conformal_interval_backtest,
-#    constraint_check_orders, contrastive_pairs,
-#    conversion_lag_stats, countmin_word_sketch,
-#    customer_feature_vector, cusum_changepoint,
-#    daily_autocorr_lag1, daily_gap_interpolation,
-#    decision_stump_value_split, dedup_methods_report,
-#    distinct_ngram_diversity, distinctive_terms_log_odds,
-#    domain_mixture_resample, embedding_covariance,
-#    embedding_int8_quantize, embedding_norm_outliers,
-#    entropy_per_source, equidepth_value_bins,
-#    event_type_value_chi2, events_interval_join_attribution,
-#    events_range_frame_sum, ewma_user_value,
-#    exact_substr_dedup_spans, functional_dependency_check,
-#    golden_record_survivorship, gopher_quality_rules,
-#    hard_negatives_lsh, hhi_source_concentration,
-#    hourly_baseline_outliers, inverted_index_dot_pairs,
-#    item_cooccurrence_cosine, jl_random_projection,
-#    join_key_skew_report, k_anonymity_report,
-#    kaplan_meier_customer_lifetime, kcore_peel_unrolled,
-#    kl_divergence_sources, kmeans_label_purity,
-#    kmv_distinct_sketch, kmv_union_jaccard, ks_binned_two_sample,
-#    lognormal_fit_values, lorenz_gini_binned,
-#    markov_prediction_accuracy, markov_transition_matrix,
-#    media_decode_resize_profile, mutual_information_type_band,
-#    naive_bayes_source_classifier, nb_margin_calibration,
-#    neyman_stratified_sample, ngram_novelty_rate,
-#    ols2_regression_per_type, order_total_reconciliation,
-#    orders_open_interval_sweep, pack_chunks_into_sequences,
-#    pareto_8020_users, percentiles_per_type_banded,
-#    pmi_collocations, pointintime_customer_orders,
-#    power_iteration_top_pc, pps_sample_docs,
-#    profile_orders_columns, props_map_key_stats, psi_value_drift,
-#    q10_returned_items, q11_important_stock,
-#    q12_priority_line_classes, q13_customer_distribution,
-#    q14_promo_revenue, q15_top_supplier, q16_supplier_part_counts,
-#    q17_small_quantity_revenue, q18_large_volume_orders,
-#    q19_disjunctive_revenue, q20_promotion_candidates,
-#    q21_waiting_suppliers, q22_global_sales_opportunity,
-#    q2_min_cost_supplier, q3_shipping_priority, q4_order_priority,
+#    char_entropy_quality, triangle_count_doulion,
+#    kcore_peel_unrolled, adamic_adar_link_prediction,
+#    clustering_coefficient_local, degree_assortativity,
+#    label_propagation_communities, spearman_price_acctbal,
+#    lorenz_gini_binned, rfm_customer_segments,
+#    kaplan_meier_customer_lifetime, window_funnel_timeout,
+#    conversion_lag_stats, burst_day_detection,
+#    retention_decay_fit, pareto_8020_users,
+#    winnowing_fingerprints, golden_record_survivorship,
+#    dedup_methods_report, blocking_quality_report,
+#    cross_source_dup_matrix, vocab_encode_docs,
+#    pack_chunks_into_sequences, cdc_chunk_docs,
+#    cdc_chunk_dedup_ratio, pps_sample_docs,
+#    token_budget_selection, training_shuffle_order,
+#    weighted_sample_es, ngram_novelty_rate, split_leakage_report,
+#    embedding_int8_quantize, contrastive_pairs,
+#    hard_negatives_lsh, inverted_index_dot_pairs,
+#    jl_random_projection, rrf_fusion_ann, embedding_covariance,
+#    als_rank1_item_step, power_iteration_top_pc,
+#    item_cooccurrence_cosine, embedding_norm_outliers,
+#    kmeans_label_purity, association_rules_parts,
+#    embedding_mmd_linear, mmr_diversified_rerank,
+#    media_decode_resize_profile, events_range_frame_sum,
+#    event_type_value_chi2, value_outliers_iqr,
+#    value_trend_per_user, events_interval_join_attribution,
+#    value_outliers_mad, stream_dedup_pairs, ewma_user_value,
+#    hourly_baseline_outliers, markov_transition_matrix,
+#    cusum_changepoint, ks_binned_two_sample,
+#    mutual_information_type_band, stream_stateful_user_totals,
+#    session_path_topk, percentiles_per_type_banded,
+#    abtest_proportions_ztest, lognormal_fit_values,
+#    ols2_regression_per_type, subsample_stability_ci,
+#    decision_stump_value_split, daily_autocorr_lag1,
+#    theil_sen_daily_trend, winsorized_stats_per_type,
+#    stream_static_enrich, markov_prediction_accuracy,
+#    daily_gap_interpolation, moving_forecast_backtest,
+#    conformal_interval_backtest, target_encoding_oof,
+#    position_attribution_credit, mann_kendall_trend,
+#    dow_anova_eta2, skew_kurtosis_per_type,
+#    markov_removal_attribution, session_bounce_dwell,
+#    twap_user_value, sequence_pattern_match,
+#    wasserstein_value_distance, props_map_key_stats,
+#    countmin_word_sketch, token_length_distribution,
+#    pointintime_customer_orders, q3_shipping_priority,
+#    q10_returned_items, q18_large_volume_orders,
+#    snapshot_diff_customers, revenue_share_within_region,
 #    q5_local_supplier_volume, q6_forecast_revenue,
-#    q7_volume_shipping, q8_market_share, q9_product_type_profit,
-#    retention_decay_fit, revenue_share_within_region,
-#    rfm_customer_segments, rrf_fusion_ann, semdedup_prune,
-#    session_path_topk, snapshot_diff_customers,
-#    source_vocab_jaccard, spearman_price_acctbal,
-#    split_leakage_report, stream_dedup_pairs,
-#    stream_stateful_user_totals, stream_static_enrich,
-#    subsample_stability_ci, target_encoding_oof,
-#    temperature_mixture_weights, theil_sen_daily_trend,
-#    token_budget_selection, token_length_distribution,
-#    training_shuffle_order, triangle_count_doulion,
-#    unigram_surprisal_quality, value_outliers_iqr,
-#    value_outliers_mad, value_trend_per_user, vocab_coverage_curve,
-#    vocab_encode_docs, weighted_sample_es, window_funnel_timeout,
-#    winnowing_fingerprints, winsorized_stats_per_type,
-#    zipf_exponent_fit, zorder_cell_stats
+#    q7_volume_shipping, q8_market_share, q14_promo_revenue,
+#    q19_disjunctive_revenue, zorder_cell_stats,
+#    bloom_semi_join_prefilter, q13_customer_distribution,
+#    q15_top_supplier, q17_small_quantity_revenue,
+#    q22_global_sales_opportunity, orders_open_interval_sweep,
+#    customer_feature_vector, order_total_reconciliation,
+#    join_cardinality_estimate, shipping_delay_percentiles,
+#    feature_gini_ranking, business_days_to_ship,
+#    q2_min_cost_supplier, q4_order_priority,
+#    q9_product_type_profit, q11_important_stock,
+#    q12_priority_line_classes, q16_supplier_part_counts,
+#    q20_promotion_candidates, q21_waiting_suppliers,
+#    bm25_topk_docs, unigram_surprisal_quality, pmi_collocations,
+#    entropy_per_source, bigram_surprisal_quality,
+#    zipf_exponent_fit, vocab_coverage_curve,
+#    kl_divergence_sources, naive_bayes_source_classifier,
+#    source_vocab_jaccard, nb_margin_calibration,
+#    distinctive_terms_log_odds, distinct_ngram_diversity,
+#    recommender_hitrate_backtest, rake_keyphrases,
+#    kmv_distinct_sketch, equidepth_value_bins, kmv_union_jaccard,
+#    psi_value_drift, domain_mixture_resample,
+#    neyman_stratified_sample, hhi_source_concentration,
+#    profile_orders_columns, constraint_check_orders,
+#    benford_first_digit, join_key_skew_report,
+#    k_anonymity_report, functional_dependency_check,
+#    table_checksum_audit, gopher_quality_rules, bpe_pair_counts,
+#    temperature_mixture_weights, semdedup_prune,
+#    allpairs_prefix_jaccard, ann_recall_report,
+#    exact_substr_dedup_spans, vocab_chao1_richness,
+#    partition_layout_planner
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.

@@ -1970,3 +1970,123 @@ def iter_udf_source_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("norm_source")
     )
+
+
+@register(
+    name="recursive_cte_reachability",
+    survey="J6 A8 A7 U1",
+    doc="Bounded-hop transitive closure with a RECURSIVE CTE (Spark 4 "
+    "WITH RECURSIVE — the SQL-native form of the unrolled BFS joins in "
+    "functions/graph.py): from seed supplier 1, walk the co-supply "
+    "graph (suppliers sharing a part, built by one self-join of the "
+    "distinct part->supplier postings) for two hops and count the "
+    "DISTINCT frontier per hop. The hop bound terminates the recursion "
+    "independent of cycles (UNION ALL + WHERE hop < 2), and the final "
+    "distinct-min collapse makes path multiplicity irrelevant to the "
+    "answer. At 100 TB the same recursion shape holds: each step is an "
+    "equi-join against the edge list, path fan-out capped by the hop "
+    "bound. DuckDB runs the identical recursive SQL.",
+    oracle="""
+        WITH RECURSIVE edges AS (
+          SELECT DISTINCT a.l_suppkey AS src, b.l_suppkey AS dst
+          FROM lineitem a JOIN lineitem b
+            ON a.l_partkey = b.l_partkey AND a.l_suppkey <> b.l_suppkey
+        ), walk(node, hop) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+          UNION ALL
+          SELECT e.dst, w.hop + 1
+          FROM walk w JOIN edges e ON e.src = w.node
+          WHERE w.hop < 2
+        ), best AS (
+          SELECT node, CAST(MIN(hop) AS BIGINT) AS first_hop FROM walk
+          GROUP BY node
+        )
+        SELECT first_hop, CAST(COUNT(*) AS BIGINT) AS n_reached
+        FROM best GROUP BY first_hop ORDER BY first_hop
+    """,
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Materialize the edge list BEFORE the recursion: a CTE referenced
+    # inside the recursive step would be re-planned (and the distinct
+    # self-join re-executed) once per iteration — localCheckpoint turns
+    # it into a scanned-once table (23s -> ~4s at sf0.1).
+    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    edges = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("edges_rcte")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(node, hop) AS (
+          SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
+          UNION ALL
+          SELECT e.dst, w.hop + 1
+          FROM walk w JOIN edges_rcte e ON e.src = w.node
+          WHERE w.hop < 2
+        ), best AS (
+          SELECT node, CAST(MIN(hop) AS BIGINT) AS first_hop FROM walk
+          GROUP BY node
+        )
+        SELECT first_hop, CAST(COUNT(*) AS BIGINT) AS n_reached
+        FROM best GROUP BY first_hop ORDER BY first_hop
+        """
+    )
+
+
+@register(
+    name="lateral_top2_per_order",
+    survey="J3 A10 O4 F15",
+    doc="Correlated LATERAL subquery (Spark 4 LATERAL in FROM): the "
+    "top-2 lineitems per January-1995 order via a per-row ordered-"
+    "limited subquery — the SQL-standard alternative to the window "
+    "row_number<=2 idiom (windows.py topk_parts_per_brand). Catalyst "
+    "rewrites the lateral into a join + per-group limit, so the plan "
+    "stays a shuffled join, not a driver loop. Full (price desc, "
+    "linenumber) tiebreak keeps the 2-row set unique. DuckDB executes "
+    "the identical lateral SQL.",
+    oracle="""
+        SELECT o.o_orderkey, t.l_linenumber,
+               CAST(ROUND(t.l_extendedprice * 100) AS BIGINT)
+                   AS price_cents
+        FROM orders o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lineitem
+          WHERE lineitem.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) t
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1995-02-01'
+        ORDER BY o.o_orderkey, price_cents DESC, t.l_linenumber
+    """,
+)
+def lateral_top2_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "orders").createOrReplaceTempView("ord_lat")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("li_lat")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, t.l_linenumber,
+               CAST(ROUND(t.l_extendedprice * 100) AS BIGINT)
+                   AS price_cents
+        FROM ord_lat o,
+        LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM li_lat
+          WHERE li_lat.l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) t
+        WHERE o.o_orderdate >= DATE '1995-01-01'
+          AND o.o_orderdate < DATE '1995-02-01'
+        ORDER BY o.o_orderkey, price_cents DESC, t.l_linenumber
+        """
+    )
