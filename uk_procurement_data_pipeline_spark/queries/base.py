@@ -63,6 +63,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "pipe_syntax_returnflag_revenue",
+    "parameterized_sql_priority_band",
+    "group_by_all_year_status",
+    "session_variable_threshold_filter",
+    "sql_scripting_doubling_threshold",
     "recursive_cte_reachability",
     "lateral_top2_per_order",
     "python_datasource_stream_feed",
@@ -108,11 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "logrank_two_group",
     "cuped_adjusted_lift",
     "frequent_triples",
-    "shapley_channel_attribution",
-    "segment_migration_matrix",
-    "quantile_normalize_lengths",
-    "user_type_signature",
-    "logistic_newton_2step",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -127,11 +127,13 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # recommender_hitrate_backtest, sequence_pattern_match,
 # business_days_to_ship, mmr_diversified_rerank,
 # wasserstein_value_distance, vocab_chao1_richness,
-# partition_layout_planner.
+# partition_layout_planner, shapley_channel_attribution,
+# segment_migration_matrix, quantile_normalize_lengths,
+# user_type_signature, logistic_newton_2step.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # union of driver coverage files (CORRECTNESS_r01..r03; the driver
-# wrote no r04 file): 160 registered queries have never had a
+# wrote no r04 file): 165 registered queries have never had a
 # driver CORRECTNESS row and did not fit the 50-slot r05 window. All
 # are green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
@@ -212,7 +214,9 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    temperature_mixture_weights, semdedup_prune,
 #    allpairs_prefix_jaccard, ann_recall_report,
 #    exact_substr_dedup_spans, vocab_chao1_richness,
-#    partition_layout_planner
+#    partition_layout_planner, shapley_channel_attribution,
+#    segment_migration_matrix, quantile_normalize_lengths,
+#    user_type_signature, logistic_newton_2step
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.
@@ -244,6 +248,7 @@ def registry() -> dict[str, QuerySpec]:
         profiling,
         curation,
         evaluation,
+        sql_surfaces,
     )
 
     missing = [n for n in _DRIVER_WINDOW if n not in _REGISTRY]
