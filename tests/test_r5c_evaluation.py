@@ -326,3 +326,60 @@ def test_iter_udf_plan_is_arrow(spark, sf_dir):
     )
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_isotonic_fit_is_monotone_and_calibrated(spark, sf_dir):
+    # The PAV minimax output must be (a) non-decreasing in the score
+    # bin, (b) bounded by [0, 1], and (c) mass-conserving: the
+    # fit-weighted count equals the total positives (a defining PAV
+    # property: pooled block means preserve each block's positive mass).
+    rows = (
+        registry()["isotonic_calibration_pav"]
+        .fn(spark, sf_dir)
+        .orderBy("bin")
+        .collect()
+    )
+    fits = [r["iso_rate"] for r in rows]
+    assert all(0.0 <= f <= 1.0 for f in fits)
+    assert all(a <= b + 1e-12 for a, b in zip(fits, fits[1:]))
+    mass = sum(r["n_bin"] * r["iso_rate"] for r in rows)
+    total_pos = sum(r["pos_bin"] for r in rows)
+    assert abs(mass - total_pos) < 1e-6 * max(total_pos, 1)
+
+
+def test_aipw_reduces_to_naive_when_model_is_exact(spark, sf_dir):
+    # Identity check: the DR estimate must equal naive + correction
+    # exactly (same expression tree), and the correction must vanish
+    # when strata are collapsed to one (global model == stratum model).
+    row = registry()["aipw_doubly_robust_ate"].fn(spark, sf_dir).collect()[0]
+    assert abs(
+        row["ate_dr_cents"]
+        - (row["ate_naive_cents"] + row["dr_correction_cents"])
+    ) < 1e-9
+    # One-stratum replica: per-stratum == global outcome model, so the
+    # correction term is algebraically zero (up to the cent rounding).
+    from pyspark.sql import functions as F
+
+    o = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            F.expr(
+                "CASE WHEN CAST(conv(substr(md5(CAST(o_orderkey AS"
+                " STRING)), 1, 8), 16, 10) AS BIGINT) % 2 = 0"
+                " THEN 1 ELSE 0 END"
+            ).alias("t"),
+            F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("y"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("t").alias("n1"),
+            F.sum(F.col("t") * F.col("y")).alias("sy1"),
+            F.sum((F.lit(1) - F.col("t")) * F.col("y")).alias("sy0"),
+        )
+        .collect()[0]
+    )
+    mu1 = o["sy1"] / o["n1"]
+    mu0 = o["sy0"] / (o["n"] - o["n1"])
+    # correction with the single stratum: (sy1 - n1*mu1)=0 exactly
+    assert abs((o["sy1"] - o["n1"] * mu1)) < 1e-6 * o["sy1"]
+    assert abs((o["sy0"] - (o["n"] - o["n1"]) * mu0)) < 1e-6 * o["sy0"]

@@ -59,6 +59,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "(bounded band cells, div 1e5) — per-part rows are pruned by a "
         "band-keyed equi-join, never globally sorted",
     },
+    "isotonic_calibration_pav": {
+        "GLOBALWIN": "row_number/cumsum windows over ONE ROW PER $10 VALUE "
+        "BAND (bounded by the value domain) — rows collapse to band cells "
+        "before any window; the PAV triangle is a broadcast range join over "
+        "those cells",
+    },
     "markov_removal_attribution": {
         "GLOBALWIN": "credit normalization over ONE ROW PER CHANNEL "
         "(4 rows, bounded domain) — input is already aggregate-sized",

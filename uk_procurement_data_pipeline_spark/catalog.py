@@ -39,20 +39,32 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+# (applicationId, path) -> needs-nanos-lowering. The probe resolves the
+# parquet footer schema through the JVM (~1s per call — measured), and every
+# events query pays it once per load(); the physical type of a given fixture
+# file never changes within a session, so memoize per Spark application.
+_NANOS_PROBE_CACHE: dict[tuple[str, str], bool] = {}
+
+
 def probe_events_nanos(spark: SparkSession, path: str) -> bool:
     """True iff ``path`` needs the nanos-as-long lowering (TIMESTAMP(NANOS)
     fixture). Any OTHER read failure — missing file, corrupt footer — is
     re-raised as itself rather than being misclassified as a nanos fixture
     and resurfacing later as a confusing secondary error. Shared by
     ``load_events`` and the streaming queries so the message filter lives
-    in exactly one place."""
+    in exactly one place. Memoized per (application, path)."""
+    key = (spark.sparkContext.applicationId, path)
+    if key in _NANOS_PROBE_CACHE:
+        return _NANOS_PROBE_CACHE[key]
     try:
         spark.read.parquet(path).schema  # force schema resolution
-        return False
+        result = False
     except Exception as exc:  # noqa: BLE001 — filtered by message
         if "NANOS" not in str(exc) and "nanos" not in str(exc):
             raise
-        return True
+        result = True
+    _NANOS_PROBE_CACHE[key] = result
+    return result
 
 
 def load_events(spark: SparkSession, path: str) -> DataFrame:

@@ -2090,3 +2090,260 @@ def lateral_top2_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey, price_cents DESC, t.l_linenumber
         """
     )
+
+
+@register(
+    name="isotonic_calibration_pav",
+    survey="A7 W3 J8 F28",
+    doc="Isotonic (monotone non-decreasing) calibration of purchase "
+    "probability against the value score, via the PAV minimax identity "
+    "fit(i) = max_{j<=i} min_{k>=i} avg(y over bins j..k) — no "
+    "sequential pooling loop, so the whole fit is a closed-form "
+    "composition of joins and windows. Rows collapse FIRST to one cell "
+    "per $10 value band (bounded by the value domain, never the row "
+    "count), then the band-pair triangle (j <= k) is built by a "
+    "broadcast range join over those cells (~56^2 pairs at any SF), a "
+    "per-j suffix-min window gives min_{k>=i}, and a per-i max collapses "
+    "the triangle. Block averages are IEEE divisions of exact BIGINT "
+    "cumulative sums — bit-identical in DuckDB. The output is the "
+    "stepwise-monotone calibration curve (pinned monotone in tests).",
+    oracle="""
+        WITH v AS (
+          SELECT CAST(ROUND(value * 100) AS BIGINT) // 1000 AS bin,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                     AS pos
+          FROM events
+          WHERE event_type IN ('purchase', 'click')
+        ), cells AS (
+          SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS p
+          FROM v GROUP BY bin
+        ), idx AS (
+          SELECT bin, n, p,
+                 CAST(ROW_NUMBER() OVER (ORDER BY bin) AS BIGINT) AS i,
+                 CAST(SUM(n) OVER (ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+                 CAST(SUM(p) OVER (ORDER BY bin
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp
+          FROM cells
+        ), pairs AS (
+          SELECT a.i AS j, b.i AS k,
+                 CAST(b.cp - (a.cp - a.p) AS DOUBLE)
+                 / CAST(b.cn - (a.cn - a.n) AS DOUBLE) AS avg_jk
+          FROM idx a JOIN idx b ON b.i >= a.i
+        ), sufmin AS (
+          SELECT j, k,
+                 MIN(avg_jk) OVER (PARTITION BY j ORDER BY k DESC
+                      ROWS UNBOUNDED PRECEDING) AS m_jk
+          FROM pairs
+        ), fit AS (
+          SELECT k AS i, MAX(m_jk) AS iso_rate FROM sufmin GROUP BY k
+        )
+        SELECT idx.bin, idx.n AS n_bin, idx.p AS pos_bin, fit.iso_rate
+        FROM idx JOIN fit ON fit.i = idx.i
+        ORDER BY idx.bin
+    """,
+)
+def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click")
+    )
+    cells = (
+        ev.select(
+            F.expr(f"{_CENTS} div 1000").alias("bin"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("pos"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("p"),
+        )
+    )
+    # Unpartitioned windows are safe HERE ONLY because cells is one row
+    # per $10 band — bounded by the value domain (plan_lint whitelist).
+    wcum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    idx = cells.select(
+        "bin",
+        "n",
+        "p",
+        F.row_number().over(Window.orderBy("bin")).cast("bigint").alias("i"),
+        F.sum("n").over(wcum).cast("bigint").alias("cn"),
+        F.sum("p").over(wcum).cast("bigint").alias("cp"),
+    )
+    a = idx.select(
+        F.col("i").alias("j"),
+        (F.col("cp") - F.col("p")).alias("cpm"),
+        (F.col("cn") - F.col("n")).alias("cnm"),
+    )
+    b = idx.select(
+        F.col("i").alias("k"), F.col("cp").alias("cpk"), F.col("cn").alias("cnk")
+    )
+    pairs = a.join(F.broadcast(b), F.col("k") >= F.col("j")).select(
+        "j",
+        "k",
+        (
+            (F.col("cpk") - F.col("cpm")).cast("double")
+            / (F.col("cnk") - F.col("cnm")).cast("double")
+        ).alias("avg_jk"),
+    )
+    wsuf = Window.partitionBy("j").orderBy(F.col("k").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    fit = (
+        pairs.select("j", "k", F.min("avg_jk").over(wsuf).alias("m_jk"))
+        .groupBy("k")
+        .agg(F.max("m_jk").alias("iso_rate"))
+    )
+    return (
+        idx.join(fit, idx["i"] == fit["k"])
+        .select(
+            "bin",
+            F.col("n").alias("n_bin"),
+            F.col("p").alias("pos_bin"),
+            "iso_rate",
+        )
+        .orderBy("bin")
+    )
+
+
+_AIPW_T = (
+    "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8), 16, 10)"
+    " AS BIGINT) % 2"
+)
+_AIPW_T_DUCK = (
+    "CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)"
+    " AS BIGINT) % 2"
+)
+
+
+@register(
+    name="aipw_doubly_robust_ate",
+    survey="A7 J5 F28",
+    doc="Doubly-robust (AIPW) average-treatment-effect estimator over a "
+    "deterministic md5 order-key split (the repo's standard cohort "
+    "hash, cuped_adjusted_lift convention): outcome = order cents, "
+    "strata = o_orderpriority. The outcome model is DELIBERATELY coarse "
+    "(global treated/control means, ignoring strata) while the "
+    "propensity e_s = n1_s/n_s is per-stratum — so the IPW correction "
+    "term is non-degenerate and the estimator visibly repairs the "
+    "model's bias (with per-stratum outcome means the correction is "
+    "algebraically zero). Everything reduces at the first shuffle to "
+    "5 stratum rows of exact BIGINT sums; the per-stratum correction "
+    "is micro-rounded to integer cents before the final 5-addend sum, "
+    "so no double accumulation order can drift cross-engine. One "
+    "summary row out.",
+    oracle=f"""
+        WITH o AS (
+          SELECT o_orderpriority AS s,
+                 CASE WHEN {_AIPW_T_DUCK} = 0 THEN 1 ELSE 0 END AS t,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS y
+          FROM orders
+        ), strata AS (
+          SELECT s,
+                 CAST(COUNT(*) AS BIGINT) AS n_s,
+                 CAST(SUM(t) AS BIGINT) AS n1_s,
+                 CAST(SUM(t * y) AS BIGINT) AS sy1_s,
+                 CAST(SUM((1 - t) * y) AS BIGINT) AS sy0_s
+          FROM o GROUP BY s
+        ), g AS (
+          SELECT CAST(SUM(n_s) AS BIGINT) AS n,
+                 CAST(SUM(n1_s) AS BIGINT) AS n1,
+                 CAST(SUM(sy1_s) AS BIGINT) AS sy1,
+                 CAST(SUM(n_s - n1_s) AS BIGINT) AS n0,
+                 CAST(SUM(sy0_s) AS BIGINT) AS sy0
+          FROM strata
+        ), corr AS (
+          SELECT CAST(SUM(CAST(floor(
+                   (CAST(sy1_s AS DOUBLE)
+                      - CAST(n1_s AS DOUBLE)
+                        * (CAST(g.sy1 AS DOUBLE) / CAST(g.n1 AS DOUBLE)))
+                     * CAST(n_s AS DOUBLE) / CAST(n1_s AS DOUBLE)
+                   - (CAST(sy0_s AS DOUBLE)
+                      - CAST(n_s - n1_s AS DOUBLE)
+                        * (CAST(g.sy0 AS DOUBLE) / CAST(g.n0 AS DOUBLE)))
+                     * CAST(n_s AS DOUBLE) / CAST(n_s - n1_s AS DOUBLE)
+                   + 0.5) AS BIGINT)) AS BIGINT) AS corr_cents
+          FROM strata, g
+        )
+        SELECT g.n AS n_orders,
+               CAST(g.sy1 AS DOUBLE) / CAST(g.n1 AS DOUBLE) AS mu1_cents,
+               CAST(g.sy0 AS DOUBLE) / CAST(g.n0 AS DOUBLE) AS mu0_cents,
+               CAST(g.sy1 AS DOUBLE) / CAST(g.n1 AS DOUBLE)
+                 - CAST(g.sy0 AS DOUBLE) / CAST(g.n0 AS DOUBLE)
+                   AS ate_naive_cents,
+               CAST(corr.corr_cents AS DOUBLE) / CAST(g.n AS DOUBLE)
+                   AS dr_correction_cents,
+               (CAST(g.sy1 AS DOUBLE) / CAST(g.n1 AS DOUBLE)
+                 - CAST(g.sy0 AS DOUBLE) / CAST(g.n0 AS DOUBLE))
+                 + CAST(corr.corr_cents AS DOUBLE) / CAST(g.n AS DOUBLE)
+                   AS ate_dr_cents
+        FROM g, corr
+    """,
+)
+def aipw_doubly_robust_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("s"),
+        F.expr(f"CASE WHEN {_AIPW_T} = 0 THEN 1 ELSE 0 END").alias("t"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("y"),
+    )
+    strata = o.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s"),
+        F.sum("t").cast("bigint").alias("n1_s"),
+        F.sum(F.col("t") * F.col("y")).cast("bigint").alias("sy1_s"),
+        F.sum((F.lit(1) - F.col("t")) * F.col("y"))
+        .cast("bigint")
+        .alias("sy0_s"),
+    )
+    g = strata.agg(
+        F.sum("n_s").cast("bigint").alias("n"),
+        F.sum("n1_s").cast("bigint").alias("n1"),
+        F.sum("sy1_s").cast("bigint").alias("sy1"),
+        F.sum(F.col("n_s") - F.col("n1_s")).cast("bigint").alias("n0"),
+        F.sum("sy0_s").cast("bigint").alias("sy0"),
+    )
+    corr = strata.crossJoin(F.broadcast(g)).agg(
+        F.sum(
+            F.expr(
+                """CAST(floor(
+                     (CAST(sy1_s AS DOUBLE)
+                        - CAST(n1_s AS DOUBLE)
+                          * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                       * CAST(n_s AS DOUBLE) / CAST(n1_s AS DOUBLE)
+                   - (CAST(sy0_s AS DOUBLE)
+                        - CAST(n_s - n1_s AS DOUBLE)
+                          * (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+                       * CAST(n_s AS DOUBLE) / CAST(n_s - n1_s AS DOUBLE)
+                   + 0.5) AS BIGINT)"""
+            )
+        )
+        .cast("bigint")
+        .alias("corr_cents")
+    )
+    return (
+        g.crossJoin(F.broadcast(corr))
+        .select(
+            F.col("n").alias("n_orders"),
+            F.expr("CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)").alias(
+                "mu1_cents"
+            ),
+            F.expr("CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)").alias(
+                "mu0_cents"
+            ),
+            F.expr(
+                "CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+                " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+            ).alias("ate_naive_cents"),
+            F.expr(
+                "CAST(corr_cents AS DOUBLE) / CAST(n AS DOUBLE)"
+            ).alias("dr_correction_cents"),
+            F.expr(
+                "(CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+                " - CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE))"
+                " + CAST(corr_cents AS DOUBLE) / CAST(n AS DOUBLE)"
+            ).alias("ate_dr_cents"),
+        )
+    )
