@@ -383,3 +383,114 @@ def test_aipw_reduces_to_naive_when_model_is_exact(spark, sf_dir):
     # correction with the single stratum: (sy1 - n1*mu1)=0 exactly
     assert abs((o["sy1"] - o["n1"] * mu1)) < 1e-6 * o["sy1"]
     assert abs((o["sy0"] - (o["n"] - o["n1"]) * mu0)) < 1e-6 * o["sy0"]
+
+
+def _lev(a: str, b: str) -> int:
+    # textbook O(len*len) DP, the independent reference implementation
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+        prev = cur
+    return prev[n]
+
+
+def test_edit_distance_one_join_matches_bruteforce(spark, sf_dir):
+    # Deletion-neighborhood blocking must lose NOTHING: the blocked+
+    # refined pair set equals the all-pairs python scan over the same
+    # word domain (vocab + md5-positioned z-mutations).
+    rows = registry()["edit_distance_one_join"].fn(spark, sf_dir).collect()
+    got = {(r["w1"], r["w2"]) for r in rows}
+    assert all(_lev(a, b) == 1 for a, b in got)
+
+    import hashlib
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    vocab = sorted(
+        {w for r in docs for w in r["text"].split(" ") if len(w) >= 4}
+    )
+    words = set(vocab)
+    for w in vocab:
+        p = int(hashlib.md5(w.encode()).hexdigest()[:8], 16) % len(w)
+        words.add(w[:p] + "z" + w[p + 1 :])
+    expect = {
+        (a, b)
+        for a in words
+        for b in words
+        if a < b and _lev(a, b) == 1
+    }
+    assert got == expect
+
+
+def test_dbscan_grid_matches_bruteforce_at_small_sf(spark):
+    # At sf0.001 (150 customers) the whole DBSCAN is re-derivable in
+    # python: brute-force neighbors, cores, BFS components, min-border
+    # assignment must reproduce the distributed result exactly.
+    import hashlib
+    from collections import deque
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = registry()["dbscan_grid_clusters"].fn(spark, sf_dir).collect()
+    got = {(r["cluster_id"], r["n_core"], r["n_border"]) for r in rows}
+
+    keys = [
+        r["c_custkey"]
+        for r in spark.read.parquet(f"{sf_dir}/customer.parquet").collect()
+    ]
+
+    def xy(prefix, k):
+        h = int(
+            hashlib.md5(f"{prefix}-{k}".encode()).hexdigest()[:15], 16
+        )
+        return (h % 1_000_000) / 1_000_000.0
+
+    pts = {k: (xy("cx", k), xy("cy", k)) for k in keys}
+    r2 = 0.6 / len(keys)
+    nbrs = {
+        k: [
+            o
+            for o in keys
+            if o != k
+            and (pts[k][0] - pts[o][0]) ** 2 + (pts[k][1] - pts[o][1]) ** 2
+            <= r2
+        ]
+        for k in keys
+    }
+    cores = {k for k, ns in nbrs.items() if len(ns) >= 2}
+    comp: dict = {}
+    for k in sorted(cores):
+        if k in comp:
+            continue
+        q, seen = deque([k]), {k}
+        while q:
+            u = q.popleft()
+            for v in nbrs[u]:
+                if v in cores and v not in seen:
+                    seen.add(v)
+                    q.append(v)
+        cid = min(seen)
+        for u in seen:
+            comp[u] = cid
+    border: dict = {}
+    for k in keys:
+        if k in cores:
+            continue
+        cand = [comp[o] for o in nbrs[k] if o in cores]
+        if cand:
+            border[k] = min(cand)
+    expect = set()
+    for cid in sorted(set(comp.values())):
+        expect.add(
+            (
+                cid,
+                sum(1 for u in comp if comp[u] == cid),
+                sum(1 for u in border if border[u] == cid),
+            )
+        )
+    assert got == expect

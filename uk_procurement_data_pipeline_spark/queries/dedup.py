@@ -1191,3 +1191,85 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+@register(
+    name="edit_distance_one_join",
+    survey="J9 D3 F17 A8",
+    doc="Typo-pair discovery: all DISTINCT word pairs at Levenshtein "
+    "distance exactly 1, via DELETION-NEIGHBORHOOD blocking (the "
+    "SymSpell/FastSS family): every word emits itself plus its len(w) "
+    "one-char-deletion variants as block keys; two words are lev<=1 "
+    "candidates IFF their key sets intersect (substitution pairs share "
+    "a deletion variant, insert/delete pairs collide word-on-variant), "
+    "so candidates meet in a plain equi-join on the variant key — work "
+    "is vocab-linear x avg word length, never all-pairs — and the "
+    "exact levenshtein() refine (JVM-side in Spark, native in DuckDB) "
+    "keeps only true distance-1 pairs. The fixture vocabulary has no "
+    "natural typos, so the word domain is vocab UNION a deterministic "
+    "md5-positioned 'z' substitution of each word (the standard "
+    "synthetic-typo protocol); the join must recover exactly those "
+    "mutation pairs plus any accidental vocab-internal ones. Ordered "
+    "(w1 < w2) so each pair appears once.",
+    oracle="""
+        WITH vocab AS (
+          SELECT DISTINCT w
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          WHERE length(w) >= 4
+        ), words AS (
+          SELECT w FROM vocab
+          UNION
+          SELECT substr(w, 1, p - 1) || 'z' || substr(w, p + 1) AS w
+          FROM (SELECT w,
+                       CAST(CAST('0x' || substr(md5(w), 1, 8) AS BIGINT)
+                            % length(w) AS INTEGER) + 1 AS p
+                FROM vocab)
+        ), keyed AS (
+          SELECT w, w AS variant FROM words
+          UNION ALL
+          SELECT w, substr(w, 1, i - 1) || substr(w, i + 1) AS variant
+          FROM words, LATERAL (
+            SELECT unnest(range(1, length(w) + 1)) AS i) t
+        ), cand AS (
+          SELECT DISTINCT a.w AS w1, b.w AS w2
+          FROM keyed a JOIN keyed b ON a.variant = b.variant
+          WHERE a.w < b.w
+        )
+        SELECT w1, w2 FROM cand
+        WHERE levenshtein(w1, w2) = 1
+        ORDER BY w1, w2
+    """,
+)
+def edit_distance_one_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.length("w") >= 4)
+        .distinct()
+    )
+    mutated = vocab.selectExpr(
+        "w",
+        "CAST(CAST(conv(substr(md5(w), 1, 8), 16, 10) AS BIGINT)"
+        " % length(w) AS INT) + 1 AS p",
+    ).selectExpr("concat(substr(w, 1, p - 1), 'z', substr(w, p + 1)) AS w")
+    words = vocab.union(mutated).distinct()
+    keyed = words.select(
+        "w",
+        F.explode(
+            F.expr(
+                "array_union(array(w), transform(sequence(1, length(w)),"
+                " i -> concat(substr(w, 1, i - 1), substr(w, i + 1))))"
+            )
+        ).alias("variant"),
+    )
+    a = keyed.select(F.col("w").alias("w1"), "variant")
+    b = keyed.select(F.col("w").alias("w2"), "variant")
+    return (
+        a.join(b, "variant")
+        .where(F.col("w1") < F.col("w2"))
+        .select("w1", "w2")
+        .distinct()
+        .where(F.expr("levenshtein(w1, w2) = 1"))
+        .orderBy("w1", "w2")
+    )
