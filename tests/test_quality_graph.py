@@ -138,3 +138,37 @@ def test_kmeans_moves_centroids_and_converges_assignment(spark, sf_dir):
     # every cluster id is one of the K seeds and every distance is finite
     assert all(0 <= r["cluster"] < 8 for r in out)
     assert all(r["dist2"] >= 0.0 for r in out)
+
+
+def test_hits_matches_bruteforce_two_steps(spark):
+    # The unrolled integer HITS recurrence must equal a plain python
+    # dict replay over the distinct posting pairs at sf0.001.
+    from collections import defaultdict
+
+    from uk_procurement_data_pipeline_spark.queries import registry
+
+    sf_dir = "/root/testdata/sf0.001"
+    rows = registry()["hits_hubs_authorities"].fn(spark, sf_dir).collect()
+    got = [(r["l_partkey"], r["authority_score"]) for r in rows]
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    edges = {(r["l_suppkey"], r["l_partkey"]) for r in li}
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    a1 = defaultdict(int)
+    for s, p in edges:
+        a1[p] += deg[s]
+    h2 = defaultdict(int)
+    for s, p in edges:
+        h2[s] += a1[p]
+    a2 = defaultdict(int)
+    for s, p in edges:
+        a2[p] += h2[s]
+    expect = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert got == expect

@@ -716,3 +716,70 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("size").desc(), "community")
         .limit(20)
     )
+
+
+@register(
+    name="hits_hubs_authorities",
+    survey="J6 A7 O4 W1",
+    eager=True,  # fn materializes the edge table; time it honestly
+    doc="HITS (hubs & authorities), two unrolled iterations over the "
+    "supplier->part bipartite posting graph (DISTINCT (s_suppkey, "
+    "l_partkey) pairs from lineitem): a1(p) = sum of supplier degrees "
+    "over p's suppliers, h2(s) = sum of a1 over s's parts, a2(p) = sum "
+    "of h2 over p's suppliers. With a fixed iteration count the "
+    "mutual-reinforcement recurrence stays ENTIRELY in BIGINT — no "
+    "normalization, no floats, no cross-engine drift (the usual L2 "
+    "normalization only matters for convergence-to-fixpoint, not for "
+    "the induced ranking). Each step is one equi-join + keyed "
+    "aggregation on the shuffled-once edge list — the same linear "
+    "shape as supplier_pagerank, but bipartite and exactly integer. "
+    "Top-10 authorities with full (score desc, key) tiebreak.",
+    oracle="""
+        WITH edges AS (
+          SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+        ), deg AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS h1 FROM edges GROUP BY s
+        ), a1 AS (
+          SELECT e.p, CAST(SUM(d.h1) AS BIGINT) AS a1
+          FROM edges e JOIN deg d ON d.s = e.s GROUP BY e.p
+        ), h2 AS (
+          SELECT e.s, CAST(SUM(a.a1) AS BIGINT) AS h2
+          FROM edges e JOIN a1 a ON a.p = e.p GROUP BY e.s
+        ), a2 AS (
+          SELECT e.p, CAST(SUM(h.h2) AS BIGINT) AS a2
+          FROM edges e JOIN h2 h ON h.s = e.s GROUP BY e.p
+        )
+        SELECT p AS l_partkey, a2 AS authority_score
+        FROM a2 ORDER BY a2 DESC, p LIMIT 10
+    """,
+)
+def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .localCheckpoint(eager=True)  # scanned-once edge list, reused 3x
+    )
+    deg = edges.groupBy("s").agg(F.count(F.lit(1)).cast("bigint").alias("h1"))
+    a1 = (
+        edges.join(deg, "s")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("bigint").alias("a1"))
+    )
+    h2 = (
+        edges.join(a1, "p")
+        .groupBy("s")
+        .agg(F.sum("a1").cast("bigint").alias("h2"))
+    )
+    a2 = (
+        edges.join(h2, "s")
+        .groupBy("p")
+        .agg(F.sum("h2").cast("bigint").alias("a2"))
+    )
+    return (
+        a2.select(
+            F.col("p").alias("l_partkey"), F.col("a2").alias("authority_score")
+        )
+        .orderBy(F.col("authority_score").desc(), "l_partkey")
+        .limit(10)
+    )

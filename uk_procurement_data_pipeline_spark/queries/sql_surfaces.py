@@ -268,3 +268,51 @@ def sql_scripting_doubling_threshold(spark: SparkSession, sf_dir: str) -> DataFr
         END
         """
     )
+
+
+@register(
+    name="collated_ci_group_counts",
+    survey="A7 F7 F28",
+    doc="Case-insensitive grouping via Spark 4 STRING COLLATION "
+    "(collate(name, 'UNICODE_CI')) — the engine-level alternative to "
+    "lower()-normalization that keeps the ORIGINAL strings flowing "
+    "through the plan. Part names are mixed-cased deterministically "
+    "(md5-parity rows uppercased), then grouped under the CI collation; "
+    "the emitted representative is MIN(original) (binary min) because "
+    "the collated group key itself is an arbitrary member — never "
+    "output a collated key raw if the result must be engine-portable. "
+    "For ASCII data UNICODE_CI equality == lower() equality, which is "
+    "exactly what the DuckDB oracle groups by. Collation is a "
+    "comparator swap inside the same hash-aggregate plan — no extra "
+    "shuffle, same pushdown.",
+    oracle="""
+        WITH mixed AS (
+          SELECT CASE WHEN CAST('0x' || substr(md5(CAST(p_partkey AS
+                            VARCHAR)), 1, 8) AS BIGINT) % 2 = 0
+                      THEN upper(p_name) ELSE p_name END AS name
+          FROM part
+        )
+        SELECT MIN(name) AS rep_name,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM mixed
+        GROUP BY lower(name)
+        ORDER BY rep_name
+    """,
+)
+def collated_ci_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        WITH mixed AS (
+          SELECT CASE WHEN CAST(conv(substr(md5(CAST(p_partkey AS
+                            STRING)), 1, 8), 16, 10) AS BIGINT) % 2 = 0
+                      THEN upper(p_name) ELSE p_name END AS name
+          FROM part_sqs
+        )
+        SELECT MIN(name) AS rep_name,
+               CAST(COUNT(*) AS BIGINT) AS n_parts
+        FROM mixed
+        GROUP BY collate(name, 'UNICODE_CI')
+        ORDER BY rep_name
+        """
+    )
