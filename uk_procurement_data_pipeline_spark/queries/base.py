@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "user_day_bitmap_activity",
+    "scraped_url_parse",
     "hits_hubs_authorities",
     "collated_ci_group_counts",
     "dbscan_grid_clusters",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "heaps_law_fit",
     "correlation_matrix_lineitem",
     "ann_ndcg_report",
-    "markov_stationary_distribution",
-    "ams_f2_sketch",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -133,11 +133,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # cuped_adjusted_lift, frequent_triples,
 # loso_source_influence, logrank_two_group,
 # referential_integrity_audit, dispersion_index_per_type,
-# uplift_qini_deciles, did_spend_estimator.
+# uplift_qini_deciles, did_spend_estimator,
+# markov_stationary_distribution, ams_f2_sketch.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # union of driver coverage files (CORRECTNESS_r01..r03; the driver
-# wrote no r04 file): 173 registered queries have never had a
+# wrote no r04 file): 175 registered queries have never had a
 # driver CORRECTNESS row and did not fit the 50-slot r05 window. All
 # are green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
@@ -224,7 +225,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    cuped_adjusted_lift, frequent_triples,
 #    loso_source_influence, logrank_two_group,
 #    referential_integrity_audit, dispersion_index_per_type,
-#    uplift_qini_deciles, did_spend_estimator
+#    uplift_qini_deciles, did_spend_estimator,
+#    markov_stationary_distribution, ams_f2_sketch
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.

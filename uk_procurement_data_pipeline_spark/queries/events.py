@@ -4342,3 +4342,59 @@ def huber_mean_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    name="user_day_bitmap_activity",
+    survey="A7 A8 F15 F28",
+    doc="Roaring-bitmap-style presence aggregation with plain BIGINT "
+    "masks: each user's January activity collapses to ONE 30-bit mask "
+    "via bit_or(shiftleft(1, day-1)) — the map-side combine is a single "
+    "OR per partition, so the shuffle carries 8 bytes per (user, "
+    "partition) regardless of event count (the exact trick bitmap "
+    "indexes use for distinct-day semantics at 100 TB). active_days = "
+    "bit_count(mask); weekend_days = bit_count(mask & the Jan-2024 "
+    "weekend literal mask). Output: users histogrammed by (active_days, "
+    "weekend_days) — all integers end to end; DuckDB runs the identical "
+    "bit algebra.",
+    oracle="""
+        WITH m AS (
+          SELECT user_id,
+                 bit_or(CAST(1 AS BIGINT)
+                        << (CAST(date_part('day', ts) AS INTEGER) - 1))
+                     AS mask
+          FROM events GROUP BY user_id
+        ), per_user AS (
+          SELECT CAST(bit_count(mask) AS BIGINT) AS active_days,
+                 CAST(bit_count(mask & CAST(202911840 AS BIGINT))
+                      AS BIGINT) AS weekend_days
+          FROM m
+        )
+        SELECT active_days, weekend_days,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per_user
+        GROUP BY active_days, weekend_days
+        ORDER BY active_days, weekend_days
+    """,
+)
+def user_day_bitmap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Jan-2024 weekends are the 6/7, 13/14, 20/21, 27/28 => mask
+    # sum(1<<(d-1)) = 202911840 (pinned as a literal in BOTH engines so
+    # the contract is auditable, not derived at runtime).
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("day(ts)").alias("d")
+    )
+    masks = ev.groupBy("user_id").agg(
+        F.expr("bit_or(shiftleft(1L, d - 1))").alias("mask")
+    )
+    per_user = masks.select(
+        F.expr("CAST(bit_count(mask) AS BIGINT)").alias("active_days"),
+        F.expr(
+            "CAST(bit_count(mask & CAST(202911840 AS BIGINT)) AS BIGINT)"
+        ).alias("weekend_days"),
+    )
+    return (
+        per_user.groupBy("active_days", "weekend_days")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("active_days", "weekend_days")
+    )

@@ -98,3 +98,42 @@ def html_anchor_scrape(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE href END AS abs_url",
         )
     )
+
+
+@register(
+    name="scraped_url_parse",
+    survey="S5 P7 F4 F5",
+    doc="URL decomposition with the engine-native parse_url() (the "
+    "Spark twin of the reference's urllib handling in its scrape "
+    "stages): deterministic notice URLs are assembled from document "
+    "columns (host from source, path from doc_id, page/ref query "
+    "params), then parse_url extracts HOST, PATH and individual QUERY "
+    "parameters back out. The ORACLE never calls a URL function — it "
+    "derives the same parts directly from the raw columns — so the "
+    "check certifies parse_url against an independent construction, "
+    "not against itself. Map-side projection only; no shuffle except "
+    "the final order.",
+    oracle="""
+        SELECT doc_id,
+               source || '.example.org' AS host,
+               '/notices/' || CAST(doc_id AS VARCHAR) AS path,
+               CAST(doc_id % 7 AS VARCHAR) AS page,
+               lang AS ref
+        FROM documents
+        ORDER BY doc_id
+    """,
+)
+def scraped_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "concat('https://', source, '.example.org/notices/',"
+        " CAST(doc_id AS STRING), '?page=', CAST(doc_id % 7 AS STRING),"
+        " '&ref=', lang) AS url",
+    )
+    return docs.selectExpr(
+        "doc_id",
+        "parse_url(url, 'HOST') AS host",
+        "parse_url(url, 'PATH') AS path",
+        "parse_url(url, 'QUERY', 'page') AS page",
+        "parse_url(url, 'QUERY', 'ref') AS ref",
+    ).orderBy("doc_id")
