@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "longest_streak_bitops",
     "user_day_bitmap_activity",
     "scraped_url_parse",
     "hits_hubs_authorities",
@@ -112,7 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "pq_codebook_train",
     "heaps_law_fit",
     "correlation_matrix_lineitem",
-    "ann_ndcg_report",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -134,11 +134,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # loso_source_influence, logrank_two_group,
 # referential_integrity_audit, dispersion_index_per_type,
 # uplift_qini_deciles, did_spend_estimator,
-# markov_stationary_distribution, ams_f2_sketch.
+# markov_stationary_distribution, ams_f2_sketch,
+# ann_ndcg_report.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # union of driver coverage files (CORRECTNESS_r01..r03; the driver
-# wrote no r04 file): 175 registered queries have never had a
+# wrote no r04 file): 176 registered queries have never had a
 # driver CORRECTNESS row and did not fit the 50-slot r05 window. All
 # are green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
@@ -226,7 +227,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    loso_source_influence, logrank_two_group,
 #    referential_integrity_audit, dispersion_index_per_type,
 #    uplift_qini_deciles, did_spend_estimator,
-#    markov_stationary_distribution, ams_f2_sketch
+#    markov_stationary_distribution, ams_f2_sketch,
+#    ann_ndcg_report
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.

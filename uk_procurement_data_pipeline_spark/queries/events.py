@@ -4398,3 +4398,199 @@ def user_day_bitmap_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("active_days", "weekend_days")
     )
+
+
+@register(
+    name="longest_streak_bitops",
+    survey="A7 W3 F28",
+    doc="Longest consecutive-day activity streak per user, computed "
+    "entirely in integer bit algebra on the 30-bit January mask: "
+    "iterate x -> x & (x << 1) (each step erases the tail bit of every "
+    "run, so run lengths drop by one) and count non-zero iterates — "
+    "the streak pops out with NO sort, NO window over the row "
+    "population, NO gaps-and-islands join: one 8-byte mask per user "
+    "carries everything. Each iterate references its predecessor "
+    "TWICE, so naive alias/CTE chaining inlines 2^30 expression copies "
+    "(measured: DuckDB lateral aliases hang); the oracle pins each "
+    "step AS MATERIALIZED and the Spark side chains withColumn "
+    "projections, which CollapseProject refuses to inline for "
+    "multiply-referenced non-trivial aliases. Output: streak-length "
+    "histogram.",
+    oracle="""
+        WITH it0 AS MATERIALIZED (
+          SELECT user_id, x AS x,
+                 CASE WHEN x <> 0 THEN 1 ELSE 0 END AS s
+          FROM (SELECT user_id,
+                       bit_or(CAST(1 AS BIGINT)
+                              << (CAST(date_part('day', ts) AS INTEGER)
+                                  - 1)) AS x
+                FROM events GROUP BY user_id)
+        ),
+        it1 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it0
+        ),
+        it2 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it1
+        ),
+        it3 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it2
+        ),
+        it4 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it3
+        ),
+        it5 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it4
+        ),
+        it6 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it5
+        ),
+        it7 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it6
+        ),
+        it8 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it7
+        ),
+        it9 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it8
+        ),
+        it10 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it9
+        ),
+        it11 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it10
+        ),
+        it12 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it11
+        ),
+        it13 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it12
+        ),
+        it14 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it13
+        ),
+        it15 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it14
+        ),
+        it16 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it15
+        ),
+        it17 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it16
+        ),
+        it18 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it17
+        ),
+        it19 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it18
+        ),
+        it20 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it19
+        ),
+        it21 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it20
+        ),
+        it22 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it21
+        ),
+        it23 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it22
+        ),
+        it24 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it23
+        ),
+        it25 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it24
+        ),
+        it26 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it25
+        ),
+        it27 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it26
+        ),
+        it28 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it27
+        ),
+        it29 AS MATERIALIZED (
+          SELECT user_id, x & (x << 1) AS x,
+                 s + CASE WHEN (x & (x << 1)) <> 0 THEN 1 ELSE 0 END AS s
+          FROM it28
+        )
+        SELECT CAST(s AS BIGINT) AS streak,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM it29 GROUP BY s ORDER BY streak
+    """,
+)
+def longest_streak_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").select(
+        "user_id", F.expr("day(ts)").alias("d")
+    )
+    cur = ev.groupBy("user_id").agg(
+        F.expr("bit_or(shiftleft(1L, d - 1))").alias("x0")
+    )
+    for k in range(1, 30):
+        cur = cur.withColumn(f"x{k}", F.expr(f"x{k - 1} & (x{k - 1} << 1)"))
+    streak = " + ".join(
+        f"CASE WHEN x{k} <> 0 THEN 1 ELSE 0 END" for k in range(30)
+    )
+    return (
+        cur.select(F.expr(f"CAST({streak} AS BIGINT)").alias("streak"))
+        .groupBy("streak")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("streak")
+    )
