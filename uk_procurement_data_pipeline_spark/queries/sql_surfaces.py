@@ -316,3 +316,59 @@ def collated_ci_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY rep_name
         """
     )
+
+
+@register(
+    name="sql_udf_net_revenue",
+    survey="A7 UD4 F28",
+    doc="Declarative SQL UDFs (Spark 4 CREATE TEMPORARY FUNCTION ... "
+    "RETURN <expr>): a scalar UDF net_cents(price, discount) and a SQL "
+    "TABLE function year_band(lo, hi) RETURNS TABLE ... RETURN SELECT, "
+    "composed in one query. Unlike Python UDFs these are pure Catalyst "
+    "expressions after inlining — predicate pushdown, codegen and "
+    "column pruning all survive, which makes them THE way to package "
+    "reusable business logic at 100 TB (the Python UDF pages of this "
+    "repo are for logic that genuinely needs Python). The oracle "
+    "expands both bodies inline — the check certifies that function "
+    "resolution + inlining is semantically a no-op.",
+    oracle="""
+        SELECT CAST(year(l.l_shipdate) AS BIGINT) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                                   * 100) AS BIGINT)) AS BIGINT)
+                   AS net_cents_sum
+        FROM lineitem l
+        WHERE year(l.l_shipdate) BETWEEN 1996 AND 1998
+        GROUP BY year(l.l_shipdate)
+        ORDER BY ship_year
+    """,
+)
+def sql_udf_net_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _views(spark, sf_dir, "lineitem")
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION net_cents(
+            price DOUBLE, discount DOUBLE) RETURNS BIGINT
+        RETURN CAST(ROUND(price * (1 - discount) * 100) AS BIGINT)
+        """
+    )
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION year_band(lo INT, hi INT)
+        RETURNS TABLE (ship_year BIGINT, net_cents BIGINT)
+        RETURN SELECT CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+                      net_cents(l_extendedprice, l_discount) AS net_cents
+               FROM lineitem_sqs
+               WHERE year(l_shipdate) BETWEEN lo AND hi
+        """
+    )
+    return spark.sql(
+        """
+        SELECT ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_items,
+               SUM(net_cents) AS net_cents_sum
+        FROM year_band(1996, 1998)
+        GROUP BY ship_year
+        ORDER BY ship_year
+        """
+    )
