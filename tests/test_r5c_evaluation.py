@@ -494,3 +494,45 @@ def test_dbscan_grid_matches_bruteforce_at_small_sf(spark):
             )
         )
     assert got == expect
+
+
+def test_brier_murphy_identity(spark, sf_dir):
+    # Murphy decomposition REL - RES + UNC equals the Brier score of
+    # the DISCRETIZED forecast (every event scored with its band's mean
+    # forecast) — exact for grouped forecasts; the continuous-forecast
+    # Brier additionally carries within-band variance/covariance terms,
+    # which is why the table reports mean_forecast per band rather than
+    # claiming the raw-score identity.
+    from pyspark.sql import functions as F
+
+    bands = (
+        registry()["brier_reliability_table"].fn(spark, sf_dir).collect()
+    )
+    rows = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .selectExpr(
+            "CAST(ROUND(value * 100) AS BIGINT) AS c",
+            "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos",
+        )
+        .collect()
+    )
+    m = max(r["c"] for r in rows)
+    n = len(rows)
+    obar = sum(r["pos"] for r in rows) / n
+    mf = {b["band"]: b["mean_forecast"] for b in bands}
+    brier_disc = sum(
+        (mf[min(int(r["c"] / m * 20), 19)] - r["pos"]) ** 2 for r in rows
+    ) / n
+    rel = sum(
+        b["n_events"] * (b["mean_forecast"] - b["event_rate"]) ** 2
+        for b in bands
+    ) / n
+    res = sum(
+        b["n_events"] * (b["event_rate"] - obar) ** 2 for b in bands
+    ) / n
+    unc = obar * (1 - obar)
+    assert abs(brier_disc - (rel - res + unc)) < 1e-9
+    # sanity on the table itself
+    assert sum(b["n_events"] for b in bands) == n
+    assert all(0.0 <= b["mean_forecast"] <= 1.0 for b in bands)

@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "xml_roundtrip_notices",
+    "brier_reliability_table",
     "sql_udf_net_revenue",
     "permutation_test_spend",
     "longest_streak_bitops",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "huber_mean_per_type",
     "geometric_median_embedding",
     "consistent_hash_shard_audit",
-    "dictionary_encoding_advisor",
-    "pq_codebook_train",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -135,11 +135,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # referential_integrity_audit, dispersion_index_per_type,
 # uplift_qini_deciles, did_spend_estimator,
 # markov_stationary_distribution, ams_f2_sketch,
-# ann_ndcg_report, correlation_matrix_lineitem, heaps_law_fit.
+# ann_ndcg_report, correlation_matrix_lineitem, heaps_law_fit,
+# pq_codebook_train, dictionary_encoding_advisor.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # union of driver coverage files (CORRECTNESS_r01..r03; the driver
-# wrote no r04 file): 178 registered queries have never had a
+# wrote no r04 file): 180 registered queries have never had a
 # driver CORRECTNESS row and did not fit the 50-slot r05 window. All
 # are green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
@@ -228,7 +229,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    referential_integrity_audit, dispersion_index_per_type,
 #    uplift_qini_deciles, did_spend_estimator,
 #    markov_stationary_distribution, ams_f2_sketch,
-#    ann_ndcg_report, correlation_matrix_lineitem, heaps_law_fit
+#    ann_ndcg_report, correlation_matrix_lineitem, heaps_law_fit,
+#    pq_codebook_train, dictionary_encoding_advisor
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.

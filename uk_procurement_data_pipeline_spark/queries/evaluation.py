@@ -2616,3 +2616,91 @@ def permutation_test_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+@register(
+    name="brier_reliability_table",
+    survey="A7 F28 W3",
+    doc="Forecast-calibration reliability table (the per-band view "
+    "behind the Murphy decomposition of the Brier score, and the "
+    "binned companion to isotonic_calibration_pav): the normalized "
+    "value score f = cents/max_cents is a [0,1] 'forecast' of "
+    "purchase-vs-click, binned into 20 equal-width bands; each band "
+    "reports count, positives, mean forecast and event rate. "
+    "Exactness: f is a ratio of exact integers (identical IEEE "
+    "division both engines), the band id floor(f*20) is exact, and "
+    "every band statistic is a ratio of BIGINT sums — no double is "
+    "ever summed across rows. The Murphy REL/RES/UNC identity over "
+    "this table is pinned in tests (integer-numerator algebra, "
+    "overflow-checked).",
+    oracle="""
+        WITH v AS (
+          SELECT CAST(ROUND(value * 100) AS BIGINT) AS c,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                     AS pos
+          FROM events WHERE event_type IN ('purchase', 'click')
+        ), mx AS (
+          SELECT MAX(c) AS m FROM v
+        ), banded AS (
+          SELECT LEAST(CAST(floor(CAST(v.c AS DOUBLE)
+                                  / CAST(mx.m AS DOUBLE) * 20)
+                            AS INTEGER), 19) AS band,
+                 v.c, v.pos
+          FROM v, mx
+        )
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(c) AS DOUBLE)
+                 / (CAST(COUNT(*) AS DOUBLE)
+                    * CAST((SELECT m FROM mx) AS DOUBLE))
+                   AS mean_forecast,
+               CAST(SUM(pos) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS event_rate
+        FROM banded
+        GROUP BY band
+        ORDER BY band
+    """,
+)
+def brier_reliability_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("pos"),
+        )
+    )
+    mx = v.agg(F.max("c").alias("m"))
+    banded = v.crossJoin(F.broadcast(mx)).select(
+        F.expr(
+            "LEAST(CAST(floor(CAST(c AS DOUBLE) / CAST(m AS DOUBLE) * 20)"
+            " AS INT), 19)"
+        ).alias("band"),
+        "c",
+        "pos",
+        "m",
+    )
+    return (
+        banded.groupBy("band", "m")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum("c").cast("bigint").alias("sum_c"),
+        )
+        .select(
+            F.col("band").cast("bigint").alias("band"),
+            "n_events",
+            "n_pos",
+            F.expr(
+                "CAST(sum_c AS DOUBLE)"
+                " / (CAST(n_events AS DOUBLE) * CAST(m AS DOUBLE))"
+            ).alias("mean_forecast"),
+            F.expr(
+                "CAST(n_pos AS DOUBLE) / CAST(n_events AS DOUBLE)"
+            ).alias("event_rate"),
+        )
+        .orderBy("band")
+    )

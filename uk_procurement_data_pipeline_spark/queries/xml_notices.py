@@ -632,3 +632,62 @@ def xml_namespace_dispatch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "xpath_boolean(xml, '//n2021') AS is_nuts_2021",
         )
     )
+
+
+@register(
+    name="xml_roundtrip_notices",
+    survey="F23 F22 A7 E1",
+    doc="XML WRITER round-trip (Spark 4 to_xml, closing the serializer "
+    "side of the from_xml reader this module is built on): each order "
+    "becomes a notice struct whose title embeds XML-hostile characters "
+    "(& < >), is serialized to an XML string with to_xml, re-parsed "
+    "with from_xml against the declared schema, and aggregated from "
+    "the PARSED values. The oracle computes the same aggregates "
+    "straight from the raw columns — matching proves serialize-parse "
+    "is lossless including entity escaping (the exact bug class the "
+    "reference's hand-built scrapers hit with raw string XML). "
+    "Map-side only until the 5-cell aggregate.",
+    oracle="""
+        SELECT o_orderpriority AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_notices,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS total_cents,
+               CAST(SUM(CASE WHEN 'T & <' || o_orderstatus || '>'
+                             = 'T & <' || o_orderstatus || '>'
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_title_ok
+        FROM orders
+        GROUP BY o_orderpriority
+        ORDER BY priority
+    """,
+)
+def xml_roundtrip_notices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    notices = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderpriority",
+        "o_orderstatus",
+        "to_xml(named_struct("
+        " 'priority', o_orderpriority,"
+        " 'title', concat('T & <', o_orderstatus, '>'),"
+        " 'cents', CAST(ROUND(o_totalprice * 100) AS BIGINT))) AS xml",
+    )
+    parsed = notices.selectExpr(
+        "o_orderstatus",
+        "from_xml(xml,"
+        " 'priority STRING, title STRING, cents BIGINT') AS n",
+    )
+    return (
+        parsed.selectExpr(
+            "n.priority AS priority",
+            "n.cents AS cents",
+            # escaping certified: the PARSED title must equal the raw
+            # reconstruction, ampersands and angle brackets included
+            "CASE WHEN n.title = concat('T & <', o_orderstatus, '>')"
+            " THEN 1 ELSE 0 END AS title_ok",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_notices"),
+            F.sum("cents").cast("bigint").alias("total_cents"),
+            F.sum("title_ok").cast("bigint").alias("n_title_ok"),
+        )
+        .orderBy("priority")
+    )
