@@ -4594,3 +4594,67 @@ def longest_streak_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("streak")
     )
+
+
+@register(
+    name="user_active_coverage_micros",
+    survey="W2 A7 F16 F28",
+    doc="Interval-union coverage (the sweep-line 'how long was each "
+    "user actually active' measure): every event opens a 5-minute "
+    "activity interval; per user, overlapping intervals merge and the "
+    "UNION length is the active time. One pass, no interval "
+    "self-join: order events per user (keyed window), lag() the "
+    "previous timestamp, and each event contributes "
+    "min(gap_to_previous, 5min) microseconds (the first event a full "
+    "window) — algebraically identical to merging islands then "
+    "summing lengths, but it never materializes the islands. All "
+    "arithmetic in exact µs BIGINTs from unix_micros. Output: "
+    "distribution of per-user active minutes (bounded domain).",
+    oracle="""
+        WITH e AS (
+          SELECT user_id,
+                 CAST(epoch_us(ts) AS BIGINT) AS us,
+                 LAG(CAST(epoch_us(ts) AS BIGINT)) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events
+        ), per_user AS (
+          SELECT user_id,
+                 CAST(SUM(CASE WHEN prev IS NULL THEN 300000000
+                               ELSE LEAST(us - prev, 300000000) END)
+                      AS BIGINT) AS active_us
+          FROM e GROUP BY user_id
+        )
+        SELECT CAST(active_us // 60000000 AS BIGINT) AS active_minutes,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM per_user
+        GROUP BY active_us // 60000000
+        ORDER BY active_minutes
+    """,
+)
+def user_active_coverage_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    contrib = e.withColumn("prev", F.lag("us").over(w)).select(
+        "user_id",
+        F.expr(
+            "CASE WHEN prev IS NULL THEN 300000000"
+            " ELSE LEAST(us - prev, 300000000) END"
+        ).alias("c"),
+    )
+    per_user = contrib.groupBy("user_id").agg(
+        F.sum("c").cast("bigint").alias("active_us")
+    )
+    return (
+        per_user.selectExpr(
+            "CAST(active_us div 60000000 AS BIGINT) AS active_minutes"
+        )
+        .groupBy("active_minutes")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("active_minutes")
+    )

@@ -309,3 +309,75 @@ def spearman_price_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    name="transpose_type_band_matrix",
+    survey="A7 F28 U2",
+    doc="Matrix transpose as a first-class DataFrame op (Spark 4 "
+    "DataFrame.transpose): the event-type x value-band count matrix "
+    "(5 fixed $150 bands, capped) is built by conditional aggregation, "
+    "then TRANSPOSED so bands become rows and event types become "
+    "columns — the layout analysts ask for and pandas users reach for "
+    ".T to get. transpose() collects the (tiny, already-aggregated) "
+    "matrix to derive the output schema from the first column's "
+    "values, so it is strictly a POST-AGGREGATION device: the fixed "
+    "event-type domain makes the schema stable at every SF. The "
+    "oracle builds the transposed table directly with per-type "
+    "conditional sums over a VALUES spine of band labels.",
+    oracle="""
+        WITH v AS (
+          SELECT event_type,
+                 'b' || CAST(LEAST(CAST(ROUND(value * 100) AS BIGINT)
+                                   // 15000, 4) AS VARCHAR) AS band
+          FROM events
+        ), spine(band_label) AS (
+          VALUES ('b0'), ('b1'), ('b2'), ('b3'), ('b4')
+        )
+        SELECT s.band_label,
+               CAST(COALESCE(SUM(CASE WHEN v.event_type = 'click'
+                                      THEN 1 END), 0) AS BIGINT) AS click,
+               CAST(COALESCE(SUM(CASE WHEN v.event_type = 'error'
+                                      THEN 1 END), 0) AS BIGINT) AS error,
+               CAST(COALESCE(SUM(CASE WHEN v.event_type = 'purchase'
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS purchase,
+               CAST(COALESCE(SUM(CASE WHEN v.event_type = 'signup'
+                                      THEN 1 END), 0) AS BIGINT) AS signup,
+               CAST(COALESCE(SUM(CASE WHEN v.event_type = 'view'
+                                      THEN 1 END), 0) AS BIGINT) AS view
+        FROM spine s LEFT JOIN v ON v.band = s.band_label
+        GROUP BY s.band_label
+        ORDER BY s.band_label
+    """,
+)
+def transpose_type_band_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bands = [f"b{i}" for i in range(5)]
+    counts = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "event_type",
+            "concat('b', LEAST(CAST(ROUND(value * 100) AS BIGINT)"
+            " div 15000, 4)) AS band",
+        )
+        .groupBy("event_type")
+        .agg(
+            *[
+                F.sum(
+                    F.expr(f"CASE WHEN band = '{b}' THEN 1 ELSE 0 END")
+                )
+                .cast("bigint")
+                .alias(b)
+                for b in bands
+            ]
+        )
+        .orderBy("event_type")
+    )
+    t = counts.transpose()
+    return t.select(
+        F.col("key").alias("band_label"),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("bigint").alias(c)
+            for c in ["click", "error", "purchase", "signup", "view"]
+        ],
+    ).orderBy("band_label")
