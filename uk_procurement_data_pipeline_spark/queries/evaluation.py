@@ -2704,3 +2704,110 @@ def brier_reliability_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+_RD_C = 25_000_000  # cutoff: $250k order value, in cents
+_RD_H = 10_000_000  # bandwidth: +/- $100k
+
+
+@register(
+    name="regression_discontinuity_items",
+    survey="A7 J6 F28",
+    doc="Sharp regression discontinuity at the $250k order-value "
+    "cutoff, completing the causal suite (DiD / CUPED / IPS / AIPW): "
+    "outcome = lineitems per order, running variable = order cents "
+    "CENTERED at the cutoff (u = cents - C, |u| <= $100k bandwidth — "
+    "centering keeps every OLS moment sum inside int64; raw-cents "
+    "squares would overflow), one closed-form local-linear fit per "
+    "side from exact BIGINT moment sums (n, Su, Sy, Suu, Suy), and "
+    "the RD estimate is the difference of the two fitted values AT "
+    "the cutoff: intercept_u0 = (Suu*Sy - Su*Suy) / (n*Suu - Su^2). "
+    "The final ratios multiply exact bigints in IEEE double with an "
+    "identical expression tree in DuckDB. Execution: one broadcast-"
+    "side-free join orders->lineitem counts, one 2-row aggregate.",
+    oracle=f"""
+        WITH oc AS (
+          SELECT o.o_orderkey,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                     - {_RD_C} AS u,
+                 CAST(COUNT(l.l_orderkey) AS BIGINT) AS y
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderkey, o.o_totalprice
+        ), sides AS (
+          SELECT CASE WHEN u >= 0 THEN 'right' ELSE 'left' END AS side,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(u) AS BIGINT) AS su,
+                 CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(u * u) AS BIGINT) AS suu,
+                 CAST(SUM(u * y) AS BIGINT) AS suy
+          FROM oc
+          WHERE u BETWEEN -{_RD_H} AND {_RD_H}
+          GROUP BY 1
+        ), fits AS (
+          SELECT side, n,
+                 (CAST(suu AS DOUBLE) * CAST(sy AS DOUBLE)
+                  - CAST(su AS DOUBLE) * CAST(suy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)
+                    - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))
+                     AS at_cutoff
+          FROM sides
+        )
+        SELECT l.n AS n_left, r.n AS n_right,
+               l.at_cutoff AS left_at_cutoff,
+               r.at_cutoff AS right_at_cutoff,
+               r.at_cutoff - l.at_cutoff AS rd_jump
+        FROM (SELECT * FROM fits WHERE side = 'left') l,
+             (SELECT * FROM fits WHERE side = 'right') r
+    """,
+)
+def regression_discontinuity_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            f"CAST(ROUND(o_totalprice * 100) AS BIGINT) - {_RD_C}"
+        ).alias("u"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    oc = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "u")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .where(F.col("u").between(-_RD_H, _RD_H))
+    )
+    sides = oc.groupBy(
+        F.expr("CASE WHEN u >= 0 THEN 'right' ELSE 'left' END").alias(
+            "side"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("u").cast("bigint").alias("su"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("u") * F.col("u")).cast("bigint").alias("suu"),
+        F.sum(F.col("u") * F.col("y")).cast("bigint").alias("suy"),
+    )
+    fits = sides.select(
+        "side",
+        "n",
+        F.expr(
+            "(CAST(suu AS DOUBLE) * CAST(sy AS DOUBLE)"
+            " - CAST(su AS DOUBLE) * CAST(suy AS DOUBLE))"
+            " / (CAST(n AS DOUBLE) * CAST(suu AS DOUBLE)"
+            " - CAST(su AS DOUBLE) * CAST(su AS DOUBLE))"
+        ).alias("at_cutoff"),
+    )
+    left = fits.where("side = 'left'").select(
+        F.col("n").alias("n_left"), F.col("at_cutoff").alias("left_at_cutoff")
+    )
+    right = fits.where("side = 'right'").select(
+        F.col("n").alias("n_right"),
+        F.col("at_cutoff").alias("right_at_cutoff"),
+    )
+    return left.crossJoin(F.broadcast(right)).select(
+        "n_left",
+        "n_right",
+        "left_at_cutoff",
+        "right_at_cutoff",
+        (F.col("right_at_cutoff") - F.col("left_at_cutoff")).alias(
+            "rd_jump"
+        ),
+    )
