@@ -2811,3 +2811,75 @@ def regression_discontinuity_items(spark: SparkSession, sf_dir: str) -> DataFram
             "rd_jump"
         ),
     )
+
+
+@register(
+    name="gini_mean_difference_per_type",
+    survey="A7 W1 F28",
+    doc="EXACT Gini mean difference per event type — the all-pairs "
+    "mean |x_i - x_j| computed WITHOUT the quadratic pair join, via "
+    "the order-statistic identity GMD = 2/(n(n-1)) * sum_i (2i-n-1) "
+    "x_(i) (one keyed sort window, linear shuffle; the binned Lorenz "
+    "query is the approximation, this is the exact answer). The "
+    "coefficient sum over any tied block is order-invariant, so the "
+    "row_number tiebreak cannot change the result. Numerator stays an "
+    "exact BIGINT (|coef| < n, cents bounded); the single division to "
+    "double is the only inexact step, identical both engines.",
+    oracle="""
+        WITH v AS (
+          SELECT event_type,
+                 CAST(ROUND(value * 100) AS BIGINT) AS c,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY CAST(ROUND(value * 100)
+                                                       AS BIGINT),
+                                                  event_id) AS BIGINT)
+                     AS i,
+                 CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT)
+                     AS n
+          FROM events
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n_events,
+               CAST(2 AS DOUBLE)
+                 * CAST(SUM((2 * i - n - 1) * c) AS DOUBLE)
+                 / (CAST(MAX(n) AS DOUBLE) * CAST(MAX(n) - 1 AS DOUBLE))
+                   AS gmd_cents,
+               CAST(SUM(c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)
+                   AS mean_cents
+        FROM v
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def gini_mean_difference_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    w = Window.partitionBy("event_type").orderBy("c", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "c",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+    )
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.expr(
+                "CAST(2 AS DOUBLE)"
+                " * CAST(SUM((2 * i - n - 1) * c) AS DOUBLE)"
+                " / (CAST(MAX(n) AS DOUBLE)"
+                "    * CAST(MAX(n) - 1 AS DOUBLE))"
+            ).alias("gmd_cents"),
+            F.expr(
+                "CAST(SUM(c) AS DOUBLE) / CAST(MAX(n) AS DOUBLE)"
+            ).alias("mean_cents"),
+        )
+        .orderBy("event_type")
+    )
