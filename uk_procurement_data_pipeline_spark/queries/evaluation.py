@@ -2883,3 +2883,135 @@ def gini_mean_difference_per_type(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+# Caliper = ~20 expected unit spacings: order values are ~uniform on
+# [0, 5e7] cents, so spacing ~ 5e7/n and caliper c = 1e9/n keeps the
+# banded join's candidate count ~3*n*(n*c/range) = 60n — LINEAR at any
+# SF. A FIXED caliper is density-quadratic: $50k here meant 10 bands
+# and a 10M-pair near-cross-join (measured 15s at sf0.01, 27s at
+# sf0.1 even at $500); adaptive-c holds ~0.5s at both.
+_CALIPER_NUM = 1_000_000_000
+
+
+@register(
+    name="caliper_matching_att",
+    survey="A7 J8 W1 F28",
+    doc="1-nearest-neighbor caliper matching (with replacement) for "
+    "the ATT — the MATCHING member of the causal suite (vs the "
+    "weighting of IPS/AIPW and the local fits of RD): treated = md5 "
+    "bit cohort, covariate = order cents, outcome = lineitems per "
+    "order. Each treated order meets candidate controls through a "
+    "caliper-band equi-join (floor(x/c) +/- 1 neighbor bands) whose "
+    "caliper c = 1e9/n SHRINKS with unit density, pinning candidates "
+    "to ~60 per treated at every SF (the module comment has the "
+    "arithmetic; a fixed caliper is density-quadratic and measured "
+    "15-27s before this fix). Keeps |dx| <= c and picks the match by "
+    "the fully-deterministic (|dx|, control key) tiebreak via one "
+    "keyed row_number. ATT = mean over matched treated of (y_t - "
+    "y_c), an exact BIGINT difference sum; the unmatched-treated "
+    "count is reported — silent caliper drops would bias the "
+    "estimand.",
+    oracle=f"""
+        WITH oc AS (
+          SELECT o.o_orderkey AS k,
+                 CAST('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)),
+                      1, 8) AS BIGINT) % 2 AS t,
+                 CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS x,
+                 CAST(COUNT(*) AS BIGINT) AS y
+          FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+          GROUP BY o.o_orderkey, o.o_totalprice
+        ), cal AS (
+          SELECT CAST({_CALIPER_NUM} // COUNT(*) AS BIGINT) AS c FROM oc
+        ), tr AS (
+          SELECT k, x, y, x // cal.c AS band, cal.c FROM oc, cal
+          WHERE t = 0
+        ), ct AS (
+          SELECT k, x, y, x // cal.c + v.d AS band FROM oc, cal,
+               (VALUES (-1), (0), (1)) v(d)
+          WHERE t = 1
+        ), cand AS (
+          SELECT tr.k AS tk, tr.y AS ty, ct.k AS ck, ct.y AS cy,
+                 abs(tr.x - ct.x) AS dx
+          FROM tr JOIN ct ON ct.band = tr.band
+          WHERE abs(tr.x - ct.x) <= tr.c
+        ), best AS (
+          SELECT tk, ty, cy,
+                 ROW_NUMBER() OVER (PARTITION BY tk
+                                    ORDER BY dx, ck) AS rn
+          FROM cand
+        ), matched AS (
+          SELECT tk, ty - cy AS d FROM best WHERE rn = 1
+        )
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM tr) AS n_treated,
+               CAST(COUNT(*) AS BIGINT) AS n_matched,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM tr)
+                 - CAST(COUNT(*) AS BIGINT) AS n_unmatched,
+               CAST(SUM(d) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS att_items
+        FROM matched
+    """,
+)
+def caliper_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("t"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("x"),
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey")
+    oc = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "t", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    cal = oc.agg(
+        F.expr(f"CAST({_CALIPER_NUM} div COUNT(*) AS BIGINT)").alias("c")
+    )
+    occ = oc.crossJoin(F.broadcast(cal))
+    tr = occ.where("t = 0").select(
+        F.col("o_orderkey").alias("tk"),
+        F.col("x").alias("tx"),
+        F.col("y").alias("ty"),
+        F.col("c"),
+        F.expr("x div c").alias("band"),
+    )
+    ct = occ.where("t = 1").selectExpr(
+        "o_orderkey AS ck",
+        "x AS cx",
+        "y AS cy",
+        "explode(array(x div c - 1, x div c, x div c + 1)) AS band",
+    )
+    cand = (
+        tr.join(ct, "band")
+        .where(F.expr("abs(tx - cx) <= c"))
+        .select("tk", "ty", "ck", "cy", F.expr("abs(tx - cx)").alias("dx"))
+    )
+    w = Window.partitionBy("tk").orderBy("dx", "ck")
+    matched = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select("tk", F.expr("ty - cy").alias("d"))
+    )
+    n_tr = tr.agg(F.count(F.lit(1)).cast("bigint").alias("n_treated"))
+    return (
+        matched.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_matched"),
+            F.sum("d").cast("bigint").alias("sd"),
+        )
+        .crossJoin(F.broadcast(n_tr))
+        .select(
+            "n_treated",
+            "n_matched",
+            (F.col("n_treated") - F.col("n_matched"))
+            .cast("bigint")
+            .alias("n_unmatched"),
+            F.expr(
+                "CAST(sd AS DOUBLE) / CAST(n_matched AS DOUBLE)"
+            ).alias("att_items"),
+        )
+    )
