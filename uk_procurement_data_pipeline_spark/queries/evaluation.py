@@ -3015,3 +3015,101 @@ def caliper_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("att_items"),
         )
     )
+
+
+@register(
+    name="cochran_armitage_trend",
+    survey="A7 F28",
+    doc="Cochran-Armitage test for a LINEAR TREND in the purchase "
+    "proportion across the five ordered $150 value bands (scores s_b "
+    "= 0..4) — the ordered-alternative complement to the omnibus "
+    "chi-square (event_type_value_chi2 tests ANY deviation; this "
+    "tests monotone dose-response, the right question for 'does "
+    "conversion rise with value band'). Z^2 = T^2 / [pbar(1-pbar) "
+    "(sum s^2 n - (sum s n)^2 / N)] with T = sum s_b (r_b - R n_b / "
+    "N). Every moment is an exact BIGINT from the 5-cell contingency "
+    "collapse (one partial+final aggregate over the row population); "
+    "the final statistic is a ratio of exact-integer-derived doubles "
+    "with an identical expression tree in DuckDB.",
+    oracle="""
+        WITH v AS (
+          SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT) // 15000, 4)
+                     AS s,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                     AS pos
+          FROM events
+          WHERE event_type IN ('purchase', 'click')
+        ), cells AS (
+          SELECT s, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS r
+          FROM v GROUP BY s
+        ), m AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS nn,
+                 CAST(SUM(r) AS BIGINT) AS rr,
+                 CAST(SUM(s * n) AS BIGINT) AS sn,
+                 CAST(SUM(s * r) AS BIGINT) AS sr,
+                 CAST(SUM(s * s * n) AS BIGINT) AS ssn
+          FROM cells
+        )
+        SELECT nn AS n_total, rr AS n_pos,
+               CAST(sr AS DOUBLE)
+                 - CAST(rr AS DOUBLE) * CAST(sn AS DOUBLE)
+                   / CAST(nn AS DOUBLE) AS trend_t,
+               (CAST(sr AS DOUBLE)
+                 - CAST(rr AS DOUBLE) * CAST(sn AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               * (CAST(sr AS DOUBLE)
+                 - CAST(rr AS DOUBLE) * CAST(sn AS DOUBLE)
+                   / CAST(nn AS DOUBLE))
+               / ((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * (1 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))
+                  * (CAST(ssn AS DOUBLE)
+                     - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)
+                       / CAST(nn AS DOUBLE))) AS z_squared
+        FROM m
+    """,
+)
+def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cells = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr(
+                "LEAST(CAST(ROUND(value * 100) AS BIGINT) div 15000, 4)"
+            ).alias("s"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("pos"),
+        )
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("pos").cast("bigint").alias("r"),
+        )
+    )
+    m = cells.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("r").cast("bigint").alias("rr"),
+        F.sum(F.col("s") * F.col("n")).cast("bigint").alias("sn"),
+        F.sum(F.col("s") * F.col("r")).cast("bigint").alias("sr"),
+        F.sum(F.col("s") * F.col("s") * F.col("n"))
+        .cast("bigint")
+        .alias("ssn"),
+    )
+    t_expr = (
+        "CAST(sr AS DOUBLE)"
+        " - CAST(rr AS DOUBLE) * CAST(sn AS DOUBLE) / CAST(nn AS DOUBLE)"
+    )
+    return m.select(
+        F.col("nn").alias("n_total"),
+        F.col("rr").alias("n_pos"),
+        F.expr(t_expr).alias("trend_t"),
+        F.expr(
+            f"({t_expr}) * ({t_expr})"
+            " / ((CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))"
+            "    * (1 - CAST(rr AS DOUBLE) / CAST(nn AS DOUBLE))"
+            "    * (CAST(ssn AS DOUBLE)"
+            "       - CAST(sn AS DOUBLE) * CAST(sn AS DOUBLE)"
+            "         / CAST(nn AS DOUBLE)))"
+        ).alias("z_squared"),
+    )
