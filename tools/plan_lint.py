@@ -59,6 +59,16 @@ WHITELIST: dict[str, dict[str, str]] = {
         "(bounded band cells, div 1e5) — per-part rows are pruned by a "
         "band-keyed equi-join, never globally sorted",
     },
+    "moods_median_test": {
+        "GLOBALWIN": "grand-median cumulative count over ONE ROW PER "
+        "DISTINCT CENTS CELL (bounded by the value domain) — the "
+        "exact_median_two_phase banding argument",
+    },
+    "kruskal_wallis_h": {
+        "GLOBALWIN": "midrank cumulative count over ONE ROW PER DISTINCT "
+        "CENTS CELL (bounded by the value domain) — rows collapse to "
+        "cells before the window",
+    },
     "isotonic_calibration_pav": {
         "GLOBALWIN": "row_number/cumsum windows over ONE ROW PER $10 VALUE "
         "BAND (bounded by the value domain) — rows collapse to band cells "

@@ -3135,3 +3135,232 @@ def cochran_armitage_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "         / CAST(nn AS DOUBLE)))"
         ).alias("z_squared"),
     )
+
+
+@register(
+    name="moods_median_test",
+    survey="A7 W3 F28",
+    doc="Mood's median test across the five event types: the grand "
+    "median comes from the banded cumulative-count pass over (cents) "
+    "CELLS (bounded by the value domain — the exact_median_two_phase "
+    "shape, never a global row sort), each type's above/not-above "
+    "median counts form the 2x5 contingency table, and the statistic "
+    "is the plain chi-square over it. The rank-free nonparametric "
+    "location test — robust companion to welch_ttest_value (means) "
+    "and kruskal_wallis_h (ranks). Everything is exact BIGINT until "
+    "the final expected-count ratios, which share one expression tree "
+    "with DuckDB.",
+    oracle="""
+        WITH v AS (
+          SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events
+        ), cells AS (
+          SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY c
+        ), cum AS (
+          SELECT c, SUM(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                     AS cm
+          FROM cells
+        ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+        med AS (
+          SELECT MIN(c) AS mc FROM cum, tot WHERE cm >= (tot.n + 1) // 2
+        ), per_type AS (
+          SELECT event_type, CAST(COUNT(*) AS BIGINT) AS nj,
+                 CAST(SUM(CASE WHEN v.c > med.mc THEN 1 ELSE 0 END)
+                      AS BIGINT) AS aj
+          FROM v, med GROUP BY event_type
+        ), tots AS (
+          SELECT CAST(SUM(nj) AS BIGINT) AS n,
+                 CAST(SUM(aj) AS BIGINT) AS a
+          FROM per_type
+        )
+        SELECT tots.n AS n_total, med.mc AS median_cents,
+               -- per-type terms are micro-quantized to 1e-12 BEFORE the
+               -- 5-addend sum: a raw double sum is accumulation-order-
+               -- dependent and hash-mismatched by one ulp (seen sf0.01)
+               CAST(SUM(CAST(floor((
+                 (CAST(aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(nj AS DOUBLE) * CAST(a AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               + (CAST(nj - aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(nj - aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(nj AS DOUBLE) * CAST(n - a AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS chi2
+        FROM per_type, tots, med
+        GROUP BY tots.n, med.mc
+    """,
+)
+def moods_median_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    cells = v.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    # bounded-domain cells only — plan_lint whitelisted
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = cells.select("c", F.sum("m").over(wcum).alias("cm"))
+    tot = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    med = (
+        cum.crossJoin(F.broadcast(tot))
+        .where(F.expr("cm >= (n + 1) div 2"))
+        .agg(F.min("c").alias("mc"))
+    )
+    per_type = (
+        v.crossJoin(F.broadcast(med))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nj"),
+            F.sum(F.expr("CASE WHEN c > mc THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("aj"),
+        )
+    )
+    tots = per_type.agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("aj").cast("bigint").alias("a"),
+    )
+    return (
+        per_type.crossJoin(F.broadcast(tots))
+        .crossJoin(F.broadcast(med))
+        .groupBy("n", "mc")
+        .agg(
+            F.expr(
+                """CAST(SUM(CAST(floor((
+                 (CAST(aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(a AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(nj AS DOUBLE) * CAST(a AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               + (CAST(nj - aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(nj - aj AS DOUBLE) - CAST(nj AS DOUBLE)
+                    * CAST(n - a AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(nj AS DOUBLE) * CAST(n - a AS DOUBLE)
+                    / CAST(n AS DOUBLE))
+               ) * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12"""
+            ).alias("chi2")
+        )
+        .select(
+            F.col("n").alias("n_total"),
+            F.col("mc").alias("median_cents"),
+            "chi2",
+        )
+    )
+
+
+@register(
+    name="kruskal_wallis_h",
+    survey="A7 W3 F28",
+    doc="Kruskal-Wallis H (tie-corrected) across the five event "
+    "types, computed WITHOUT ranking any row: global (cents) cells "
+    "give each tied block's doubled midrank 2p + m + 1 as an exact "
+    "INTEGER (p = cumulative count before the block), per-type "
+    "doubled rank sums come from the (type, cents) cell join, and "
+    "the tie correction sum(m^3 - m) also folds over cells. The only "
+    "window is the bounded-domain cell cumulative. Doubled ranks "
+    "keep every intermediate exact; the final H divides identically "
+    "in both engines. Completes the nonparametric family: KS "
+    "(distribution), Mood (location, median), KW (location, ranks), "
+    "Mann-Whitney/ROC (two-sample).",
+    oracle="""
+        WITH v AS (
+          SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS c
+          FROM events
+        ), cells AS (
+          SELECT c, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY c
+        ), pos AS (
+          SELECT c, m,
+                 CAST(SUM(m) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING)
+                      - m AS BIGINT) AS p
+          FROM cells
+        ), tv AS (
+          SELECT event_type, c, CAST(COUNT(*) AS BIGINT) AS mt
+          FROM v GROUP BY event_type, c
+        ), rj AS (
+          SELECT tv.event_type,
+                 CAST(SUM(tv.mt) AS BIGINT) AS nj,
+                 CAST(SUM(tv.mt * (2 * pos.p + pos.m + 1)) AS BIGINT)
+                     AS r2j
+          FROM tv JOIN pos ON pos.c = tv.c
+          GROUP BY tv.event_type
+        ), tot AS (SELECT CAST(SUM(nj) AS BIGINT) AS n FROM rj),
+        ties AS (
+          SELECT CAST(SUM(m * m * m - m) AS BIGINT) AS t FROM cells
+        )
+        SELECT tot.n AS n_total,
+               -- per-type terms micro-quantized to 1e-9 before the
+               -- 5-addend sum (raw double sums are accumulation-order-
+               -- dependent across engines; moods_median_test precedent)
+               (CAST(SUM(CAST(floor(
+                   12.0 * CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                   / (4.0 * CAST(nj AS DOUBLE))
+                   / (CAST(tot.n AS DOUBLE) * CAST(tot.n + 1 AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+                - 3.0 * CAST(tot.n + 1 AS DOUBLE))
+               / (1.0 - CAST(ties.t AS DOUBLE)
+                        / (CAST(tot.n AS DOUBLE) * CAST(tot.n AS DOUBLE)
+                           * CAST(tot.n AS DOUBLE)
+                           - CAST(tot.n AS DOUBLE)))
+                   AS h_statistic
+        FROM rj, tot, ties
+        GROUP BY tot.n, ties.t
+    """,
+)
+def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+    )
+    cells = v.groupBy("c").agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    wcum = Window.orderBy("c").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pos = cells.select(
+        "c", "m", (F.sum("m").over(wcum) - F.col("m")).cast("bigint").alias("p")
+    )
+    tv = v.groupBy("event_type", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("mt")
+    )
+    rj = (
+        tv.join(pos, "c")
+        .groupBy("event_type")
+        .agg(
+            F.sum("mt").cast("bigint").alias("nj"),
+            F.sum(F.expr("mt * (2 * p + m + 1)")).cast("bigint").alias("r2j"),
+        )
+    )
+    tot = rj.agg(F.sum("nj").cast("bigint").alias("n"))
+    ties = cells.agg(
+        F.sum(F.expr("m * m * m - m")).cast("bigint").alias("t")
+    )
+    return (
+        rj.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .groupBy("n", "t")
+        .agg(
+            F.expr(
+                """(CAST(SUM(CAST(floor(
+                   12.0 * CAST(r2j AS DOUBLE) * CAST(r2j AS DOUBLE)
+                   / (4.0 * CAST(nj AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                   * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9
+                - 3.0 * CAST(n + 1 AS DOUBLE))
+               / (1.0 - CAST(t AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)))"""
+            ).alias("h_statistic")
+        )
+        .select(F.col("n").alias("n_total"), "h_statistic")
+    )
