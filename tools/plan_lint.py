@@ -59,6 +59,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "(bounded band cells, div 1e5) — per-part rows are pruned by a "
         "band-keyed equi-join, never globally sorted",
     },
+    "variance_ratio_test": {
+        "GLOBALWIN": "overlapping 5-day sums over ONE ROW PER CALENDAR "
+        "DAY (bounded domain) — input is already aggregate-sized",
+    },
     "moods_median_test": {
         "GLOBALWIN": "grand-median cumulative count over ONE ROW PER "
         "DISTINCT CENTS CELL (bounded by the value domain) — the "

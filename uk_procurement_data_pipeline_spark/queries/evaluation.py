@@ -3364,3 +3364,221 @@ def kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("n").alias("n_total"), "h_statistic")
     )
+
+
+@register(
+    name="kendall_tau_b_cells",
+    survey="A7 J6 F28",
+    doc="Kendall's tau-b between value band (5 ordinal levels) and "
+    "hour-of-day (24 levels), computed EXACTLY from the bounded 2D "
+    "contingency cells — never the O(n^2) row-pair join: concordant/"
+    "discordant counts are sums of m_a*m_b over ordered CELL pairs "
+    "(<= 120^2 regardless of row count), and the tie corrections "
+    "fold over the cell margins. This is the tie-aware rank "
+    "correlation the catalog's Spearman (banded) approximates; on a "
+    "fully-discrete pair of variables the cell identity is exact. "
+    "All counts BIGINT; the one sqrt is IEEE-correctly-rounded in "
+    "both engines.",
+    oracle="""
+        WITH v AS (
+          SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT) // 15000, 4)
+                     AS x,
+                 CAST(date_part('hour', ts) AS BIGINT) AS y
+          FROM events
+        ), cells AS (
+          SELECT x, y, CAST(COUNT(*) AS BIGINT) AS m FROM v GROUP BY x, y
+        ), pairs AS (
+          SELECT a.m AS ma, b.m AS mb,
+                 CASE WHEN (a.x < b.x AND a.y < b.y)
+                        OR (a.x > b.x AND a.y > b.y) THEN 1
+                      WHEN (a.x < b.x AND a.y > b.y)
+                        OR (a.x > b.x AND a.y < b.y) THEN -1
+                      ELSE 0 END AS sgn
+          FROM cells a JOIN cells b
+            ON (a.x > b.x) OR (a.x = b.x AND a.y > b.y)
+        ), tot AS (
+          SELECT CAST(SUM(m) AS BIGINT) AS n FROM cells
+        ), tx AS (
+          SELECT CAST(SUM(mm * (mm - 1)) AS BIGINT) AS tie_x2
+          FROM (SELECT SUM(m) AS mm FROM cells GROUP BY x)
+        ), ty AS (
+          SELECT CAST(SUM(mm * (mm - 1)) AS BIGINT) AS tie_y2
+          FROM (SELECT SUM(m) AS mm FROM cells GROUP BY y)
+        )
+        SELECT tot.n AS n_events,
+               CAST(SUM(CASE WHEN sgn = 1 THEN ma * mb ELSE 0 END)
+                    AS BIGINT) AS concordant,
+               CAST(SUM(CASE WHEN sgn = -1 THEN ma * mb ELSE 0 END)
+                    AS BIGINT) AS discordant,
+               CAST(SUM(sgn * ma * mb) AS DOUBLE)
+               / sqrt((CAST(tot.n AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)
+                         / 2.0 - CAST(tx.tie_x2 AS DOUBLE) / 2.0)
+                    * (CAST(tot.n AS DOUBLE) * CAST(tot.n - 1 AS DOUBLE)
+                         / 2.0 - CAST(ty.tie_y2 AS DOUBLE) / 2.0))
+                   AS tau_b
+        FROM pairs, tot, tx, ty
+        GROUP BY tot.n, tx.tie_x2, ty.tie_y2
+    """,
+)
+def kendall_tau_b_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = load(spark, sf_dir, "events").select(
+        F.expr(
+            "LEAST(CAST(ROUND(value * 100) AS BIGINT) div 15000, 4)"
+        ).alias("x"),
+        F.expr("CAST(hour(ts) AS BIGINT)").alias("y"),
+    )
+    cells = v.groupBy("x", "y").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    a = cells.select(
+        F.col("x").alias("xa"), F.col("y").alias("ya"), F.col("m").alias("ma")
+    )
+    b = cells.select(
+        F.col("x").alias("xb"), F.col("y").alias("yb"), F.col("m").alias("mb")
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("xa") > F.col("xb"))
+        | ((F.col("xa") == F.col("xb")) & (F.col("ya") > F.col("yb"))),
+    ).select(
+        "ma",
+        "mb",
+        F.expr(
+            "CASE WHEN (xa < xb AND ya < yb) OR (xa > xb AND ya > yb)"
+            " THEN 1 WHEN (xa < xb AND ya > yb) OR (xa > xb AND ya < yb)"
+            " THEN -1 ELSE 0 END"
+        ).alias("sgn"),
+    )
+    tot = cells.agg(F.sum("m").cast("bigint").alias("n"))
+    tx = (
+        cells.groupBy("x")
+        .agg(F.sum("m").alias("mm"))
+        .agg(F.sum(F.expr("mm * (mm - 1)")).cast("bigint").alias("tie_x2"))
+    )
+    ty = (
+        cells.groupBy("y")
+        .agg(F.sum("m").alias("mm"))
+        .agg(F.sum(F.expr("mm * (mm - 1)")).cast("bigint").alias("tie_y2"))
+    )
+    return (
+        pairs.agg(
+            F.sum(F.expr("CASE WHEN sgn = 1 THEN ma * mb ELSE 0 END"))
+            .cast("bigint")
+            .alias("concordant"),
+            F.sum(F.expr("CASE WHEN sgn = -1 THEN ma * mb ELSE 0 END"))
+            .cast("bigint")
+            .alias("discordant"),
+            F.sum(F.expr("sgn * ma * mb")).cast("bigint").alias("net"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+        .select(
+            F.col("n").alias("n_events"),
+            "concordant",
+            "discordant",
+            F.expr(
+                "CAST(net AS DOUBLE)"
+                " / sqrt((CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+                "         - CAST(tie_x2 AS DOUBLE) / 2.0)"
+                "      * (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE) / 2.0"
+                "         - CAST(tie_y2 AS DOUBLE) / 2.0))"
+            ).alias("tau_b"),
+        )
+    )
+
+
+@register(
+    name="variance_ratio_test",
+    survey="A7 W3 F15 F28",
+    doc="Lo-MacKinlay variance-ratio test (q=5) on the daily revenue "
+    "series: VR(5) = Var(5-day overlapping sums) / (5 * Var(daily)) — "
+    "~1 under a random walk, <1 under mean reversion. Daily totals "
+    "are floored to WHOLE DOLLARS before any square so every moment "
+    "(sum, sum-of-squares of days AND of overlapping 5-day windows) "
+    "stays an exact BIGINT through ~25x this SF (cents-squared would "
+    "overflow int64 at 5x); the overlapping sums come from one "
+    "bounded-domain window over the ~30 day rows. The ratio divides "
+    "exact integers identically in both engines.",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) // 100
+                      AS BIGINT) AS dollars
+          FROM events GROUP BY 1
+        ), base AS (
+          SELECT day, dollars,
+                 CAST(SUM(dollars) OVER (ORDER BY day
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS q5,
+                 CAST(COUNT(*) OVER (ORDER BY day
+                      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS qn
+          FROM d
+        ), m1 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(dollars) AS BIGINT) AS s,
+                 CAST(SUM(dollars * dollars) AS BIGINT) AS ss
+          FROM d
+        ), m5 AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n5,
+                 CAST(SUM(q5) AS BIGINT) AS s5,
+                 CAST(SUM(q5 * q5) AS BIGINT) AS ss5
+          FROM base WHERE qn = 5
+        )
+        SELECT m1.n AS n_days, m5.n5 AS n_windows,
+               (CAST(ss5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+                - (CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE))
+                  * (CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE)))
+               / (5.0 * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))
+                   AS variance_ratio_q5
+        FROM m1, m5
+    """,
+)
+def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr("CAST(day(ts) AS BIGINT)").alias("day"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.expr("CAST(SUM(c) div 100 AS BIGINT)").alias("dollars"))
+    )
+    # day-domain window (~30 rows) — bounded, plan_lint whitelisted
+    w = Window.orderBy("day").rowsBetween(-4, Window.currentRow)
+    base = d.select(
+        "day",
+        "dollars",
+        F.sum("dollars").over(w).cast("bigint").alias("q5"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("qn"),
+    )
+    m1 = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("dollars").cast("bigint").alias("s"),
+        F.sum(F.expr("dollars * dollars")).cast("bigint").alias("ss"),
+    )
+    m5 = base.where("qn = 5").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n5"),
+        F.sum("q5").cast("bigint").alias("s5"),
+        F.sum(F.expr("q5 * q5")).cast("bigint").alias("ss5"),
+    )
+    return (
+        m1.crossJoin(F.broadcast(m5))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("n5").alias("n_windows"),
+            F.expr(
+                """(CAST(ss5 AS DOUBLE) / CAST(n5 AS DOUBLE)
+                - (CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE))
+                  * (CAST(s5 AS DOUBLE) / CAST(n5 AS DOUBLE)))
+               / (5.0 * (CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))))"""
+            ).alias("variance_ratio_q5"),
+        )
+    )
