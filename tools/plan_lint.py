@@ -59,6 +59,10 @@ WHITELIST: dict[str, dict[str, str]] = {
         "(bounded band cells, div 1e5) — per-part rows are pruned by a "
         "band-keyed equi-join, never globally sorted",
     },
+    "runs_test_daily_moves": {
+        "GLOBALWIN": "lag chains over ONE ROW PER CALENDAR DAY (bounded "
+        "domain) — input is already aggregate-sized",
+    },
     "variance_ratio_test": {
         "GLOBALWIN": "overlapping 5-day sums over ONE ROW PER CALENDAR "
         "DAY (bounded domain) — input is already aggregate-sized",

@@ -63,6 +63,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "runs_test_daily_moves",
+    "median_qte_cohorts",
     "kendall_tau_b_cells",
     "variance_ratio_test",
     "moods_median_test",
@@ -111,8 +113,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "fellegi_sunter_linkage",
     "feature_hashing_vectorize",
     "lm_dirichlet_topk",
-    "l_diversity_report",
-    "dp_noised_counts",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
 # displaced names are already green in the local 3-SF sweep and move
@@ -141,11 +141,11 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # huber_mean_per_type, cramers_v_matrix,
 # negative_sampling_table, audience_overlap_matrix,
 # skyline_parts_pareto, bh_fdr_screen, welch_ttest_value,
-# roc_auc_mannwhitney.
+# roc_auc_mannwhitney, l_diversity_report, dp_noised_counts.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # union of driver coverage files (CORRECTNESS_r01..r03; the driver
-# wrote no r04 file): 190 registered queries have never had a
+# wrote no r04 file): 192 registered queries have never had a
 # driver CORRECTNESS row and did not fit the 50-slot r05 window. All
 # are green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
@@ -240,7 +240,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    huber_mean_per_type, cramers_v_matrix,
 #    negative_sampling_table, audience_overlap_matrix,
 #    skyline_parts_pareto, bh_fdr_screen, welch_ttest_value,
-#    roc_auc_mannwhitney
+#    roc_auc_mannwhitney, l_diversity_report, dp_noised_counts
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.

@@ -3582,3 +3582,199 @@ def variance_ratio_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("variance_ratio_q5"),
         )
     )
+
+
+@register(
+    name="runs_test_daily_moves",
+    survey="A7 W2 F15 F28",
+    doc="Wald-Wolfowitz runs test for randomness of the daily revenue "
+    "direction: each day is classified up/down vs the previous day "
+    "(lag over the bounded ~30-row day series; zero-change days drop, "
+    "the classical treatment), the number of runs is 1 + count of "
+    "sign changes, and the z-score compares it to the exact "
+    "E[R] = 2 n1 n2 / n + 1 and Var[R] = 2 n1 n2 (2 n1 n2 - n) / "
+    "(n^2 (n-1)). Counts are exact BIGINTs; the z ratio and its sqrt "
+    "are single IEEE ops shared with DuckDB. Complements the "
+    "autocorrelation and variance-ratio diagnostics with the "
+    "distribution-free randomness check.",
+    oracle="""
+        WITH d AS (
+          SELECT CAST(date_part('day', ts) AS BIGINT) AS day,
+                 CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+                     AS cents
+          FROM events GROUP BY 1
+        ), mv AS (
+          SELECT day,
+                 CASE WHEN cents > LAG(cents) OVER (ORDER BY day) THEN 1
+                      WHEN cents < LAG(cents) OVER (ORDER BY day) THEN 0
+                      END AS up
+          FROM d
+        ), seq AS (
+          SELECT up,
+                 LAG(up) OVER (ORDER BY day) AS prev_up
+          FROM mv WHERE up IS NOT NULL
+        ), stats AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(up) AS BIGINT) AS n1,
+                 CAST(COUNT(*) - SUM(up) AS BIGINT) AS n2,
+                 CAST(1 + SUM(CASE WHEN prev_up IS NOT NULL
+                                    AND up <> prev_up
+                               THEN 1 ELSE 0 END) AS BIGINT) AS runs
+          FROM seq
+        )
+        SELECT n AS n_moves, n1 AS n_up, n2 AS n_down, runs,
+               (CAST(runs AS DOUBLE)
+                - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / CAST(n AS DOUBLE) + 1.0))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         - CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n - 1 AS DOUBLE))) AS z_score
+        FROM stats
+    """,
+)
+def runs_test_daily_moves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.expr("CAST(day(ts) AS BIGINT)").alias("day"),
+            F.expr("CAST(ROUND(value * 100) AS BIGINT)").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").cast("bigint").alias("cents"))
+    )
+    # bounded ~30-row day series — plan_lint whitelisted
+    w = Window.orderBy("day")
+    mv = d.select(
+        "day",
+        F.expr(
+            "CASE WHEN cents > LAG(cents) OVER (ORDER BY day) THEN 1"
+            " WHEN cents < LAG(cents) OVER (ORDER BY day) THEN 0 END"
+        ).alias("up"),
+    )
+    seq = mv.where("up IS NOT NULL").select(
+        "up", F.lag("up").over(w).alias("prev_up")
+    )
+    stats = seq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("up").cast("bigint").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("up")).cast("bigint").alias("n2"),
+        (
+            F.lit(1)
+            + F.sum(
+                F.expr(
+                    "CASE WHEN prev_up IS NOT NULL AND up <> prev_up"
+                    " THEN 1 ELSE 0 END"
+                )
+            )
+        )
+        .cast("bigint")
+        .alias("runs"),
+    )
+    return stats.select(
+        F.col("n").alias("n_moves"),
+        F.col("n1").alias("n_up"),
+        F.col("n2").alias("n_down"),
+        "runs",
+        F.expr(
+            """(CAST(runs AS DOUBLE)
+                - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                   / CAST(n AS DOUBLE) + 1.0))
+               / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                         - CAST(n AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                         * CAST(n - 1 AS DOUBLE)))"""
+        ).alias("z_score"),
+    )
+
+
+@register(
+    name="median_qte_cohorts",
+    survey="A7 W3 F28",
+    doc="Quantile treatment effect at the median between the two md5 "
+    "order cohorts: each cohort's EXACT median order cents comes from "
+    "the banded cumulative-count pass over per-cohort (cents) cells "
+    "(the moods_median_test machinery, keyed by cohort so the one "
+    "window is partitioned), QTE = med_1 - med_0. Medians answer the "
+    "distributional question the mean-based ATE/ATT/DR estimators "
+    "miss (heavy-tail robustness); together they complete the "
+    "location-effect family. Everything is BIGINT end to end — the "
+    "output is integer cents.",
+    oracle="""
+        WITH o AS (
+          SELECT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)),
+                      1, 8) AS BIGINT) % 2 AS grp,
+                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+          FROM orders
+        ), cells AS (
+          SELECT grp, c, CAST(COUNT(*) AS BIGINT) AS m
+          FROM o GROUP BY grp, c
+        ), cum AS (
+          SELECT grp, c,
+                 SUM(m) OVER (PARTITION BY grp ORDER BY c
+                              ROWS UNBOUNDED PRECEDING) AS cm,
+                 SUM(m) OVER (PARTITION BY grp) AS n
+          FROM cells
+        ), med AS (
+          SELECT grp, CAST(MIN(c) AS BIGINT) AS med_cents,
+                 CAST(MAX(n) AS BIGINT) AS n
+          FROM cum WHERE cm >= (n + 1) // 2 GROUP BY grp
+        )
+        SELECT a.n AS n_grp0, b.n AS n_grp1,
+               a.med_cents AS median0_cents,
+               b.med_cents AS median1_cents,
+               b.med_cents - a.med_cents AS qte_cents
+        FROM (SELECT * FROM med WHERE grp = 0) a,
+             (SELECT * FROM med WHERE grp = 1) b
+    """,
+)
+def median_qte_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders").select(
+        F.expr(
+            "CAST(conv(substr(md5(CAST(o_orderkey AS STRING)), 1, 8),"
+            " 16, 10) AS BIGINT) % 2"
+        ).alias("grp"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("c"),
+    )
+    cells = o.groupBy("grp", "c").agg(
+        F.count(F.lit(1)).cast("bigint").alias("m")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("grp")
+    cum = cells.select(
+        "grp",
+        "c",
+        F.sum("m").over(wcum).alias("cm"),
+        F.sum("m").over(wn).alias("n"),
+    )
+    med = (
+        cum.where(F.expr("cm >= (n + 1) div 2"))
+        .groupBy("grp")
+        .agg(
+            F.min("c").cast("bigint").alias("med_cents"),
+            F.max("n").cast("bigint").alias("n"),
+        )
+    )
+    a = med.where("grp = 0").select(
+        F.col("n").alias("n_grp0"), F.col("med_cents").alias("median0_cents")
+    )
+    b = med.where("grp = 1").select(
+        F.col("n").alias("n_grp1"), F.col("med_cents").alias("median1_cents")
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_grp0",
+        "n_grp1",
+        "median0_cents",
+        "median1_cents",
+        (F.col("median1_cents") - F.col("median0_cents")).alias("qte_cents"),
+    )
