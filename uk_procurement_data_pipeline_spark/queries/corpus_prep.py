@@ -1367,3 +1367,97 @@ def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_hits").desc(), "word")
         .limit(20)
     )
+
+
+@register(
+    name="contamination_13gram_rate",
+    survey="J7 J9 D3 A7",
+    doc="Fuzzy benchmark contamination — the 13-GRAM collision pass "
+    "that follows decontaminate_against_eval's exact-hash pass (the "
+    "GPT-3/PaLM decontamination protocol: a training doc is "
+    "contaminated if it shares ANY 13-token n-gram with the eval "
+    "set): eval = every 97th doc id, both sides explode to md5-hashed "
+    "13-gram keys, contaminated training docs fall out of one "
+    "SEMI-join on the hash (the eval gram set is corpus-fraction-"
+    "sized and broadcasts; work is linear in total grams, never "
+    "doc-pairs). Reported per source as counts + rate — the "
+    "decision-ready contamination dashboard row. Cross-engine the "
+    "gram hash is the shared md5 family.",
+    oracle="""
+        WITH toks AS (
+          SELECT doc_id, source, doc_id % 97 = 0 AS is_eval,
+                 string_split(text, ' ') AS t
+          FROM documents
+        ), grams AS (
+          SELECT doc_id, source, is_eval,
+                 md5(array_to_string(t[i : i + 12], ' ')) AS g
+          FROM toks, LATERAL (
+            SELECT unnest(range(1, len(t) - 11)) AS i) s
+        ), eval_grams AS (
+          SELECT DISTINCT g FROM grams WHERE is_eval
+        ), train_docs AS (
+          SELECT DISTINCT doc_id, source FROM toks WHERE NOT is_eval
+        ), contaminated AS (
+          SELECT DISTINCT gr.doc_id
+          FROM grams gr
+          WHERE NOT gr.is_eval
+            AND gr.g IN (SELECT g FROM eval_grams)
+        )
+        SELECT td.source,
+               CAST(COUNT(*) AS BIGINT) AS n_train_docs,
+               CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_contaminated,
+               CAST(SUM(CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                   AS contamination_rate
+        FROM train_docs td LEFT JOIN contaminated c
+          ON c.doc_id = td.doc_id
+        GROUP BY td.source
+        ORDER BY td.source
+    """,
+)
+def contamination_13gram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        (F.col("doc_id") % 97 == 0).alias("is_eval"),
+        F.split("text", " ").alias("t"),
+    )
+    grams = toks.select(
+        "doc_id",
+        "source",
+        "is_eval",
+        F.explode(
+            # sequence(1, 0) DESCENDS in Spark (repetition_signals
+            # precedent) — short docs must emit an empty gram array
+            F.expr(
+                "IF(size(t) < 13, array(),"
+                " transform(sequence(1, size(t) - 12),"
+                " i -> md5(array_join(slice(t, i, 13), ' '))))"
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.where("is_eval").select("g").distinct()
+    train_docs = toks.where("NOT is_eval").select("doc_id", "source").distinct()
+    contaminated = (
+        grams.where("NOT is_eval")
+        .join(F.broadcast(eval_grams), "g", "semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    return (
+        train_docs.join(contaminated, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_train_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            (
+                F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("contamination_rate"),
+        )
+        .orderBy("source")
+    )
