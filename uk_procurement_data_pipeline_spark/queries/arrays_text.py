@@ -424,3 +424,82 @@ def token_length_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(wall).cast("double")
         ).alias("cum_share"),
     )
+
+
+@register(
+    name="lang_id_confusion_matrix",
+    survey="UD4 A7 F28",
+    doc="Evaluation artifact for the lexicon language-ID: the full "
+    "actual x predicted confusion matrix (25 cells max, bounded by "
+    "the language domain) with per-cell counts plus the per-ACTUAL-"
+    "class recall — the row-normalized view a curation team reads "
+    "before trusting a classifier as a corpus filter. Reuses "
+    "lang_id_heuristic's exact argmax (same lexicon, same "
+    "deterministic tie order), so the two queries stay consistent by "
+    "construction. One partial+final aggregate over the row "
+    "population; recall is a ratio of exact BIGINTs.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   {", ".join(
+                       f"len(list_intersect(list_distinct({_DTOKENS}), {_arr_sql(w)})) AS hits_{l}"
+                       for l, w in _LEXICON.items())}
+            FROM documents
+        ), pred AS (
+            SELECT lang,
+                   CASE GREATEST(hits_en, hits_fr, hits_de, hits_es,
+                                 hits_zh)
+                        WHEN hits_en THEN 'en' WHEN hits_fr THEN 'fr'
+                        WHEN hits_de THEN 'de' WHEN hits_es THEN 'es'
+                        ELSE 'zh' END AS predicted_lang
+            FROM scored
+        ), cells AS (
+            SELECT lang, predicted_lang,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs
+            FROM pred GROUP BY lang, predicted_lang
+        ), totals AS (
+            SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_actual
+            FROM cells GROUP BY lang
+        )
+        SELECT c.lang, c.predicted_lang, c.n_docs, t.n_actual,
+               CAST(c.n_docs AS DOUBLE) / CAST(t.n_actual AS DOUBLE)
+                   AS row_share
+        FROM cells c JOIN totals t ON t.lang = c.lang
+        ORDER BY c.lang, c.predicted_lang
+    """,
+)
+def lang_id_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hit_exprs = [
+        f"size(array_intersect(array_distinct({_TOKENS}), {_arr_spark(w)})) AS hits_{l}"
+        for l, w in _LEXICON.items()
+    ]
+    pred = (
+        load(spark, sf_dir, "documents")
+        .selectExpr("lang", *hit_exprs)
+        .selectExpr(
+            "lang",
+            """CASE greatest(hits_en, hits_fr, hits_de, hits_es, hits_zh)
+                    WHEN hits_en THEN 'en' WHEN hits_fr THEN 'fr'
+                    WHEN hits_de THEN 'de' WHEN hits_es THEN 'es'
+                    ELSE 'zh' END AS predicted_lang""",
+        )
+    )
+    cells = pred.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    totals = cells.groupBy("lang").agg(
+        F.sum("n_docs").cast("bigint").alias("n_actual")
+    )
+    return (
+        cells.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "predicted_lang",
+            "n_docs",
+            "n_actual",
+            F.expr(
+                "CAST(n_docs AS DOUBLE) / CAST(n_actual AS DOUBLE)"
+            ).alias("row_share"),
+        )
+        .orderBy("lang", "predicted_lang")
+    )
