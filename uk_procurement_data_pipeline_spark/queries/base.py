@@ -63,6 +63,7 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     # (registered in r04 after that round's window was already full).
     # New r05 queries are prepended here as they land, displacing the
     # tail to the r06 candidate list below.
+    "simpsons_paradox_check",
     "lang_id_confusion_matrix",
     "contamination_13gram_rate",
     "runs_test_daily_moves",
@@ -111,7 +112,6 @@ _DRIVER_WINDOW: tuple[str, ...] = (
     "exact_median_two_phase",
     "bpe_merge_unrolled",
     "mahalanobis_outliers_2d",
-    "hilbert_cell_stats",
     "lm_dirichlet_topk",
 )
 # Displaced from the r05 window by the eleven evaluation.py additions (all
@@ -142,11 +142,12 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 # negative_sampling_table, audience_overlap_matrix,
 # skyline_parts_pareto, bh_fdr_screen, welch_ttest_value,
 # roc_auc_mannwhitney, l_diversity_report, dp_noised_counts,
-# fellegi_sunter_linkage, feature_hashing_vectorize.
+# fellegi_sunter_linkage, feature_hashing_vectorize,
+# hilbert_cell_stats.
 
 # r06 window candidates — regenerated at the end of round 5 from the
 # union of driver coverage files (CORRECTNESS_r01..r03; the driver
-# wrote no r04 file): 194 registered queries have never had a
+# wrote no r04 file): 195 registered queries have never had a
 # driver CORRECTNESS row and did not fit the 50-slot r05 window. All
 # are green in this round's local 3-SF oracle sweeps. Rotate them in
 # 50-per-round, newest-first, until exhausted, then back-rotate
@@ -242,7 +243,8 @@ _DRIVER_WINDOW: tuple[str, ...] = (
 #    negative_sampling_table, audience_overlap_matrix,
 #    skyline_parts_pareto, bh_fdr_screen, welch_ttest_value,
 #    roc_auc_mannwhitney, l_diversity_report, dp_noised_counts,
-#    fellegi_sunter_linkage, feature_hashing_vectorize
+#    fellegi_sunter_linkage, feature_hashing_vectorize,
+#    hilbert_cell_stats
 
 def registry() -> dict[str, QuerySpec]:
     # Import theme modules lazily so registration happens exactly once.

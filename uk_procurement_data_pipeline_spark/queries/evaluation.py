@@ -3778,3 +3778,122 @@ def median_qte_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median1_cents",
         (F.col("median1_cents") - F.col("median0_cents")).alias("qte_cents"),
     )
+
+
+@register(
+    name="simpsons_paradox_check",
+    survey="A7 F28 A9",
+    doc="Simpson's-paradox audit for the cohort conversion readout: "
+    "the purchase-rate difference between the two md5 user cohorts is "
+    "computed OVERALL and WITHIN each of the five value bands; a "
+    "stratum whose difference flips sign against the overall one is "
+    "the paradox signature (aggregation hiding a confounder — the "
+    "value band doubles as the confounding covariate here). Output is "
+    "one row per band plus the 'overall' row via a grouping-sets-"
+    "style union, each carrying exact BIGINT cells, IEEE-identical "
+    "rate differences, and the sign-agreement flag. The audit every "
+    "experiment dashboard should run before shipping a cohort "
+    "readout.",
+    oracle="""
+        WITH v AS (
+          SELECT LEAST(CAST(ROUND(value * 100) AS BIGINT) // 15000, 4)
+                     AS band,
+                 CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                      AS BIGINT) % 2 AS grp,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+                     AS pos
+          FROM events
+          WHERE event_type IN ('purchase', 'click')
+        ), cells AS (
+          SELECT band, grp, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(pos) AS BIGINT) AS p
+          FROM v GROUP BY band, grp
+        ), strata AS (
+          SELECT CAST(band AS VARCHAR) AS stratum,
+                 CAST(SUM(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n0,
+                 CAST(SUM(CASE WHEN grp = 0 THEN p END) AS BIGINT) AS p0,
+                 CAST(SUM(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n1,
+                 CAST(SUM(CASE WHEN grp = 1 THEN p END) AS BIGINT) AS p1
+          FROM cells GROUP BY band
+          UNION ALL
+          SELECT 'overall' AS stratum,
+                 CAST(SUM(CASE WHEN grp = 0 THEN n END) AS BIGINT),
+                 CAST(SUM(CASE WHEN grp = 0 THEN p END) AS BIGINT),
+                 CAST(SUM(CASE WHEN grp = 1 THEN n END) AS BIGINT),
+                 CAST(SUM(CASE WHEN grp = 1 THEN p END) AS BIGINT)
+          FROM cells
+        ), rates AS (
+          SELECT stratum, n0, p0, n1, p1,
+                 CAST(p1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                   - CAST(p0 AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate_diff
+          FROM strata
+        )
+        SELECT r.stratum, r.n0, r.p0, r.n1, r.p1, r.rate_diff,
+               CASE WHEN r.rate_diff
+                         * (SELECT rate_diff FROM rates
+                            WHERE stratum = 'overall') >= 0
+                    THEN 1 ELSE 0 END AS agrees_with_overall
+        FROM rates r
+        ORDER BY r.stratum
+    """,
+)
+def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("purchase", "click"))
+        .select(
+            F.expr(
+                "LEAST(CAST(ROUND(value * 100) AS BIGINT) div 15000, 4)"
+            ).alias("band"),
+            F.expr(
+                "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8),"
+                " 16, 10) AS BIGINT) % 2"
+            ).alias("grp"),
+            F.expr(
+                "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"
+            ).alias("pos"),
+        )
+    )
+    cells = v.groupBy("band", "grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    per_band = cells.groupBy("band").agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN n END")).cast("bigint").alias("n0"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN p END")).cast("bigint").alias("p0"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN n END")).cast("bigint").alias("n1"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN p END")).cast("bigint").alias("p1"),
+    ).select(F.col("band").cast("string").alias("stratum"), "n0", "p0", "n1", "p1")
+    overall = cells.agg(
+        F.sum(F.expr("CASE WHEN grp = 0 THEN n END")).cast("bigint").alias("n0"),
+        F.sum(F.expr("CASE WHEN grp = 0 THEN p END")).cast("bigint").alias("p0"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN n END")).cast("bigint").alias("n1"),
+        F.sum(F.expr("CASE WHEN grp = 1 THEN p END")).cast("bigint").alias("p1"),
+    ).select(F.lit("overall").alias("stratum"), "n0", "p0", "n1", "p1")
+    rates = per_band.unionByName(overall).withColumn(
+        "rate_diff",
+        F.expr(
+            "CAST(p1 AS DOUBLE) / CAST(n1 AS DOUBLE)"
+            " - CAST(p0 AS DOUBLE) / CAST(n0 AS DOUBLE)"
+        ),
+    )
+    odiff = rates.where("stratum = 'overall'").select(
+        F.col("rate_diff").alias("overall_diff")
+    )
+    return (
+        rates.crossJoin(F.broadcast(odiff))
+        .select(
+            "stratum",
+            "n0",
+            "p0",
+            "n1",
+            "p1",
+            "rate_diff",
+            F.expr(
+                "CASE WHEN rate_diff * overall_diff >= 0 THEN 1 ELSE 0 END"
+            )
+            .cast("int")
+            .alias("agrees_with_overall"),
+        )
+        .orderBy("stratum")
+    )
