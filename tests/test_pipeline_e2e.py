@@ -130,6 +130,22 @@ def test_driver_window_is_exact_registry_prefix():
     assert len(set(_DRIVER_WINDOW)) == 50  # no duplicates
 
 
+def test_driver_window_matches_generator():
+    """The committed window must be exactly what
+    `tools/regen_coverage.py --window` would emit from the current
+    CORRECTNESS_r*.json union — catches hand-edits between the markers
+    and stale windows after a new driver round lands."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from regen_coverage import compute_window
+
+    from uk_procurement_data_pipeline_spark.queries.base import _DRIVER_WINDOW
+
+    assert list(_DRIVER_WINDOW) == compute_window()
+
+
 def test_every_query_has_oracle_or_documented_reason():
     """Every registered query should carry a DuckDB oracle; a rows-only
     entry is a weaker driver check and must be a deliberate choice."""

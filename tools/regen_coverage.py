@@ -1,12 +1,27 @@
 """Regenerate COVERAGE.md's oracle-checked table from the registry's
 survey tags (the test-verified table below it is maintained by hand).
 
-Usage: python tools/regen_coverage.py
+Usage:
+    python tools/regen_coverage.py            # rewrite COVERAGE.md table
+    python tools/regen_coverage.py --window   # rewrite _DRIVER_WINDOW in
+                                              # queries/base.py from the
+                                              # union of CORRECTNESS_r*.json
+
+``--window`` implements the rotation policy mechanically (it used to be
+~190 lines of hand-maintained comments): the driver certifies only the
+first 50 registry entries per round, so the window is filled with the 50
+highest-priority queries that have NEVER had a driver CORRECTNESS row, in
+registry order. When fewer than 50 remain unchecked, the tail back-fills
+with longest-out-first (smallest last-checked round) so stale greens get
+re-certified. Idempotent: names already in the current window keep their
+position among the never-checked (they stay unchecked until the next
+driver round runs).
 """
 
 from __future__ import annotations
 
 import collections
+import json
 import re
 import sys
 from pathlib import Path
@@ -15,6 +30,49 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 from uk_procurement_data_pipeline_spark.queries import registry  # noqa: E402
+
+_BEGIN = "# --- BEGIN GENERATED WINDOW (python tools/regen_coverage.py --window) ---"
+_END = "# --- END GENERATED WINDOW ---"
+
+
+def compute_window(size: int = 50) -> list[str]:
+    last_checked: dict[str, int] = {}
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", f.name).group(1))
+        for name in json.loads(f.read_text()):
+            last_checked[name] = max(last_checked.get(name, 0), rnd)
+    reg = list(registry())
+    never = [n for n in reg if n not in last_checked]
+    window = never[:size]
+    if len(window) < size:
+        order = {n: i for i, n in enumerate(reg)}
+        stale = sorted(
+            (n for n in reg if n in last_checked),
+            key=lambda n: (last_checked[n], order[n]),
+        )
+        window += stale[: size - len(window)]
+    return window
+
+
+def regen_window() -> int:
+    window = compute_window()
+    path = REPO / "uk_procurement_data_pipeline_spark" / "queries" / "base.py"
+    text = path.read_text()
+    start, end = text.index(_BEGIN), text.index(_END)
+    body = "\n".join(f'    "{n}",' for n in window)
+    text = text[:start] + f"{_BEGIN}\n{body}\n    {_END}" + text[end + len(_END):]
+    path.write_text(text)
+    never_left = sum(1 for n in registry() if n not in _all_checked())
+    print(f"window: {len(window)} names written; never-driver-checked remaining "
+          f"in registry (incl. this window until the driver runs): {never_left}")
+    return 0
+
+
+def _all_checked() -> set[str]:
+    out: set[str] = set()
+    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        out |= set(json.loads(f.read_text()))
+    return out
 
 
 def main() -> int:
@@ -41,4 +99,6 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--window" in sys.argv:
+        raise SystemExit(regen_window())
     raise SystemExit(main())
