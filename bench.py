@@ -12,6 +12,14 @@ computed and serialized, nothing is collected to the driver), which is the
 standard Spark benchmarking pattern — `.count()` would let Catalyst prune
 the plan to a count-star. Progress goes to stderr; stdout carries only the
 JSON line so the driver can parse it.
+
+The driver records only a ~2,000-character tail of stdout, so with 348
+registered queries a full per-query map on stdout is truncated into an
+unparseable fragment (BENCH_r05.json "parsed": null). The stdout line is
+therefore kept compact — totals plus the slowest queries and the worst
+ratios vs BASELINE.md — and the FULL per-query map is written to
+``BENCH_LOCAL_r{N}.json`` in the repo root (committed per round) so every
+timing survives round-over-round comparison.
 """
 
 from __future__ import annotations
@@ -32,6 +40,36 @@ from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
 def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)$", sf_dir.rstrip("/"))
     return float(m.group(1)) if m else -1.0
+
+
+def _baseline_rows(sf: float) -> dict[str, float]:
+    """Parse BASELINE.md's `| name | sf | secs | config | date |` rows."""
+    out: dict[str, float] = {}
+    path = Path(__file__).resolve().parent / "BASELINE.md"
+    if not path.exists():
+        return out
+    for line in path.read_text().splitlines():
+        m = re.match(r"\|\s*(\w+)\s*\|\s*([0-9.]+)\s*\|\s*([0-9.]+)\s*\|", line)
+        if m and float(m.group(2)) == sf:
+            out[m.group(1)] = float(m.group(3))
+    return out
+
+
+def _next_round() -> int:
+    """Current round = 1 + the highest round the DRIVER's artifacts record
+    (BENCH_r/CORRECTNESS_r only — our own BENCH_LOCAL_r files must not
+    advance the counter, or a second bench run in one round would skip
+    ahead). Override with $SPARK_GRAFT_ROUND."""
+    if os.environ.get("SPARK_GRAFT_ROUND"):
+        return int(os.environ["SPARK_GRAFT_ROUND"])
+    best = 0
+    here = Path(__file__).resolve().parent
+    for pat in ("BENCH_r*.json", "CORRECTNESS_r*.json"):
+        for f in here.glob(pat):
+            m = re.search(r"_r(\d+)\.json$", f.name)
+            if m:
+                best = max(best, int(m.group(1)))
+    return best + 1
 
 
 def run_query(spark, spec, sf_dir: str, min_runs: int = 2, max_runs: int = 4) -> float:
@@ -108,18 +146,50 @@ def main() -> int:
             errors[name] = f"{type(e).__name__}: {str(e)[:200]}"
             print(f"  {name:40s} ERROR {errors[name]}", file=sys.stderr)
 
-    result = {
+    sf = _sf_of(sf_dir)
+    rnd = _next_round()
+    full = {
         "metric": "total_query_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
-        "sf": _sf_of(sf_dir),
+        "sf": sf,
         "n_queries": len(timings),
         "cpus": int(cpus),
+        "round": rnd,
     }
     if errors:
-        result["errors"] = errors
-    print(json.dumps(result))
+        full["errors"] = errors
+    local_path = Path(__file__).resolve().parent / f"BENCH_LOCAL_r{rnd:02d}.json"
+    local_path.write_text(json.dumps(full, indent=1, sort_keys=True) + "\n")
+
+    base = _baseline_rows(sf)
+    ratios = {
+        n: round(t / base[n], 2) for n, t in timings.items() if base.get(n)
+    }
+    worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:5])
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    compact = {
+        "metric": "total_query_wall",
+        "value": full["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "cpus": int(cpus),
+        "queries_note": f"12 slowest of {len(timings)}; full map in {local_path.name}",
+        "worst_vs_baseline": worst,
+        "n_over_2x_baseline": sum(1 for r in ratios.values() if r > 2.0),
+        "sum_vs_baseline": round(
+            sum(t for n, t in timings.items() if n in base)
+            / max(sum(base[n] for n in timings if n in base), 1e-9),
+            3,
+        ),
+    }
+    if errors:
+        compact["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact))
     return 1 if errors else 0
 
 

@@ -268,3 +268,83 @@ def test_dynamic_partition_overwrite(spark, tmp_path):
         (r["p"], r["v"]) for r in spark.read.parquet(out).collect()
     }
     assert got == {("a", 99), ("b", 10)}
+
+
+# --- ACID snapshot table (Delta-equivalent semantics over plain parquet) ---
+
+
+def _acid_rows(spark, table, version=None):
+    from uk_procurement_data_pipeline_spark.sources.sinks import acid_read
+
+    return {
+        (r["k"], r["val"]) for r in acid_read(spark, table, version).collect()
+    }
+
+
+def test_acid_upsert_time_travel_and_idempotency(spark, tmp_path):
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        acid_create,
+        acid_latest_version,
+        acid_merge_upsert,
+    )
+
+    table = str(tmp_path / "acid_table")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, val string"
+    )
+    assert acid_create(base, table, key_cols=["k"], n_buckets=8) == 1
+
+    # MERGE: update 3 existing keys, insert 2 new ones
+    upd = spark.createDataFrame(
+        [(1, "UPD"), (2, "UPD"), (3, "UPD"), (100, "NEW"), (101, "NEW")],
+        "k int, val string",
+    )
+    v2 = acid_merge_upsert(spark, table, upd, app_id="job-a", txn_version=1)
+    assert v2 == 2
+
+    now = _acid_rows(spark, table)
+    assert len(now) == 102
+    assert (1, "UPD") in now and (100, "NEW") in now and (1, "v1") not in now
+    assert (50, "v50") in now  # untouched keys survive
+
+    # time travel: v1 is still bit-identical after the merge
+    v1_rows = _acid_rows(spark, table, version=1)
+    assert len(v1_rows) == 100 and (1, "v1") in v1_rows and (100, "NEW") not in v1_rows
+
+    # idempotency: replaying the same (app_id, txn_version) is a no-op
+    assert acid_merge_upsert(spark, table, upd, app_id="job-a", txn_version=1) == 2
+    assert acid_latest_version(table) == 2
+    assert _acid_rows(spark, table) == now
+
+    # a NEW txn_version from the same app does apply
+    upd2 = spark.createDataFrame([(1, "UPD2")], "k int, val string")
+    assert acid_merge_upsert(spark, table, upd2, app_id="job-a", txn_version=2) == 3
+    assert (1, "UPD2") in _acid_rows(spark, table)
+
+
+def test_acid_merge_rewrites_only_touched_buckets(spark, tmp_path):
+    """File-granularity copy-on-write: buckets without updated keys must
+    carry over into the new manifest BY REFERENCE (same data dir), not be
+    rewritten — that's the O(touched) merge cost story at 100 TB."""
+    import json
+    from pathlib import Path
+
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        acid_create,
+        acid_merge_upsert,
+    )
+
+    table = str(tmp_path / "acid_buckets")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(200)], "k int, val string"
+    )
+    acid_create(base, table, key_cols=["k"], n_buckets=8)
+    upd = spark.createDataFrame([(7, "UPD")], "k int, val string")
+    acid_merge_upsert(spark, table, upd)
+
+    m1 = json.loads((Path(table) / "_snapshots" / "v00001.json").read_text())
+    m2 = json.loads((Path(table) / "_snapshots" / "v00002.json").read_text())
+    changed = [b for b in m1["buckets"] if m1["buckets"][b] != m2["buckets"][b]]
+    assert len(changed) == 1  # exactly the bucket containing key 7
+    carried = [b for b in m1["buckets"] if m1["buckets"][b] == m2["buckets"][b]]
+    assert len(carried) == len(m1["buckets"]) - 1
