@@ -42,12 +42,18 @@ def compute_window(size: int = 50) -> list[str]:
         for name in json.loads(f.read_text()):
             last_checked[name] = max(last_checked.get(name, 0), rnd)
     reg = list(registry())
-    never = [n for n in reg if n not in last_checked]
-    window = never[:size]
+    # New/changed queries this round lead the window unconditionally —
+    # every behavior change gets a driver row in the round it lands.
+    from uk_procurement_data_pipeline_spark.queries import base as _base
+
+    priority = [n for n in getattr(_base, "_ROUND_PRIORITY", ()) if n in reg]
+    window = list(priority)
+    never = [n for n in reg if n not in last_checked and n not in window]
+    window += never[: size - len(window)]
     if len(window) < size:
         order = {n: i for i, n in enumerate(reg)}
         stale = sorted(
-            (n for n in reg if n in last_checked),
+            (n for n in reg if n in last_checked and n not in window),
             key=lambda n: (last_checked[n], order[n]),
         )
         window += stale[: size - len(window)]

@@ -19,6 +19,16 @@ Writes the replica to /tmp/spark_scale_stress/sf<sf*k> (reused if
 present), times each query at src and replica scale (best-of-N, noop
 sink — bench.py's methodology), and prints one line per query:
     <name>  base=<s>  big=<s>  ratio=<big/base>  (k=<K>)
+
+Each line also carries an OUTPUT-NORMALIZED cost (ms per 1k workload
+units) at both scales, so workload-quadratic growth (the query finds
+K^2 x the true pairs — per-pair cost should FALL or hold) is measured
+separately from plan-quadratic growth (same output, K^2 x the time —
+the actual scale bug). The workload unit is output rows, except where a
+query's real work unit is finer: semdedup_prune reports within-cell
+candidate PAIRS (sum over cells of |c| choose 2, derivable from its
+output), since bounded-cell pair growth is exactly the invariant its
+corpus-proportional k must hold.
 """
 
 from __future__ import annotations
@@ -68,7 +78,27 @@ _DEFAULT_QUERIES = [
     "domain_mixture_resample",
     "tfidf_top_terms",
     "events_tumbling_window",
+    # expensive tail flagged in round-5 review — normalized metrics show
+    # whether their growth is workload (output) or plan (time-per-unit)
+    "allpairs_prefix_jaccard",
+    "semdedup_prune",
+    "recommender_hitrate_backtest",
+    "dbscan_grid_clusters",
 ]
+
+
+def _workload(df, name: str) -> tuple[int, str]:
+    """Query-specific workload unit for normalized cost reporting."""
+    if name == "semdedup_prune":
+        # within-cell verify pairs, recovered from the output's cluster col
+        pairs = (
+            df.groupBy("cluster")
+            .count()
+            .agg(F.sum(F.expr("count * (count - 1) / 2")))
+            .collect()[0][0]
+        )
+        return int(pairs or 0), "cell_pairs"
+    return df.count(), "out_rows"
 
 
 def build_replica(spark, src: str, k: int) -> str:
@@ -117,9 +147,17 @@ def main() -> int:
     for n in names:
         base = run_query(spark, reg[n], src)
         big = run_query(spark, reg[n], big_dir)
+        w_base, unit = _workload(reg[n].fn(spark, src), n)
+        w_big, _ = _workload(reg[n].fn(spark, big_dir), n)
         ratio = big / base
         worst = max(worst, ratio)
-        print(f"{n:36s} base={base:7.3f}s  big={big:7.3f}s  ratio={ratio:5.2f}x  (k={k})")
+        cost_b = base * 1e6 / max(w_base, 1)
+        cost_g = big * 1e6 / max(w_big, 1)
+        print(
+            f"{n:36s} base={base:7.3f}s  big={big:7.3f}s  ratio={ratio:5.2f}x"
+            f"  (k={k})  {unit}={w_base}->{w_big}"
+            f"  us/{unit[:-1]}={cost_b:.1f}->{cost_g:.1f}"
+        )
     print(f"\nworst ratio {worst:.2f}x vs data ratio {k}x")
     return 0
 

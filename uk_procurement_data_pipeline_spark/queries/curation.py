@@ -286,7 +286,20 @@ def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SemDeDup constants: same deterministic seeding as kmeans_lloyd_cells
 # (centroids = vectors with vec_id < K) and the fixture-calibrated cosine
 # threshold from queries/dedup.py (embeddings are near-random synthetic).
-_SEM_K = 8
+#
+# K is CORPUS-PROPORTIONAL, not fixed: k = max(8, ceil(N / _SEM_CELL)).
+# Within-cell pairwise cosine is O(|cell|^2); with fixed k, cells grow
+# linearly with the corpus and the verify stage goes quadratic. Targeting
+# a bounded expected cell occupancy (_SEM_CELL) makes the verify stage
+# O(k * _SEM_CELL^2) = O(N * _SEM_CELL) — linear in the corpus. At the
+# test SFs (N = 500..2000) the floor of 8 binds, so results are identical
+# to the historical fixed-k baseline; the proportional term takes over
+# from N > 2048. At extreme N the centroid set itself outgrows a
+# broadcast (~4e7 centroids at 1e10 vectors); there the assignment stage
+# hands off to a coarse quantizer (IVF/LSH, similarity.py) — the
+# bounded-cell invariant is what this query pins.
+_SEM_CELL = 256
+_SEM_K_SQL = f"GREATEST(8, CAST(CEIL(count(*) / {_SEM_CELL}.0) AS BIGINT))"
 _SEM_COS = 0.4
 
 _DOT = (
@@ -311,19 +324,21 @@ _D_SQD = (
     name="semdedup_prune",
     survey="J9 D3 UD4 J7",
     doc="SemDeDup semantic pruning (Abbas et al. 2023): assign every "
-    "vector to its nearest of K=8 deterministic centroids (broadcast "
+    "vector to its nearest of k deterministic centroids (broadcast "
     "join, sequential-fold squared-L2, tiebreak on centroid id), then "
     "prune any vector whose cell contains an EARLIER vector with "
-    "cosine >= 0.4 (keep-first-by-id). Pairwise work is confined to a "
-    "cell; production sizing K ~ sqrt(N) bounds cells as the corpus "
-    "grows, so the join stays linear-shuffle — never all-pairs.",
+    "cosine >= 0.4 (keep-first-by-id). k = max(8, ceil(N/256)) is "
+    "corpus-proportional so expected cell occupancy stays bounded and "
+    "the within-cell pairwise verify is O(N), never quadratic; the "
+    "k expression is mirrored in the oracle as a scalar subquery.",
     oracle=f"""
         WITH e AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
         c0 AS (
-            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+            SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id < (SELECT {_SEM_K_SQL} FROM e)),
         d AS (
             SELECT e.vec_id, e.v, c.cid,
                    {_D_SQD.format(a='e.v', b='c.cv')} AS d2
@@ -352,7 +367,19 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings").selectExpr(
         "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
     )
-    c0 = e.where(F.col("vec_id") < _SEM_K).selectExpr("vec_id AS cid", "v AS cv")
+    # k = max(8, ceil(N/_SEM_CELL)) computed IN the plan (1-row agg,
+    # broadcast) — no driver-side collect, stays declarative so AQE sees
+    # the real N at runtime.
+    kdf = e.agg(
+        F.greatest(
+            F.lit(8), F.ceil(F.count("*") / F.lit(_SEM_CELL)).cast("bigint")
+        ).alias("sem_k")
+    )
+    c0 = (
+        e.join(F.broadcast(kdf))
+        .where(F.col("vec_id") < F.col("sem_k"))
+        .selectExpr("vec_id AS cid", "v AS cv")
+    )
     d2 = F.expr(_SQD.format(a="v", b="cv"))
     from pyspark.sql import Window
 

@@ -1296,6 +1296,354 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Timer/TTL sessionization constants. The fixture's median per-user
+# inter-event gap is ~7.3 h, so a 6 h session gap yields many sessions per
+# user; the 1 h watermark delay keeps a nonzero set of still-open final
+# sessions at stream end, which is exactly the state the TTL path must
+# NOT emit. Micro-batch size scales with the file: ~40 batches up to
+# 20k rows (max(200, N//40) — 14 timer-only closes at the driver's
+# sf0.01 gate), ~20 batches above (N//20 — 24 timer closes at sf0.1,
+# and about half the wall time, since per-batch overhead of ~1.2 s —
+# Python-source prefetch + incremental replan + state commit, measured
+# equal for the trivial-agg python_datasource_stream_feed — dominates
+# everything else at local scale). The SAME expression appears in the
+# oracle's cfg CTE — keep them in lockstep.
+_TTL_GAP_US = 6 * 3600 * 1_000_000
+_TTL_DELAY_US = 3600 * 1_000_000
+_TTL_MIN_BATCH = 200
+_TTL_N_BATCHES = 40
+_TTL_BIG_N = 20_000  # above this, halve the batch count
+
+
+@register(
+    name="stream_session_ttl_close",
+    survey="UD5 ST2 ST3 ST4 ST5",
+    eager=True,
+    doc="Timer/TTL stateful streaming (the transformWithState timer "
+    "semantics, correctness-pinned on the applyInPandasWithState path "
+    "since protobuf for the v2 API is absent here): per-user session "
+    "windows (6 h gap) over the deterministic events_replay Python "
+    "data source, EventTimeTimeout timers close idle sessions when the "
+    "1 h-delay watermark passes session_end + gap — final sessions are "
+    "emitted ONLY by a firing timer, never by data. Because the "
+    "fixture's event time is globally monotone and delay > 0, a timer "
+    "can never split a session that gap logic wouldn't (next event's "
+    "ts >= watermark + delay >= end + gap + delay), so the emitted set "
+    "is SQL-expressible: all gap-split sessions, plus final sessions "
+    "whose timer fired before the stream ended. The oracle reconstructs "
+    "the replay source's deterministic batching exactly: offsets are "
+    "row positions, so the highest watermark any batch ever evaluates "
+    "timers against is ts[last event of the PENULTIMATE batch] - delay "
+    "(no trailing no-data batch runs before the drain-poll stops the "
+    "query — verified empirically), i.e. ts at event_id "
+    "((N-1)//B)*B - 1 with B = max(200, N//40). State is 3 bigints per "
+    "user, sharded by the grouping shuffle exactly as at cluster scale.",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tsm FROM events),
+        cfg AS (
+            SELECT CASE WHEN count(*) <= {_TTL_BIG_N}
+                        THEN GREATEST({_TTL_MIN_BATCH},
+                                      count(*) // {_TTL_N_BATCHES})
+                        ELSE count(*) // {_TTL_N_BATCHES // 2} END AS br,
+                   count(*) AS n
+            FROM e),
+        m AS (
+            SELECT (SELECT tsm FROM e, cfg
+                    WHERE event_id = (cfg.n - 1) // cfg.br * cfg.br - 1)
+                   - {_TTL_DELAY_US} AS wm),
+        s AS (
+            SELECT user_id, event_id, tsm,
+                   CASE WHEN tsm - lag(tsm) OVER w > {_TTL_GAP_US}
+                        THEN 1 ELSE 0 END AS brk
+            FROM e
+            WINDOW w AS (PARTITION BY user_id ORDER BY tsm, event_id)),
+        g AS (
+            SELECT user_id, tsm,
+                   sum(brk) OVER (PARTITION BY user_id
+                                  ORDER BY tsm, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS sid
+            FROM s),
+        sess AS (
+            SELECT user_id, sid,
+                   min(tsm) AS start_micro, max(tsm) AS end_micro,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY 1, 2),
+        lastx AS (
+            SELECT user_id, max(sid) AS last_sid FROM sess GROUP BY 1)
+        SELECT user_id, start_micro, end_micro, n_events
+        FROM sess JOIN lastx USING (user_id) CROSS JOIN m
+        WHERE sid < last_sid
+           OR end_micro + {_TTL_GAP_US} <= wm
+    """,
+)
+def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import zlib
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from uk_procurement_data_pipeline_spark.sources.events_replay_stream import (
+        EventsReplayDataSource,
+    )
+
+    try:
+        spark.dataSource.register(EventsReplayDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    qname = f"stream_ttl_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    gap_us, delay_s = _TTL_GAP_US, _TTL_DELAY_US // 1_000_000
+
+    def sessions(key, pdfs, state):
+        out: list[tuple] = []
+        if state.hasTimedOut:
+            s, e, n = state.get
+            out.append((key[0], s, e, n))
+            state.remove()
+        else:
+            ev = pd.concat(list(pdfs), ignore_index=True)
+            ev = ev.sort_values(["ts", "event_id"])
+            tsm = (
+                ev["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
+                // 1000
+            )
+            if state.exists:
+                s, e, n = state.get
+                have = True
+            else:
+                have = False
+            for t in tsm:
+                t = int(t)
+                if have and t - e > gap_us:
+                    out.append((key[0], s, e, n))
+                    s, e, n = t, t, 1
+                elif have:
+                    e, n = t, n + 1
+                else:
+                    s, e, n, have = t, t, 1, True
+            state.update((s, e, n))
+            # fire when the watermark passes session_end + gap (timer API
+            # takes epoch MILLIS)
+            state.setTimeoutTimestamp(e // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            out, columns=["user_id", "start_micro", "end_micro", "n_events"]
+        )
+
+    import pyarrow.parquet as pq
+
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    if n_rows <= _TTL_BIG_N:
+        batch_rows = max(_TTL_MIN_BATCH, n_rows // _TTL_N_BATCHES)
+    else:
+        batch_rows = n_rows // (_TTL_N_BATCHES // 2)
+    src = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
+    closed = (
+        src.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessions,
+            "user_id bigint, start_micro bigint, end_micro bigint, n_events bigint",
+            "start_micro bigint, end_micro bigint, n bigint",
+            "update",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+    # processingTime trigger + offset-drain poll, NOT availableNow: the
+    # simple-reader wrapper snapshots only the next prefetched slice under
+    # availableNow, so the stream would stop after one micro-batch. The
+    # replay source's offsets are row positions, so "drained" is exactly
+    # endOffset.pos == file row count (known from parquet metadata, no job).
+    import re
+    import time
+
+    # ~40 micro-batches of a few-thousand rows each: 32 state-store
+    # shuffle partitions would be ~all task-launch overhead per batch.
+    # 8 partitions still exercises multi-partition state sharding. The
+    # checkpoint (offset/commit log + state snapshots, fsynced EVERY
+    # batch) goes to tmpfs when available — per-batch latency is commit
+    # IO, not compute, at these batch sizes; a fresh dir each run keeps
+    # the replay deterministic (a stale checkpoint would resume offsets
+    # and skip data).
+    import os
+    import shutil
+    import tempfile
+
+    ckpt_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    ckpt = tempfile.mkdtemp(prefix=f"ttl_ckpt_{qname}_", dir=ckpt_root)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        closed.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            lp = q.lastProgress
+            eo = lp["sources"][0].get("endOffset") if lp else None
+            if eo:
+                # the simple-reader offset arrives as a stringified dict
+                # ({'pos': N}, single quotes — not JSON); extract the int
+                pos = eo["pos"] if isinstance(eo, dict) else int(
+                    re.search(r"-?\d+", str(eo)).group()
+                )
+                if int(pos) >= n_rows:
+                    break
+            time.sleep(0.1)
+        else:
+            raise TimeoutError(
+                f"events_replay stream did not drain {n_rows} rows in 240s"
+            )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        "user_id", "start_micro", "end_micro", "n_events"
+    )
+
+
+@register(
+    name="stream_interval_join_live",
+    survey="J8 ST3 ST5 F15",
+    eager=True,
+    doc="TRUE stream-stream interval join executed AS A STREAM (the "
+    "registered streaming form of events_interval_join_attribution's "
+    "batch analog; state-eviction behavior itself is pinned in "
+    "tests/test_streaming.py): two watermarked legs of the "
+    "deterministic events_replay source (clicks, views of the same "
+    "user within the preceding hour), inner join with the time bound "
+    "as a join-level range condition, append-mode memory sink drained "
+    "by offset polling. Because the fixture's event time is globally "
+    "monotone and the 1 h watermark delay is nonnegative, no valid "
+    "pair's partner is ever evicted before the pair forms (needed "
+    "views satisfy v.ts >= wm, eviction only claims v.ts < wm - 1 h), "
+    "so the emitted set equals the full relational join whatever the "
+    "micro-batching — the oracle is the plain interval join, no batch "
+    "reconstruction. State shards by user_id on both sides exactly as "
+    "at cluster scale; micro-batch size is a pure cost knob (~8 "
+    "batches).",
+    oracle="""
+        WITH c AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'),
+        v AS (
+            SELECT event_id AS view_id, user_id, ts AS view_ts
+            FROM events WHERE event_type = 'view')
+        SELECT c.click_id, v.view_id, c.user_id,
+               date_diff('microsecond', v.view_ts, c.click_ts) AS lag_us
+        FROM c JOIN v
+          ON c.user_id = v.user_id
+         AND v.view_ts <= c.click_ts
+         AND v.view_ts >= c.click_ts - INTERVAL 1 HOUR
+    """,
+)
+def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+    import shutil
+    import tempfile
+    import time
+    import zlib
+
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.sources.events_replay_stream import (
+        EventsReplayDataSource,
+    )
+
+    try:
+        spark.dataSource.register(EventsReplayDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    qname = f"stream_ssj_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    path = f"{sf_dir}/events.parquet"
+    n_rows = pq.read_metadata(path).num_rows
+    batch_rows = max(500, n_rows // 8)
+
+    def leg():
+        return (
+            spark.readStream.format("events_replay")
+            .option("path", path)
+            .option("batch_rows", str(batch_rows))
+            .load()
+        )
+
+    clicks = (
+        leg()
+        .where("event_type = 'click'")
+        .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
+        .withWatermark("click_ts", "1 hour")
+    )
+    views = (
+        leg()
+        .where("event_type = 'view'")
+        .selectExpr("event_id AS view_id", "user_id AS v_user", "ts AS view_ts")
+        .withWatermark("view_ts", "1 hour")
+    )
+    pairs = clicks.join(
+        views,
+        F.expr(
+            "user_id = v_user AND view_ts <= click_ts"
+            " AND view_ts >= click_ts - INTERVAL 1 HOUR"
+        ),
+        "inner",
+    ).select(
+        "click_id",
+        "view_id",
+        "user_id",
+        (
+            F.unix_micros(F.col("click_ts").cast("timestamp"))
+            - F.unix_micros(F.col("view_ts").cast("timestamp"))
+        ).alias("lag_us"),
+    )
+
+    ckpt_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    ckpt = tempfile.mkdtemp(prefix=f"ssj_ckpt_{qname}_", dir=ckpt_root)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        pairs.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    try:
+        deadline = time.time() + 240
+        while time.time() < deadline:
+            lp = q.lastProgress
+            if lp and len(lp["sources"]) == 2:
+                done = 0
+                for s in lp["sources"]:
+                    eo = s.get("endOffset")
+                    if eo is not None:
+                        pos = int(re.search(r"-?\d+", str(eo)).group())
+                        done += pos >= n_rows
+                if done == 2:
+                    break
+            time.sleep(0.1)
+        else:
+            raise TimeoutError(
+                f"stream-stream join did not drain 2x{n_rows} rows in 240s"
+            )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select("click_id", "view_id", "user_id", "lag_us")
+
+
 _PATH_TOPK = 20
 
 

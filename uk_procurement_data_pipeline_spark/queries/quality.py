@@ -528,3 +528,102 @@ def quantile_normalize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# Hashed-feature linear classifier (the fastText / DCLM-style "score every
+# document with a cheap model" shape). The HASHING TRICK is the scale
+# property being pinned: unigram+bigram features land in a FIXED 4096-wide
+# bucket space whatever the corpus vocabulary, so model size, shuffle
+# width, and per-doc cost are all corpus-size-invariant — the reason this
+# family (fastText quality filters, DCLM classifiers) survives 100 TB.
+# Weights are a fixed public function of the bucket (Knuth multiplicative
+# hash), so both engines share the model without a side file, and all
+# arithmetic is integer until one final division (order-free, exact).
+_HC_BUCKETS = 4096
+_HC_KNUTH = 2654435761
+_HC_SPAN = 8192  # weights in [-4096, 4095]
+
+_HC_FEATS = (
+    f"CASE WHEN size({_TOKS}) >= 2 THEN "
+    f"concat({_TOKS}, transform(sequence(0, size({_TOKS}) - 2),"
+    f" i -> concat(element_at({_TOKS}, i + 1), '_',"
+    f" element_at({_TOKS}, i + 2))))"
+    f" ELSE {_TOKS} END"
+)
+_D_HC_FEATS = (
+    f"list_concat({_DTOKS},"
+    f" list_transform(generate_series(1, len({_DTOKS}) - 1),"
+    f" i -> {_DTOKS}[i] || '_' || {_DTOKS}[i + 1]))"
+)
+
+
+@register(
+    name="hashed_ngram_classifier",
+    survey="UD4 F17 A7 F5",
+    doc="Hashing-trick linear quality classifier (fastText/DCLM filter "
+    "shape): unigram + bigram features hashed into 4096 buckets "
+    "(md5-based 32-bit hash, the engine's shared hash family), integer "
+    "weight per bucket via Knuth multiplicative hash, per-document "
+    "logit = mean bucket weight (exact integer sum, ONE final double "
+    "division, micro-quantized), keep = logit >= 0. Aggregated per "
+    "source with keep counts and logit extrema. Explode -> hash -> "
+    "sum is O(features) map-side work with a (doc) keyed reduce; the "
+    "fixed bucket space keeps every shuffle width corpus-invariant.",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, source, unnest({_D_HC_FEATS}) AS feat
+            FROM documents),
+        w AS (
+            SELECT doc_id, source,
+                   (CAST('0x' || substr(md5(feat), 1, 8) AS BIGINT)
+                    % {_HC_BUCKETS}) * {_HC_KNUTH} % {_HC_SPAN}
+                   - {_HC_SPAN // 2} AS wgt
+            FROM f),
+        d AS (
+            SELECT doc_id, source,
+                   CAST(floor(CAST(sum(wgt) AS DOUBLE) * 1000000.0
+                              / ({_HC_SPAN // 2}.0 * count(*))) AS BIGINT)
+                       AS logit_micro
+            FROM w GROUP BY 1, 2)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(*) FILTER (WHERE logit_micro >= 0) AS BIGINT)
+                   AS n_keep,
+               CAST(sum(logit_micro) AS BIGINT) AS logit_micro_sum,
+               min(logit_micro) AS logit_micro_min,
+               max(logit_micro) AS logit_micro_max
+        FROM d GROUP BY source
+    """,
+)
+def hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    feats = docs.select(
+        "doc_id", "source", F.explode(F.expr(_HC_FEATS)).alias("feat")
+    )
+    wgt = (
+        F.expr("CAST(conv(substr(md5(feat), 1, 8), 16, 10) AS BIGINT)")
+        % _HC_BUCKETS
+        * _HC_KNUTH
+        % _HC_SPAN
+        - _HC_SPAN // 2
+    )
+    per_doc = (
+        feats.select("doc_id", "source", wgt.alias("wgt"))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.floor(
+                F.sum("wgt").cast("double")
+                * F.lit(1_000_000.0)
+                / (F.lit(float(_HC_SPAN // 2)) * F.count(F.lit(1)))
+            )
+            .cast("bigint")
+            .alias("logit_micro")
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count_if(F.col("logit_micro") >= 0).cast("bigint").alias("n_keep"),
+        F.sum("logit_micro").cast("bigint").alias("logit_micro_sum"),
+        F.min("logit_micro").alias("logit_micro_min"),
+        F.max("logit_micro").alias("logit_micro_max"),
+    )

@@ -294,24 +294,40 @@ def acid_merge_upsert(
     )
     data_dir = Path(table_dir) / "data" / f"txn-{new_v:05d}"
     new_buckets = dict(manifest["buckets"])
+    # ONE partitioned write job for every touched bucket, not a job per
+    # bucket: read the touched buckets' current files together (their
+    # bucket ids are recomputed from the keys — dirs read directly carry
+    # no partition column), anti-join away updated keys, union the
+    # updates, shuffle once on __bucket, write once. At thousands of
+    # buckets the per-bucket-job form would serialize thousands of tiny
+    # jobs through the scheduler.
+    old_rel = [
+        manifest["buckets"][str(b)]
+        for b in touched
+        if str(b) in manifest["buckets"]
+    ]
+    if old_rel:
+        old_rows = spark.read.parquet(
+            *[str(Path(table_dir) / rel) for rel in old_rel]
+        ).withColumn("__bucket", _acid_bucket_col(key_cols, n_buckets))
+        keep = old_rows.join(
+            F.broadcast(upd.select(*key_cols).distinct()),
+            on=key_cols,
+            how="left_anti",
+        )
+        merged = keep.unionByName(upd)
+    else:
+        merged = upd
+    (
+        merged.repartition("__bucket")
+        .write.mode("errorifexists")
+        .partitionBy("__bucket")
+        .parquet(str(data_dir))
+    )
     for b in touched:
-        bucket_upd = upd.where(F.col("__bucket") == b)
-        old_rel = manifest["buckets"].get(str(b))
-        if old_rel is not None:
-            old_rows = spark.read.parquet(str(Path(table_dir) / old_rel))
-            keep = old_rows.join(
-                F.broadcast(bucket_upd.select(*key_cols).distinct()),
-                on=key_cols,
-                how="left_anti",
-            )
-            # bucket dirs are read directly (no basePath), so old rows
-            # carry no __bucket column — strip it from the update side too
-            merged = keep.unionByName(bucket_upd.drop("__bucket"))
-        else:
-            merged = bucket_upd
-        out = data_dir / f"__bucket={b}"
-        merged.drop("__bucket").write.mode("errorifexists").parquet(str(out))
-        new_buckets[str(b)] = str(out.relative_to(table_dir))
+        new_buckets[str(b)] = str(
+            (data_dir / f"__bucket={b}").relative_to(table_dir)
+        )
 
     txns = dict(manifest["txns"])
     if app_id is not None:
