@@ -348,3 +348,47 @@ def test_acid_merge_rewrites_only_touched_buckets(spark, tmp_path):
     assert len(changed) == 1  # exactly the bucket containing key 7
     carried = [b for b in m1["buckets"] if m1["buckets"][b] == m2["buckets"][b]]
     assert len(carried) == len(m1["buckets"]) - 1
+
+
+def test_acid_vacuum_retention(spark, tmp_path):
+    """Vacuum drops expired manifests and ONLY data dirs no retained
+    snapshot references; retained versions stay fully readable."""
+    import json
+    from pathlib import Path
+
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        acid_create,
+        acid_merge_upsert,
+        acid_read,
+        acid_vacuum,
+    )
+
+    table = str(tmp_path / "acid_vac")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, val string"
+    )
+    acid_create(base, table, key_cols=["k"], n_buckets=4)
+    acid_merge_upsert(
+        spark, table, spark.createDataFrame([(1, "A")], "k int, val string")
+    )
+    acid_merge_upsert(
+        spark, table, spark.createDataFrame([(1, "B")], "k int, val string")
+    )
+
+    m1 = json.loads((Path(table) / "_snapshots" / "v00001.json").read_text())
+    b1 = m1["buckets"][
+        str(
+            spark.createDataFrame([(1,)], "k int")
+            .selectExpr("pmod(hash(k), 4) AS b")
+            .collect()[0]["b"]
+        )
+    ]
+    removed = acid_vacuum(table, keep_last=2)
+    assert "_snapshots/v00001.json" in removed
+    assert b1 in removed  # v1's copy of the rewritten bucket is orphaned
+    assert not (Path(table) / "_snapshots" / "v00001.json").exists()
+
+    rows = {(r["k"], r["val"]) for r in acid_read(spark, table).collect()}
+    assert (1, "B") in rows and len(rows) == 100
+    v2 = {(r["k"], r["val"]) for r in acid_read(spark, table, 2).collect()}
+    assert (1, "A") in v2 and len(v2) == 100

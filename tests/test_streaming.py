@@ -360,3 +360,60 @@ def test_transform_with_state_gate_or_run(spark, stream_src):
         .collect()
     )
     assert finals == {r["user_id"]: (r["n"], r["t"]) for r in batch}
+
+
+def test_foreach_batch_acid_upsert_exactly_once(spark, stream_src, tmp_path):
+    """Streaming upsert into the ACID table (the Delta foreachBatch
+    txnAppId/txnVersion pattern): each micro-batch MERGEs by event_id
+    with txn_version=batch_id, so checkpoint re-triggers add nothing and
+    a recovery replay of a committed batch is a ledger no-op."""
+    from pathlib import Path
+
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        acid_create,
+        acid_latest_version,
+        acid_merge_upsert,
+        acid_read,
+    )
+
+    table = str(tmp_path / "acid_stream")
+    ckpt = str(tmp_path / "ckpt")
+
+    def upsert(batch_df, batch_id):
+        if not Path(table, "_LATEST").exists():
+            # empty v1: schema only, so every batch (incl. 0) goes
+            # through the ledgered merge path
+            acid_create(
+                batch_df.limit(0), table, key_cols=["event_id"], n_buckets=4
+            )
+        acid_merge_upsert(
+            batch_df.sparkSession,
+            table,
+            batch_df,
+            app_id="evstream",
+            txn_version=batch_id,
+        )
+
+    stream = _read_all(spark, stream_src).select("event_id", "event_type")
+    q = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    expect = spark.read.parquet(str(stream_src / "day*")).count()
+    assert acid_read(spark, table).count() == expect
+
+    # checkpoint re-trigger: sources exhausted, nothing re-applied
+    q = stream.writeStream.foreachBatch(upsert).option(
+        "checkpointLocation", ckpt
+    ).trigger(availableNow=True).start()
+    q.awaitTermination()
+    assert acid_read(spark, table).count() == expect
+
+    # recovery replay of committed batch 0 with different payload: the
+    # (app_id, txn_version) ledger short-circuits — nothing changes
+    v = acid_latest_version(table)
+    dup = spark.range(1).selectExpr("id + 9999999 AS event_id", "'dup' AS event_type")
+    acid_merge_upsert(spark, table, dup, app_id="evstream", txn_version=0)
+    assert acid_latest_version(table) == v
+    assert acid_read(spark, table).count() == expect

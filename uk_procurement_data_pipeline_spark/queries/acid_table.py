@@ -114,3 +114,92 @@ def acid_merge_snapshot_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     v1 = acid_read(spark, tdir, version=1)  # time travel: pre-merge
     v2 = acid_read(spark, tdir)  # _LATEST pointer: post-merge
     return readout(v1, 1).unionByName(readout(v2, 2))
+
+
+# Deterministic synthetic changelog over orders: four sequenced operation
+# waves, every op a pure function of the key. Wave 4 updates keys that
+# wave 3 may have deleted (keys % (13*17) == 0), pinning the upsert
+# semantics of a 'U' arriving after a 'D' (re-insert) — the corner that
+# separates CDC apply from a plain last-write-wins overwrite.
+_CDC_UPD2, _CDC_DEL3, _CDC_UPD4 = 11, 13, 17
+
+
+@register(
+    name="cdc_apply_changelog",
+    survey="D1 W1 E2 A7 U1",
+    doc="CDC apply-changes (the Debezium-feed -> table pattern): a "
+    "4-wave sequenced changelog (full insert; status update on keys "
+    "% 11; delete on keys % 13; late update on keys % 17 — which "
+    "RE-INSERTS keys the delete wave removed, % 221) collapses to "
+    "final state via one row_number window per key (last sequence "
+    "wins, 'D' rows drop), then aggregates per surviving status. "
+    "ONE key-partitioned window shuffle however long the feed — the "
+    "linear-scale shape of streaming CDC compaction; the readout "
+    "value-checks insert/update/delete/re-insert visibility at once.",
+    oracle=f"""
+        WITH base AS (
+            SELECT o_orderkey AS k, o_orderstatus AS st,
+                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+            FROM orders),
+        log AS (
+            SELECT 1 AS seq, 'I' AS op, k, st, price_cents FROM base
+            UNION ALL
+            SELECT 2, 'U', k, 'U2', price_cents FROM base
+            WHERE k % {_CDC_UPD2} = 0
+            UNION ALL
+            SELECT 3, 'D', k, NULL, NULL FROM base
+            WHERE k % {_CDC_DEL3} = 0
+            UNION ALL
+            SELECT 4, 'U', k, 'U4', price_cents FROM base
+            WHERE k % {_CDC_UPD4} = 0),
+        last AS (
+            SELECT k, op, st, price_cents,
+                   row_number() OVER (PARTITION BY k ORDER BY seq DESC)
+                       AS rn
+            FROM log)
+        SELECT st AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(price_cents) AS BIGINT) AS total_cents
+        FROM last WHERE rn = 1 AND op <> 'D'
+        GROUP BY st
+    """,
+)
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    base = load(spark, sf_dir, "orders").selectExpr(
+        "o_orderkey AS k",
+        "o_orderstatus AS st",
+        "CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents",
+    )
+    log = (
+        base.selectExpr("1 AS seq", "'I' AS op", "k", "st", "price_cents")
+        .unionByName(
+            base.where(f"k % {_CDC_UPD2} = 0").selectExpr(
+                "2 AS seq", "'U' AS op", "k", "'U2' AS st", "price_cents"
+            )
+        )
+        .unionByName(
+            base.where(f"k % {_CDC_DEL3} = 0").selectExpr(
+                "3 AS seq",
+                "'D' AS op",
+                "k",
+                "CAST(NULL AS STRING) AS st",
+                "CAST(NULL AS BIGINT) AS price_cents",
+            )
+        )
+        .unionByName(
+            base.where(f"k % {_CDC_UPD4} = 0").selectExpr(
+                "4 AS seq", "'U' AS op", "k", "'U4' AS st", "price_cents"
+            )
+        )
+    )
+    w = Window.partitionBy("k").orderBy(F.col("seq").desc())
+    final = (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+    )
+    return final.groupBy(F.col("st").alias("o_orderstatus")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.sum("price_cents").cast("bigint").alias("total_cents"),
+    )

@@ -5006,3 +5006,60 @@ def user_active_coverage_micros(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("active_minutes")
     )
+
+
+@register(
+    name="incremental_agg_maintenance",
+    survey="A7 U1 J7 F15",
+    doc="Incremental materialized-view maintenance: a per-user aggregate "
+    "built from the first half of the month (the 'existing view') is "
+    "REFRESHED with the second half's rows by merging PARTIAL "
+    "aggregates — counts and micro-quantized sums add, no rescan of "
+    "the old half — via one full-outer coalesce-combine. The oracle is "
+    "the full recompute over all events, pinning the algebraic "
+    "identity partial-merge == recompute that every incremental "
+    "pipeline (streaming upsert views, medallion silver->gold) relies "
+    "on. Scale shape: the delta shuffle is delta-sized, the merge is "
+    "keyed on user_id; a refresh touches O(delta + touched keys), "
+    "never O(view).",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(COALESCE(SUM(CAST(floor(value * 1000000 + 0.5)
+                                      AS BIGINT)), 0) AS BIGINT)
+                   AS value_micro_sum
+        FROM events GROUP BY user_id
+    """,
+)
+def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "ts",
+        "CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v_micro",
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.coalesce(F.sum("v_micro"), F.lit(0))
+            .cast("bigint")
+            .alias("value_micro_sum"),
+        )
+
+    view = partial(ev.where(F.dayofmonth("ts") <= 15))
+    delta = partial(ev.where(F.dayofmonth("ts") > 15))
+    merged = view.alias("a").join(
+        delta.alias("b"), on="user_id", how="full_outer"
+    )
+    z = F.lit(0).cast("bigint")
+    return merged.select(
+        "user_id",
+        (
+            F.coalesce(F.col("a.n_events"), z)
+            + F.coalesce(F.col("b.n_events"), z)
+        ).alias("n_events"),
+        (
+            F.coalesce(F.col("a.value_micro_sum"), z)
+            + F.coalesce(F.col("b.value_micro_sum"), z)
+        ).alias("value_micro_sum"),
+    )

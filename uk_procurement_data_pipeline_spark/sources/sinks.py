@@ -344,3 +344,41 @@ def acid_merge_upsert(
         },
     )
     return new_v
+
+
+def acid_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
+    """Retention: drop all but the newest ``keep_last`` snapshots and
+    delete every data dir no retained manifest references. Returns the
+    removed paths (manifests + data dirs).
+
+    The ordering is crash-safe in the same way commits are: manifests of
+    expired versions go first (a reader holding an old version number
+    fails fast on the missing manifest rather than on half-deleted
+    data), then unreferenced bucket dirs. Never touches _LATEST. This is
+    Delta's VACUUM + log retention collapsed into one pass — snapshots
+    here are cheap (a manifest file), so there is no separate tombstone
+    grace period: a version is either retained and fully readable or
+    gone.
+    """
+    import shutil as _shutil
+
+    latest = acid_latest_version(table_dir)
+    keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    retained: set[str] = set()
+    for v in keep:
+        retained |= set(_acid_manifest(table_dir, v)["buckets"].values())
+    removed: list[str] = []
+    for f in sorted((Path(table_dir) / "_snapshots").glob("v*.json")):
+        if int(f.stem[1:]) not in keep:
+            f.unlink()
+            removed.append(str(f.relative_to(table_dir)))
+    data = Path(table_dir) / "data"
+    for txn in sorted(data.glob("txn-*")):
+        for bdir in sorted(txn.glob("__bucket=*")):
+            rel = str(bdir.relative_to(table_dir))
+            if rel not in retained:
+                _shutil.rmtree(bdir)
+                removed.append(rel)
+        if not any(txn.iterdir()):
+            txn.rmdir()
+    return removed
