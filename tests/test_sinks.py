@@ -392,3 +392,44 @@ def test_acid_vacuum_retention(spark, tmp_path):
     assert (1, "B") in rows and len(rows) == 100
     v2 = {(r["k"], r["val"]) for r in acid_read(spark, table, 2).collect()}
     assert (1, "A") in v2 and len(v2) == 100
+
+
+def test_acid_schema_evolution_and_compact(spark, tmp_path):
+    """MERGE with a NEW column evolves the schema (NULL backfill on kept
+    rows and untouched buckets via mergeSchema); compaction rewrites all
+    buckets into a new byte-identical snapshot whose bucket dirs hold
+    one file each."""
+    from pathlib import Path
+
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        acid_compact,
+        acid_create,
+        acid_merge_upsert,
+        acid_read,
+    )
+
+    table = str(tmp_path / "acid_evo")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], "k int, val string"
+    )
+    acid_create(base, table, key_cols=["k"], n_buckets=4)
+    upd = spark.createDataFrame(
+        [(1, "UPD", "extra1")], "k int, val string, note string"
+    )
+    acid_merge_upsert(spark, table, upd)
+
+    cur = acid_read(spark, table)
+    assert "note" in cur.columns
+    rows = {(r["k"], r["val"], r["note"]) for r in cur.collect()}
+    assert (1, "UPD", "extra1") in rows
+    assert (2, "v2", None) in rows  # old rows: NULL backfill
+    assert cur.count() == 50
+
+    v3 = acid_compact(spark, table)
+    compacted = acid_read(spark, table, v3)
+    assert {(r["k"], r["val"], r["note"]) for r in compacted.collect()} == rows
+    # one data file per bucket after compaction
+    for bdir in (Path(table) / "data" / f"txn-{v3:05d}").glob("__bucket=*"):
+        assert len(list(bdir.glob("*.parquet"))) == 1
+    # pre-compaction version still readable (time travel preserved)
+    assert acid_read(spark, table, 2).count() == 50

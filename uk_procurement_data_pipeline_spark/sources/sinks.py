@@ -255,7 +255,13 @@ def acid_read(spark, table_dir: str, version: int | None = None) -> DataFrame:
     paths = [str(Path(table_dir) / rel) for rel in manifest["buckets"].values()]
     if not paths:
         raise ValueError(f"snapshot v{v} of {table_dir} is empty")
-    return spark.read.parquet(*paths).drop("__bucket")
+    # mergeSchema: after a schema-evolving MERGE, untouched buckets still
+    # hold the old column set — the union of footers is the table schema,
+    # with NULLs where a file predates a column (Delta's read semantics).
+    return (
+        spark.read.option("mergeSchema", "true").parquet(*paths)
+        .drop("__bucket")
+    )
 
 
 def acid_merge_upsert(
@@ -307,7 +313,7 @@ def acid_merge_upsert(
         if str(b) in manifest["buckets"]
     ]
     if old_rel:
-        old_rows = spark.read.parquet(
+        old_rows = spark.read.option("mergeSchema", "true").parquet(
             *[str(Path(table_dir) / rel) for rel in old_rel]
         ).withColumn("__bucket", _acid_bucket_col(key_cols, n_buckets))
         keep = old_rows.join(
@@ -315,7 +321,11 @@ def acid_merge_upsert(
             on=key_cols,
             how="left_anti",
         )
-        merged = keep.unionByName(upd)
+        # allowMissingColumns = schema evolution on MERGE: a column only
+        # the updates carry lands as NULL on kept rows (and vice versa);
+        # untouched buckets keep their old footer and reads reconcile via
+        # mergeSchema (acid_read).
+        merged = keep.unionByName(upd, allowMissingColumns=True)
     else:
         merged = upd
     (
@@ -382,3 +392,43 @@ def acid_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
         if not any(txn.iterdir()):
             txn.rmdir()
     return removed
+
+
+def acid_compact(spark, table_dir: str) -> int:
+    """OPTIMIZE: rewrite every bucket's file set into one file per bucket
+    as a new snapshot with byte-identical data (incremental merges leave
+    each touched bucket as a pile of small files; at scale every file is
+    a task launch + footer read). One partitioned job: read all buckets
+    with schema reconciliation, recompute bucket ids from the keys, one
+    shuffle on __bucket, one write. Old snapshots stay readable until
+    vacuumed. Returns the new version."""
+    cur_v = acid_latest_version(table_dir)
+    manifest = _acid_manifest(table_dir, cur_v)
+    key_cols, n_buckets = manifest["key_cols"], manifest["n_buckets"]
+    new_v = cur_v + 1
+    data_dir = Path(table_dir) / "data" / f"txn-{new_v:05d}"
+    rows = spark.read.option("mergeSchema", "true").parquet(
+        *[str(Path(table_dir) / rel) for rel in manifest["buckets"].values()]
+    ).withColumn("__bucket", _acid_bucket_col(key_cols, n_buckets))
+    (
+        rows.repartition("__bucket")
+        .write.mode("errorifexists")
+        .partitionBy("__bucket")
+        .parquet(str(data_dir))
+    )
+    new_buckets = {
+        p.name.split("=")[1]: str(p.relative_to(table_dir))
+        for p in data_dir.glob("__bucket=*")
+    }
+    _acid_commit(
+        table_dir,
+        new_v,
+        {
+            "version": new_v,
+            "key_cols": key_cols,
+            "n_buckets": n_buckets,
+            "buckets": new_buckets,
+            "txns": dict(manifest["txns"]),
+        },
+    )
+    return new_v
