@@ -137,3 +137,114 @@ def scraped_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parse_url(url, 'QUERY', 'page') AS page",
         "parse_url(url, 'QUERY', 'ref') AS ref",
     ).orderBy("doc_id")
+
+
+# URL canonicalization rules (applied ALGORITHMICALLY on both engines,
+# never by construction, so the canonicalizer itself is what the oracle
+# checks): lowercase scheme and host, strip the default :443 port, drop
+# the fragment, drop utm_* tracking params, sort the surviving params.
+@register(
+    name="url_canonical_dedup",
+    survey="S5 P7 F4 F17 A8 D2",
+    doc="Crawl-frontier URL canonicalization + dedup (the CommonCrawl "
+    "ingest step that collapses tracking-param and casing variants "
+    "before fetch): every document yields two deterministic RAW "
+    "variants of its notice URL — one shouting-case host with an "
+    "explicit :443, utm_ tracking params, scrambled param order, and a "
+    "fragment; one clean — and the canonicalizer (lowercase scheme/"
+    "host, strip default port, drop fragment, drop utm_*, sort params) "
+    "is applied ALGORITHMICALLY to both. Dedup by canonical string "
+    "must collapse exactly 2 -> 1 per document; the per-source readout "
+    "(raw count, canonical count) value-checks every rule at once — a "
+    "wrong sort, a kept utm param, or a missed port all break the "
+    "halving. Map-side string work + one distinct per source: linear, "
+    "shuffle on the canonical hash.",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id, source, unnest([
+                'HTTPS://' || upper(source) || '.EXAMPLE.ORG:443/notices/'
+                    || CAST(doc_id AS VARCHAR) || '?utm_source=feed&ref='
+                    || lang || '&page=' || CAST(doc_id % 7 AS VARCHAR)
+                    || '#sec',
+                'https://' || lower(source) || '.example.org/notices/'
+                    || CAST(doc_id AS VARCHAR) || '?page='
+                    || CAST(doc_id % 7 AS VARCHAR) || '&ref=' || lang
+            ]) AS u
+            FROM documents),
+        parts AS (
+            SELECT doc_id, source,
+                   lower(string_split(u, '://')[1]) AS scheme,
+                   string_split(string_split(u, '://')[2], '#')[1] AS rest
+            FROM raw),
+        comps AS (
+            SELECT doc_id, source, scheme,
+                   regexp_replace(
+                       lower(string_split(string_split(rest, '?')[1],
+                                          '/')[1]),
+                       ':443$', '') AS host,
+                   substr(string_split(rest, '?')[1],
+                          strpos(string_split(rest, '?')[1], '/')) AS path,
+                   array_to_string(
+                       list_sort(list_filter(
+                           string_split(string_split(rest, '?')[2], '&'),
+                           p -> NOT starts_with(p, 'utm_'))), '&') AS q
+            FROM parts),
+        canon AS (
+            SELECT doc_id, source,
+                   scheme || '://' || host || path || '?' || q AS cu
+            FROM comps)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_raw,
+               CAST(count(DISTINCT cu) AS BIGINT) AS n_canonical
+        FROM canon GROUP BY source
+    """,
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    raw = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.array(
+                F.expr(
+                    "concat('HTTPS://', upper(source), '.EXAMPLE.ORG:443"
+                    "/notices/', CAST(doc_id AS STRING), '?utm_source=feed"
+                    "&ref=', lang, '&page=', CAST(doc_id % 7 AS STRING),"
+                    " '#sec')"
+                ),
+                F.expr(
+                    "concat('https://', lower(source), '.example.org"
+                    "/notices/', CAST(doc_id AS STRING), '?page=',"
+                    " CAST(doc_id % 7 AS STRING), '&ref=', lang)"
+                ),
+            )
+        ).alias("u"),
+    )
+    comps = (
+        raw.withColumn("scheme", F.expr("lower(split(u, '://')[0])"))
+        .withColumn("rest", F.expr("split(split(u, '://')[1], '#')[0]"))
+        .withColumn("hostpath", F.expr("split(rest, '[?]')[0]"))
+        .withColumn(
+            "host",
+            F.expr(
+                "regexp_replace(lower(split(hostpath, '/')[0]), ':443$', '')"
+            ),
+        )
+        .withColumn(
+            "path", F.expr("substr(hostpath, instr(hostpath, '/'))")
+        )
+        .withColumn(
+            "q",
+            F.expr(
+                "array_join(array_sort(filter(split(split(rest, '[?]')[1],"
+                " '&'), p -> NOT startswith(p, 'utm_'))), '&')"
+            ),
+        )
+    )
+    canon = comps.selectExpr(
+        "source", "concat(scheme, '://', host, path, '?', q) AS cu"
+    )
+    return canon.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+        F.count_distinct("cu").cast("bigint").alias("n_canonical"),
+    )
