@@ -1461,3 +1461,89 @@ def contamination_13gram_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# SFT chat-template constants. The template is rendered with plain concat
+# so both engines share it character-for-character; offsets are computed
+# with length() arithmetic (chars, identical semantics in both engines),
+# never by re-searching the rendered string — search would break the
+# moment a document contains the delimiter.
+_SFT_SYS = "<|system|>You are a procurement assistant.<|end|>\n"
+_SFT_USER_PRE = "<|user|>Summarize notice "
+_SFT_USER_POST = ".<|end|>\n<|assistant|>"
+_SFT_EOT = "<|end|>"
+
+
+@register(
+    name="sft_chat_template_mask",
+    survey="F2 F8 A7 UD4",
+    doc="SFT formatting with assistant-only loss masking (the supervised "
+    "fine-tuning prep step between curation and tokenization): each "
+    "document renders into a system/user/assistant chat template and "
+    "the [mask_start, mask_end) char span of the assistant turn — the "
+    "only span that takes loss — is computed by LENGTH ARITHMETIC on "
+    "the template parts, never by searching the rendered string (a "
+    "document containing the delimiter would break a search). Per-"
+    "source readout: doc count, total rendered chars, total masked "
+    "chars, micro-quantized mean loss fraction, mask_start extrema. "
+    "Pure map-side projection + one keyed aggregate — linear, and the "
+    "offsets feed straight into a tokenizer's offset mapping at scale.",
+    oracle=f"""
+        WITH r AS (
+            SELECT doc_id, source,
+                   length('{_SFT_SYS}' || '{_SFT_USER_PRE}'
+                          || CAST(doc_id AS VARCHAR) || ' from ' || source
+                          || '{_SFT_USER_POST}') AS mask_start,
+                   length(text) AS body_len,
+                   length('{_SFT_EOT}') AS eot_len
+            FROM documents),
+        m AS (
+            SELECT doc_id, source, mask_start,
+                   mask_start + body_len AS mask_end,
+                   mask_start + body_len + eot_len AS total_len,
+                   body_len
+            FROM r)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(total_len) AS BIGINT) AS total_chars,
+               CAST(sum(body_len) AS BIGINT) AS masked_chars,
+               CAST(floor(CAST(sum(body_len) AS DOUBLE) * 1000000.0
+                          / CAST(sum(total_len) AS DOUBLE)) AS BIGINT)
+                   AS loss_frac_micro,
+               CAST(min(mask_start) AS BIGINT) AS mask_start_min,
+               CAST(max(mask_start) AS BIGINT) AS mask_start_max
+        FROM m GROUP BY source
+    """,
+)
+def sft_chat_template_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sys_lit = _SFT_SYS.replace("'", "\\'").replace("\n", "\\n")
+    pre_lit = _SFT_USER_PRE
+    post_lit = _SFT_USER_POST.replace("\n", "\\n")
+    r = docs.selectExpr(
+        "doc_id",
+        "source",
+        f"length(concat('{sys_lit}', '{pre_lit}', CAST(doc_id AS STRING),"
+        f" ' from ', source, '{post_lit}')) AS mask_start",
+        "length(text) AS body_len",
+        f"length('{_SFT_EOT}') AS eot_len",
+    ).selectExpr(
+        "source",
+        "mask_start",
+        "body_len",
+        "mask_start + body_len + eot_len AS total_len",
+    )
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("total_len").cast("bigint").alias("total_chars"),
+        F.sum("body_len").cast("bigint").alias("masked_chars"),
+        F.floor(
+            F.sum("body_len").cast("double")
+            * F.lit(1_000_000.0)
+            / F.sum("total_len").cast("double")
+        )
+        .cast("bigint")
+        .alias("loss_frac_micro"),
+        F.min("mask_start").cast("bigint").alias("mask_start_min"),
+        F.max("mask_start").cast("bigint").alias("mask_start_max"),
+    )
