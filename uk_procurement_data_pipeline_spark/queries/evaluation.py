@@ -3897,3 +3897,53 @@ def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+@register(
+    name="arrow_grouped_lang_profile",
+    survey="UD5 UD4 A7",
+    doc="groupBy().applyInArrow grouped-map (the Arrow-native sibling of "
+    "applyInPandas — each group arrives as a pyarrow.Table, zero pandas "
+    "conversion): per-source language breakdown computed with pyarrow's "
+    "own group_by/aggregate kernels inside the worker, so the Python "
+    "stage is columnar end-to-end. The oracle is the plain two-key SQL "
+    "aggregate, pinning the Arrow kernel semantics. One grouping "
+    "shuffle on source — the same shape applyInPandas pays, minus the "
+    "pandas materialization, which is the cost that matters when each "
+    "group is millions of rows at 100 TB.",
+    oracle="""
+        SELECT source, lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM documents
+        GROUP BY source, lang
+    """,
+)
+def arrow_grouped_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow as pa
+
+    # deliberately annotation-free: pyspark's hint inference treats any
+    # unresolvable annotation as an error (and its failure path trips an
+    # UnboundLocalError in 4.1); no hints -> the default grouped-map
+    # (key, pa.Table) -> pa.Table eval type applies.
+    def profile(key, tbl):
+        g = tbl.group_by("lang").aggregate(
+            [("doc_id", "count"), ("n_chars", "sum")]
+        )
+        k = key[0].as_py() if hasattr(key[0], "as_py") else key[0]
+        return pa.table(
+            {
+                "source": pa.array([k] * g.num_rows),
+                "lang": g.column("lang"),
+                "n_docs": g.column("doc_id_count").cast(pa.int64()),
+                "total_chars": g.column("n_chars_sum").cast(pa.int64()),
+            }
+        )
+
+    docs = load(spark, sf_dir, "documents").select(
+        "source", "lang", "doc_id", "n_chars"
+    )
+    return docs.groupBy("source").applyInArrow(
+        profile,
+        schema="source string, lang string, n_docs long, total_chars long",
+    )
