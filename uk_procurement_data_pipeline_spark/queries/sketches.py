@@ -463,3 +463,128 @@ def ams_f2_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rel_error"),
         )
     )
+
+
+# Bloom filter constants: m bits, k independent md5-derived hash
+# functions (the repo's cross-engine hash family, salted with the probe
+# index). Like KMV above, the filter is EXACTLY reproducible in DuckDB,
+# so the sketch itself — not a tolerance band — sits under the oracle.
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+@register(
+    name="bloom_membership_probe",
+    survey="A8 J7 J5 P4",
+    doc="Deterministic Bloom-filter membership with exact false-positive "
+    "accounting (the value-checked form of Spark's runtime bloom join "
+    "pruning, pinned plan-side in tests/test_plans.py): the denylist "
+    "(customers with negative balance) sets k=3 md5-derived bit "
+    "positions in an m=4096 filter; every ordering customer probes all "
+    "three, positive iff all are set; the exact membership join then "
+    "splits positives into true hits and FALSE POSITIVES, and the "
+    "readout reports both plus the micro-quantized FP rate over true "
+    "negatives. Scale shape: the filter is a bounded <=m-row bit set "
+    "(broadcast), probing is a map-side join — the reason bloom "
+    "pruning is the cheap pre-filter before an expensive shuffle join "
+    "at 100 TB.",
+    oracle=f"""
+        WITH deny AS (
+            SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < 0),
+        bits AS (
+            SELECT DISTINCT
+                   CAST('0x' || substr(md5(CAST(c_custkey AS VARCHAR)
+                                           || ':' || i), 1, 8) AS BIGINT)
+                       % {_BLOOM_M} AS pos
+            FROM deny, generate_series(1, {_BLOOM_K}) t(i)),
+        probe AS (
+            SELECT DISTINCT o_custkey FROM orders),
+        ppos AS (
+            SELECT o_custkey,
+                   CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)
+                                           || ':' || i), 1, 8) AS BIGINT)
+                       % {_BLOOM_M} AS pos
+            FROM probe, generate_series(1, {_BLOOM_K}) t(i)),
+        hits AS (
+            SELECT o_custkey, count(*) AS n_set
+            FROM ppos JOIN bits USING (pos)
+            GROUP BY o_custkey),
+        verdicts AS (
+            SELECT p.o_custkey,
+                   COALESCE(h.n_set, 0) = {_BLOOM_K} AS bloom_pos,
+                   d.c_custkey IS NOT NULL AS truly_in
+            FROM probe p
+            LEFT JOIN hits h ON p.o_custkey = h.o_custkey
+            LEFT JOIN deny d ON p.o_custkey = d.c_custkey)
+        SELECT CAST(count(*) AS BIGINT) AS n_probed,
+               CAST(count(*) FILTER (WHERE bloom_pos) AS BIGINT)
+                   AS n_bloom_positive,
+               CAST(count(*) FILTER (WHERE truly_in) AS BIGINT) AS n_true,
+               CAST(count(*) FILTER (WHERE bloom_pos AND NOT truly_in)
+                    AS BIGINT) AS n_false_positive,
+               CAST(count(*) FILTER (WHERE truly_in AND NOT bloom_pos)
+                    AS BIGINT) AS n_false_negative,
+               CAST(floor(CAST(count(*) FILTER (WHERE bloom_pos
+                                                AND NOT truly_in) AS DOUBLE)
+                          * 1000000.0
+                          / CAST(count(*) FILTER (WHERE NOT truly_in)
+                                 AS DOUBLE)) AS BIGINT) AS fp_rate_micro
+        FROM verdicts
+    """,
+)
+def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos_expr = (
+        "CAST(conv(substr(md5(concat(CAST({key} AS STRING), ':',"
+        " CAST(i AS STRING))), 1, 8), 16, 10) AS BIGINT) % {m}"
+    )
+    deny = (
+        load(spark, sf_dir, "customer")
+        .where("c_acctbal < 0")
+        .select("c_custkey")
+        .distinct()
+    )
+    idx = F.explode(F.sequence(F.lit(1), F.lit(_BLOOM_K))).alias("i")
+    bits = (
+        deny.select("c_custkey", idx)
+        .selectExpr(
+            pos_expr.format(key="c_custkey", m=_BLOOM_M) + " AS pos"
+        )
+        .distinct()
+    )
+    probe = load(spark, sf_dir, "orders").select("o_custkey").distinct()
+    ppos = probe.select("o_custkey", idx).selectExpr(
+        "o_custkey", pos_expr.format(key="o_custkey", m=_BLOOM_M) + " AS pos"
+    )
+    hits = (
+        ppos.join(F.broadcast(bits), "pos")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+    )
+    verdicts = (
+        probe.join(hits, "o_custkey", "left")
+        .join(
+            F.broadcast(deny.selectExpr("c_custkey AS o_custkey", "1 AS d")),
+            "o_custkey",
+            "left",
+        )
+        .select(
+            (F.coalesce(F.col("n_set"), F.lit(0)) == _BLOOM_K).alias(
+                "bloom_pos"
+            ),
+            F.col("d").isNotNull().alias("truly_in"),
+        )
+    )
+    fp = F.count_if(F.col("bloom_pos") & ~F.col("truly_in"))
+    tn = F.count_if(~F.col("truly_in"))
+    return verdicts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_probed"),
+        F.count_if("bloom_pos").cast("bigint").alias("n_bloom_positive"),
+        F.count_if("truly_in").cast("bigint").alias("n_true"),
+        fp.cast("bigint").alias("n_false_positive"),
+        F.count_if(F.col("truly_in") & ~F.col("bloom_pos"))
+        .cast("bigint")
+        .alias("n_false_negative"),
+        F.floor(fp.cast("double") * F.lit(1_000_000.0) / tn.cast("double"))
+        .cast("bigint")
+        .alias("fp_rate_micro"),
+    )
