@@ -31,16 +31,18 @@ def test_vocab_encode_id_sequences_are_consistent(spark, sf_dir):
     assert len(out) == len(docs)
     for r in out:
         toks = docs[r["doc_id"]].split(" ")
-        assert r["n_tokens"] == len(toks) == len(r["ids"])
-        assert r["n_oov"] == sum(1 for i in r["ids"] if i == -1)
+        ids = [int(i) for i in r["ids"].split(",")]  # ','-joined string out
+        assert r["n_tokens"] == len(toks) == len(ids)
+        assert r["n_oov"] == sum(1 for i in ids if i == -1)
         # vocabulary ids are dense non-negative ranks
-        assert all(i >= -1 for i in r["ids"])
+        assert all(i >= -1 for i in ids)
 
 
 def test_int8_quantize_codes_in_range_and_error_bounded(spark, sf_dir):
     out = registry()["embedding_int8_quantize"].fn(spark, sf_dir).collect()
     for r in out:
-        assert all(-127 <= c <= 127 for c in r["codes"])
+        codes = [int(c) for c in r["codes"].split(",")]  # ','-joined string
+        assert all(-127 <= c <= 127 for c in codes)
         if r["scale"] > 0:
             # per-dimension quantization error is at most half a step, so
             # RMSE is bounded by 0.5/scale

@@ -533,8 +533,9 @@ def test_golden_records_partition_the_corpus(spark, sf_dir):
     assert sum(r["n_members"] for r in rows) == n_docs
     for r in rows:
         assert r["golden_id"] == r["min_doc_id"]
-        assert len(r["sources"]) >= 1
-        assert r["sources"] == sorted(r["sources"])
+        sources = r["sources"].split(";")  # ';'-joined string output
+        assert len(sources) >= 1
+        assert sources == sorted(sources)
         assert len(r["golden_text"]) >= 0
 
 

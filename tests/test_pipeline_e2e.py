@@ -132,18 +132,26 @@ def test_driver_window_is_exact_registry_prefix():
 
 def test_driver_window_matches_generator():
     """The committed window must be exactly what
-    `tools/regen_coverage.py --window` would emit from the current
-    CORRECTNESS_r*.json union — catches hand-edits between the markers
-    and stale windows after a new driver round lands."""
+    `tools/regen_coverage.py --window` would emit from the CORRECTNESS
+    files that existed AT GENERATION TIME (pinned in _WINDOW_INPUTS) —
+    catches hand-edits between the markers without time-bombing the suite
+    when the driver drops a new CORRECTNESS file after generation."""
     import sys
     from pathlib import Path
 
-    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "tools"))
     from regen_coverage import compute_window
 
-    from uk_procurement_data_pipeline_spark.queries.base import _DRIVER_WINDOW
+    from uk_procurement_data_pipeline_spark.queries.base import (
+        _DRIVER_WINDOW,
+        _WINDOW_INPUTS,
+    )
 
-    assert list(_DRIVER_WINDOW) == compute_window()
+    files = [repo / f for f in _WINDOW_INPUTS]
+    missing = [f.name for f in files if not f.exists()]
+    assert missing == [], f"_WINDOW_INPUTS references absent files: {missing}"
+    assert list(_DRIVER_WINDOW) == compute_window(files=files)
 
 
 def test_every_query_has_oracle_or_documented_reason():

@@ -412,12 +412,16 @@ def test_attribution_credit_conserves_mass(spark, sf_dir):
 
 
 def test_feature_vector_covers_every_customer(spark, sf_dir):
+    # long-form (c_custkey, i, feature) rows — reassemble per customer
     rows = registry()["customer_feature_vector"].fn(spark, sf_dir).collect()
     n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
-    assert len(rows) == n_cust
+    vecs: dict[int, dict[int, float]] = {}
     for r in rows:
-        f = r["features"]
-        assert len(f) == 6
+        vecs.setdefault(r["c_custkey"], {})[r["i"]] = r["feature"]
+    assert len(vecs) == n_cust
+    assert len(rows) == n_cust * 6
+    for f in vecs.values():
+        assert sorted(f) == list(range(6))
         n_orders, total, days, avg = f[1], f[2], f[3], f[4]
         if n_orders == 0.0:
             assert total == 0.0 and days == -1.0 and avg == 0.0

@@ -1,0 +1,92 @@
+"""Property tests for the round-7 additions: invariants that hold for
+ANY input, complementing the value-level oracle checks."""
+
+from __future__ import annotations
+
+import hashlib
+
+from uk_procurement_data_pipeline_spark.queries import registry
+
+
+def test_span_corruption_mask_bounds_and_spot_check(spark, sf_dir):
+    rows = registry()["span_corruption_masks"].fn(spark, sf_dir).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    assert len(rows) == sum(1 for t in docs.values() if t)
+    for r in rows:
+        # spans are length <= 3, so the union covers at most 3x the starts
+        assert r["n_starts"] <= r["n_masked"] <= 3 * r["n_starts"]
+        assert r["n_masked"] <= r["n_tokens"]
+        assert r["corrupt_permille"] == 1000 * r["n_masked"] // r["n_tokens"]
+    # spot-check one doc against a pure-python rebuild of the mask
+    r0 = min(rows, key=lambda r: r["doc_id"])
+    n = len(docs[r0["doc_id"]].split(" "))
+    assert n == r0["n_tokens"]
+
+    def start(p: int) -> bool:
+        h = hashlib.md5(f"{r0['doc_id']}:{p}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10 == 0
+
+    starts = [p for p in range(n) if start(p)]
+    masked = {q for p in starts for q in range(p, min(p + 3, n))}
+    assert r0["n_starts"] == len(starts)
+    assert r0["n_masked"] == len(masked)
+
+
+def test_rejection_sample_rates_consistent(spark, sf_dir):
+    rows = registry()["rejection_sample_by_quality"].fn(spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("text IS NOT NULL AND text != ''")
+        .count()
+    )
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert 0 <= r["n_accepted"] <= r["n_docs"]
+        assert r["accept_permille"] == 1000 * r["n_accepted"] // r["n_docs"]
+
+
+def test_dpo_pairs_are_strict_margin_and_disjoint_ranks(spark, sf_dir):
+    rows = registry()["dpo_preference_pairs"].fn(spark, sf_dir).collect()
+    assert rows, "fixture should produce at least one preference pair"
+    seen = set()
+    for r in rows:
+        key = (r["source"], r["lang"], r["pair_rank"])
+        assert key not in seen  # one pair per rank per stratum
+        seen.add(key)
+        assert r["chosen_doc_id"] != r["rejected_doc_id"]
+        assert r["margin_milli"] > 0
+
+
+def test_zone_map_layouts_and_amplification(spark, sf_dir):
+    rows = registry()["zone_map_prune_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8  # 2 layouts x 4 bands
+    by_band: dict[int, dict[str, dict]] = {}
+    for r in rows:
+        by_band.setdefault(r["band_id"], {})[r["layout"]] = r
+        assert 0 <= r["n_skipped"] <= r["n_rowgroups"]
+        assert r["rows_scanned"] >= r["rows_matching"]
+        if r["rows_matching"] > 0:
+            assert r["read_amp_milli"] >= 1000
+    for band, layouts in by_band.items():
+        ok, sm = layouts["orderkey"], layouts["shipmonth"]
+        assert sm["rows_matching"] == ok["rows_matching"]
+        # the time-partitioned layout never scans MORE than insert-order
+        assert sm["rows_scanned"] <= ok["rows_scanned"]
+
+
+def test_pq_adc_topk_ranks_and_monotone(spark, sf_dir):
+    rows = registry()["pq_adc_topk"].fn(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+        assert r["adc"] >= 0.0
+    assert set(per_q) == {4, 5, 6, 7}
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
+        adcs = [r["adc"] for r in rs]
+        assert adcs == sorted(adcs)  # distance nondecreasing with rank

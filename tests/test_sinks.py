@@ -433,3 +433,51 @@ def test_acid_schema_evolution_and_compact(spark, tmp_path):
         assert len(list(bdir.glob("*.parquet"))) == 1
     # pre-compaction version still readable (time travel preserved)
     assert acid_read(spark, table, 2).count() == 50
+
+
+def test_acid_advice_edges(spark, tmp_path):
+    """Three r06-advice edge cases: (a) an empty snapshot created via
+    acid_create(df.limit(0)) is time-travel-readable (schema recorded in
+    the manifest), (b) a dup-keyed update batch is rejected up front
+    (Delta MERGE's multiple-source-match contract), (c) vacuum with a
+    LARGER keep_last after a smaller one skips already-deleted manifests
+    instead of raising FileNotFoundError."""
+    import pytest
+
+    from uk_procurement_data_pipeline_spark.sources.sinks import (
+        acid_create,
+        acid_merge_upsert,
+        acid_read,
+        acid_vacuum,
+    )
+
+    table = str(tmp_path / "acid_edges")
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k int, val string"
+    )
+    # (a) empty v1, then rows merged on top
+    acid_create(base.limit(0), table, key_cols=["k"], n_buckets=4)
+    v1 = acid_read(spark, table, 1)
+    assert v1.count() == 0
+    assert v1.schema == base.schema
+    acid_merge_upsert(spark, table, base)
+    assert acid_read(spark, table).count() == 20
+
+    # (b) duplicate keys in one update batch must be rejected loudly
+    dup = spark.createDataFrame(
+        [(1, "A"), (1, "B")], "k int, val string"
+    )
+    with pytest.raises(ValueError, match="duplicate key"):
+        acid_merge_upsert(spark, table, dup)
+
+    # (c) vacuum(1) deletes old manifests; vacuum(5) spanning them is ok
+    for i in range(3):
+        acid_merge_upsert(
+            spark,
+            table,
+            spark.createDataFrame([(i, f"u{i}")], "k int, val string"),
+        )
+    acid_vacuum(table, keep_last=1)
+    removed_again = acid_vacuum(table, keep_last=5)
+    assert removed_again == []  # nothing left to drop, and no crash
+    assert acid_read(spark, table).count() == 20

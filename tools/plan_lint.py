@@ -13,6 +13,10 @@ Checks (each a 1000-executor killer if unintentional):
 - ROWPYTHON:   BatchEvalPython — row-at-a-time Python UDF on the plan
                (Arrow paths show as ArrowEvalPython / MapInPandas /
                FlatMapGroupsInPandas and are fine).
+- ARRAYOUT:    array/map/struct column in the query's OUTPUT schema — the
+               driver's canonicalizer sorts rows in pandas and cannot
+               hash list cells (r06: three err'd CORRECTNESS rows).
+               Serialize with array_join/to_json in BOTH engines.
 
 Intentional exceptions are whitelisted INLINE here with the reason, so
 the lint run is the audit trail.
@@ -224,7 +228,8 @@ def main() -> int:
     bad = 0
     for name, spec in reg.items():
         try:
-            qe = spec.fn(spark, sf_dir)._jdf.queryExecution()
+            df = spec.fn(spark, sf_dir)
+            qe = df._jdf.queryExecution()
             text = qe.explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                     "extended"
@@ -235,6 +240,13 @@ def main() -> int:
             bad += 1
             continue
         flags = lint_plan(text)
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        if any(
+            isinstance(f.dataType, (ArrayType, MapType, StructType))
+            for f in df.schema.fields
+        ):
+            flags.append("ARRAYOUT")
         if not flags:
             continue
         allowed = WHITELIST.get(name, {})

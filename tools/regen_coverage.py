@@ -35,12 +35,23 @@ _BEGIN = "# --- BEGIN GENERATED WINDOW (python tools/regen_coverage.py --window)
 _END = "# --- END GENERATED WINDOW ---"
 
 
-def compute_window(size: int = 50) -> list[str]:
+def correctness_files() -> list[Path]:
+    return sorted(REPO.glob("CORRECTNESS_r*.json"))
+
+
+def compute_window(size: int = 50, files: list[Path] | None = None) -> list[str]:
     last_checked: dict[str, int] = {}
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for f in correctness_files() if files is None else files:
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
-        for name in json.loads(f.read_text()):
-            last_checked[name] = max(last_checked.get(name, 0), rnd)
+        for name, row in json.loads(f.read_text()).items():
+            # Red-aware (VERDICT r06 item 2): a row that errored or
+            # mismatched is NOT a certification — the query must re-enter
+            # the window as if never checked, else a fix waits ~3 rounds
+            # behind the back-fill.
+            if row.get("hash_match") is True or (
+                row.get("hash_match") is None and row.get("rows_match") is True
+            ):
+                last_checked[name] = max(last_checked.get(name, 0), rnd)
     reg = list(registry())
     # New/changed queries this round lead the window unconditionally —
     # every behavior change gets a driver row in the round it lands.
@@ -60,13 +71,28 @@ def compute_window(size: int = 50) -> list[str]:
     return window
 
 
+_IN_BEGIN = "# --- BEGIN GENERATED WINDOW INPUTS ---"
+_IN_END = "# --- END GENERATED WINDOW INPUTS ---"
+
+
 def regen_window() -> int:
-    window = compute_window()
+    files = correctness_files()
+    window = compute_window(files=files)
     path = REPO / "uk_procurement_data_pipeline_spark" / "queries" / "base.py"
     text = path.read_text()
     start, end = text.index(_BEGIN), text.index(_END)
     body = "\n".join(f'    "{n}",' for n in window)
     text = text[:start] + f"{_BEGIN}\n{body}\n    {_END}" + text[end + len(_END):]
+    # Pin the generation inputs so the guard test replays against exactly
+    # these artifacts — a NEW driver CORRECTNESS file landing later must
+    # not retro-fail the suite (VERDICT r06 item 3).
+    istart, iend = text.index(_IN_BEGIN), text.index(_IN_END)
+    ibody = "\n".join(f'    "{f.name}",' for f in files)
+    text = (
+        text[:istart]
+        + f"{_IN_BEGIN}\n{ibody}\n    {_IN_END}"
+        + text[iend + len(_IN_END):]
+    )
     path.write_text(text)
     never_left = sum(1 for n in registry() if n not in _all_checked())
     print(f"window: {len(window)} names written; never-driver-checked remaining "
@@ -76,8 +102,12 @@ def regen_window() -> int:
 
 def _all_checked() -> set[str]:
     out: set[str] = set()
-    for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        out |= set(json.loads(f.read_text()))
+    for f in correctness_files():
+        for name, row in json.loads(f.read_text()).items():
+            if row.get("hash_match") is True or (
+                row.get("hash_match") is None and row.get("rows_match") is True
+            ):
+                out.add(name)
     return out
 
 

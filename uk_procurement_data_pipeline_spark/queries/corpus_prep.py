@@ -574,7 +574,8 @@ _MIN_FREQ = 5  # vocabulary admission threshold (corpus frequency)
     "of a pretraining pipeline): one corpus wordcount builds the vocab "
     "(corpus frequency >= 5), ids assigned by (freq DESC, word) rank, "
     "then every document is re-encoded as its id sequence with OOV -> "
-    "-1, preserving token order. The global rank is computed WITHOUT a "
+    "-1, preserving token order (','-joined to a string — query "
+    "outputs never carry array columns). The global rank is computed WITHOUT a "
     "single-partition sort: row_number partitioned by freq (word is the "
     "tiebreak within a freq class), plus per-freq-class offsets from a "
     "broadcast theta-join over the distinct-freq table — a multi-"
@@ -599,7 +600,8 @@ _MIN_FREQ = 5  # vocabulary admission threshold (corpus frequency)
                count(*) AS n_tokens,
                CAST(sum(CASE WHEN v.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                    AS n_oov,
-               list(COALESCE(v.id, -1) ORDER BY p.pos) AS ids
+               array_to_string(list(COALESCE(v.id, -1) ORDER BY p.pos), ',')
+                   AS ids
         FROM pos p LEFT JOIN vocab v ON p.word = v.word
         GROUP BY p.doc_id
     """,
@@ -641,13 +643,20 @@ def vocab_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("id").isNull(), 1).otherwise(0))
             .cast("bigint")
             .alias("n_oov"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.struct("pos", F.coalesce("id", F.lit(-1)).alias("id"))
-                    )
+            # ','-joined string, not array<bigint>: query outputs never
+            # carry array columns (driver canonicalizer can't sort lists).
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                "pos", F.coalesce("id", F.lit(-1)).alias("id")
+                            )
+                        )
+                    ),
+                    lambda x: x["id"].cast("string"),
                 ),
-                lambda x: x["id"].cast("bigint"),
+                ",",
             ).alias("ids"),
         )
     )
@@ -1546,4 +1555,236 @@ def sft_chat_template_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("loss_frac_micro"),
         F.min("mask_start").cast("bigint").alias("mask_start_min"),
         F.max("mask_start").cast("bigint").alias("mask_start_max"),
+    )
+
+
+# Per-position noise decision for T5-style span corruption: the first 8
+# md5 hex chars of "doc_id:pos" as an integer, mod 10 — position p starts
+# a 3-token noise span iff the draw is 0 (a 10% start rate; with span
+# clipping/overlap union this lands near T5's 15% corruption budget).
+# Pure function of (doc_id, pos): both engines regenerate the identical
+# mask with zero state shipped, which is how 1000 executors agree on the
+# noise pattern for free.
+_SPARK_SPAN_START = (
+    "cast(conv(substr(md5(concat(cast(doc_id AS STRING), ':',"
+    " cast({p} AS STRING))), 1, 8), 16, 10) AS BIGINT) % 10 = 0"
+)
+_DUCK_SPAN_START = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||"
+    " CAST({p} AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 0"
+)
+
+
+@register(
+    name="span_corruption_masks",
+    survey="F17 F18 UD4 A7",
+    doc="T5-style span-corruption mask statistics (Raffel et al. 2020 "
+    "denoising objective) — the pretraining-prep step that decides which "
+    "token spans become sentinel targets: position p starts a 3-token "
+    "noise span iff an md5 draw on (doc_id, p) hits 1-in-10, a masked "
+    "position is one covered by a start at p, p-1, or p-2 (span union, "
+    "clipped at the document tail). Per doc: token count, span starts, "
+    "masked-position count, and the corruption rate in permille. All "
+    "integer outputs; the mask is a pure key function so the plan is one "
+    "map-side pass — array folds inside codegen, no explode, no shuffle, "
+    "no UDF. At 100 TB this is exactly the shape you want: linear scan, "
+    "embarrassingly parallel, mask reproducible on any executor.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, len({_DTOKENS}) AS n FROM documents),
+        m AS (
+            SELECT doc_id, n,
+                   len(list_filter(range(0, n),
+                       p -> {_DUCK_SPAN_START.format(p='p')})) AS n_starts,
+                   len(list_filter(range(0, n), p ->
+                       {_DUCK_SPAN_START.format(p='p')}
+                       OR (p >= 1 AND {_DUCK_SPAN_START.format(p='p - 1')})
+                       OR (p >= 2 AND {_DUCK_SPAN_START.format(p='p - 2')})
+                   )) AS n_masked
+            FROM t WHERE n > 0)
+        SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+               CAST(n_starts AS BIGINT) AS n_starts,
+               CAST(n_masked AS BIGINT) AS n_masked,
+               CAST(1000 * n_masked // n AS BIGINT) AS corrupt_permille
+        FROM m
+    """,
+)
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    start = _SPARK_SPAN_START
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"size({_TOKENS}) AS n")
+        .where(F.col("n") > 0)
+        .selectExpr(
+            "doc_id",
+            "CAST(n AS BIGINT) AS n_tokens",
+            f"CAST(size(filter(sequence(0, n - 1),"
+            f" p -> {start.format(p='p')})) AS BIGINT) AS n_starts",
+            f"CAST(size(filter(sequence(0, n - 1), p ->"
+            f" {start.format(p='p')}"
+            f" OR (p >= 1 AND {start.format(p='p - 1')})"
+            f" OR (p >= 2 AND {start.format(p='p - 2')})"
+            f")) AS BIGINT) AS n_masked",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_starts",
+            "n_masked",
+            "CAST(1000 * n_masked div n_tokens AS BIGINT) AS corrupt_permille",
+        )
+    )
+
+
+@register(
+    name="rejection_sample_by_quality",
+    survey="A7 F28 UD4",
+    doc="Quality-proportional rejection sampling (the acceptance step in "
+    "quality-weighted corpus construction, cf. CCNet/Gopher pipelines): "
+    "each document's acceptance probability IS its quality score — here "
+    "the distinct-token ratio in permille — and the accept draw is an "
+    "md5 bucket of doc_id in [0, 1000), so acceptance = draw < score is "
+    "a pure integer comparison reproducible across engines, runs, and "
+    "repartitions (no RNG state). Reports per-source acceptance volume "
+    "and rate. One map-side scan plus one hash-agg on a 20-value key; "
+    "all arithmetic integer.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, len({_DTOKENS}) AS n_tok,
+                   1000 * len(list_distinct({_DTOKENS}))
+                       // len({_DTOKENS}) AS q_permille,
+                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) % 1000 AS u_permille
+            FROM documents WHERE len({_DTOKENS}) > 0)
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN u_permille < q_permille THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_accepted,
+               CAST(sum(CASE WHEN u_permille < q_permille THEN n_tok
+                             ELSE 0 END) AS BIGINT) AS accepted_tokens,
+               CAST(1000 * sum(CASE WHEN u_permille < q_permille
+                                    THEN 1 ELSE 0 END) // count(*)
+                    AS BIGINT) AS accept_permille
+        FROM scored GROUP BY source
+    """,
+)
+def rejection_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "source",
+            f"size({_TOKENS}) AS n_tok",
+            f"1000 * size(array_distinct({_TOKENS}))"
+            f" div size({_TOKENS}) AS q_permille",
+            "cast(conv(substr(md5(cast(doc_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) % 1000 AS u_permille",
+        )
+        .where(F.col("n_tok") > 0)
+    )
+    acc = F.when(F.col("u_permille") < F.col("q_permille"), 1).otherwise(0)
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(acc).cast("bigint").alias("n_accepted"),
+        F.sum(
+            F.when(
+                F.col("u_permille") < F.col("q_permille"), F.col("n_tok")
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("accepted_tokens"),
+        (1000 * F.sum(acc).cast("bigint") / F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("accept_permille"),
+    )
+
+
+@register(
+    name="dpo_preference_pairs",
+    survey="W1 J6 A7 F28",
+    doc="DPO/RLHF preference-pair construction over the corpus: within "
+    "each (source, lang) stratum, documents rank by an integer quality "
+    "score (distinct-token permille; doc_id tiebreak), and the i-th best "
+    "is paired with the i-th worst as (chosen, rejected) for i up to "
+    "n/2, keeping only pairs with a strictly positive margin — the "
+    "standard max-margin pairing that turns a scored pool into "
+    "preference training rows. Two window ranks over the same "
+    "stratum-partitioned shuffle (one exchange, reused), a self-join on "
+    "(stratum, rank) — partition-local since both sides hash the same "
+    "keys — and integer margins; deterministic everywhere, no floats.",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source, lang,
+                   1000 * len(list_distinct({_DTOKENS}))
+                       // len({_DTOKENS}) AS q_milli
+            FROM documents WHERE len({_DTOKENS}) > 0),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY q_milli DESC, doc_id)
+                       AS rn_best,
+                   row_number() OVER (PARTITION BY source, lang
+                                      ORDER BY q_milli ASC, doc_id DESC)
+                       AS rn_worst,
+                   count(*) OVER (PARTITION BY source, lang) AS n
+            FROM scored)
+        SELECT b.source, b.lang, CAST(b.rn_best AS BIGINT) AS pair_rank,
+               b.doc_id AS chosen_doc_id, w.doc_id AS rejected_doc_id,
+               CAST(b.q_milli - w.q_milli AS BIGINT) AS margin_milli
+        FROM ranked b JOIN ranked w
+          ON b.source = w.source AND b.lang = w.lang
+         AND b.rn_best = w.rn_worst
+        WHERE b.rn_best <= b.n // 2 AND b.q_milli > w.q_milli
+    """,
+)
+def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    scored = (
+        load(spark, sf_dir, "documents")
+        .selectExpr(
+            "doc_id",
+            "source",
+            "lang",
+            f"1000 * size(array_distinct({_TOKENS}))"
+            f" div size({_TOKENS}) AS q_milli",
+        )
+        .where(F.expr(f"size({_TOKENS}) > 0"))
+    )
+    strat = Window.partitionBy("source", "lang")
+    ranked = scored.select(
+        "doc_id",
+        "source",
+        "lang",
+        "q_milli",
+        F.row_number()
+        .over(strat.orderBy(F.desc("q_milli"), "doc_id"))
+        .alias("rn_best"),
+        F.row_number()
+        .over(strat.orderBy(F.asc("q_milli"), F.desc("doc_id")))
+        .alias("rn_worst"),
+        F.count(F.lit(1)).over(strat).alias("n"),
+    )
+    b, w = ranked.alias("b"), ranked.alias("w")
+    return (
+        b.join(
+            w,
+            (F.col("b.source") == F.col("w.source"))
+            & (F.col("b.lang") == F.col("w.lang"))
+            & (F.col("b.rn_best") == F.col("w.rn_worst")),
+        )
+        .where(
+            (F.col("b.rn_best") <= F.floor(F.col("b.n") / 2))
+            & (F.col("b.q_milli") > F.col("w.q_milli"))
+        )
+        .select(
+            F.col("b.source").alias("source"),
+            F.col("b.lang").alias("lang"),
+            F.col("b.rn_best").cast("bigint").alias("pair_rank"),
+            F.col("b.doc_id").alias("chosen_doc_id"),
+            F.col("w.doc_id").alias("rejected_doc_id"),
+            (F.col("b.q_milli") - F.col("w.q_milli"))
+            .cast("bigint")
+            .alias("margin_milli"),
+        )
     )

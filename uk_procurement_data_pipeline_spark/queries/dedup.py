@@ -882,7 +882,9 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     "component collapses to ONE canonical record whose fields follow "
     "explicit survivorship rules (id: smallest member; text: the "
     "longest, tie-broken by doc_id via a max-struct argmax; n_chars: "
-    "the max; sources: every distinct member source, sorted). "
+    "the max; sources: every distinct member source, sorted and "
+    "';'-joined to a string — query outputs never carry array "
+    "columns, the driver canonicalizer cannot sort list cells). "
     "Singleton documents pass through as their own golden record. "
     "One aggregation over the component assignment — the clustering "
     "(iterative, convergence-checked) dominates, the merge itself is "
@@ -907,7 +909,8 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                (MAX(struct_pack(l := length(text), nd := -doc_id,
                                 t := text))).t AS golden_text,
                CAST(MAX(n_chars) AS BIGINT) AS max_n_chars,
-               list_sort(list_distinct(list(source))) AS sources
+               array_to_string(list_sort(list_distinct(list(source))), ';')
+                   AS sources
         FROM assign
         GROUP BY component
     """,
@@ -940,7 +943,9 @@ def golden_record_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["text"].alias("golden_text"),
         F.max("n_chars").cast("bigint").alias("max_n_chars"),
-        F.array_sort(F.collect_set("source")).alias("sources"),
+        F.array_join(F.array_sort(F.collect_set("source")), ";").alias(
+            "sources"
+        ),
     )
 
 

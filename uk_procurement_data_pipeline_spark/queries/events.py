@@ -1330,28 +1330,25 @@ _TTL_BIG_N = 20_000  # above this, halve the batch count
     "can never split a session that gap logic wouldn't (next event's "
     "ts >= watermark + delay >= end + gap + delay), so the emitted set "
     "is SQL-expressible: all gap-split sessions, plus final sessions "
-    "whose timer fired before the stream ended. The oracle reconstructs "
-    "the replay source's deterministic batching exactly: offsets are "
-    "row positions, so the highest watermark any batch ever evaluates "
-    "timers against is ts[last event of the PENULTIMATE batch] - delay "
-    "(no trailing no-data batch runs before the drain-poll stops the "
-    "query — verified empirically), i.e. ts at event_id "
-    "((N-1)//B)*B - 1 with B = max(200, N//40). State is 3 bigints per "
-    "user, sharded by the grouping shuffle exactly as at cluster scale.",
+    "whose timer fired before the stream ended. The drain is "
+    "DETERMINISTIC (r06 advice): after the offsets drain, the poll "
+    "waits for the trailing no-data micro-batch — the one Spark "
+    "schedules when the final data batch advances the watermark — to "
+    "commit (observed as a progress row whose watermark reaches "
+    "max(ts) - delay) before stopping, instead of racing q.stop() "
+    "against it. The final watermark is therefore exactly "
+    "ts[last event] - delay, and a timer fires iff its timeout is "
+    "STRICTLY below it in Spark's millisecond watermark arithmetic "
+    "(timeout_ms = end_us//1000 + gap_ms; wm_ms = max_ts_us//1000 - "
+    "delay_ms) — the oracle states that inequality digit-for-digit. "
+    "State is 3 bigints per user, sharded by the grouping shuffle "
+    "exactly as at cluster scale.",
     oracle=f"""
         WITH e AS (
             SELECT user_id, event_id, epoch_us(ts) AS tsm FROM events),
-        cfg AS (
-            SELECT CASE WHEN count(*) <= {_TTL_BIG_N}
-                        THEN GREATEST({_TTL_MIN_BATCH},
-                                      count(*) // {_TTL_N_BATCHES})
-                        ELSE count(*) // {_TTL_N_BATCHES // 2} END AS br,
-                   count(*) AS n
-            FROM e),
         m AS (
-            SELECT (SELECT tsm FROM e, cfg
-                    WHERE event_id = (cfg.n - 1) // cfg.br * cfg.br - 1)
-                   - {_TTL_DELAY_US} AS wm),
+            SELECT max(tsm) // 1000 - {_TTL_DELAY_US // 1000} AS wm_ms
+            FROM e),
         s AS (
             SELECT user_id, event_id, tsm,
                    CASE WHEN tsm - lag(tsm) OVER w > {_TTL_GAP_US}
@@ -1374,7 +1371,7 @@ _TTL_BIG_N = 20_000  # above this, halve the batch count
         SELECT user_id, start_micro, end_micro, n_events
         FROM sess JOIN lastx USING (user_id) CROSS JOIN m
         WHERE sid < last_sid
-           OR end_micro + {_TTL_GAP_US} <= wm
+           OR end_micro // 1000 + {_TTL_GAP_US // 1000} < wm_ms
     """,
 )
 def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1486,23 +1483,52 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    # Deterministic drain target: the trailing no-data batch — scheduled
+    # after the final data batch advances the watermark — must COMMIT
+    # before stop(), so its timer-closed sessions are always in the sink
+    # (no race between the 0.1 s poll and a ~1 s batch). That batch is
+    # observable as a progress row whose watermark equals
+    # max(ts) - delay in Spark's ms arithmetic.
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ts_col = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts"], memory_map=True
+    )["ts"]
+    ts_max_us = pc.max(ts_col).cast(pa.timestamp("us")).value
+    wm_target_ms = ts_max_us // 1000 - _TTL_DELAY_US // 1000
+
+    def _wm_ms(lp) -> int:
+        iso = (lp.get("eventTime") or {}).get("watermark") if lp else None
+        if not iso:
+            return -1
+        return int(
+            _dt.datetime.fromisoformat(iso.replace("Z", "+00:00")).timestamp()
+            * 1000
+        )
+
     try:
         deadline = time.time() + 240
+        drained = False
         while time.time() < deadline:
             lp = q.lastProgress
             eo = lp["sources"][0].get("endOffset") if lp else None
-            if eo:
+            if eo and not drained:
                 # the simple-reader offset arrives as a stringified dict
                 # ({'pos': N}, single quotes — not JSON); extract the int
                 pos = eo["pos"] if isinstance(eo, dict) else int(
                     re.search(r"-?\d+", str(eo)).group()
                 )
-                if int(pos) >= n_rows:
-                    break
+                drained = int(pos) >= n_rows
+            if drained and _wm_ms(lp) >= wm_target_ms:
+                break
             time.sleep(0.1)
         else:
             raise TimeoutError(
-                f"events_replay stream did not drain {n_rows} rows in 240s"
+                f"events_replay stream did not drain {n_rows} rows and "
+                f"commit the final-watermark no-data batch in 240s"
             )
     finally:
         q.stop()

@@ -1774,8 +1774,10 @@ def orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Left join keeps order-less customers (zero-imputed the same "
     "way in both engines); every monetary stat goes through the "
     "exact-decimal fold; the array is built positionally so schema "
-    "evolution is explicit. One customer-keyed aggregate plus one "
-    "broadcast-able join; linear shuffles.",
+    "evolution is explicit, then exploded to (c_custkey, i, feature) "
+    "long form — doubles stay numerically typed and the output obeys "
+    "the no-array-column convention. One customer-keyed aggregate plus "
+    "one broadcast-able join; linear shuffles.",
     oracle="""
         WITH agg AS (
           SELECT o_custkey,
@@ -1786,6 +1788,7 @@ def orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 DATE '2002-01-01') AS BIGINT)
                      AS days_since_last
           FROM orders GROUP BY o_custkey)
+        , vec AS (
         SELECT c.c_custkey,
                [CAST(c.c_acctbal AS DOUBLE),
                 CAST(COALESCE(a.n_orders, 0) AS DOUBLE),
@@ -1795,8 +1798,11 @@ def orders_open_interval_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                      THEN a.total_spend / CAST(a.n_orders AS DOUBLE)
                      ELSE 0.0 END,
                 CAST(c.c_nationkey AS DOUBLE)] AS features
-        FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
-        ORDER BY c.c_custkey
+        FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey)
+        SELECT c_custkey, CAST(s.i - 1 AS BIGINT) AS i,
+               features[s.i] AS feature
+        FROM vec,
+             LATERAL (SELECT unnest(range(1, len(features) + 1)) AS i) s
     """,
 )
 def customer_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1835,7 +1841,8 @@ def customer_feature_vector(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("c_nationkey").cast("double"),
             ).alias("features"),
         )
-        .orderBy("c_custkey")
+        .select("c_custkey", F.posexplode("features").alias("i", "feature"))
+        .select("c_custkey", F.col("i").cast("bigint").alias("i"), "feature")
     )
 
 
@@ -3146,4 +3153,143 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
         .orderBy("pair")
+    )
+
+
+# Zone-map simulation parameters: "row groups" of 256 orderkeys (scales
+# with the fixture: 6 groups at sf0.001, ~586 at sf0.1), and four literal
+# shipdate predicate bands spanning the fixture's 1995-2001 range.
+_ZM_RG = 256
+_ZM_BANDS = [
+    (0, "1995-01-01", "1995-03-31"),
+    (1, "1997-01-01", "1997-12-31"),
+    (2, "1999-07-01", "1999-12-31"),
+    (3, "2001-10-01", "2001-12-31"),
+]
+
+
+@register(
+    name="zone_map_prune_report",
+    survey="A7 J5 P4 E5",
+    doc="Zone-map (min/max row-group statistics) pruning audit — the "
+    "parquet/ORC file-skipping mechanic that decides whether a 100 TB "
+    "scan reads 100 TB or 1: for each of four shipdate predicate bands, "
+    "compare two physical layouts of lineitem — 'orderkey' (row groups "
+    "of 256 orderkeys, the insert-order layout) vs 'shipmonth' (rows "
+    "grouped by ship month, the time-partitioned layout) — reporting "
+    "row groups skipped (group max < band lo or min > band hi), rows "
+    "scanned, exact matching rows, and read amplification in milli. "
+    "The fixture's orderkey is uncorrelated with shipdate, so the "
+    "orderkey layout skips ~nothing while shipmonth scans ~only "
+    "matches — the quantified argument for date-clustered layouts. "
+    "Plan: one linear groupBy per layout (union), a broadcast of the "
+    "4-row band table, one exact-count pass; no window, no sort.",
+    oracle=f"""
+        WITH rg AS (
+            SELECT 'orderkey' AS layout, l_orderkey // {_ZM_RG} AS rg_id,
+                   min(l_shipdate) AS lo, max(l_shipdate) AS hi,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2
+            UNION ALL
+            SELECT 'shipmonth' AS layout,
+                   (EXTRACT(year FROM l_shipdate) * 12
+                    + EXTRACT(month FROM l_shipdate) - 1) AS rg_id,
+                   min(l_shipdate) AS lo, max(l_shipdate) AS hi,
+                   count(*) AS n_rows
+            FROM lineitem GROUP BY 1, 2),
+        bands AS (
+            SELECT * FROM (VALUES
+                {", ".join(f"({b}, TIMESTAMP '{lo} 00:00:00', TIMESTAMP '{hi} 00:00:00')" for b, lo, hi in _ZM_BANDS)}
+            ) b(band_id, b_lo, b_hi)),
+        exact AS (
+            SELECT band_id, count(*) AS rows_matching
+            FROM lineitem, bands
+            WHERE l_shipdate BETWEEN b_lo AND b_hi GROUP BY band_id)
+        SELECT rg.layout, CAST(b.band_id AS BIGINT) AS band_id,
+               CAST(count(*) AS BIGINT) AS n_rowgroups,
+               CAST(sum(CASE WHEN rg.hi < b.b_lo OR rg.lo > b.b_hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+               CAST(sum(CASE WHEN rg.hi < b.b_lo OR rg.lo > b.b_hi
+                             THEN 0 ELSE rg.n_rows END) AS BIGINT)
+                   AS rows_scanned,
+               CAST(COALESCE(any_value(e.rows_matching), 0) AS BIGINT)
+                   AS rows_matching,
+               CAST(1000 * sum(CASE WHEN rg.hi < b.b_lo OR rg.lo > b.b_hi
+                                    THEN 0 ELSE rg.n_rows END)
+                    // GREATEST(COALESCE(any_value(e.rows_matching), 0), 1)
+                    AS BIGINT) AS read_amp_milli
+        FROM rg CROSS JOIN bands b LEFT JOIN exact e USING (band_id)
+        GROUP BY rg.layout, b.band_id
+    """,
+)
+def zone_map_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    rg = (
+        li.groupBy(
+            F.lit("orderkey").alias("layout"),
+            (F.col("l_orderkey") / _ZM_RG)
+            .cast("bigint")
+            .alias("rg_id"),
+        )
+        .agg(
+            F.min("l_shipdate").alias("lo"),
+            F.max("l_shipdate").alias("hi"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .unionByName(
+            li.groupBy(
+                F.lit("shipmonth").alias("layout"),
+                (
+                    F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1
+                )
+                .cast("bigint")
+                .alias("rg_id"),
+            ).agg(
+                F.min("l_shipdate").alias("lo"),
+                F.max("l_shipdate").alias("hi"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+    )
+    bands = spark.createDataFrame(
+        [(b, f"{lo} 00:00:00", f"{hi} 00:00:00") for b, lo, hi in _ZM_BANDS],
+        "band_id int, b_lo string, b_hi string",
+    ).select(
+        "band_id",
+        F.col("b_lo").cast("timestamp").alias("b_lo"),
+        F.col("b_hi").cast("timestamp").alias("b_hi"),
+    )
+    exact = (
+        li.join(
+            F.broadcast(bands),
+            F.col("l_shipdate").between(F.col("b_lo"), F.col("b_hi")),
+        )
+        .groupBy("band_id")
+        .agg(F.count(F.lit(1)).alias("rows_matching"))
+    )
+    skipped = F.when(
+        (F.col("hi") < F.col("b_lo")) | (F.col("lo") > F.col("b_hi")), 1
+    ).otherwise(0)
+    scanned = F.when(
+        (F.col("hi") < F.col("b_lo")) | (F.col("lo") > F.col("b_hi")), 0
+    ).otherwise(F.col("n_rows"))
+    return (
+        rg.crossJoin(F.broadcast(bands))
+        .join(F.broadcast(exact), "band_id", "left")
+        .groupBy("layout", F.col("band_id").cast("bigint").alias("band_id"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rowgroups"),
+            F.sum(skipped).cast("bigint").alias("n_skipped"),
+            F.sum(scanned).cast("bigint").alias("rows_scanned"),
+            F.coalesce(F.first("rows_matching"), F.lit(0))
+            .cast("bigint")
+            .alias("rows_matching"),
+            F.floor(
+                1000
+                * F.sum(scanned)
+                / F.greatest(F.coalesce(F.first("rows_matching"), F.lit(0)), F.lit(1))
+            )
+            .cast("bigint")
+            .alias("read_amp_milli"),
+        )
     )

@@ -473,7 +473,8 @@ def kmeans_lloyd_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reconstructable to bounded error): per-vector absmax scale to "
     "[-127, 127], half-UP rounding (toward +inf) via floor(x*s + 0.5) — "
     "note a negative tie like -126.5 rounds to -126, not -127; both "
-    "engines compute the identical expression, so codes still match — "
+    "engines compute the identical expression, so codes still match "
+    "(emitted ','-joined as a string — no array columns in output) — "
     "plus the exact reconstruction RMSE via a sequential fold. Entirely "
     "map-side — no shuffle, no UDF — and every arithmetic step is a "
     "fixed-order double expression, so codes AND error are bit-identical "
@@ -493,8 +494,9 @@ def kmeans_lloyd_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ELSE 127.0 / mx END AS scale
             FROM s)
         SELECT vec_id, scale,
-               list_transform(vd,
-                   x -> CAST(floor(x * scale + 0.5) AS INTEGER)) AS codes,
+               array_to_string(list_transform(vd,
+                   x -> CAST(floor(x * scale + 0.5) AS INTEGER)), ',')
+                   AS codes,
                sqrt(list_reduce(list_transform(generate_series(1, len(vd)),
                    i -> CASE WHEN scale = 0 THEN 0.0
                              ELSE (vd[i] - CAST(floor(vd[i] * scale + 0.5)
@@ -524,7 +526,11 @@ def embedding_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "vec_id",
             "scale",
-            "transform(vd, x -> CAST(floor(x * scale + 0.5) AS INT)) AS codes",
+            # ','-joined string, not array<int>: query outputs never carry
+            # array columns (driver canonicalizer can't sort lists).
+            "array_join(transform(vd,"
+            " x -> CAST(CAST(floor(x * scale + 0.5) AS INT) AS STRING)), ',')"
+            " AS codes",
             """sqrt(aggregate(
                    transform(vd, x -> IF(scale = 0D, 0D,
                        (x - CAST(floor(x * scale + 0.5) AS INT) / scale)
@@ -778,21 +784,23 @@ _JL_OUT = 8  # projected dimensionality
     "engine) regenerates the same signs, which is how a 1000-node job "
     "shares the matrix for free. The fold is a fixed-order sequential "
     "aggregate in both engines, so the projected doubles are "
-    "bit-identical. Entirely map-side: no shuffle, no UDF.",
+    "bit-identical. Entirely map-side: no shuffle, no UDF. Output is "
+    "the exploded (vec_id, dim, proj) long form — keeps the doubles "
+    "numerically typed (no cross-engine float-to-string drift) while "
+    "honoring the no-array-output convention.",
     oracle=f"""
         WITH v AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vd
             FROM embeddings)
-        SELECT vec_id,
-               list_transform(generate_series(0, {_JL_OUT - 1}),
-                   i -> list_reduce(
-                       list_transform(generate_series(1, len(vd)),
-                           j -> vd[j] * (CAST(('0x' || substr(md5(
-                                    i || ':' || (j - 1)), 1, 8)) AS BIGINT)
-                                    % 2 * 2 - 1)),
-                       (a, b) -> a + b)) AS proj
-        FROM v
+        SELECT vec_id, s.i AS dim,
+               list_reduce(
+                   list_transform(generate_series(1, len(vd)),
+                       j -> vd[j] * (CAST(('0x' || substr(md5(
+                                s.i || ':' || (j - 1)), 1, 8)) AS BIGINT)
+                                % 2 * 2 - 1)),
+                   (a, b) -> a + b) AS proj
+        FROM v, LATERAL (SELECT unnest(range(0, {_JL_OUT})) AS i) s
     """,
 )
 def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -805,13 +813,14 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             # element_at is 1-based like the oracle's vd[j]; bare vd[j]
             # would be 0-based in Spark SQL
-            f"transform(sequence(0, {_JL_OUT - 1}),"
+            f"posexplode(transform(sequence(0, {_JL_OUT - 1}),"
             " i -> aggregate(sequence(1, size(vd)), 0D,"
             " (acc, j) -> acc + element_at(vd, j) *"
             " (cast(conv(substr(md5(concat(cast(i AS string), ':',"
             " cast(j - 1 AS string))), 1, 8), 16, 10) AS bigint)"
-            " % 2 * 2 - 1))) AS proj",
+            " % 2 * 2 - 1)))) AS (dim, proj)",
         )
+        .selectExpr("vec_id", "CAST(dim AS BIGINT) AS dim", "proj")
     )
 
 
@@ -2170,4 +2179,158 @@ def geometric_median_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("dim", "mean_component", "gmedian_component")
         .orderBy("dim")
+    )
+
+
+@register(
+    name="pq_adc_topk",
+    survey="J9 J5 A7 W1 F17",
+    doc="PQ asymmetric-distance top-k search (Jegou et al. 2011, ADC) — "
+    "the serving-side half of product quantization that completes the "
+    "registered ANN family (brute-force, LSH, IVF, PQ codebook): the "
+    "pq_codebook_train codebook (4 subspaces x 4 centroids, seeded + one "
+    "exact-decimal Lloyd step) encodes every vector as 4 codes; each of "
+    "the four query vectors (vec_id 4..7) precomputes a 16-entry "
+    "lookup table of exact subspace distances to the centroids; a "
+    "vector's ADC distance is then the sum of 4 LUT entries keyed by "
+    "its codes — table lookups instead of D-dim arithmetic, which is "
+    "why PQ serves billion-vector indexes from RAM. The LUT join is a "
+    "broadcast (64 rows), the per-(query, vector) sum uses the exact "
+    "decimal fold (hash-agg order immune), and top-5 ranks with an "
+    "explicit (adc, neighbor_id) tiebreak — PQ code collisions make "
+    "exact ties common and the ordering stays deterministic. Shuffles: "
+    "the two bounded codebook aggs plus one (query, vector)-keyed agg "
+    "that is linear in N x n_queries.",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id, m.m,
+                   list_transform(embedding[m.m * 16 + 1 : m.m * 16 + 16],
+                                  x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings,
+                 (SELECT unnest(range(0, 4)) AS m) m),
+        seeds AS (
+            SELECT m, vec_id AS cid, v AS cv FROM sub WHERE vec_id < 4),
+        a1 AS (
+            SELECT s.vec_id, s.m, s.v, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid
+              FROM seeds c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        cent1 AS (
+            SELECT m, cid, d.dim,
+                   CAST(ROUND(SUM(CAST(v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+            FROM a1, (SELECT unnest(range(1, 17)) AS dim) d
+            GROUP BY m, cid, d.dim),
+        cb AS (
+            SELECT m, cid,
+                   list_transform(
+                     list_sort(list(struct_pack(dim := dim, mu := mu))),
+                     r -> r.mu) AS cv
+            FROM cent1 GROUP BY m, cid),
+        codes AS (
+            SELECT s.vec_id, s.m, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid FROM cb c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        lut AS (
+            SELECT q.vec_id AS query_id, c.m, c.cid,
+                   {_D_SQD.format(a='q.v', b='c.cv')} AS d2
+            FROM sub q JOIN cb c ON q.m = c.m
+            WHERE q.vec_id >= 4 AND q.vec_id < 8),
+        adc AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS adc
+            FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+            WHERE c.vec_id != l.query_id
+            GROUP BY l.query_id, c.vec_id),
+        topk AS (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rank
+            FROM adc)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
+        FROM topk WHERE rank <= 5
+    """,
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
+
+    ms = spark.range(0, 4).select(F.col("id").cast("bigint").alias("m"))
+    sub = (
+        load(spark, sf_dir, "embeddings")
+        .crossJoin(F.broadcast(ms))
+        .selectExpr(
+            "vec_id",
+            "m",
+            "transform(slice(embedding, CAST(m * 16 + 1 AS INT), 16),"
+            " x -> CAST(x AS DOUBLE)) AS v",
+        )
+    )
+    seeds = sub.where(F.col("vec_id") < 4).selectExpr(
+        "m", "vec_id AS cid", "v AS cv"
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        cent_arr = cents.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
+        scored = (
+            f"aggregate(transform(cs, c -> named_struct("
+            f"'d2', {_SQD.format(a='v', b='c.cv')}, 'cid', c.cid)), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            "'cid', CAST(-1 AS BIGINT)), "
+            "(acc, s) -> IF(s.d2 < acc.d2"
+            " OR (s.d2 = acc.d2 AND s.cid < acc.cid), s, acc))"
+        )
+        return (
+            points.join(F.broadcast(cent_arr), "m")
+            .selectExpr("vec_id", "m", "v", f"{scored} AS best")
+            .selectExpr("vec_id", "m", "v", "best.cid AS cid")
+        )
+
+    a1 = assign(sub, seeds)
+    cent1 = (
+        a1.selectExpr("m", "cid", "posexplode(v) AS (dim, val)")
+        .groupBy("m", "cid", "dim")
+        .agg(exact_avg("val", "mu"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cv")
+        )
+    )
+    codes = assign(sub, cent1).select("vec_id", "m", "cid")
+    lut = (
+        sub.where((F.col("vec_id") >= 4) & (F.col("vec_id") < 8))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cent1), "m")
+        .selectExpr(
+            "query_id", "m", "cid", f"{_SQD.format(a='v', b='cv')} AS d2"
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id", "adc")
     )

@@ -60,10 +60,18 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
             out.extend(zip(*(col.to_pylist() for col in batch.columns)))
         return out
 
-    def read(self, start: dict) -> tuple[list[tuple], dict]:
+    def read(self, start: dict) -> tuple:
         pos = start["pos"]
         n = self._rows().num_rows
         end = min(pos + self.batch_rows, n)
+        if end == pos:
+            # Drained. Spark's prefetch wrapper (datasource_internal.py
+            # add_result_to_cache) probes a non-advancing batch with
+            # next(it) and expects StopIteration — hand it a true
+            # iterator, not a list, or every post-drain latestOffset
+            # raises TypeError and kills the stream before the trailing
+            # no-data (watermark/timer) micro-batch can run.
+            return iter(()), {"pos": pos}
         return self._slice(pos, end), {"pos": end}
 
     def readBetweenOffsets(  # noqa: N802 (Spark API)

@@ -240,6 +240,10 @@ def acid_create(
         "n_buckets": n_buckets,
         "buckets": buckets,
         "txns": {},
+        # Recorded so an EMPTY snapshot (acid_create(df.limit(0)) is
+        # legitimate) stays time-travel-readable: acid_read reconstructs
+        # an empty DataFrame from this when no buckets exist.
+        "schema": df.schema.json(),
     }
     _acid_commit(table_dir, 1, manifest)
     return 1
@@ -254,7 +258,16 @@ def acid_read(spark, table_dir: str, version: int | None = None) -> DataFrame:
     manifest = _acid_manifest(table_dir, v)
     paths = [str(Path(table_dir) / rel) for rel in manifest["buckets"].values()]
     if not paths:
-        raise ValueError(f"snapshot v{v} of {table_dir} is empty")
+        # Empty snapshot (e.g. acid_create(df.limit(0))): reconstruct the
+        # zero-row frame from the recorded schema instead of erroring.
+        schema_json = manifest.get("schema")
+        if schema_json is None:  # pre-schema manifest, nothing to go on
+            raise ValueError(f"snapshot v{v} of {table_dir} is empty")
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame(
+            [], StructType.fromJson(_json.loads(schema_json))
+        )
     # mergeSchema: after a schema-evolving MERGE, untouched buckets still
     # hold the old column set — the union of footers is the table schema,
     # with NULLs where a file predates a column (Delta's read semantics).
@@ -292,6 +305,23 @@ def acid_merge_upsert(
     n_buckets = manifest["n_buckets"]
     new_v = cur_v + 1
 
+    # Delta MERGE raises when one target row matches multiple source rows;
+    # silently unioning a dup-keyed batch would break the keyed-table
+    # invariant (one row per key). Enforce the same contract up front.
+    dup = (
+        updates.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > 1)
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            f"acid_merge_upsert: update batch has duplicate key "
+            f"{tuple(dup[0][c] for c in key_cols)!r} for key_cols "
+            f"{key_cols} — dedupe the batch (e.g. last-wins by a version "
+            f"column) before merging"
+        )
     upd = updates.withColumn("__bucket", _acid_bucket_col(key_cols, n_buckets))
     # Affected buckets: bounded by n_buckets (a config constant), so this
     # collect is a scalar-sized driver read, not a data pull.
@@ -351,6 +381,7 @@ def acid_merge_upsert(
             "n_buckets": n_buckets,
             "buckets": new_buckets,
             "txns": txns,
+            "schema": merged.drop("__bucket").schema.json(),
         },
     )
     return new_v
@@ -374,6 +405,14 @@ def acid_vacuum(table_dir: str, keep_last: int = 2) -> list[str]:
 
     latest = acid_latest_version(table_dir)
     keep = set(range(max(1, latest - keep_last + 1), latest + 1))
+    # A prior vacuum with a smaller keep_last may already have deleted
+    # manifests inside this range (vacuum(2) then vacuum(5)); those
+    # versions are gone, not retainable — skip them instead of raising.
+    keep = {
+        v
+        for v in keep
+        if (Path(table_dir) / "_snapshots" / f"v{v:05d}.json").exists()
+    }
     retained: set[str] = set()
     for v in keep:
         retained |= set(_acid_manifest(table_dir, v)["buckets"].values())
@@ -429,6 +468,7 @@ def acid_compact(spark, table_dir: str) -> int:
             "n_buckets": n_buckets,
             "buckets": new_buckets,
             "txns": dict(manifest["txns"]),
+            "schema": rows.drop("__bucket").schema.json(),
         },
     )
     return new_v
