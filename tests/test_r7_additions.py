@@ -90,3 +90,63 @@ def test_pq_adc_topk_ranks_and_monotone(spark, sf_dir):
         assert [r["rank"] for r in rs] == [1, 2, 3, 4, 5]
         adcs = [r["adc"] for r in rs]
         assert adcs == sorted(adcs)  # distance nondecreasing with rank
+
+
+def test_prefix_cache_depths_and_rates(spark, sf_dir):
+    rows = registry()["prefix_cache_hit_ratio"].fn(spark, sf_dir).collect()
+    by_depth = {r["depth"]: r for r in rows}
+    assert set(by_depth) == {1, 2, 4, 8, 16}
+    for r in rows:
+        assert 1 <= r["n_distinct_prefixes"] <= r["n_docs"]
+        assert r["cache_hit_permille"] == 1000 * (
+            r["n_docs"] - r["n_distinct_prefixes"]
+        ) // r["n_docs"]
+    # a one-token prefix is far more shareable than a 16-token prefix
+    assert (
+        by_depth[1]["cache_hit_permille"] >= by_depth[16]["cache_hit_permille"]
+    )
+
+
+def test_compaction_bins_partition_the_files(spark, sf_dir):
+    rows = registry()["compaction_bin_packing"].fn(spark, sf_dir).collect()
+    n_li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    assert sum(r["bin_bytes"] for r in rows) == n_li * 100
+    rows.sort(key=lambda r: r["bin_id"])
+    for prev, cur in zip(rows, rows[1:]):
+        # bins cover contiguous, disjoint, ordered key ranges
+        assert prev["last_file"] < cur["first_file"]
+    for r in rows:
+        assert r["first_file"] <= r["last_file"]
+        assert r["fill_permille"] == 1000 * r["bin_bytes"] // 200_000
+
+
+def test_band_tuning_configs_and_precision(spark, sf_dir):
+    rows = registry()["minhash_band_tuning_report"].fn(spark, sf_dir).collect()
+    assert {(r["n_bands"], r["rows_per_band"]) for r in rows} == {
+        (2, 6),
+        (3, 4),
+        (4, 3),
+        (6, 2),
+    }
+    for r in rows:
+        assert 0 <= r["n_good"] <= r["n_candidates"]
+        if r["n_candidates"]:
+            assert (
+                r["precision_permille"]
+                == 1000 * r["n_good"] // r["n_candidates"]
+            )
+
+
+def test_pq_recall_monotone_in_shortlist(spark, sf_dir):
+    rows = registry()["pq_recall_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4 * 3  # 4 queries x 3 shortlist sizes
+    per_q: dict[int, list] = {}
+    for r in rows:
+        assert r["k"] == 5
+        assert 0 <= r["n_overlap"] <= 5
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r["shortlist"])
+        assert [r["shortlist"] for r in rs] == [20, 100, 500]
+        overlaps = [r["n_overlap"] for r in rs]
+        assert overlaps == sorted(overlaps)  # bigger shortlist never loses

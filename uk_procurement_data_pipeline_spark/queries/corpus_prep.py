@@ -1708,10 +1708,12 @@ def rejection_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "is paired with the i-th worst as (chosen, rejected) for i up to "
     "n/2, keeping only pairs with a strictly positive margin — the "
     "standard max-margin pairing that turns a scored pool into "
-    "preference training rows. Two window ranks over the same "
-    "stratum-partitioned shuffle (one exchange, reused), a self-join on "
-    "(stratum, rank) — partition-local since both sides hash the same "
-    "keys — and integer margins; deterministic everywhere, no floats.",
+    "preference training rows. ONE window rank per stratum suffices: "
+    "the worst-first ordering (q ASC, doc_id DESC) is the exact "
+    "reverse of the best-first total order, so rn_worst = n + 1 - "
+    "rn_best — a single stratum shuffle + sort, then a self-join on "
+    "(stratum, n + 1 - rank), with integer margins; deterministic "
+    "everywhere, no floats.",
     oracle=f"""
         WITH scored AS (
             SELECT doc_id, source, lang,
@@ -1723,9 +1725,6 @@ def rejection_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                    row_number() OVER (PARTITION BY source, lang
                                       ORDER BY q_milli DESC, doc_id)
                        AS rn_best,
-                   row_number() OVER (PARTITION BY source, lang
-                                      ORDER BY q_milli ASC, doc_id DESC)
-                       AS rn_worst,
                    count(*) OVER (PARTITION BY source, lang) AS n
             FROM scored)
         SELECT b.source, b.lang, CAST(b.rn_best AS BIGINT) AS pair_rank,
@@ -1733,7 +1732,7 @@ def rejection_sample_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(b.q_milli - w.q_milli AS BIGINT) AS margin_milli
         FROM ranked b JOIN ranked w
           ON b.source = w.source AND b.lang = w.lang
-         AND b.rn_best = w.rn_worst
+         AND w.rn_best = b.n + 1 - b.rn_best
         WHERE b.rn_best <= b.n // 2 AND b.q_milli > w.q_milli
     """,
 )
@@ -1760,9 +1759,6 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number()
         .over(strat.orderBy(F.desc("q_milli"), "doc_id"))
         .alias("rn_best"),
-        F.row_number()
-        .over(strat.orderBy(F.asc("q_milli"), F.desc("doc_id")))
-        .alias("rn_worst"),
         F.count(F.lit(1)).over(strat).alias("n"),
     )
     b, w = ranked.alias("b"), ranked.alias("w")
@@ -1771,7 +1767,10 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             w,
             (F.col("b.source") == F.col("w.source"))
             & (F.col("b.lang") == F.col("w.lang"))
-            & (F.col("b.rn_best") == F.col("w.rn_worst")),
+            & (
+                F.col("w.rn_best")
+                == F.col("b.n") + 1 - F.col("b.rn_best")
+            ),
         )
         .where(
             (F.col("b.rn_best") <= F.floor(F.col("b.n") / 2))
@@ -1786,5 +1785,68 @@ def dpo_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("b.q_milli") - F.col("w.q_milli"))
             .cast("bigint")
             .alias("margin_milli"),
+        )
+    )
+
+
+_PREFIX_DEPTHS = [1, 2, 4, 8, 16]  # prefix-cache probe depths (tokens)
+
+
+@register(
+    name="prefix_cache_hit_ratio",
+    survey="A7 A8 F17 F28",
+    doc="Inference prefix-cache hit analysis: for probe depths "
+    "d in {1,2,4,8,16} tokens, how many documents share their first d "
+    "tokens with another document — the number that predicts KV-cache "
+    "prefix-reuse savings when this corpus is served or replayed "
+    "(vLLM-style automatic prefix caching). Per depth: eligible docs "
+    "(len >= d), distinct md5 prefix keys, and the hit rate in "
+    "permille (1 - distinct/eligible). The prefix key is hashed BEFORE "
+    "the distinct so only 16-byte keys shuffle, not prefix strings — "
+    "at 100 TB the count-distinct per depth is 5 linear hash-aggs over "
+    "md5 keys, no string movement, no window.",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_DTOKENS} AS toks FROM documents),
+        d AS (SELECT unnest({_PREFIX_DEPTHS}) AS depth),
+        p AS (
+            SELECT d.depth, t.doc_id,
+                   md5(array_to_string(toks[1:d.depth], ' ')) AS prefix_key
+            FROM t, d WHERE len(toks) >= d.depth)
+        SELECT CAST(depth AS BIGINT) AS depth,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT prefix_key) AS BIGINT)
+                   AS n_distinct_prefixes,
+               CAST(1000 * (count(*) - count(DISTINCT prefix_key))
+                    // count(*) AS BIGINT) AS cache_hit_permille
+        FROM p GROUP BY depth
+    """,
+)
+def prefix_cache_hit_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    depths = spark.createDataFrame(
+        [(d,) for d in _PREFIX_DEPTHS], "depth int"
+    )
+    return (
+        load(spark, sf_dir, "documents")
+        .selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .crossJoin(F.broadcast(depths))
+        .where(F.expr("size(toks) >= depth"))
+        .selectExpr(
+            "depth",
+            "md5(array_join(slice(toks, 1, depth), ' ')) AS prefix_key",
+        )
+        .groupBy(F.col("depth").cast("bigint").alias("depth"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.countDistinct("prefix_key")
+            .cast("bigint")
+            .alias("n_distinct_prefixes"),
+            F.floor(
+                1000
+                * (F.count(F.lit(1)) - F.countDistinct("prefix_key"))
+                / F.count(F.lit(1))
+            )
+            .cast("bigint")
+            .alias("cache_hit_permille"),
         )
     )

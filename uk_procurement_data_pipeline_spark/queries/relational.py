@@ -3293,3 +3293,107 @@ def zone_map_prune_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("read_amp_milli"),
         )
     )
+
+
+# Compaction-planner parameters: "files" are 64-orderkey buckets (sized
+# so file count scales with the fixture), bins target 200 KB, and the
+# distributed prefix sum runs over bands of 32 files. At production
+# scale the band width is chosen so the band-total table stays
+# thousands of rows (it is broadcast); everything else is per-band.
+_CP_FILE, _CP_BAND, _CP_TARGET = 64, 32, 200_000
+
+
+@register(
+    name="compaction_bin_packing",
+    survey="A7 W3 J5 E5",
+    doc="Small-file compaction planning (the bin-assignment half of "
+    "OPTIMIZE / auto-compaction): files in key order are packed into "
+    "target-sized output bins by global byte offset — bin = "
+    "floor(cum_bytes_before / target) — which preserves key clustering "
+    "(each bin covers a contiguous file range, reported as "
+    "first_file..last_file). The global prefix sum is computed the "
+    "scale-correct way: an intra-band running sum (windows of <= 32 "
+    "rows) plus per-band base offsets from the bounded band-total "
+    "table — no unpartitioned window over the file list, the same "
+    "banded-rank construction as vocab_encode_docs. Per bin: file "
+    "count, bytes, covered key range, fill ratio vs target.",
+    oracle=f"""
+        WITH files AS (
+            SELECT l_orderkey // {_CP_FILE} AS file_id,
+                   count(*) * 100 AS bytes
+            FROM lineitem GROUP BY 1),
+        banded AS (
+            SELECT file_id, bytes, file_id // {_CP_BAND} AS band,
+                   sum(bytes) OVER (PARTITION BY file_id // {_CP_BAND}
+                                    ORDER BY file_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND 1 PRECEDING)
+                       AS intra_before
+            FROM files),
+        band_tot AS (
+            SELECT file_id // {_CP_BAND} AS band, sum(bytes) AS tot
+            FROM files GROUP BY 1),
+        offs AS (
+            SELECT b1.band, COALESCE(sum(b2.tot), 0) AS base
+            FROM band_tot b1 LEFT JOIN band_tot b2 ON b2.band < b1.band
+            GROUP BY b1.band),
+        placed AS (
+            SELECT f.file_id, f.bytes,
+                   (o.base + COALESCE(f.intra_before, 0)) // {_CP_TARGET}
+                       AS bin_id
+            FROM banded f JOIN offs o ON f.band = o.band)
+        SELECT CAST(bin_id AS BIGINT) AS bin_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(bytes) AS BIGINT) AS bin_bytes,
+               CAST(min(file_id) AS BIGINT) AS first_file,
+               CAST(max(file_id) AS BIGINT) AS last_file,
+               CAST(1000 * sum(bytes) // {_CP_TARGET} AS BIGINT)
+                   AS fill_permille
+        FROM placed GROUP BY bin_id
+    """,
+)
+def compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    files = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(
+            (F.col("l_orderkey") / _CP_FILE).cast("bigint").alias("file_id")
+        )
+        .agg((F.count(F.lit(1)) * 100).alias("bytes"))
+        .withColumn(
+            "band", (F.col("file_id") / _CP_BAND).cast("bigint")
+        )
+    )
+    intra_w = (
+        Window.partitionBy("band")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    banded = files.withColumn("intra_before", F.sum("bytes").over(intra_w))
+    band_tot = files.groupBy("band").agg(F.sum("bytes").alias("tot"))
+    b1, b2 = band_tot.alias("b1"), band_tot.alias("b2")
+    offs = (
+        b1.join(F.broadcast(b2), F.col("b2.band") < F.col("b1.band"), "left")
+        .groupBy(F.col("b1.band").alias("band"))
+        .agg(F.coalesce(F.sum("b2.tot"), F.lit(0)).alias("base"))
+    )
+    placed = banded.join(F.broadcast(offs), "band").select(
+        "file_id",
+        "bytes",
+        (
+            (F.col("base") + F.coalesce(F.col("intra_before"), F.lit(0)))
+            / _CP_TARGET
+        )
+        .cast("bigint")
+        .alias("bin_id"),
+    )
+    return placed.groupBy(F.col("bin_id").cast("bigint").alias("bin_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("bytes").cast("bigint").alias("bin_bytes"),
+        F.min("file_id").cast("bigint").alias("first_file"),
+        F.max("file_id").cast("bigint").alias("last_file"),
+        F.floor(1000 * F.sum("bytes") / _CP_TARGET)
+        .cast("bigint")
+        .alias("fill_permille"),
+    )

@@ -2334,3 +2334,218 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 5)
         .select("query_id", F.col("rank").cast("bigint").alias("rank"), "neighbor_id", "adc")
     )
+
+
+_PQR_K = 16  # centroids per subspace for the serving-grade codebook
+_PQR_SLS = [20, 100, 500]  # ADC shortlist sizes probed
+
+
+@register(
+    name="pq_recall_report",
+    survey="J9 J5 A7 W1 F17",
+    doc="PQ shortlist recall audit — the measurement behind every "
+    "ADC-then-rerank deployment: with a serving-grade 16-centroid-per-"
+    "subspace codebook (seeded + one exact-decimal Lloyd step, same "
+    "contract as pq_codebook_train), how much of each query's EXACT "
+    "L2 top-5 survives inside the ADC shortlist at sizes 20/100/500? "
+    "Four held-out queries (vec_id 16..19, outside the seed set); "
+    "recall climbs ~0-20% at 20 to 60-80% at 500 on this corpus — the "
+    "curve that tells you the rerank depth PQ needs here. Exact side "
+    "is one broadcast of 4 query vectors + a linear fold; ADC side is "
+    "the broadcast-LUT shape of pq_adc_topk; both top-k windows "
+    "partition by query_id. The shortlist probe is a broadcast "
+    "3-row range condition, not 3 query reruns.",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id, m.m,
+                   list_transform(embedding[m.m * 16 + 1 : m.m * 16 + 16],
+                                  x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings,
+                 (SELECT unnest(range(0, 4)) AS m) m),
+        seeds AS (
+            SELECT m, vec_id AS cid, v AS cv FROM sub
+            WHERE vec_id < {_PQR_K}),
+        a1 AS (
+            SELECT s.vec_id, s.m, s.v, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid FROM seeds c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        cent1 AS (
+            SELECT m, cid, d.dim,
+                   CAST(ROUND(SUM(CAST(v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+            FROM a1, (SELECT unnest(range(1, 17)) AS dim) d
+            GROUP BY m, cid, d.dim),
+        cb AS (
+            SELECT m, cid,
+                   list_transform(
+                     list_sort(list(struct_pack(dim := dim, mu := mu))),
+                     r -> r.mu) AS cv
+            FROM cent1 GROUP BY m, cid),
+        codes AS (
+            SELECT s.vec_id, s.m, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid FROM cb c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        lut AS (
+            SELECT q.vec_id AS query_id, c.m, c.cid,
+                   {_D_SQD.format(a='q.v', b='c.cv')} AS d2
+            FROM sub q JOIN cb c ON q.m = c.m
+            WHERE q.vec_id >= 16 AND q.vec_id < 20),
+        adc AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS adc
+            FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+            WHERE c.vec_id != l.query_id
+            GROUP BY l.query_id, c.vec_id),
+        adc_topk AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rank
+            FROM adc),
+        vd AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        exact AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_D_SQD.format(a='q.v', b='x.v')}, x.vec_id)
+                       AS rank
+            FROM vd q JOIN vd x ON q.vec_id != x.vec_id
+            WHERE q.vec_id >= 16 AND q.vec_id < 20)
+        SELECT e.query_id, CAST(s.sl AS BIGINT) AS shortlist,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap,
+               CAST(1000 * sum(CASE WHEN a.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) // count(*)
+                    AS BIGINT) AS recall_permille
+        FROM exact e
+        CROSS JOIN (SELECT unnest({_PQR_SLS}) AS sl) s
+        LEFT JOIN adc_topk a
+          ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         AND a.rank <= s.sl
+        WHERE e.rank <= 5
+        GROUP BY e.query_id, s.sl
+    """,
+)
+def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
+
+    ms = spark.range(0, 4).select(F.col("id").cast("bigint").alias("m"))
+    emb = load(spark, sf_dir, "embeddings")
+    sub = emb.crossJoin(F.broadcast(ms)).selectExpr(
+        "vec_id",
+        "m",
+        "transform(slice(embedding, CAST(m * 16 + 1 AS INT), 16),"
+        " x -> CAST(x AS DOUBLE)) AS v",
+    )
+    seeds = sub.where(F.col("vec_id") < _PQR_K).selectExpr(
+        "m", "vec_id AS cid", "v AS cv"
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        cent_arr = cents.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
+        scored = (
+            f"aggregate(transform(cs, c -> named_struct("
+            f"'d2', {_SQD.format(a='v', b='c.cv')}, 'cid', c.cid)), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            "'cid', CAST(-1 AS BIGINT)), "
+            "(acc, s) -> IF(s.d2 < acc.d2"
+            " OR (s.d2 = acc.d2 AND s.cid < acc.cid), s, acc))"
+        )
+        return (
+            points.join(F.broadcast(cent_arr), "m")
+            .selectExpr("vec_id", "m", "v", f"{scored} AS best")
+            .selectExpr("vec_id", "m", "v", "best.cid AS cid")
+        )
+
+    a1 = assign(sub, seeds)
+    cent1 = (
+        a1.selectExpr("m", "cid", "posexplode(v) AS (dim, val)")
+        .groupBy("m", "cid", "dim")
+        .agg(exact_avg("val", "mu"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cv")
+        )
+    )
+    codes = assign(sub, cent1).select("vec_id", "m", "cid")
+    lut = (
+        sub.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 20))
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cent1), "m")
+        .selectExpr(
+            "query_id", "m", "cid", f"{_SQD.format(a='v', b='cv')} AS d2"
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    adc_topk = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("adc")
+        )
+        .withColumn("rank", F.row_number().over(wq))
+    )
+    vd = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    q = vd.where((F.col("vec_id") >= 16) & (F.col("vec_id") < 20)).selectExpr(
+        "vec_id AS query_id", "v AS qv"
+    )
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        vd.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"{_SQD.format(a='qv', b='v')} AS d2",
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    sls = spark.createDataFrame([(s,) for s in _PQR_SLS], "sl int")
+    return (
+        exact.crossJoin(F.broadcast(sls))
+        .join(
+            adc_topk.select("query_id", "neighbor_id", "rank"),
+            ["query_id", "neighbor_id"],
+            "left",
+        )
+        .select(
+            "query_id",
+            F.col("sl").cast("bigint").alias("shortlist"),
+            F.when(
+                F.col("rank").isNotNull() & (F.col("rank") <= F.col("sl")), 1
+            )
+            .otherwise(0)
+            .alias("is_hit"),
+        )
+        .groupBy("query_id", "shortlist")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum("is_hit").cast("bigint").alias("n_overlap"),
+            F.floor(1000 * F.sum("is_hit") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("recall_permille"),
+        )
+    )
