@@ -150,3 +150,33 @@ def test_pq_recall_monotone_in_shortlist(spark, sf_dir):
         assert [r["shortlist"] for r in rs] == [20, 100, 500]
         overlaps = [r["n_overlap"] for r in rs]
         assert overlaps == sorted(overlaps)  # bigger shortlist never loses
+
+
+def test_phrase_search_hits_are_real_occurrences(spark, sf_dir):
+    rows = registry()["phrase_search_positional"].fn(spark, sf_dir).collect()
+    assert rows
+    phrases = {r["phrase"] for r in rows}
+    assert len(phrases) == 1  # one top phrase searched
+    words = phrases.pop().split(" ")
+    assert len(words) == 3
+    docs = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    for r in rows:
+        toks = docs[r["doc_id"]]
+        assert toks[r["pos"] : r["pos"] + 3] == words
+
+
+def test_seasonal_decomposition_identity(spark, sf_dir):
+    rows = registry()["seasonal_decompose_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # n*1e6 = trend + seasonal + residual, exactly (integer identity)
+        assert (
+            r["n"] * 1_000_000
+            == r["trend_micro"] + r["seasonal_micro"] + r["resid_micro"]
+        )
+        assert r["dow"] == r["d"] % 7
+    # one row per day
+    assert len({r["d"] for r in rows}) == len(rows)

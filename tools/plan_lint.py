@@ -67,6 +67,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "GLOBALWIN": "lag chains over ONE ROW PER CALENDAR DAY (bounded "
         "domain) — input is already aggregate-sized",
     },
+    "seasonal_decompose_daily": {
+        "GLOBALWIN": "centered 7-day trend frame over ONE ROW PER "
+        "CALENDAR DAY (bounded domain) — input is already "
+        "aggregate-sized",
+    },
     "variance_ratio_test": {
         "GLOBALWIN": "overlapping 5-day sums over ONE ROW PER CALENDAR "
         "DAY (bounded domain) — input is already aggregate-sized",

@@ -5089,3 +5089,83 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.coalesce(F.col("b.value_micro_sum"), z)
         ).alias("value_micro_sum"),
     )
+
+
+@register(
+    name="seasonal_decompose_daily",
+    survey="W3 A7 F15 J5",
+    doc="Classical seasonal decomposition of the daily event series "
+    "(trend + day-of-week seasonal + residual, the moving-average STL "
+    "ancestor): trend is a centered 7-day frame average, the seasonal "
+    "term is the mean detrended deviation per weekday slot, residual "
+    "is what remains. ALL integer arithmetic — trend and seasonal are "
+    "micro-scaled truncated quotients (DuckDB // and Spark div both "
+    "truncate toward zero, verified including negatives), the weekday "
+    "slot is (epoch_day - anchor) % 7 computed from the day integer "
+    "(never an engine dayofweek(), whose week origin differs across "
+    "engines) — so the decomposition is bit-identical everywhere. "
+    "Plan: one day-keyed agg (linear), one frame window and one "
+    "7-slot agg over the CALENDAR-BOUNDED daily table, a broadcast "
+    "join back. The unpartitioned window is over one row per calendar "
+    "day — aggregate-sized by construction.",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) - DATE '2024-01-01'
+                       AS d,
+                   count(*) AS n
+            FROM events GROUP BY 1),
+        tr AS (
+            SELECT d, d % 7 AS dow, n,
+                   1000000 * sum(n) OVER w // count(*) OVER w AS trend_micro
+            FROM daily
+            WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                             AND 3 FOLLOWING)),
+        dev AS (
+            SELECT *, n * 1000000 - trend_micro AS dev_micro FROM tr),
+        seas AS (
+            SELECT dow, sum(dev_micro) // count(*) AS seasonal_micro
+            FROM dev GROUP BY dow)
+        SELECT CAST(dev.d AS BIGINT) AS d, CAST(dev.dow AS BIGINT) AS dow,
+               CAST(n AS BIGINT) AS n,
+               CAST(trend_micro AS BIGINT) AS trend_micro,
+               CAST(seasonal_micro AS BIGINT) AS seasonal_micro,
+               CAST(dev_micro - seasonal_micro AS BIGINT) AS resid_micro
+        FROM dev JOIN seas ON dev.dow = seas.dow
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as SqlWindow
+
+    daily = (
+        load(spark, sf_dir, "events")
+        .selectExpr("datediff(date_trunc('day', ts), DATE '2024-01-01') AS d")
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = SqlWindow.orderBy("d").rowsBetween(-3, 3)
+    dev = daily.select(
+        "d",
+        (F.col("d") % 7).alias("dow"),
+        "n",
+        ((F.lit(1000000) * F.sum("n").over(w)).cast("bigint"))
+        .alias("_num"),
+        F.count(F.lit(1)).over(w).alias("_cnt"),
+    ).selectExpr(
+        "d", "dow", "n", "_num div _cnt AS trend_micro"
+    ).selectExpr(
+        "d", "dow", "n", "trend_micro",
+        "n * 1000000 - trend_micro AS dev_micro"
+    )
+    seas = dev.groupBy("dow").agg(
+        F.expr("sum(dev_micro) div count(*)").alias("seasonal_micro")
+    )
+    return dev.join(F.broadcast(seas), "dow").select(
+        F.col("d").cast("bigint").alias("d"),
+        F.col("dow").cast("bigint").alias("dow"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("trend_micro").cast("bigint").alias("trend_micro"),
+        F.col("seasonal_micro").cast("bigint").alias("seasonal_micro"),
+        (F.col("dev_micro") - F.col("seasonal_micro"))
+        .cast("bigint")
+        .alias("resid_micro"),
+    )

@@ -1909,3 +1909,91 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(k AS DOUBLE) / 1000000.0"
         ).alias("ln_k_intercept"),
     )
+
+
+@register(
+    name="phrase_search_positional",
+    survey="J6 A7 F17 O4",
+    doc="Positional-index phrase search — the posting-list mechanic "
+    "behind quoted-phrase retrieval: the corpus's most frequent 3-token "
+    "phrase (occurrence count over ALL trigram positions, ties broken "
+    "lexicographically) is located exactly via a positional postings "
+    "join — (term, doc, pos) rows for w1 joined to w2 at pos+1 and w3 "
+    "at pos+2 — returning every (doc, pos) occurrence. Finding the top "
+    "phrase is one linear shingle count (map-side explode, hash agg, "
+    "TakeOrdered(1)); the search side filters postings to the three "
+    "phrase terms via a broadcast 1-row join BEFORE the positional "
+    "self-joins, so the joins see only matching-term postings — at "
+    "100 TB the postings are doc-partitioned and each join is "
+    "partition-local after one co-partitioning shuffle.",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, i.i AS pos,
+                   string_split(text, ' ')[i.i + 1] AS term
+            FROM documents,
+                 LATERAL (SELECT unnest(range(0, len(string_split(text, ' '))))
+                          AS i) i),
+        sh AS (
+            SELECT a.term AS w1, b.term AS w2, c.term AS w3, count(*) AS n
+            FROM toks a
+            JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+            JOIN toks c ON a.doc_id = c.doc_id AND c.pos = a.pos + 2
+            GROUP BY 1, 2, 3),
+        top1 AS (
+            SELECT w1, w2, w3 FROM sh
+            ORDER BY n DESC, w1, w2, w3 LIMIT 1)
+        SELECT a.doc_id, CAST(a.pos AS BIGINT) AS pos,
+               t.w1 || ' ' || t.w2 || ' ' || t.w3 AS phrase
+        FROM toks a JOIN top1 t ON a.term = t.w1
+        JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                   AND b.term = t.w2
+        JOIN toks c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+                   AND c.term = t.w3
+    """,
+)
+def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", "posexplode(split(text, ' ')) AS (pos, term)"
+    )
+    # top phrase: direct trigram occurrence count (NOT distinct — every
+    # position counts), no positional join needed on the counting side
+    tri = docs.selectExpr(
+        "explode(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+        " i -> struct(element_at(split(text,' '), i) AS w1,"
+        "             element_at(split(text,' '), i+1) AS w2,"
+        "             element_at(split(text,' '), i+2) AS w3))) AS t"
+    ).select("t.w1", "t.w2", "t.w3")
+    top1 = (
+        tri.groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "w1", "w2", "w3")
+        .limit(1)
+        .select("w1", "w2", "w3")
+    )
+    a = (
+        toks.crossJoin(F.broadcast(top1))
+        .where(F.col("term") == F.col("w1"))
+        .selectExpr("doc_id AS doc_a", "pos AS pos_a", "w1", "w2", "w3")
+    )
+    b = toks.selectExpr("doc_id AS doc_b", "pos AS pos_b", "term AS term_b")
+    c = toks.selectExpr("doc_id AS doc_c", "pos AS pos_c", "term AS term_c")
+    return (
+        a.join(
+            b,
+            (F.col("doc_b") == F.col("doc_a"))
+            & (F.col("pos_b") == F.col("pos_a") + 1)
+            & (F.col("term_b") == F.col("w2")),
+        )
+        .join(
+            c,
+            (F.col("doc_c") == F.col("doc_a"))
+            & (F.col("pos_c") == F.col("pos_a") + 2)
+            & (F.col("term_c") == F.col("w3")),
+        )
+        .select(
+            F.col("doc_a").alias("doc_id"),
+            F.col("pos_a").cast("bigint").alias("pos"),
+            F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+        )
+    )
