@@ -180,3 +180,45 @@ def test_seasonal_decomposition_identity(spark, sf_dir):
         assert r["dow"] == r["d"] % 7
     # one row per day
     assert len({r["d"] for r in rows}) == len(rows)
+
+
+def test_heavy_hitters_exact_and_partition_free(spark, sf_dir):
+    rows = registry()["heavy_hitters_two_phase"].fn(spark, sf_dir).collect()
+    assert rows
+    # exact recount: every reported count matches a brute-force count,
+    # and the threshold holds
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("explode(split(text, ' ')) AS term")
+        .groupBy("term")
+        .count()
+        .collect()
+    )
+    exact = {r["term"]: r["count"] for r in toks}
+    n = sum(exact.values())
+    expected = {t for t, c in exact.items() if c * 65 > n}
+    assert {r["term"] for r in rows} == expected
+    for r in rows:
+        assert r["n_occurrences"] == exact[r["term"]]
+
+
+def test_rolling_wau_brute_force(spark, sf_dir):
+    rows = registry()["rolling_7d_active_users"].fn(spark, sf_dir).collect()
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .selectExpr(
+            "datediff(date_trunc('day', ts), DATE '2024-01-01') AS d",
+            "user_id",
+        )
+        .collect()
+    )
+    by_day: dict[int, set] = {}
+    for r in ev:
+        by_day.setdefault(r["d"], set()).add(r["user_id"])
+    got = {r["d"]: r["wau"] for r in rows}
+    assert set(got) == set(by_day)
+    for d in by_day:
+        want = set().union(
+            *(by_day.get(x, set()) for x in range(d - 6, d + 1))
+        )
+        assert got[d] == len(want)

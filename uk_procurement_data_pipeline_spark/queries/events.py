@@ -5169,3 +5169,57 @@ def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("resid_micro"),
     )
+
+
+@register(
+    name="rolling_7d_active_users",
+    survey="A8 F14 F15 J5",
+    doc="Rolling 7-day active users (the WAU curve, per calendar day "
+    "with events): the scale-correct rewrite of a sliding "
+    "count-distinct — instead of a range self-join or a distinct "
+    "inside a window frame (which Spark cannot do), each distinct "
+    "(day, user) pair fans out map-side to the <= 7 window-end days it "
+    "contributes to (explode(sequence(d, d+6))), and one "
+    "distinct-count per target day finishes it. Cost is 7x the "
+    "distinct pair list — linear, shuffle on the day key — versus the "
+    "quadratic day-range join a naive formulation pays. Window-end "
+    "days are restricted to days that actually have events (inner "
+    "join to the observed-day table), so the output domain is "
+    "data-defined in both engines.",
+    oracle="""
+        WITH pairs AS (
+            SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE)
+                       - DATE '2024-01-01' AS d,
+                   user_id
+            FROM events),
+        cal AS (SELECT DISTINCT d FROM pairs),
+        contrib AS (
+            SELECT s.td, p.user_id
+            FROM pairs p,
+                 LATERAL (SELECT unnest(range(p.d, p.d + 7)) AS td) s)
+        SELECT CAST(c.d AS BIGINT) AS d,
+               CAST(count(DISTINCT ct.user_id) AS BIGINT) AS wau
+        FROM cal c JOIN contrib ct ON ct.td = c.d
+        GROUP BY c.d
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        load(spark, sf_dir, "events")
+        .selectExpr(
+            "datediff(date_trunc('day', ts), DATE '2024-01-01') AS d",
+            "user_id",
+        )
+        .distinct()
+    )
+    cal = pairs.select("d").distinct()
+    contrib = pairs.selectExpr(
+        "explode(sequence(d, d + 6)) AS td", "user_id"
+    )
+    return (
+        contrib.join(
+            F.broadcast(cal), contrib["td"] == cal["d"]
+        )
+        .groupBy(F.col("d").cast("bigint").alias("d"))
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+    )

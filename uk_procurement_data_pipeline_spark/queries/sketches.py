@@ -588,3 +588,68 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("fp_rate_micro"),
     )
+
+
+_HH_K = 64  # heavy-hitter counter budget: guarantees freq > N/(K+1) found
+
+
+@register(
+    name="heavy_hitters_two_phase",
+    survey="A7 UD4 J5 A8",
+    doc="Distributed heavy hitters with the Misra-Gries guarantee, the "
+    "two-phase shape that finds frequent tokens in one pass over a "
+    "corpus too large to count exactly everywhere: phase 1 runs a "
+    "partition-LOCAL frequency filter inside mapInPandas (vectorized "
+    "value_counts; a term survives iff its local count clears "
+    "local_n/(K+1)) — by averaging, every GLOBAL heavy hitter "
+    "(count*65 > N with K=64) must clear the local bar in at least one "
+    "partition, so the candidate union can miss nothing; phase 2 "
+    "exactly recounts ONLY the candidates (broadcast semi-join) and "
+    "applies the global threshold, which deletes every false "
+    "candidate. The final set is therefore EXACT and "
+    "partition-invariant even though the intermediate candidate set is "
+    "not — the property that makes the pattern safe on any cluster "
+    "shape, pinned by the invariance sweep. All threshold comparisons "
+    "are integer (count * 65 > N), no float division.",
+    oracle="""
+        WITH toks AS (
+            SELECT unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tot AS (SELECT count(*) AS n FROM toks)
+        SELECT term, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM toks, tot
+        GROUP BY term, tot.n
+        HAVING count(*) * 65 > tot.n
+    """,
+)
+def heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    toks = load(spark, sf_dir, "documents").selectExpr(
+        "explode(split(text, ' ')) AS term"
+    )
+
+    def local_candidates(batches):
+        counts: dict[str, int] = {}
+        n_local = 0
+        for pdf in batches:
+            n_local += len(pdf)
+            for term, c in pdf["term"].value_counts().items():
+                counts[term] = counts.get(term, 0) + int(c)
+        cands = [
+            t for t, c in counts.items() if c * (_HH_K + 1) > n_local
+        ]
+        yield pd.DataFrame({"term": cands})
+
+    cands = toks.mapInPandas(
+        local_candidates, schema="term string"
+    ).distinct()
+    total = toks.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    return (
+        toks.join(F.broadcast(cands), "term", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("n_occurrences") * (_HH_K + 1) > F.col("n"))
+        .select("term", "n_occurrences")
+    )
