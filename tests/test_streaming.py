@@ -417,3 +417,32 @@ def test_foreach_batch_acid_upsert_exactly_once(spark, stream_src, tmp_path):
     acid_merge_upsert(spark, table, dup, app_id="evstream", txn_version=0)
     assert acid_latest_version(table) == v
     assert acid_read(spark, table).count() == expect
+
+
+def test_late_drop_windows_drop_accounting(spark, sf_dir):
+    """The scrambled replay genuinely drops late rows: emitted window
+    counts must sum to LESS than the row count (drops happened), every
+    emitted window must be final (end <= max_ts - delay), and counts
+    must never exceed the true per-window totals."""
+    from uk_procurement_data_pipeline_spark.queries import registry
+
+    rows = registry()["stream_late_drop_windows"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS tsu"
+    )
+    n = ev.count()
+    agg = ev.selectExpr(
+        "tsu div 3600000000 * 3600000000 AS w", "tsu"
+    ).groupBy("w")
+    true_counts = {
+        r["w"]: r["cnt"]
+        for r in agg.agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    max_ts = ev.agg(F.max("tsu")).collect()[0][0]
+    final_wm_ms = max_ts // 1000 - 2 * 3600 * 1000
+    emitted_total = sum(r["n_events"] for r in rows)
+    assert emitted_total < n  # late rows were actually dropped
+    for r in rows:
+        assert (r["w_start_us"] + 3600000000) // 1000 <= final_wm_ms
+        assert 0 < r["n_events"] <= true_counts[r["w_start_us"]]

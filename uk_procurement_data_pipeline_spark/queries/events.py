@@ -5223,3 +5223,165 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d").cast("bigint").alias("d"))
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
     )
+
+
+_LD_DELAY_US = 2 * 3600 * 1_000_000  # watermark delay: 2 hours
+_LD_WIN_US = 3600 * 1_000_000  # tumbling window: 1 hour
+_LD_MIN_BATCH = 200
+_LD_N_BATCHES = 10
+
+
+@register(
+    name="stream_late_drop_windows",
+    survey="ST1 ST3 ST5 A7",
+    eager=True,
+    doc="Watermark LATE-DATA DROP, exercised for real (ST3's hard half): "
+    "the replay source's order=scramble option feeds events in a "
+    "deterministic md5 permutation, so event time is genuinely "
+    "out-of-order and the 2-hour watermark actually discards late rows "
+    "from the 1-hour tumbling count — something the fixture's monotone "
+    "disk order can never trigger. APPEND mode emits exactly the "
+    "windows the final watermark passed; their counts EXCLUDE every "
+    "dropped row, so the oracle pins the drop semantics row-for-row: "
+    "a row in micro-batch N is dropped iff its window end (ms) <= "
+    "cummax(batch max event time through batch N-2) - delay (ms) — the "
+    "one-batch publication lag of Spark's watermark tracker, verified "
+    "empirically with exact per-window equality at all three SFs and "
+    "stable across repeated runs; a window emits iff its end (ms) <= "
+    "final watermark. Batching is the deterministic replay formula "
+    "(rows in md5 order, batch size max(200, n/10)) restated by the "
+    "oracle. The drain waits for the trailing no-data batch that "
+    "flushes the final windows to COMMIT before stop() — the same "
+    "deterministic-drain contract as stream_session_ttl_close. State "
+    "is one count per open window, sharded by the grouping shuffle.",
+    oracle=f"""
+        WITH e AS (
+            SELECT epoch_us(ts) AS tsu,
+                   row_number() OVER (ORDER BY md5(CAST(event_id AS VARCHAR)))
+                       - 1 AS rn,
+                   count(*) OVER () AS n
+            FROM events),
+        b AS (
+            SELECT tsu,
+                   rn // GREATEST({_LD_MIN_BATCH}, n // {_LD_N_BATCHES})
+                       AS bid
+            FROM e),
+        bm AS (SELECT bid, max(tsu) AS bmax FROM b GROUP BY bid),
+        wmv AS (
+            SELECT bid,
+                   max(bmax) OVER (ORDER BY bid
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 2 PRECEDING) AS m2
+            FROM bm),
+        surv AS (
+            SELECT b.tsu
+            FROM b JOIN wmv USING (bid)
+            WHERE wmv.m2 IS NULL
+               OR ((b.tsu // {_LD_WIN_US}) * {_LD_WIN_US} + {_LD_WIN_US})
+                      // 1000
+                  > (wmv.m2 - {_LD_DELAY_US}) // 1000),
+        fin AS (
+            SELECT (max(tsu) - {_LD_DELAY_US}) // 1000 AS fwm FROM e),
+        win AS (
+            SELECT (tsu // {_LD_WIN_US}) * {_LD_WIN_US} AS w_start_us,
+                   count(*) AS n_events
+            FROM surv GROUP BY 1)
+        SELECT CAST(w_start_us AS BIGINT) AS w_start_us,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM win, fin
+        WHERE (w_start_us + {_LD_WIN_US}) // 1000 <= fwm
+    """,
+)
+def stream_late_drop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime as _dt
+    import os
+    import re
+    import shutil
+    import tempfile
+    import time
+    import zlib
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.sources.events_replay_stream import (
+        EventsReplayDataSource,
+    )
+
+    try:
+        spark.dataSource.register(EventsReplayDataSource)
+    except Exception:  # noqa: BLE001 — already registered in this session
+        pass
+    qname = f"stream_ld_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
+    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    batch_rows = max(_LD_MIN_BATCH, n_rows // _LD_N_BATCHES)
+    src = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("batch_rows", str(batch_rows))
+        .option("order", "scramble")
+        .load()
+    )
+    win_s = _LD_WIN_US // 1_000_000
+    delay_s = _LD_DELAY_US // 1_000_000
+    agg = (
+        src.withWatermark("ts", f"{delay_s} seconds")
+        .groupBy(F.window("ts", f"{win_s} seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "n_events")
+    )
+    ckpt_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    ckpt = tempfile.mkdtemp(prefix=f"ld_ckpt_{qname}_", dir=ckpt_root)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    ts_col = pq.read_table(
+        f"{sf_dir}/events.parquet", columns=["ts"], memory_map=True
+    )["ts"]
+    ts_max_us = pc.max(ts_col).cast(pa.timestamp("us")).value
+    wm_target_ms = ts_max_us // 1000 - _LD_DELAY_US // 1000
+
+    def _wm_ms(lp) -> int:
+        iso = (lp.get("eventTime") or {}).get("watermark") if lp else None
+        if not iso:
+            return -1
+        return int(
+            _dt.datetime.fromisoformat(iso.replace("Z", "+00:00")).timestamp()
+            * 1000
+        )
+
+    try:
+        deadline = time.time() + 240
+        drained = False
+        while time.time() < deadline:
+            lp = q.lastProgress
+            eo = lp["sources"][0].get("endOffset") if lp else None
+            if eo and not drained:
+                pos = eo["pos"] if isinstance(eo, dict) else int(
+                    re.search(r"-?\d+", str(eo)).group()
+                )
+                drained = int(pos) >= n_rows
+            if drained and _wm_ms(lp) >= wm_target_ms:
+                break
+            time.sleep(0.1)
+        else:
+            raise TimeoutError(
+                f"events_replay(scramble) did not drain {n_rows} rows and "
+                f"commit the final-watermark flush batch in 240s"
+            )
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(qname).select(
+        F.unix_micros(F.col("w_start").cast("timestamp")).alias("w_start_us"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+    )

@@ -38,13 +38,34 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
         if not self.path:
             raise ValueError("events_replay requires .option('path', ...)")
         self.batch_rows = int(options.get("batch_rows", "5000"))
+        # order=disk (default): on-disk row order — monotone ts for the
+        # events fixture, so no late data ever occurs. order=scramble:
+        # a DETERMINISTIC permutation (rows sorted by md5 of the first
+        # column's string form, ties by position) — makes event time
+        # genuinely out-of-order so watermark late-drop semantics are
+        # exercised, while staying byte-identical across runs/engines
+        # (the oracle regenerates the same permutation in SQL).
+        self.order = options.get("order", "disk")
         self._table = None  # lazy; the reader object must pickle cheaply
 
     def _rows(self):
         if self._table is None:
             import pyarrow.parquet as pq
 
-            self._table = pq.read_table(self.path)
+            t = pq.read_table(self.path)
+            if self.order == "scramble":
+                import hashlib
+
+                keys = t.column(0).to_pylist()
+                perm = sorted(
+                    range(len(keys)),
+                    key=lambda i: (
+                        hashlib.md5(str(keys[i]).encode()).hexdigest(),
+                        i,
+                    ),
+                )
+                t = t.take(perm)
+            self._table = t
         return self._table
 
     def initialOffset(self) -> dict:  # noqa: N802 (Spark API)
