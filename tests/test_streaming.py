@@ -446,3 +446,33 @@ def test_late_drop_windows_drop_accounting(spark, sf_dir):
     for r in rows:
         assert (r["w_start_us"] + 3600000000) // 1000 <= final_wm_ms
         assert 0 < r["n_events"] <= true_counts[r["w_start_us"]]
+
+
+def test_replay_scramble_order_is_md5_permutation(spark, sf_dir):
+    """order=scramble must serve rows in exactly the md5(event_id)
+    permutation the oracle reconstructs in SQL — byte-identical batches
+    are the contract that makes late-drop semantics oracle-checkable."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.sources.events_replay_stream import (
+        EventsReplayStreamReader,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    r = EventsReplayStreamReader({"path": path, "order": "scramble"})
+    t = pq.read_table(path)
+    keys = t.column("event_id").to_pylist()
+    perm = sorted(
+        range(len(keys)),
+        key=lambda i: (hashlib.md5(str(keys[i]).encode()).hexdigest(), i),
+    )
+    want_first = [keys[i] for i in perm[:50]]
+    got, _ = r.read({"pos": 0})
+    got_ids = [row[0] for row in list(got)[:50]]
+    assert got_ids == want_first
+    # disk order stays the default and untouched
+    r2 = EventsReplayStreamReader({"path": path})
+    got2, _ = r2.read({"pos": 0})
+    assert [row[0] for row in list(got2)[:50]] == keys[:50]
