@@ -222,3 +222,39 @@ def test_rolling_wau_brute_force(spark, sf_dir):
             *(by_day.get(x, set()) for x in range(d - 6, d + 1))
         )
         assert got[d] == len(want)
+
+
+def test_maxsim_brute_force(spark, sf_dir):
+    """Late-interaction MaxSim vs a pure-python rebuild on one query."""
+    import math
+
+    rows = registry()["late_interaction_maxsim"].fn(spark, sf_dir).collect()
+    assert {r["query_id"] for r in rows} == {0, 1}
+    embs = {
+        r["vec_id"]: [float(x) for x in r["embedding"]]
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    docs: dict[int, list] = {}
+    for vid, v in embs.items():
+        docs.setdefault(vid // 4, []).append((vid % 4, v))
+
+    def dot_micro(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            s += x * y
+        return math.floor(s * 1_000_000 + 0.5)
+
+    q0 = [v for _, v in sorted(docs[0])]
+    scores = {}
+    for d, toks in docs.items():
+        if d == 0:
+            continue
+        scores[d] = sum(
+            max(dot_micro(qv, dv) for _, dv in toks) for qv in q0
+        )
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    got = sorted(
+        ((r["doc_id"], r["maxsim_micro"]) for r in rows if r["query_id"] == 0),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    assert got == want

@@ -2549,3 +2549,89 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_permille"),
         )
     )
+
+
+@register(
+    name="late_interaction_maxsim",
+    survey="J9 J5 A7 W1 F17",
+    doc="Multi-vector late-interaction retrieval (ColBERT-style MaxSim, "
+    "Khattab & Zaharia 2020) — the fourth member of the retrieval "
+    "family beside sparse BM25/QL, single-vector dense, and PQ: "
+    "documents are modeled as 4-token multi-vector bags (4 consecutive "
+    "vec_ids per doc_id), and a query scores a document as the SUM "
+    "over its query tokens of the MAX dot product against any document "
+    "token — fine-grained token interaction without a cross-encoder. "
+    "Two held-out queries (doc_id 0, 1) score every other document; "
+    "dot products are fixed-order folds micro-quantized to BIGINT "
+    "BEFORE the max/sum (so the hash-agg order can never flip a bit), "
+    "top-5 with (score, doc_id) tiebreak. The query side broadcasts (8 "
+    "token vectors); the doc side is one linear scan — the "
+    "plan shape that serves MaxSim shortlists at scale, with the "
+    "max-then-sum as two bounded hash-aggs keyed by (query, doc).",
+    oracle=f"""
+        WITH tok AS (
+            SELECT vec_id // 4 AS doc_id, vec_id % 4 AS tok_idx, embedding
+            FROM embeddings),
+        qt AS (
+            SELECT doc_id AS query_id, tok_idx, embedding AS qe
+            FROM tok WHERE doc_id < 2),
+        dots AS (
+            SELECT q.query_id, d.doc_id, q.tok_idx,
+                   CAST(floor({_D_DOT.format(a='q.qe', b='d.embedding')}
+                              * 1000000 + 0.5) AS BIGINT) AS dot_micro
+            FROM qt q JOIN tok d ON d.doc_id != q.query_id),
+        best AS (
+            SELECT query_id, doc_id, tok_idx, max(dot_micro) AS m
+            FROM dots GROUP BY 1, 2, 3),
+        score AS (
+            SELECT query_id, doc_id, CAST(sum(m) AS BIGINT) AS maxsim_micro
+            FROM best GROUP BY 1, 2),
+        topk AS (
+            SELECT query_id, doc_id, maxsim_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY maxsim_micro DESC, doc_id)
+                       AS rank
+            FROM score)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id, maxsim_micro
+        FROM topk WHERE rank <= 5
+    """,
+)
+def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    tok = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id div 4 AS doc_id", "vec_id % 4 AS tok_idx", "embedding"
+    )
+    qt = tok.where(F.col("doc_id") < 2).selectExpr(
+        "doc_id AS query_id", "tok_idx AS q_tok", "embedding AS qe"
+    )
+    dots = (
+        tok.crossJoin(F.broadcast(qt))
+        .where(F.col("doc_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "doc_id",
+            "q_tok",
+            f"CAST(floor({_DOT.format(a='qe', b='embedding')}"
+            " * 1000000 + 0.5) AS BIGINT) AS dot_micro",
+        )
+    )
+    best = dots.groupBy("query_id", "doc_id", "q_tok").agg(
+        F.max("dot_micro").alias("m")
+    )
+    score = best.groupBy("query_id", "doc_id").agg(
+        F.sum("m").cast("bigint").alias("maxsim_micro")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim_micro"), "doc_id"
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "maxsim_micro",
+        )
+    )
