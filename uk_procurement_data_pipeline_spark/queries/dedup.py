@@ -29,11 +29,16 @@ from uk_procurement_data_pipeline_spark.queries.base import register
 _PFX = "array_join(slice(split(text, ' '), 1, 10), ' ')"
 _D_PFX = "array_to_string(string_split(text, ' ')[1:10], ' ')"
 
-# distinct 3-token shingles
+# distinct 3-token shingles. Guarded: for a <3-token doc the unguarded
+# sequence(1, n-2) would DESCEND ([1,0] — Spark steps -1 when start>stop)
+# and element_at(arr, 0) then throws INVALID_ARRAY_INDEX; the guard yields
+# an empty shingle set instead, matching DuckDB's generate_series(1, n-2).
 _SHINGLES = (
-    "array_distinct(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+    "array_distinct(if(size(split(text,' ')) >= 3,"
+    " transform(sequence(1, size(split(text,' ')) - 2),"
     " i -> concat_ws(' ', element_at(split(text,' '), i),"
-    " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))))"
+    " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))),"
+    " cast(array() as array<string>)))"
 )
 _D_SHINGLES = (
     "list_distinct(list_transform(generate_series(1, len(string_split(text,' ')) - 2),"

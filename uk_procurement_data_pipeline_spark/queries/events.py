@@ -22,6 +22,25 @@ from uk_procurement_data_pipeline_spark.functions.exact import exact_sum, oracle
 from uk_procurement_data_pipeline_spark.queries.base import register
 
 
+def _progress_wm_ms(lp) -> int:
+    """Watermark from a StreamingQueryProgress row, as exact epoch ms.
+
+    Shared by the two deterministic-drain loops (stream_session_ttl_close,
+    stream_late_drop_windows). Derived with integer timedelta division —
+    ``datetime.timestamp() * 1000`` can truncate 1 ms from float rounding,
+    and a 1 ms-short reading on the FINAL watermark would leave the drain
+    condition unsatisfiable (240 s TimeoutError).
+    """
+    import datetime as _dt
+
+    iso = (lp.get("eventTime") or {}).get("watermark") if lp else None
+    if not iso:
+        return -1
+    dt = _dt.datetime.fromisoformat(iso.replace("Z", "+00:00"))
+    epoch = _dt.datetime(1970, 1, 1, tzinfo=_dt.timezone.utc)
+    return (dt - epoch) // _dt.timedelta(milliseconds=1)
+
+
 @register(
     name="events_tumbling_window",
     survey="ST1 A7 F15",
@@ -1489,8 +1508,6 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (no race between the 0.1 s poll and a ~1 s batch). That batch is
     # observable as a progress row whose watermark equals
     # max(ts) - delay in Spark's ms arithmetic.
-    import datetime as _dt
-
     import pyarrow as pa
     import pyarrow.compute as pc
 
@@ -1500,14 +1517,7 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_max_us = pc.max(ts_col).cast(pa.timestamp("us")).value
     wm_target_ms = ts_max_us // 1000 - _TTL_DELAY_US // 1000
 
-    def _wm_ms(lp) -> int:
-        iso = (lp.get("eventTime") or {}).get("watermark") if lp else None
-        if not iso:
-            return -1
-        return int(
-            _dt.datetime.fromisoformat(iso.replace("Z", "+00:00")).timestamp()
-            * 1000
-        )
+    _wm_ms = _progress_wm_ms  # shared exact-ms helper (module top)
 
     try:
         deadline = time.time() + 240
@@ -5293,7 +5303,6 @@ _LD_N_BATCHES = 10
     """,
 )
 def stream_late_drop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import datetime as _dt
     import os
     import re
     import shutil
@@ -5350,14 +5359,7 @@ def stream_late_drop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_max_us = pc.max(ts_col).cast(pa.timestamp("us")).value
     wm_target_ms = ts_max_us // 1000 - _LD_DELAY_US // 1000
 
-    def _wm_ms(lp) -> int:
-        iso = (lp.get("eventTime") or {}).get("watermark") if lp else None
-        if not iso:
-            return -1
-        return int(
-            _dt.datetime.fromisoformat(iso.replace("Z", "+00:00")).timestamp()
-            * 1000
-        )
+    _wm_ms = _progress_wm_ms  # shared exact-ms helper (module top)
 
     try:
         deadline = time.time() + 240

@@ -1957,9 +1957,11 @@ def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "posexplode(split(text, ' ')) AS (pos, term)"
     )
     # top phrase: direct trigram occurrence count (NOT distinct — every
-    # position counts), no positional join needed on the counting side
-    tri = docs.selectExpr(
-        "explode(transform(sequence(1, greatest(size(split(text,' ')) - 2, 0)),"
+    # position counts), no positional join needed on the counting side.
+    # The size>=3 filter guards the unguarded sequence(1, n-2), which for a
+    # <3-token doc DESCENDS ([1,0]) and crashes element_at at index 0.
+    tri = docs.where("size(split(text, ' ')) >= 3").selectExpr(
+        "explode(transform(sequence(1, size(split(text,' ')) - 2),"
         " i -> struct(element_at(split(text,' '), i) AS w1,"
         "             element_at(split(text,' '), i+1) AS w2,"
         "             element_at(split(text,' '), i+2) AS w3))) AS t"

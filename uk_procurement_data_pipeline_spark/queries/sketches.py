@@ -599,11 +599,17 @@ _HH_K = 64  # heavy-hitter counter budget: guarantees freq > N/(K+1) found
     doc="Distributed heavy hitters with the Misra-Gries guarantee, the "
     "two-phase shape that finds frequent tokens in one pass over a "
     "corpus too large to count exactly everywhere: phase 1 runs a "
-    "partition-LOCAL frequency filter inside mapInPandas (vectorized "
-    "value_counts; a term survives iff its local count clears "
-    "local_n/(K+1)) — by averaging, every GLOBAL heavy hitter "
-    "(count*65 > N with K=64) must clear the local bar in at least one "
-    "partition, so the candidate union can miss nothing; phase 2 "
+    "partition-LOCAL bounded-memory Misra-Gries summary inside "
+    "mapInPandas — K=64 counters merged batch-by-batch (vectorized "
+    "value_counts per Arrow batch, then the mergeable-summary "
+    "truncation of Agarwal et al.: subtract the (K+1)-th largest "
+    "count, drop non-positive), so per-partition state is <= K "
+    "counters plus one transient Arrow batch regardless of distinct "
+    "terms. An MG residual underestimates a term's local count by at "
+    "most local_n/(K+1); by averaging, every GLOBAL heavy hitter "
+    "(count*65 > N with K=64) exceeds local_n/(K+1) in at least one "
+    "partition, hence survives with a positive residual there, so the "
+    "candidate union (<= K per partition) can miss nothing. Phase 2 "
     "exactly recounts ONLY the candidates (broadcast semi-join) and "
     "applies the global threshold, which deletes every false "
     "candidate. The final set is therefore EXACT and "
@@ -630,16 +636,22 @@ def heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def local_candidates(batches):
-        counts: dict[str, int] = {}
-        n_local = 0
+        # Bounded-K Misra-Gries, merged batchwise: state never exceeds
+        # _HH_K counters + one Arrow batch's value_counts. Truncation =
+        # subtract the (K+1)-th largest count, keep positives (the
+        # mergeable-MG step; total decrement over a partition of n_local
+        # items is <= n_local/(K+1), so any term with true local count
+        # above that bar ends with a POSITIVE residual and is emitted).
+        counters: dict[str, int] = {}
         for pdf in batches:
-            n_local += len(pdf)
             for term, c in pdf["term"].value_counts().items():
-                counts[term] = counts.get(term, 0) + int(c)
-        cands = [
-            t for t, c in counts.items() if c * (_HH_K + 1) > n_local
-        ]
-        yield pd.DataFrame({"term": cands})
+                counters[term] = counters.get(term, 0) + int(c)
+            if len(counters) > _HH_K:
+                kth = sorted(counters.values(), reverse=True)[_HH_K]
+                counters = {
+                    t: c - kth for t, c in counters.items() if c > kth
+                }
+        yield pd.DataFrame({"term": list(counters)})
 
     cands = toks.mapInPandas(
         local_candidates, schema="term string"

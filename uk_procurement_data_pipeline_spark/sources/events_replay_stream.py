@@ -40,12 +40,16 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
         self.batch_rows = int(options.get("batch_rows", "5000"))
         # order=disk (default): on-disk row order — monotone ts for the
         # events fixture, so no late data ever occurs. order=scramble:
-        # a DETERMINISTIC permutation (rows sorted by md5 of the first
+        # a DETERMINISTIC permutation (rows sorted by md5 of the key
         # column's string form, ties by position) — makes event time
         # genuinely out-of-order so watermark late-drop semantics are
         # exercised, while staying byte-identical across runs/engines
-        # (the oracle regenerates the same permutation in SQL).
+        # (the oracle regenerates the same permutation in SQL). The key is
+        # addressed BY NAME (option scramble_key, default event_id) so a
+        # parquet column reorder can't silently change the permutation out
+        # from under the oracle's md5(CAST(event_id AS VARCHAR)) contract.
         self.order = options.get("order", "disk")
+        self.scramble_key = options.get("scramble_key", "event_id")
         self._table = None  # lazy; the reader object must pickle cheaply
 
     def _rows(self):
@@ -56,7 +60,7 @@ class EventsReplayStreamReader(SimpleDataSourceStreamReader):
             if self.order == "scramble":
                 import hashlib
 
-                keys = t.column(0).to_pylist()
+                keys = t.column(self.scramble_key).to_pylist()
                 perm = sorted(
                     range(len(keys)),
                     key=lambda i: (
