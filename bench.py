@@ -72,6 +72,47 @@ def _next_round() -> int:
     return best + 1
 
 
+def _previous_local_timings(current_round: int) -> dict[str, float]:
+    """Per-query map from the most recent BENCH_LOCAL_r*.json before this
+    round — the round-over-round drift reference."""
+    here = Path(__file__).resolve().parent
+    best: tuple[int, Path] | None = None
+    for f in here.glob("BENCH_LOCAL_r*.json"):
+        m = re.search(r"_r(\d+)\.json$", f.name)
+        # the current round's own file (e.g. the driver's boundary run, or
+        # an earlier run this session) qualifies: drift vs the last
+        # recorded reading is exactly what we want
+        if m and int(m.group(1)) <= current_round and (
+            best is None or int(m.group(1)) > best[0]
+        ):
+            best = (int(m.group(1)), f)
+    if best is None:
+        return {}
+    try:
+        return dict(json.loads(best[1].read_text()).get("queries", {}))
+    except Exception:  # noqa: BLE001 — a corrupt artifact must not kill bench
+        return {}
+
+
+def _git_head() -> str:
+    import subprocess
+
+    try:
+        head = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=Path(__file__).resolve().parent,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return head + ("+dirty" if dirty else "")
+    except Exception:  # noqa: BLE001
+        return "unknown"
+
+
 def run_query(spark, spec, sf_dir: str, min_runs: int = 2, max_runs: int = 4) -> float:
     """Adaptive best-of-N timed executions (N in [min_runs, max_runs]).
 
@@ -166,15 +207,31 @@ def main() -> int:
     # isolated) — that is scheduler noise, not plan cost, and the
     # committed artifact should record plan cost.
     base_early = _baseline_rows(sf)
+    # Round-over-round drift (VERDICT r07 item 3): any query >1.5x its
+    # reading in the PREVIOUS BENCH_LOCAL file is mechanically re-timed in
+    # isolation right here — Python-worker churn from Arrow-heavy sweep
+    # neighbors routinely inflates readings 2-3x and has repeatedly
+    # masqueraded as a plan regression (xml_namespace_dispatch r07:
+    # 2.7x mid-sweep, 0.56s isolated). The section lands in the JSON so
+    # nobody has to diff two files by hand.
+    prev_local = _previous_local_timings(rnd)
+    drift_suspects = {
+        n: prev_local[n]
+        for n, t in timings.items()
+        if prev_local.get(n) and t / prev_local[n] > 1.5
+    }
     suspects = [
         n
         for n, t in timings.items()
-        if base_early.get(n) and t / base_early[n] > 1.5
+        if (base_early.get(n) and t / base_early[n] > 1.5)
+        or n in drift_suspects
     ]
+    rr_drift: dict[str, dict[str, float]] = {}
     if suspects:
         for _ in range(4):
             warm.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         for n in suspects:
+            first = timings[n]
             try:
                 secs = run_query(spark, reg[n], sf_dir, max_runs=6)
                 if secs < timings[n]:
@@ -185,6 +242,12 @@ def main() -> int:
                     timings[n] = round(secs, 3)
             except Exception:  # noqa: BLE001 — keep the first reading
                 pass
+            if n in drift_suspects:
+                rr_drift[n] = {
+                    "prev": drift_suspects[n],
+                    "sweep": first,
+                    "isolated": timings[n],
+                }
     full = {
         "metric": "total_query_wall",
         "value": round(sum(timings.values()), 3),
@@ -194,7 +257,17 @@ def main() -> int:
         "n_queries": len(timings),
         "cpus": int(cpus),
         "round": rnd,
+        # What was measured, unambiguously (VERDICT r07 item 7): the round
+        # counter above is "1 + latest driver artifact", which reads one
+        # round AHEAD when the driver itself runs bench.py at the round
+        # boundary (its CORRECTNESS_rN lands first, so the closer of round
+        # N gets filed as r{N+1}). The git state is the ground truth.
+        "measures_git_head": _git_head(),
+        "round_note": "round = 1 + max driver artifact round at run time; "
+        "trust measures_git_head for WHICH repo state was measured",
     }
+    if rr_drift:
+        full["rr_drift"] = rr_drift
     if errors:
         full["errors"] = errors
     local_path = Path(__file__).resolve().parent / f"BENCH_LOCAL_r{rnd:02d}.json"
@@ -229,6 +302,17 @@ def main() -> int:
             3,
         ),
     }
+    if rr_drift:
+        # still-drifting = isolated re-time did NOT come back under 1.5x of
+        # the previous reading — a candidate real regression, not churn
+        still = {
+            n: d for n, d in rr_drift.items()
+            if d["isolated"] / d["prev"] > 1.5
+        }
+        compact["n_rr_drift"] = len(rr_drift)
+        compact["rr_drift_unresolved"] = dict(
+            sorted(still.items(), key=lambda kv: -kv[1]["isolated"])[:5]
+        )
     if errors:
         compact["errors"] = {k: v[:80] for k, v in list(errors.items())[:5]}
         compact["n_errors"] = len(errors)

@@ -1321,17 +1321,18 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sessions at stream end, which is exactly the state the TTL path must
 # NOT emit. Micro-batch size scales with the file: ~40 batches up to
 # 20k rows (max(200, N//40) — 14 timer-only closes at the driver's
-# sf0.01 gate), ~20 batches above (N//20 — 24 timer closes at sf0.1,
-# and about half the wall time, since per-batch overhead of ~1.2 s —
-# Python-source prefetch + incremental replan + state commit, measured
-# equal for the trivial-agg python_datasource_stream_feed — dominates
-# everything else at local scale). The SAME expression appears in the
-# oracle's cfg CTE — keep them in lockstep.
+# sf0.01 gate), ~5 batches above (N//5; r08, was N//20 — the emitted
+# set is batch-count-INVARIANT because the oracle depends only on the
+# final watermark max(ts)-delay; sessions still span batches, timers
+# still fire mid-stream AND at the trailing no-data drain batch, and
+# per-batch overhead of ~2-3 s — Python-source prefetch + incremental
+# replan + state commit — dominates everything else at local scale:
+# 38.6 s at 20 batches -> 13.3 s at 5, same 56,646-row sf0.1 output).
 _TTL_GAP_US = 6 * 3600 * 1_000_000
 _TTL_DELAY_US = 3600 * 1_000_000
 _TTL_MIN_BATCH = 200
 _TTL_N_BATCHES = 40
-_TTL_BIG_N = 20_000  # above this, halve the batch count
+_TTL_BIG_N = 20_000  # above this, ~5 batches (output is batch-count-invariant)
 
 
 @register(
@@ -1451,7 +1452,7 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_rows <= _TTL_BIG_N:
         batch_rows = max(_TTL_MIN_BATCH, n_rows // _TTL_N_BATCHES)
     else:
-        batch_rows = n_rows // (_TTL_N_BATCHES // 2)
+        batch_rows = n_rows // (_TTL_N_BATCHES // 8)
     src = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
