@@ -2635,3 +2635,232 @@ def late_interaction_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "maxsim_micro",
         )
     )
+
+
+_TS_SL = 10  # per-query-token ADC shortlist depth before the exact rerank
+
+
+@register(
+    name="two_stage_pq_maxsim",
+    survey="J9 J5 A7 W1 F17",
+    doc="The standard ColBERT serving shape, composed end-to-end as ONE "
+    "plan (Khattab & Zaharia 2020 §3.4; Santhanam et al. PLAID): "
+    "stage 1 retrieves a candidate set with the CHEAP index — every "
+    "query token probes a PQ-ADC index over all token vectors "
+    "(16-centroid-per-subspace codebook, seeded + one exact-decimal "
+    "Lloyd step, the pq_recall_report contract) and keeps its 10 "
+    "nearest tokens; the union of their parent doc_ids is the "
+    "query's candidate set. Stage 2 reranks ONLY those candidates "
+    "with the EXACT late-interaction score (sum over query tokens of "
+    "the max dot product against any candidate-doc token, dots "
+    "micro-quantized to BIGINT before the max-then-sum aggs, the "
+    "late_interaction_maxsim contract), emitting the top-5 with a "
+    "(score, doc_id) tiebreak plus each query's candidate-set size. "
+    "At scale this is the whole point of both parents: the ADC stage "
+    "touches compressed codes (64x smaller than raw vectors) and "
+    "bounds the expensive MaxSim to |candidates| docs instead of the "
+    "corpus; every join against query-side state is a broadcast (8 "
+    "token LUTs, the shortlist doc list), and the two rerank aggs are "
+    "hash-aggs keyed by (query, doc).",
+    oracle=f"""
+        WITH sub AS (
+            SELECT vec_id, m.m,
+                   list_transform(embedding[m.m * 16 + 1 : m.m * 16 + 16],
+                                  x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings,
+                 (SELECT unnest(range(0, 4)) AS m) m),
+        seeds AS (
+            SELECT m, vec_id AS cid, v AS cv FROM sub
+            WHERE vec_id < {_PQR_K}),
+        a1 AS (
+            SELECT s.vec_id, s.m, s.v, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid FROM seeds c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        cent1 AS (
+            SELECT m, cid, d.dim,
+                   CAST(ROUND(SUM(CAST(v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+            FROM a1, (SELECT unnest(range(1, 17)) AS dim) d
+            GROUP BY m, cid, d.dim),
+        cb AS (
+            SELECT m, cid,
+                   list_transform(
+                     list_sort(list(struct_pack(dim := dim, mu := mu))),
+                     r -> r.mu) AS cv
+            FROM cent1 GROUP BY m, cid),
+        codes AS (
+            SELECT s.vec_id, s.m, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid FROM cb c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        lut AS (
+            SELECT q.vec_id AS qtok, q.vec_id // 4 AS query_id,
+                   c.m, c.cid,
+                   {_D_SQD.format(a='q.v', b='c.cv')} AS d2
+            FROM sub q JOIN cb c ON q.m = c.m
+            WHERE q.vec_id < 8),
+        adc AS (
+            SELECT l.qtok, l.query_id, c.vec_id AS neighbor_tok,
+                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS adc
+            FROM codes c JOIN lut l ON c.m = l.m AND c.cid = l.cid
+            WHERE c.vec_id // 4 != l.query_id
+            GROUP BY l.qtok, l.query_id, c.vec_id),
+        shortlist AS (
+            SELECT qtok, query_id, neighbor_tok,
+                   row_number() OVER (PARTITION BY qtok
+                                      ORDER BY adc, neighbor_tok) AS r
+            FROM adc),
+        cands AS (
+            SELECT DISTINCT query_id, neighbor_tok // 4 AS doc_id
+            FROM shortlist WHERE r <= {_TS_SL}),
+        ncand AS (
+            SELECT query_id, CAST(count(*) AS BIGINT) AS n_candidates
+            FROM cands GROUP BY 1),
+        tok AS (
+            SELECT vec_id // 4 AS doc_id, embedding FROM embeddings),
+        qt AS (
+            SELECT vec_id // 4 AS query_id, vec_id % 4 AS q_tok,
+                   embedding AS qe
+            FROM embeddings WHERE vec_id < 8),
+        dots AS (
+            SELECT q.query_id, c.doc_id, q.q_tok,
+                   CAST(floor({_D_DOT.format(a='q.qe', b='d.embedding')}
+                              * 1000000 + 0.5) AS BIGINT) AS dot_micro
+            FROM cands c
+            JOIN qt q ON q.query_id = c.query_id
+            JOIN tok d ON d.doc_id = c.doc_id),
+        best AS (
+            SELECT query_id, doc_id, q_tok, max(dot_micro) AS mx
+            FROM dots GROUP BY 1, 2, 3),
+        score AS (
+            SELECT query_id, doc_id, CAST(sum(mx) AS BIGINT) AS maxsim_micro
+            FROM best GROUP BY 1, 2),
+        topk AS (
+            SELECT query_id, doc_id, maxsim_micro,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY maxsim_micro DESC, doc_id)
+                       AS rank
+            FROM score)
+        SELECT t.query_id, CAST(t.rank AS BIGINT) AS rank, t.doc_id,
+               t.maxsim_micro, n.n_candidates
+        FROM topk t JOIN ncand n USING (query_id)
+        WHERE t.rank <= 5
+    """,
+)
+def two_stage_pq_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
+
+    emb = load(spark, sf_dir, "embeddings")
+    ms = spark.range(0, 4).select(F.col("id").cast("bigint").alias("m"))
+    sub = emb.crossJoin(F.broadcast(ms)).selectExpr(
+        "vec_id",
+        "m",
+        "transform(slice(embedding, CAST(m * 16 + 1 AS INT), 16),"
+        " x -> CAST(x AS DOUBLE)) AS v",
+    )
+    seeds = sub.where(F.col("vec_id") < _PQR_K).selectExpr(
+        "m", "vec_id AS cid", "v AS cv"
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        cent_arr = cents.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
+        scored = (
+            f"aggregate(transform(cs, c -> named_struct("
+            f"'d2', {_SQD.format(a='v', b='c.cv')}, 'cid', c.cid)), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            "'cid', CAST(-1 AS BIGINT)), "
+            "(acc, s) -> IF(s.d2 < acc.d2"
+            " OR (s.d2 = acc.d2 AND s.cid < acc.cid), s, acc))"
+        )
+        return (
+            points.join(F.broadcast(cent_arr), "m")
+            .selectExpr("vec_id", "m", "v", f"{scored} AS best")
+            .selectExpr("vec_id", "m", "v", "best.cid AS cid")
+        )
+
+    cent1 = (
+        assign(sub, seeds)
+        .selectExpr("m", "cid", "posexplode(v) AS (dim, val)")
+        .groupBy("m", "cid", "dim")
+        .agg(exact_avg("val", "mu"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cv")
+        )
+    )
+    codes = assign(sub, cent1).select("vec_id", "m", "cid")
+    lut = (
+        sub.where(F.col("vec_id") < 8)
+        .selectExpr("vec_id AS qtok", "vec_id div 4 AS query_id", "m", "v")
+        .join(F.broadcast(cent1), "m")
+        .selectExpr(
+            "qtok", "query_id", "m", "cid",
+            f"{_SQD.format(a='v', b='cv')} AS d2",
+        )
+    )
+    ws = Window.partitionBy("qtok").orderBy("adc", "neighbor_tok")
+    shortlist = (
+        codes.join(F.broadcast(lut), ["m", "cid"])
+        .where(F.expr("vec_id div 4") != F.col("query_id"))
+        .groupBy("qtok", "query_id", F.col("vec_id").alias("neighbor_tok"))
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("adc")
+        )
+        .withColumn("r", F.row_number().over(ws))
+        .where(F.col("r") <= _TS_SL)
+    )
+    cands = shortlist.selectExpr(
+        "query_id", "neighbor_tok div 4 AS doc_id"
+    ).distinct()
+    ncand = cands.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
+    tok = emb.selectExpr("vec_id div 4 AS doc_id", "embedding")
+    qt = emb.where(F.col("vec_id") < 8).selectExpr(
+        "vec_id div 4 AS query_id", "vec_id % 4 AS q_tok", "embedding AS qe"
+    )
+    dots = (
+        tok.join(F.broadcast(cands), "doc_id")
+        .join(F.broadcast(qt), "query_id")
+        .selectExpr(
+            "query_id", "doc_id", "q_tok",
+            f"CAST(floor({_DOT.format(a='qe', b='embedding')}"
+            " * 1000000 + 0.5) AS BIGINT) AS dot_micro",
+        )
+    )
+    score = (
+        dots.groupBy("query_id", "doc_id", "q_tok")
+        .agg(F.max("dot_micro").alias("mx"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("mx").cast("bigint").alias("maxsim_micro"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.desc("maxsim_micro"), "doc_id"
+    )
+    return (
+        score.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .join(F.broadcast(ncand), "query_id")
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "doc_id",
+            "maxsim_micro",
+            "n_candidates",
+        )
+    )
