@@ -1567,7 +1567,7 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     "so the emitted set equals the full relational join whatever the "
     "micro-batching — the oracle is the plain interval join, no batch "
     "reconstruction. State shards by user_id on both sides exactly as "
-    "at cluster scale; micro-batch size is a pure cost knob (~8 "
+    "at cluster scale; micro-batch size is a pure cost knob (~4 "
     "batches).",
     oracle="""
         WITH c AS (
@@ -1605,7 +1605,10 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_ssj_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     path = f"{sf_dir}/events.parquet"
     n_rows = pq.read_metadata(path).num_rows
-    batch_rows = max(500, n_rows // 8)
+    # ~4 batches (r08, was 8): the emitted set is batching-invariant (see
+    # doc), and per-batch overhead of a two-leg stateful join (~2x the
+    # single-leg ~1.2 s) dominated — 16.3 s at 8 batches, 8.5 s at 4.
+    batch_rows = max(500, n_rows // 4)
 
     def leg():
         return (
