@@ -13,8 +13,6 @@
 
 from __future__ import annotations
 
-import pytest
-
 
 def test_shingles_guard_short_docs(spark):
     from uk_procurement_data_pipeline_spark.queries.dedup import _SHINGLES
@@ -149,3 +147,43 @@ def _mg_candidates(batches, k):
             kth = sorted(counters.values(), reverse=True)[k]
             counters = {t: c - kth for t, c in counters.items() if c > kth}
     yield pd.DataFrame({"term": list(counters)})
+
+
+def test_two_stage_pq_maxsim_prunes_and_agrees(spark, sf_dir):
+    """The composed serving query must (a) actually PRUNE — candidate
+    sets strictly smaller than the corpus — and (b) rerank with the
+    exact MaxSim contract: every emitted (query, doc) score equals the
+    late_interaction-style brute-force score for that pair."""
+    from pyspark.sql import functions as F
+
+    from uk_procurement_data_pipeline_spark.queries.base import registry
+    from uk_procurement_data_pipeline_spark.queries.similarity import _DOT
+
+    rows = registry()["two_stage_pq_maxsim"].fn(spark, sf_dir).collect()
+    assert rows
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_docs = emb.selectExpr("vec_id div 4 AS d").distinct().count()
+    for r in rows:
+        assert 0 < r["n_candidates"] <= n_docs
+        assert 1 <= r["rank"] <= 5
+        assert r["doc_id"] != r["query_id"]
+    # exact rerank contract: recompute MaxSim brute-force for emitted pairs
+    tok = emb.selectExpr("vec_id div 4 AS doc_id", "vec_id % 4 AS tok_idx",
+                         "embedding")
+    qt = tok.where("doc_id < 2").selectExpr(
+        "doc_id AS query_id", "tok_idx AS q_tok", "embedding AS qe")
+    brute = (
+        tok.crossJoin(F.broadcast(qt))
+        .where("doc_id != query_id")
+        .selectExpr(
+            "query_id", "doc_id", "q_tok",
+            f"CAST(floor({_DOT.format(a='qe', b='embedding')}"
+            " * 1000000 + 0.5) AS BIGINT) AS dm")
+        .groupBy("query_id", "doc_id", "q_tok").agg(F.max("dm").alias("m"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("m").cast("bigint").alias("s"))
+        .collect()
+    )
+    exact = {(r["query_id"], r["doc_id"]): r["s"] for r in brute}
+    for r in rows:
+        assert r["maxsim_micro"] == exact[(r["query_id"], r["doc_id"])]
