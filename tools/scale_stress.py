@@ -126,15 +126,21 @@ def build_replica(spark, src: str, k: int) -> str:
 
 def main() -> int:
     args = sys.argv[1:]
-    k, src, names = 5, "/root/testdata/sf0.1", []
+    k, src, names, run_all, out_json = 5, "/root/testdata/sf0.1", [], False, None
     it = iter(args)
     for a in it:
         if a == "--k":
             k = int(next(it))
         elif a == "--src":
             src = next(it)
+        elif a == "--all":
+            run_all = True
+        elif a == "--json":
+            out_json = next(it)
         else:
             names.append(a)
+    if run_all:
+        names = list(registry())
     names = names or _DEFAULT_QUERIES
     spark = get_spark("scale-stress", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
@@ -144,21 +150,43 @@ def main() -> int:
     # warmup (bench.py's pattern)
     reg[names[0]].fn(spark, src).write.mode("overwrite").format("noop").save()
     worst = 0.0
+    results: dict[str, dict] = {}
     for n in names:
-        base = run_query(spark, reg[n], src)
-        big = run_query(spark, reg[n], big_dir)
-        w_base, unit = _workload(reg[n].fn(spark, src), n)
-        w_big, _ = _workload(reg[n].fn(spark, big_dir), n)
+        try:
+            base = run_query(spark, reg[n], src)
+            big = run_query(spark, reg[n], big_dir)
+            w_base, unit = _workload(reg[n].fn(spark, src), n)
+            w_big, _ = _workload(reg[n].fn(spark, big_dir), n)
+        except Exception as e:  # noqa: BLE001 — sweep must survive one bad query
+            results[n] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
+            print(f"{n:36s} ERROR {results[n]['error']}")
+            continue
         ratio = big / base
         worst = max(worst, ratio)
         cost_b = base * 1e6 / max(w_base, 1)
         cost_g = big * 1e6 / max(w_big, 1)
+        results[n] = {
+            "base_s": round(base, 3),
+            "big_s": round(big, 3),
+            "ratio": round(ratio, 2),
+            "unit": unit,
+            "w_base": w_base,
+            "w_big": w_big,
+        }
         print(
             f"{n:36s} base={base:7.3f}s  big={big:7.3f}s  ratio={ratio:5.2f}x"
             f"  (k={k})  {unit}={w_base}->{w_big}"
             f"  us/{unit[:-1]}={cost_b:.1f}->{cost_g:.1f}"
         )
     print(f"\nworst ratio {worst:.2f}x vs data ratio {k}x")
+    if out_json:
+        import json
+
+        Path(out_json).write_text(
+            json.dumps({"k": k, "src": src, "results": results}, indent=1,
+                       sort_keys=True) + "\n"
+        )
+        print(f"wrote {out_json}", file=sys.stderr)
     return 0
 
 

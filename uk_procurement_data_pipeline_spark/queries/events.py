@@ -22,6 +22,27 @@ from uk_procurement_data_pipeline_spark.functions.exact import exact_sum, oracle
 from uk_procurement_data_pipeline_spark.queries.base import register
 
 
+def _parquet_num_rows(path: str) -> int:
+    """Row count of a parquet FILE or DIRECTORY of part files.
+
+    A 100 TB events table is a directory of parts (and that is what the
+    scale-stress replica writes); pq.read_metadata only accepts single
+    files, which the k=5 full-registry sweep caught on all three replay
+    streaming queries.
+    """
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        return sum(
+            pq.read_metadata(p).num_rows
+            for p in glob.glob(os.path.join(path, "*.parquet"))
+        )
+    return pq.read_metadata(path).num_rows
+
+
 def _progress_wm_ms(lp) -> int:
     """Watermark from a StreamingQueryProgress row, as exact epoch ms.
 
@@ -1440,15 +1461,27 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s, e, n, have = t, t, 1, True
             state.update((s, e, n))
             # fire when the watermark passes session_end + gap (timer API
-            # takes epoch MILLIS)
-            state.setTimeoutTimestamp(e // 1000 + gap_us // 1000)
+            # takes epoch MILLIS). Clamped to watermark+1: on OUT-OF-ORDER
+            # input a late session's natural timeout can already be below
+            # the current watermark and setTimeoutTimestamp then throws
+            # INVALID_TIMEOUT_TIMESTAMP, killing the whole stream (found
+            # by the k=5 stress replica, whose interleaved parts are not
+            # time-monotone); the clamp fires such timers at the next
+            # batch instead — and is a no-op on monotone input, where
+            # end + gap(6h) always exceeds max_ts - delay(1h).
+            state.setTimeoutTimestamp(
+                max(
+                    e // 1000 + gap_us // 1000,
+                    state.getCurrentWatermarkMs() + 1,
+                )
+            )
         yield pd.DataFrame(
             out, columns=["user_id", "start_micro", "end_micro", "n_events"]
         )
 
     import pyarrow.parquet as pq
 
-    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_rows = _parquet_num_rows(f"{sf_dir}/events.parquet")
     if n_rows <= _TTL_BIG_N:
         batch_rows = max(_TTL_MIN_BATCH, n_rows // _TTL_N_BATCHES)
     else:
@@ -1604,7 +1637,7 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     qname = f"stream_ssj_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     path = f"{sf_dir}/events.parquet"
-    n_rows = pq.read_metadata(path).num_rows
+    n_rows = _parquet_num_rows(path)
     # ~4 batches (r08, was 8): the emitted set is batching-invariant (see
     # doc), and per-batch overhead of a two-leg stateful join (~2x the
     # single-leg ~1.2 s) dominated — 16.3 s at 8 batches, 8.5 s at 4.
@@ -5327,7 +5360,7 @@ def stream_late_drop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:  # noqa: BLE001 — already registered in this session
         pass
     qname = f"stream_ld_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
-    n_rows = pq.read_metadata(f"{sf_dir}/events.parquet").num_rows
+    n_rows = _parquet_num_rows(f"{sf_dir}/events.parquet")
     batch_rows = max(_LD_MIN_BATCH, n_rows // _LD_N_BATCHES)
     src = (
         spark.readStream.format("events_replay")

@@ -3044,10 +3044,14 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(num*num*1e6) div den in bigint-safe order), then V = "
     "sqrt(chi2 / (n * min(r-1, c-1))). Every pair's work collapses "
     "onto its bounded contingency domain via map-side partial agg; "
-    "sqrt is IEEE-exact so V is bit-identical. Term budget: "
-    "num ~ o*n <= 6e5*6e5 = 3.6e11, squared exceeds bigint — so the "
-    "quantized term divides ONCE as ((num*1e6) div den) * num div "
-    "den2 split sequentially (documented estimator definition).",
+    "sqrt is IEEE-exact so V is bit-identical. Term budget (r08, found "
+    "by the k=5 full-registry stress sweep): diff = o*n - ra*cb is "
+    "~1e9 at sf0.1 but scales with data SQUARED once squared — bigint "
+    "overflowed at 5x — so the whole term chain runs in 128-bit "
+    "integers (Spark DECIMAL(38,0) with floor-division, DuckDB "
+    "HUGEINT with //; identical truncation order, values bit-equal to "
+    "the old bigint chain wherever it didn't overflow). diff^2 <= "
+    "~5e28 at k=5 sf0.1 and <= 1e38 up to n ~ 1e9 rows per pair.",
     oracle="""
         WITH pairs AS (
           SELECT 'priority_x_status' AS pair,
@@ -3075,9 +3079,12 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM cell GROUP BY pair
         ), terms AS (
           SELECT c.pair,
-                 ((((c.o * t.n - r.ra * co.cb)
-                    * (c.o * t.n - r.ra * co.cb))
-                   // (r.ra * co.cb)) * 1000000) // t.n AS term_micro
+                 CAST(((((CAST(c.o AS HUGEINT) * t.n
+                          - CAST(r.ra AS HUGEINT) * co.cb)
+                    * (CAST(c.o AS HUGEINT) * t.n
+                       - CAST(r.ra AS HUGEINT) * co.cb))
+                   // (CAST(r.ra AS HUGEINT) * co.cb)) * 1000000) // t.n
+                      AS BIGINT) AS term_micro
           FROM cell c
           JOIN rows_ r ON r.pair = c.pair AND r.a = c.a
           JOIN cols_ co ON co.pair = c.pair AND co.b = c.b
@@ -3131,9 +3138,17 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(tot), "pair")
         .select(
             "pair",
+            # 128-bit chain: Spark `div` on decimals silently casts to
+            # bigint and wraps — use floor(a/b), exact for these
+            # non-negative operands and equal to DuckDB's HUGEINT //
             F.expr(
-                "((((o * n - ra * cb) * (o * n - ra * cb)) div (ra * cb))"
-                " * 1000000) div n"
+                "CAST(floor((CAST(floor("
+                " ((CAST(o AS DECIMAL(38,0)) * n"
+                "   - CAST(ra AS DECIMAL(38,0)) * cb)"
+                "  * (CAST(o AS DECIMAL(38,0)) * n"
+                "     - CAST(ra AS DECIMAL(38,0)) * cb))"
+                " / (CAST(ra AS DECIMAL(38,0)) * cb)) AS DECIMAL(38,0))"
+                " * 1000000) / n) AS BIGINT)"
             ).alias("term_micro"),
         )
     )
