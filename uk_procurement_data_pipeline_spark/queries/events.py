@@ -1456,7 +1456,13 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
                     out.append((key[0], s, e, n))
                     s, e, n = t, t, 1
                 elif have:
-                    e, n = t, n + 1
+                    # min/max (not plain e = t): an event OLDER than the
+                    # session end can arrive across batches when input is
+                    # not time-monotone (disorder is watermark-bounded to
+                    # delay=1h < gap=6h, so merging it is correct); plain
+                    # assignment regressed end below start. No-op on
+                    # monotone input, where t >= e always.
+                    s, e, n = min(s, t), max(e, t), n + 1
                 else:
                     s, e, n, have = t, t, 1, True
             state.update((s, e, n))
