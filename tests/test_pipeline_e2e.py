@@ -145,13 +145,90 @@ def test_driver_window_matches_generator():
 
     from uk_procurement_data_pipeline_spark.queries.base import (
         _DRIVER_WINDOW,
+        _WINDOW_CHANGED,
         _WINDOW_INPUTS,
     )
 
     files = [repo / f for f in _WINDOW_INPUTS]
     missing = [f.name for f in files if not f.exists()]
     assert missing == [], f"_WINDOW_INPUTS references absent files: {missing}"
-    assert list(_DRIVER_WINDOW) == compute_window(files=files)
+    assert list(_DRIVER_WINDOW) == compute_window(
+        files=files, changed=list(_WINDOW_CHANGED)
+    )
+
+
+def test_changed_green_queries_reenter_window():
+    """LIVE enforcement of VERDICT r08 item 2: any driver-green query whose
+    code fingerprint (static call closure + oracle, tools/fingerprints.py)
+    differs from QUERY_FINGERPRINTS.json RIGHT NOW must already be inside
+    the committed driver window. Touch a helper that a certified query
+    reaches and this fails until `python tools/regen_coverage.py --window`
+    is rerun — a behavior change can no longer ship on a stale green row."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo))
+    from tools.fingerprints import changed_queries
+    from tools.regen_coverage import _all_checked
+
+    from uk_procurement_data_pipeline_spark.queries.base import _DRIVER_WINDOW
+
+    changed = changed_queries(_all_checked())
+    outside = sorted(set(changed) - set(_DRIVER_WINDOW))
+    assert outside == [], (
+        f"queries changed since driver certification but NOT re-queued in "
+        f"the window: {outside} — rerun `python tools/regen_coverage.py "
+        f"--window` (and keep QUERY_FINGERPRINTS.json at its certified "
+        f"snapshot; do NOT re-snapshot to silence this)"
+    )
+
+
+def test_fingerprint_closure_reaches_helpers():
+    """The fingerprint must cover module-level helpers a query reaches
+    transitively — the round-8 `_progress_wm_ms` fix changed stream
+    behavior without touching any query function, which bare
+    function-source hashing would have missed."""
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo))
+    from tools.fingerprints import closure_sources, query_fingerprint
+
+    from uk_procurement_data_pipeline_spark.queries import registry
+
+    reg = registry()
+    spec = reg["stream_session_ttl_close"]
+    keys = set(closure_sources(spec.fn))
+    assert any(k.endswith("._progress_wm_ms") for k in keys), sorted(keys)
+    # And the oracle participates: same code + different oracle -> new hash.
+    import dataclasses
+
+    mutated = dataclasses.replace(spec, oracle=(spec.oracle or "") + " -- x")
+    assert query_fingerprint(mutated) != query_fingerprint(spec)
+
+
+def test_compute_window_requeues_injected_changed_query():
+    """A green query injected as 'changed' must lead the generated window
+    even though it already has a driver CORRECTNESS row."""
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "tools"))
+    from regen_coverage import compute_window, correctness_files
+
+    # Pick a long-certified query (green in the earliest artifact).
+    first = correctness_files()[0]
+    green_name = next(iter(json.loads(first.read_text())))
+    window = compute_window(changed=[green_name])
+    assert green_name in window
+    # It sits in the priority head, before the never-checked backfill.
+    from uk_procurement_data_pipeline_spark.queries.base import _ROUND_PRIORITY
+
+    assert window.index(green_name) <= len(_ROUND_PRIORITY)
 
 
 def test_every_query_has_oracle_or_documented_reason():

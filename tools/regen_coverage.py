@@ -39,7 +39,11 @@ def correctness_files() -> list[Path]:
     return sorted(REPO.glob("CORRECTNESS_r*.json"))
 
 
-def compute_window(size: int = 50, files: list[Path] | None = None) -> list[str]:
+def compute_window(
+    size: int = 50,
+    files: list[Path] | None = None,
+    changed: list[str] | None = None,
+) -> list[str]:
     last_checked: dict[str, int] = {}
     for f in correctness_files() if files is None else files:
         rnd = int(re.search(r"r(\d+)", f.name).group(1))
@@ -55,10 +59,20 @@ def compute_window(size: int = 50, files: list[Path] | None = None) -> list[str]
     reg = list(registry())
     # New/changed queries this round lead the window unconditionally —
     # every behavior change gets a driver row in the round it lands.
+    # Two sources (VERDICT r08 item 2): the hand-maintained _ROUND_PRIORITY
+    # list, and the MECHANICAL fingerprint diff — any driver-green query
+    # whose static call closure (tools/fingerprints.py) differs from the
+    # code snapshot taken when it was certified re-enters automatically,
+    # so a helper edit can no longer ship on a stale green row.
     from uk_procurement_data_pipeline_spark.queries import base as _base
 
+    if changed is None:
+        from tools.fingerprints import changed_queries
+
+        changed = changed_queries(set(last_checked))
     priority = [n for n in getattr(_base, "_ROUND_PRIORITY", ()) if n in reg]
-    window = list(priority)
+    priority += [n for n in changed if n in reg and n not in priority]
+    window = list(priority)[:size]
     never = [n for n in reg if n not in last_checked and n not in window]
     window += never[: size - len(window)]
     if len(window) < size:
@@ -73,11 +87,16 @@ def compute_window(size: int = 50, files: list[Path] | None = None) -> list[str]
 
 _IN_BEGIN = "# --- BEGIN GENERATED WINDOW INPUTS ---"
 _IN_END = "# --- END GENERATED WINDOW INPUTS ---"
+_CH_BEGIN = "# --- BEGIN GENERATED WINDOW CHANGED ---"
+_CH_END = "# --- END GENERATED WINDOW CHANGED ---"
 
 
 def regen_window() -> int:
+    from tools.fingerprints import changed_queries
+
     files = correctness_files()
-    window = compute_window(files=files)
+    changed = changed_queries(_all_checked())
+    window = compute_window(files=files, changed=changed)
     path = REPO / "uk_procurement_data_pipeline_spark" / "queries" / "base.py"
     text = path.read_text()
     start, end = text.index(_BEGIN), text.index(_END)
@@ -92,6 +111,13 @@ def regen_window() -> int:
         text[:istart]
         + f"{_IN_BEGIN}\n{ibody}\n    {_IN_END}"
         + text[iend + len(_IN_END):]
+    )
+    cstart, cend = text.index(_CH_BEGIN), text.index(_CH_END)
+    cbody = "".join(f'    "{n}",\n' for n in changed)
+    text = (
+        text[:cstart]
+        + f"{_CH_BEGIN}\n{cbody}    {_CH_END}"
+        + text[cend + len(_CH_END):]
     )
     path.write_text(text)
     never_left = sum(1 for n in registry() if n not in _all_checked())
