@@ -106,9 +106,11 @@ def test_scramble_keys_by_name_not_position(tmp_path):
 
 
 def test_heavy_hitters_mg_state_bounded(spark):
-    """Phase 1 is real Misra-Gries now: the candidate emission per
-    partition is capped at K counters even when distinct terms far
-    exceed K."""
+    """Phase 1 is real Misra-Gries: the candidate emission per partition
+    is capped at K counters even when distinct terms far exceed K.
+    Drives the PRODUCTION merge (sketches.mg_merge_batches, the exact
+    function the mapInPandas stage calls) — ADVICE r08: a copied mirror
+    here could not catch drift in sketches.py."""
     import pandas as pd
 
     from uk_procurement_data_pipeline_spark.queries import sketches as sk
@@ -119,34 +121,39 @@ def test_heavy_hitters_mg_state_bounded(spark):
         terms = [f"u{b}_{i}" for i in range(2500)] + ["hot"] * 400 + ["warm"] * 300
         batches.append(pd.DataFrame({"term": terms}))
 
-    gens = list(
-        # call the inner generator through the public query path is awkward;
-        # replicate the MG merge contract instead: emitted candidate count
-        # must be <= K and must include every term above n/(K+1).
-        _mg_candidates(batches, sk._HH_K)
-    )
-    cands = set(gens[0]["term"])
+    cands = set(sk.mg_merge_batches(iter(batches), sk._HH_K))
     assert len(cands) <= sk._HH_K
     n = sum(len(b) for b in batches)
     for t in ("hot", "warm"):
         true_count = sum((b["term"] == t).sum() for b in batches)
         if true_count * (sk._HH_K + 1) > n:
             assert t in cands
+    # And through the real distributed path: per-partition emission from
+    # a skewed DataFrame stays <= K rows whatever the partitioning.
+    from pyspark.sql import functions as F
 
-
-def _mg_candidates(batches, k):
-    # mirror of sketches.local_candidates' MG merge (kept in lockstep so a
-    # drift in the implementation shows up as a test failure here)
-    import pandas as pd
-
-    counters: dict[str, int] = {}
-    for pdf in batches:
-        for term, c in pdf["term"].value_counts().items():
-            counters[term] = counters.get(term, 0) + int(c)
-        if len(counters) > k:
-            kth = sorted(counters.values(), reverse=True)[k]
-            counters = {t: c - kth for t, c in counters.items() if c > kth}
-    yield pd.DataFrame({"term": list(counters)})
+    df = (
+        spark.range(12_000)
+        .select(
+            F.when(F.col("id") % 3 == 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("u"), F.col("id")))
+            .alias("term")
+        )
+        .repartition(4)
+    )
+    per_part = (
+        df.mapInPandas(
+            lambda it: iter(
+                [pd.DataFrame({"term": list(sk.mg_merge_batches(it, sk._HH_K))})]
+            ),
+            schema="term string",
+        )
+        .withColumn("part", F.spark_partition_id())
+        .groupBy("part")
+        .count()
+        .collect()
+    )
+    assert per_part and all(r["count"] <= sk._HH_K for r in per_part)
 
 
 def test_two_stage_pq_maxsim_prunes_and_agrees(spark, sf_dir):
@@ -193,7 +200,7 @@ def test_ttl_stream_survives_out_of_order_input(spark, tmp_path):
     """stream_session_ttl_close must not die on non-monotone event time
     (the k=5 stress replica caught setTimeoutTimestamp throwing
     INVALID_TIMEOUT_TIMESTAMP when a late session's natural timeout was
-    already below the watermark; the timer is now clamped to wm+1)."""
+    already below the watermark; such sessions are now emitted inline)."""
     import pyarrow.parquet as pq
 
     from uk_procurement_data_pipeline_spark.queries.base import registry
@@ -214,3 +221,64 @@ def test_ttl_stream_survives_out_of_order_input(spark, tmp_path):
     for r in rows:
         assert r["start_micro"] <= r["end_micro"]
         assert r["n_events"] >= 1
+
+
+def test_ttl_stream_emits_session_when_watermark_already_final(spark, tmp_path):
+    """ADVICE r08 (medium): a session whose natural timeout is already
+    below the watermark must still be EMITTED even when the watermark has
+    reached its final value at that moment — the r08 clamp set a timer at
+    wm+1, which never fires once no batch with a strictly greater
+    watermark follows, silently dropping the session. The fix emits such
+    sessions inline in the update path.
+
+    Construction (2 replay batches of 200 rows): batch 1 carries a
+    sentinel user's 200 events at the GLOBAL max event time, driving the
+    watermark straight to its final value; batch 2 then delivers a quiet
+    user's 200 events >7h older — their session's end+gap(6h) sits below
+    the (final) watermark, so only the inline-emit path can surface it."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.queries.base import registry
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hi = t0 + dt.timedelta(days=30)
+    rows_ts, rows_uid, rows_eid = [], [], []
+    # batch 1 (rows 0-199): sentinel user 999 at the global max time
+    for i in range(200):
+        rows_ts.append(hi + dt.timedelta(seconds=i))
+        rows_uid.append(999)
+        rows_eid.append(i)
+    # batch 2 (rows 200-399): quiet user 1, one contiguous session
+    # (1-minute spacing, no >6h intra-batch break), 30 days older
+    for i in range(200):
+        rows_ts.append(t0 + dt.timedelta(minutes=i))
+        rows_uid.append(1)
+        rows_eid.append(1000 + i)
+    table = pa.table(
+        {
+            "event_id": pa.array(rows_eid, pa.int64()),
+            "ts": pa.array(rows_ts, pa.timestamp("us")),
+            "user_id": pa.array(rows_uid, pa.int64()),
+            "event_type": pa.array(["view"] * 400),
+            "value": pa.array([1.0] * 400),
+            "props": pa.array(["{}"] * 400),
+        }
+    )
+    out = tmp_path / "wmfinal"
+    out.mkdir()
+    pq.write_table(table, str(out / "events.parquet"))
+    got = registry()["stream_session_ttl_close"].fn(spark, str(out)).collect()
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    # the quiet user's whole session must be emitted (old clamp: dropped)
+    assert 1 in by_user, f"late-closed session silently dropped: {got}"
+    assert sum(r["n_events"] for r in by_user[1]) == 200
+    assert min(r["start_micro"] for r in by_user[1]) == int(
+        t0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000
+    )
+    # the sentinel's session is still open (timeout >= final watermark)
+    assert 999 not in by_user

@@ -1465,22 +1465,33 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
                     s, e, n = min(s, t), max(e, t), n + 1
                 else:
                     s, e, n, have = t, t, 1, True
-            state.update((s, e, n))
-            # fire when the watermark passes session_end + gap (timer API
-            # takes epoch MILLIS). Clamped to watermark+1: on OUT-OF-ORDER
-            # input a late session's natural timeout can already be below
-            # the current watermark and setTimeoutTimestamp then throws
-            # INVALID_TIMEOUT_TIMESTAMP, killing the whole stream (found
-            # by the k=5 stress replica, whose interleaved parts are not
-            # time-monotone); the clamp fires such timers at the next
-            # batch instead — and is a no-op on monotone input, where
-            # end + gap(6h) always exceeds max_ts - delay(1h).
-            state.setTimeoutTimestamp(
-                max(
-                    e // 1000 + gap_us // 1000,
-                    state.getCurrentWatermarkMs() + 1,
-                )
-            )
+            # Close when the watermark passes session_end + gap. On input
+            # whose disorder EXCEEDS the watermark delay the natural
+            # timeout can already be BELOW the current watermark (arbitrary
+            # stateful ops do NOT auto-drop late rows — that is exactly how
+            # the k=5 stress replica reached this call with a past
+            # timestamp); a timer there is unusable twice over —
+            # setTimeoutTimestamp throws INVALID_TIMEOUT_TIMESTAMP for
+            # timestamps below the watermark, and the r08 clamp to
+            # watermark+1 silently never fired when the watermark had
+            # already reached its FINAL value (timers fire strictly BELOW
+            # the watermark; ADVICE r08). So emit such sessions INLINE:
+            # the oracle's close condition (end+gap < final wm) already
+            # holds for them. Under the documented disorder<=delay
+            # contract this branch is provably dead (every event in a
+            # batch has ts >= wm, so timeout = end+gap >= wm+gap > wm) and
+            # the oracle match is exact; beyond the bound it degrades
+            # gracefully — session emitted now, a later beyond-bound event
+            # starts a fresh session — instead of crashing (pre-r08) or
+            # silently dropping the session (r08 clamp). Timers handle the
+            # timeout >= watermark case, where they are valid and do fire.
+            timeout_ms = e // 1000 + gap_us // 1000
+            if timeout_ms < state.getCurrentWatermarkMs():
+                out.append((key[0], s, e, n))
+                state.remove()
+            else:
+                state.update((s, e, n))
+                state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(
             out, columns=["user_id", "start_micro", "end_micro", "n_events"]
         )

@@ -3139,16 +3139,34 @@ def cramers_v_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "pair",
             # 128-bit chain: Spark `div` on decimals silently casts to
-            # bigint and wraps — use floor(a/b), exact for these
-            # non-negative operands and equal to DuckDB's HUGEINT //
+            # bigint and wraps, and floor(a/b) is NOT exact either —
+            # DECIMAL(38,0)/DECIMAL(38,0) is adjusted to DECIMAL(38,6)
+            # with HALF_UP rounding BEFORE floor, so a true quotient
+            # within 5e-7 below an integer floors one high vs DuckDB's
+            # exact HUGEINT // (ADVICE r08). Exact integer floor division
+            # for non-negative operands: (a - pmod(a, b)) / b — the
+            # numerator is exactly divisible, so the decimal divide's
+            # rounding is a no-op (quotients here stay < 1e32, within
+            # DECIMAL(38,6)'s 32 integer digits).
             F.expr(
-                "CAST(floor((CAST(floor("
-                " ((CAST(o AS DECIMAL(38,0)) * n"
-                "   - CAST(ra AS DECIMAL(38,0)) * cb)"
-                "  * (CAST(o AS DECIMAL(38,0)) * n"
-                "     - CAST(ra AS DECIMAL(38,0)) * cb))"
-                " / (CAST(ra AS DECIMAL(38,0)) * cb)) AS DECIMAL(38,0))"
-                " * 1000000) / n) AS BIGINT)"
+                "(CAST(o AS DECIMAL(38,0)) * n"
+                " - CAST(ra AS DECIMAL(38,0)) * cb)"
+            ).alias("d"),
+            F.expr("CAST(ra AS DECIMAL(38,0)) * cb").alias("dn"),
+            F.expr("CAST(n AS DECIMAL(38,0))").alias("n_dec"),
+        )
+        .select(
+            "pair",
+            "n_dec",
+            F.expr(
+                "CAST((d * d - pmod(d * d, dn)) / dn AS DECIMAL(38,0))"
+                " * CAST(1000000 AS DECIMAL(38,0))"
+            ).alias("t6"),
+        )
+        .select(
+            "pair",
+            F.expr(
+                "CAST((t6 - pmod(t6, n_dec)) / n_dec AS BIGINT)"
             ).alias("term_micro"),
         )
     )

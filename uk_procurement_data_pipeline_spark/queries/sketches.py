@@ -593,6 +593,25 @@ def bloom_membership_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HH_K = 64  # heavy-hitter counter budget: guarantees freq > N/(K+1) found
 
 
+def mg_merge_batches(batches, k: int) -> dict[str, int]:
+    """Bounded-K Misra-Gries over an iterator of pandas frames with a
+    ``term`` column — the mergeable-summary form of Agarwal et al.:
+    accumulate one Arrow batch's value_counts, then when the counter set
+    exceeds K subtract the (K+1)-th largest count and keep positives.
+    State never exceeds K counters plus one transient batch. Module-level
+    so the production mapInPandas stage and the bound-pinning test drive
+    the SAME code (ADVICE r08: the test previously validated a copied
+    mirror that could drift)."""
+    counters: dict[str, int] = {}
+    for pdf in batches:
+        for term, c in pdf["term"].value_counts().items():
+            counters[term] = counters.get(term, 0) + int(c)
+        if len(counters) > k:
+            kth = sorted(counters.values(), reverse=True)[k]
+            counters = {t: c - kth for t, c in counters.items() if c > kth}
+    return counters
+
+
 @register(
     name="heavy_hitters_two_phase",
     survey="A7 UD4 J5 A8",
@@ -636,22 +655,12 @@ def heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def local_candidates(batches):
-        # Bounded-K Misra-Gries, merged batchwise: state never exceeds
-        # _HH_K counters + one Arrow batch's value_counts. Truncation =
-        # subtract the (K+1)-th largest count, keep positives (the
-        # mergeable-MG step; total decrement over a partition of n_local
-        # items is <= n_local/(K+1), so any term with true local count
-        # above that bar ends with a POSITIVE residual and is emitted).
-        counters: dict[str, int] = {}
-        for pdf in batches:
-            for term, c in pdf["term"].value_counts().items():
-                counters[term] = counters.get(term, 0) + int(c)
-            if len(counters) > _HH_K:
-                kth = sorted(counters.values(), reverse=True)[_HH_K]
-                counters = {
-                    t: c - kth for t, c in counters.items() if c > kth
-                }
-        yield pd.DataFrame({"term": list(counters)})
+        # Bounded-K Misra-Gries, merged batchwise via the module-level
+        # mg_merge_batches (shared with the bound-pinning test): total
+        # decrement over a partition of n_local items is <= n_local/(K+1),
+        # so any term with true local count above that bar ends with a
+        # POSITIVE residual and is emitted.
+        yield pd.DataFrame({"term": list(mg_merge_batches(batches, _HH_K))})
 
     cands = toks.mapInPandas(
         local_candidates, schema="term string"
