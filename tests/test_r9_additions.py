@@ -64,3 +64,82 @@ def test_cramers_v_term_micro_boundary(spark, tmp_path):
         )
     ).collect()[0]
     assert got["q"] == (d * d) // dn == 16
+
+
+def test_png_roundtrip_all_filters_and_rgb():
+    """encode->decode must be the identity for gray and RGB images tall
+    enough that every filter type (row % 5) appears, across awkward
+    widths (1 px = filter byte dominant; bpp-boundary widths)."""
+    import hashlib
+
+    from uk_procurement_data_pipeline_spark.functions import png
+
+    def det_bytes(seed: str, n: int) -> bytes:
+        out = bytearray()
+        i = 0
+        while len(out) < n:
+            out.extend(hashlib.sha256(f"{seed}:{i}".encode()).digest())
+            i += 1
+        return bytes(out[:n])
+
+    for color_type, ch in ((0, 1), (2, 3)):
+        for w in (1, 2, 3, 7, 32):
+            for h in (1, 5, 13):
+                rows = [
+                    det_bytes(f"{color_type}/{w}x{h}/{y}", w * ch)
+                    for y in range(h)
+                ]
+                data = png.encode_png(rows, w, color_type)
+                dw, dh, dch, drows = png.decode_png(data)
+                assert (dw, dh, dch) == (w, h, ch)
+                assert drows == rows, (color_type, w, h)
+
+
+def test_png_decode_rejects_corruption_and_unsupported():
+    import struct
+
+    import pytest
+
+    from uk_procurement_data_pipeline_spark.functions import png
+
+    good = png.encode_png([b"\x01\x02", b"\x03\x04"], 2)
+    with pytest.raises(ValueError, match="signature"):
+        png.decode_png(b"NOTPNG" + good)
+    # flip one IDAT byte -> CRC failure
+    idat_at = good.index(b"IDAT") + 4
+    bad = bytearray(good)
+    bad[idat_at] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        png.decode_png(bytes(bad))
+    # 16-bit depth rejected by name
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    deep = png.SIGNATURE + png._chunk(b"IHDR", ihdr) + png._chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        png.decode_png(deep)
+    with pytest.raises(ValueError, match="IEND"):
+        png.decode_png(good[:-12])
+
+
+def test_decode_media_default_decoder_handles_png(spark):
+    """VERDICT r08 item 4 'done' criterion: decode_media's DEFAULT decoder
+    no longer raises for PNG payloads — it returns true dimensions; and
+    still raises NotImplementedError for non-PNG media."""
+    import pytest
+
+    from uk_procurement_data_pipeline_spark.functions import png
+    from uk_procurement_data_pipeline_spark.queries.multimodal import (
+        decode_media,
+        real_decoder,
+    )
+
+    payload = png.encode_png([bytes([y * 7 + x]) for y in range(4) for x in [0]], 1)
+    # direct seam: a 1x4 gray PNG
+    assert real_decoder(1, payload) == (1, 4, 1)
+    with pytest.raises(NotImplementedError):
+        real_decoder(1, b"\xff\xd8\xff\xe0 jpeg-ish bytes")
+    # through the Spark stage with the DEFAULT decoder
+    assets = spark.createDataFrame([(7, bytearray(payload))],
+                                   "doc_id long, payload binary")
+    rows = decode_media(assets).collect()
+    assert [(r["doc_id"], r["width"], r["height"], r["n_frames"])
+            for r in rows] == [(7, 1, 4, 1)]
