@@ -28,7 +28,28 @@ the actual scale bug). The workload unit is output rows, except where a
 query's real work unit is finer: semdedup_prune reports within-cell
 candidate PAIRS (sum over cells of |c| choose 2, derivable from its
 output), since bounded-cell pair growth is exactly the invariant its
-corpus-proportional k must hold.
+corpus-proportional k must hold; fellegi_sunter_linkage reports
+within-block candidate pairs (its output is a fixed 6-row histogram);
+cross_source_dup_matrix reports the underlying minhash near-dup pairs
+it aggregates.
+
+``--perturb`` (VERDICT r08 item 3): the plain K-fold replica copies
+documents.text VERBATIM, so every text-similarity op's TRUE pair count
+grows ~K^2 (each doc finds its K-1 copies plus the planted pairs in
+every replica) and the sweep cannot distinguish "linear in corpus"
+from "linear in pairs". With --perturb, replica i > 0 applies an
+INJECTIVE per-replica token substitution to documents.text: token t is
+rewritten t~i whenever md5(t|i) mod 100 < 25. Because the map is by
+token VALUE and identical for every document in a replica, all
+WITHIN-replica set/shingle equalities — planted near-dups included —
+are preserved exactly (an injective relabeling of the token alphabet),
+while CROSS-replica similarity collapses: a token type survives
+unsubstituted in two replicas with p = 0.75^2, so a distinct-token-set
+Jaccard >= 0.9 pair falls to ~0.56/(2-0.56) ~= 0.39 and a 3-shingle
+pair to ~0.42/(2-0.42) ~= 0.27, far below the 0.9 / 0.8 thresholds.
+The corpus then scales the way real corpora do (vocabulary grows,
+near-dup density stays constant), and wall time at K x data measures
+the PLAN, not a replication artifact.
 """
 
 from __future__ import annotations
@@ -87,7 +108,7 @@ _DEFAULT_QUERIES = [
 ]
 
 
-def _workload(df, name: str) -> tuple[int, str]:
+def _workload(spark, df, name: str, sf_dir: str) -> tuple[int, str]:
     """Query-specific workload unit for normalized cost reporting."""
     if name == "semdedup_prune":
         # within-cell verify pairs, recovered from the output's cluster col
@@ -98,11 +119,57 @@ def _workload(df, name: str) -> tuple[int, str]:
             .collect()[0][0]
         )
         return int(pairs or 0), "cell_pairs"
+    if name == "fellegi_sunter_linkage":
+        # Output is a fixed 6-row agreement-pattern histogram; the work is
+        # the within-block (nation) candidate pairs it scores. With the
+        # 25-value blocking key fixed by the schema, pairs grow exactly
+        # K^2 under ANY K-fold replication — workload growth, measured
+        # here so the per-pair cost exposes plan regressions.
+        pairs = (
+            spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .groupBy("c_nationkey")
+            .count()
+            .agg(F.sum(F.expr("count * (count - 1) / 2")))
+            .collect()[0][0]
+        )
+        return int(pairs or 0), "block_pairs"
+    if name == "cross_source_dup_matrix":
+        # Output is a bounded source x source matrix; the work is the
+        # minhash near-dup pairs being attributed.
+        from uk_procurement_data_pipeline_spark.queries.dedup import (
+            minhash_near_dup,
+        )
+
+        return minhash_near_dup(spark, sf_dir).count(), "dup_pairs"
     return df.count(), "out_rows"
 
 
-def build_replica(spark, src: str, k: int) -> str:
-    out = Path(f"/tmp/spark_scale_stress/{Path(src).name}x{k}")
+# Perturbation rate: percent of token TYPES substituted per replica.
+# 25% leaves a cross-replica token type unsubstituted in both replicas
+# with p = 0.5625, collapsing >=0.9-Jaccard / >=0.8-shingle pairs (see
+# module docstring) while moving only a quarter of the token stream.
+_PERTURB_PCT = 25
+
+
+def _perturb_text(col: str, i: int):
+    """Injective per-replica token relabeling of a space-joined text col.
+
+    Token value t -> 't~<i>' iff md5('t|<i>') mod 100 < _PERTURB_PCT.
+    Pure JVM expressions (split / transform / md5 / conv) — no Python in
+    the replica build. Injective: '~<i>' is appended, never removed, so
+    two distinct tokens can't collide and within-replica set equalities
+    are preserved exactly.
+    """
+    return F.expr(
+        f"array_join(transform(split({col}, ' '), t -> "
+        f"CASE WHEN conv(substr(md5(concat(t, '|{i}')), 1, 8), 16, 10) "
+        f"% 100 < {_PERTURB_PCT} THEN concat(t, '~{i}') ELSE t END), ' ')"
+    )
+
+
+def build_replica(spark, src: str, k: int, perturb: bool = False) -> str:
+    tag = f"x{k}p" if perturb else f"x{k}"
+    out = Path(f"/tmp/spark_scale_stress/{Path(src).name}{tag}")
     if out.exists() and any(out.rglob("*.parquet")):
         return str(out)
     out.mkdir(parents=True, exist_ok=True)
@@ -116,6 +183,8 @@ def build_replica(spark, src: str, k: int) -> str:
                 p = df
                 for c in _KEYED.get(t, []):
                     p = p.withColumn(c, F.col(c) + F.lit(i * _OFFSET))
+                if perturb and t == "documents" and i > 0:
+                    p = p.withColumn("text", _perturb_text("text", i))
                 parts.append(p)
             big = parts[0]
             for p in parts[1:]:
@@ -127,6 +196,7 @@ def build_replica(spark, src: str, k: int) -> str:
 def main() -> int:
     args = sys.argv[1:]
     k, src, names, run_all, out_json = 5, "/root/testdata/sf0.1", [], False, None
+    perturb = False
     it = iter(args)
     for a in it:
         if a == "--k":
@@ -135,6 +205,8 @@ def main() -> int:
             src = next(it)
         elif a == "--all":
             run_all = True
+        elif a == "--perturb":
+            perturb = True
         elif a == "--json":
             out_json = next(it)
         else:
@@ -145,8 +217,8 @@ def main() -> int:
     spark = get_spark("scale-stress", master="local[32]")
     spark.sparkContext.setLogLevel("ERROR")
     reg = registry()
-    big_dir = build_replica(spark, src, k)
-    print(f"replica ready: {big_dir} (k={k})", file=sys.stderr)
+    big_dir = build_replica(spark, src, k, perturb=perturb)
+    print(f"replica ready: {big_dir} (k={k}, perturb={perturb})", file=sys.stderr)
     # warmup (bench.py's pattern)
     reg[names[0]].fn(spark, src).write.mode("overwrite").format("noop").save()
     worst = 0.0
@@ -155,8 +227,8 @@ def main() -> int:
         try:
             base = run_query(spark, reg[n], src)
             big = run_query(spark, reg[n], big_dir)
-            w_base, unit = _workload(reg[n].fn(spark, src), n)
-            w_big, _ = _workload(reg[n].fn(spark, big_dir), n)
+            w_base, unit = _workload(spark, reg[n].fn(spark, src), n, src)
+            w_big, _ = _workload(spark, reg[n].fn(spark, big_dir), n, big_dir)
         except Exception as e:  # noqa: BLE001 — sweep must survive one bad query
             results[n] = {"error": f"{type(e).__name__}: {str(e)[:160]}"}
             print(f"{n:36s} ERROR {results[n]['error']}")
@@ -183,8 +255,8 @@ def main() -> int:
         import json
 
         Path(out_json).write_text(
-            json.dumps({"k": k, "src": src, "results": results}, indent=1,
-                       sort_keys=True) + "\n"
+            json.dumps({"k": k, "src": src, "perturb": perturb,
+                        "results": results}, indent=1, sort_keys=True) + "\n"
         )
         print(f"wrote {out_json}", file=sys.stderr)
     return 0
