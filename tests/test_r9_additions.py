@@ -143,3 +143,43 @@ def test_decode_media_default_decoder_handles_png(spark):
     rows = decode_media(assets).collect()
     assert [(r["doc_id"], r["width"], r["height"], r["n_frames"])
             for r in rows] == [(7, 1, 4, 1)]
+
+
+def test_fellegi_banded_drops_only_the_all_disagree_pattern(spark, sf_dir):
+    """fellegi_sunter_banded's exactness claim: the (nation, band) and
+    (nation, segment) passes jointly see every pair except pattern
+    (0,0,0) — because dollar_agree=1 implies band_agree=1 (a $1 floor
+    interval cannot straddle a $1000 boundary), every other pattern has
+    seg_agree=1 or band_agree=1 and therefore appears in a pass. So the
+    banded histogram must equal the full nation-blocked histogram minus
+    exactly the (0,0,0) row, and that row must classify 'non-link'."""
+    from uk_procurement_data_pipeline_spark.queries.evaluation import (
+        fellegi_sunter_banded,
+        fellegi_sunter_linkage,
+    )
+
+    full = {
+        (r["seg_agree"], r["band_agree"], r["dollar_agree"]): (
+            r["n_pairs"],
+            r["weight_micro"],
+            r["decision"],
+        )
+        for r in fellegi_sunter_linkage(spark, sf_dir).collect()
+    }
+    banded = {
+        (r["seg_agree"], r["band_agree"], r["dollar_agree"]): (
+            r["n_pairs"],
+            r["weight_micro"],
+            r["decision"],
+        )
+        for r in fellegi_sunter_banded(spark, sf_dir).collect()
+    }
+    assert (0, 1, 0) in full or (1, 1, 0) in full  # fixture non-trivial
+    dropped = set(full) - set(banded)
+    assert dropped <= {(0, 0, 0)}
+    if (0, 0, 0) in full:
+        assert full[(0, 0, 0)][2] == "non-link"
+    for pat, row in banded.items():
+        assert full[pat] == row, pat
+    # the impossible pattern: dollar agreement without band agreement
+    assert (0, 0, 1) not in full and (1, 0, 1) not in full

@@ -133,6 +133,30 @@ def _workload(spark, df, name: str, sf_dir: str) -> tuple[int, str]:
             .collect()[0][0]
         )
         return int(pairs or 0), "block_pairs"
+    if name == "fellegi_sunter_banded":
+        # Candidate pairs = within-nation pairs agreeing on band OR
+        # segment; inclusion-exclusion over three linear group-counts
+        # (never a pair join): |A u B| = |A| + |B| - |A n B|.
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet").selectExpr(
+            "c_nationkey",
+            "c_mktsegment",
+            "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band",
+        )
+
+        def _pairs(*keys):
+            return (
+                cust.groupBy(*keys)
+                .count()
+                .agg(F.sum(F.expr("count * (count - 1) / 2")))
+                .collect()[0][0]
+            ) or 0
+
+        n = (
+            _pairs("c_nationkey", "band")
+            + _pairs("c_nationkey", "c_mktsegment")
+            - _pairs("c_nationkey", "band", "c_mktsegment")
+        )
+        return int(n), "cand_pairs"
     if name == "cross_source_dup_matrix":
         # Output is a bounded source x source matrix; the work is the
         # minhash near-dup pairs being attributed.

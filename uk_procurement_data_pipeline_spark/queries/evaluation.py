@@ -983,6 +983,182 @@ def fellegi_sunter_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    name="fellegi_sunter_banded",
+    survey="J9 J6 A7 F28 A8",
+    doc="The 100-TB scale path for fellegi_sunter_linkage: multi-pass "
+    "FINE blocking instead of the coarse 25-value nation block whose "
+    "within-block pairs grow k^2 under any k-fold data growth "
+    "(SCALING.md round-9 table). Two equi-join candidate passes — "
+    "(nation, $1000 acctbal band) and (nation, mktsegment, band<>band) "
+    "— DISJOINT by construction (the segment pass excludes "
+    "band-agreeing pairs), so the union needs no pair-level dedup "
+    "shuffle and the pattern aggregation is map-side partial into an "
+    "8-row domain. Scored with the identical micro-nat weights. "
+    "Exactness argument, pinned in tests: dollar_agree=1 "
+    "implies band_agree=1 (a $1 floor interval never straddles a "
+    "$1000 boundary), so the only pattern the passes cannot see is "
+    "(0,0,0), whose weight -6,579,152 <= -4,000,000 is a definite "
+    "non-link — fine blocking provably drops ONLY non-links. Output is "
+    "the same agreement-pattern histogram restricted to candidates, "
+    "plus cand_ppm_of_quadratic: candidate pairs as ppm of the full "
+    "within-nation pair count (computed from per-nation counts, no "
+    "quadratic join), the measured blocking gain. Honest asymptotics: "
+    "any FIXED blocking-key domain still grows pairs Theta(N^2 / "
+    "n_blocks) — fine blocking buys the 1/n_blocks constant (the ppm "
+    "readout), which is the standard practice; unbounded growth needs "
+    "blocking keys whose cardinality scales with the data (exact "
+    "dollar here: the value domain) or per-block pair sampling.",
+    oracle=f"""
+        WITH c AS (
+          SELECT c_custkey, c_nationkey, c_mktsegment,
+                 CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band,
+                 CAST(floor(c_acctbal) AS BIGINT) AS dollar
+          FROM customer
+        ), cand AS (
+          SELECT a.c_custkey AS ka, b.c_custkey AS kb,
+                 CASE WHEN a.c_mktsegment = b.c_mktsegment
+                      THEN 1 ELSE 0 END AS seg_agree,
+                 CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS band_agree,
+                 CASE WHEN a.dollar = b.dollar THEN 1 ELSE 0 END
+                     AS dollar_agree
+          FROM c a JOIN c b
+            ON a.c_nationkey = b.c_nationkey AND a.band = b.band
+           AND a.c_custkey < b.c_custkey
+          UNION ALL
+          SELECT a.c_custkey, b.c_custkey,
+                 CASE WHEN a.c_mktsegment = b.c_mktsegment
+                      THEN 1 ELSE 0 END,
+                 0,
+                 CASE WHEN a.dollar = b.dollar THEN 1 ELSE 0 END
+          FROM c a JOIN c b
+            ON a.c_nationkey = b.c_nationkey
+           AND a.c_mktsegment = b.c_mktsegment
+           AND a.c_custkey < b.c_custkey
+           AND a.band <> b.band
+        ), quad AS (
+          SELECT CAST(SUM(n * (n - 1) / 2) AS BIGINT) AS n_quad
+          FROM (SELECT COUNT(*) AS n FROM customer GROUP BY c_nationkey)
+        ), tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n_cand FROM cand
+        ), g AS (
+          SELECT seg_agree, band_agree, dollar_agree,
+                 CAST(COUNT(*) AS BIGINT) AS n_pairs,
+                 CAST(CASE WHEN seg_agree = 1 THEN {_FS_W["seg"][0]}
+                      ELSE {_FS_W["seg"][1]} END
+                 + CASE WHEN band_agree = 1 THEN {_FS_W["band"][0]}
+                      ELSE {_FS_W["band"][1]} END
+                 + CASE WHEN dollar_agree = 1 THEN {_FS_W["dollar"][0]}
+                      ELSE {_FS_W["dollar"][1]} END AS BIGINT)
+                     AS weight_micro
+          FROM cand GROUP BY 1, 2, 3
+        )
+        SELECT seg_agree, band_agree, dollar_agree, n_pairs, weight_micro,
+               CASE WHEN weight_micro >= {_FS_UPPER} THEN 'link'
+                    WHEN weight_micro <= {_FS_LOWER} THEN 'non-link'
+                    ELSE 'possible' END AS decision,
+               CAST(1000000 * tot.n_cand // quad.n_quad AS BIGINT)
+                   AS cand_ppm_of_quadratic
+        FROM g, tot, quad
+        ORDER BY weight_micro DESC, seg_agree, band_agree, dollar_agree
+    """,
+)
+def fellegi_sunter_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        "CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band",
+        "CAST(floor(c_acctbal) AS BIGINT) AS dollar",
+    )
+    bits = [
+        "CASE WHEN a.c_mktsegment = b.c_mktsegment THEN 1 ELSE 0 END"
+        " AS seg_agree",
+        "CASE WHEN a.band = b.band THEN 1 ELSE 0 END AS band_agree",
+        "CASE WHEN a.dollar = b.dollar THEN 1 ELSE 0 END AS dollar_agree",
+    ]
+    pass_band = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .selectExpr("a.c_custkey AS ka", "b.c_custkey AS kb", *bits)
+    )
+    # The segment pass EXCLUDES band-agreeing pairs, so the two passes
+    # partition the candidate set and the union needs no pair-level
+    # distinct — the pattern aggregation is then map-side partial into an
+    # 8-row domain, never a pair-sized shuffle (measured 2x at k=5).
+    pass_seg = (
+        c.alias("a")
+        .join(
+            c.alias("b"),
+            (F.col("a.c_nationkey") == F.col("b.c_nationkey"))
+            & (F.col("a.c_mktsegment") == F.col("b.c_mktsegment"))
+            & (F.col("a.band") != F.col("b.band"))
+            & (F.col("a.c_custkey") < F.col("b.c_custkey")),
+        )
+        .selectExpr(
+            "a.c_custkey AS ka",
+            "b.c_custkey AS kb",
+            bits[0],
+            "0 AS band_agree",
+            bits[2],
+        )
+    )
+    cand = pass_band.unionByName(pass_seg)
+    # Blocking-gain denominator from per-nation COUNTS — linear, never a
+    # pair join; both totals are 1-row aggregates broadcast via crossJoin
+    # (the scalar-subquery shape used throughout this module).
+    quad = (
+        c.groupBy("c_nationkey")
+        .count()
+        .agg(
+            F.sum(F.expr("count * (count - 1) / 2"))
+            .cast("bigint")
+            .alias("n_quad")
+        )
+    )
+    tot = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    wexpr = (
+        f"CAST(CASE WHEN seg_agree = 1 THEN {_FS_W['seg'][0]}"
+        f" ELSE {_FS_W['seg'][1]} END"
+        f" + CASE WHEN band_agree = 1 THEN {_FS_W['band'][0]}"
+        f" ELSE {_FS_W['band'][1]} END"
+        f" + CASE WHEN dollar_agree = 1 THEN {_FS_W['dollar'][0]}"
+        f" ELSE {_FS_W['dollar'][1]} END AS BIGINT)"
+    )
+    g = (
+        cand.groupBy("seg_agree", "band_agree", "dollar_agree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn("weight_micro", F.expr(wexpr))
+    )
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(quad))
+        .selectExpr(
+            "seg_agree",
+            "band_agree",
+            "dollar_agree",
+            "n_pairs",
+            "weight_micro",
+            f"CASE WHEN weight_micro >= {_FS_UPPER} THEN 'link'"
+            f" WHEN weight_micro <= {_FS_LOWER} THEN 'non-link'"
+            f" ELSE 'possible' END AS decision",
+            "CAST((1000000 * n_cand) DIV n_quad AS BIGINT)"
+            " AS cand_ppm_of_quadratic",
+        )
+        .orderBy(
+            F.col("weight_micro").desc(),
+            "seg_agree",
+            "band_agree",
+            "dollar_agree",
+        )
+    )
+
+
+@register(
     name="exact_median_two_phase",
     survey="A7 W3 O4 F28",
     doc="EXACT distributed median (lower median, k = (n+1) div 2) of "
