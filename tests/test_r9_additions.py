@@ -183,3 +183,61 @@ def test_fellegi_banded_drops_only_the_all_disagree_pattern(spark, sf_dir):
         assert full[pat] == row, pat
     # the impossible pattern: dollar agreement without band agreement
     assert (0, 0, 1) not in full and (1, 0, 1) not in full
+
+
+def test_ttl_stream_head_break_with_multiple_chains_in_one_batch(spark, tmp_path):
+    """Regression for the r09 vectorized sessionizer: when the stored
+    session closes at the HEAD of a batch (first event already > end+gap)
+    AND the same batch contains further gap-separated chains, chain
+    boundaries must come from breaks at i >= 1 only — treating the head
+    break as a boundary fabricated a degenerate [0, -1] chain (start =
+    first event, end = LAST event, n = 0) and shifted every session. The
+    DuckDB oracle caught it (627 vs 578 rows at sf0.001); this pins the
+    exact shape through the real query path."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.queries.base import registry
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    ts = []
+    # batch 1 (rows 0-199): session A, 1-minute spacing
+    for i in range(200):
+        ts.append(t0 + dt.timedelta(minutes=i))
+    # batch 2 (rows 200-399), all >6h-gap-separated chains:
+    b_start = ts[-1] + dt.timedelta(hours=7)  # head break closes A
+    for i in range(100):
+        ts.append(b_start + dt.timedelta(minutes=i))  # session B
+    c_start = ts[-1] + dt.timedelta(hours=7)
+    for i in range(99):
+        ts.append(c_start + dt.timedelta(minutes=i))  # session C
+    ts.append(ts[-1] + dt.timedelta(hours=7))  # session D: stays open
+    table = pa.table(
+        {
+            "event_id": pa.array(list(range(400)), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "user_id": pa.array([1] * 400, pa.int64()),
+            "event_type": pa.array(["view"] * 400),
+            "value": pa.array([1.0] * 400),
+            "props": pa.array(["{}"] * 400),
+        }
+    )
+    out = tmp_path / "headbrk"
+    out.mkdir()
+    pq.write_table(table, str(out / "events.parquet"))
+    got = registry()["stream_session_ttl_close"].fn(spark, str(out)).collect()
+
+    def us(x):
+        return int(x.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+
+    sessions = sorted(
+        (r["start_micro"], r["end_micro"], r["n_events"]) for r in got
+    )
+    assert sessions == [
+        (us(ts[0]), us(ts[199]), 200),  # A: closed by the head break
+        (us(ts[200]), us(ts[299]), 100),  # B
+        (us(ts[300]), us(ts[398]), 99),  # C
+        # D (1 event) stays open: timeout = end+6h > final wm = max_ts-1h
+    ]

@@ -2038,7 +2038,12 @@ def variant_props_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     "finite feed is exhausted. Complete mode makes the final table "
     "batch-identical however the pages landed in micro-batches, so the "
     "SAME DuckDB feed-regeneration oracle checks the streaming path "
-    "end-to-end. Four micro-batches at n=2000.",
+    "end-to-end. Two 1000-row pages at n=2000 (r09, was four 500-row "
+    "pages: the final table is page-size-invariant by the complete-mode "
+    "argument above, the multi-page offset walk still exercises, and "
+    "each micro-batch costs ~1.5s of fixed overhead at bench time; the "
+    "finer-grained readBetweenOffsets replay contract is pinned "
+    "separately in tests).",
     oracle="""
         WITH feed AS (
           SELECT i AS notice_id,
@@ -2071,7 +2076,7 @@ def python_datasource_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame
     src = (
         spark.readStream.format("notice_feed")
         .option("n", n)
-        .option("page_rows", 500)
+        .option("page_rows", 1000)
         .load()
     )
     agg = src.groupBy("region").agg(

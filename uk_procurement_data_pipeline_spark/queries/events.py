@@ -1352,8 +1352,12 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TTL_GAP_US = 6 * 3600 * 1_000_000
 _TTL_DELAY_US = 3600 * 1_000_000
 _TTL_MIN_BATCH = 200
-_TTL_N_BATCHES = 40
-_TTL_BIG_N = 20_000  # above this, ~5 batches (output is batch-count-invariant)
+# 12 (r09, was 40): output is batch-count-invariant (monotone replay), and
+# 40 micro-batches made the sf0.01 oracle/driver check pay ~40s of pure
+# per-batch overhead. At sf0.001 the 200-row floor binds either way (same
+# 5 batches); sf0.01 drops 40 -> 12 batches.
+_TTL_N_BATCHES = 12
+_TTL_BIG_N = 20_000  # above this, ~3 batches (output is batch-count-invariant)
 
 
 @register(
@@ -1432,69 +1436,110 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_ttl_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     gap_us, delay_s = _TTL_GAP_US, _TTL_DELAY_US // 1_000_000
 
+    import numpy as np
+
+    cols = ["user_id", "start_micro", "end_micro", "n_events"]
+
     def sessions(key, pdfs, state):
-        out: list[tuple] = []
+        # Per-group-CALL overhead dominates this operator's wall time
+        # (groups are small: ~22 rows/user/batch at sf0.1), so the body is
+        # a single numpy pass — no pandas sort, no per-event Python loop,
+        # one output-DataFrame construction.
         if state.hasTimedOut:
             s, e, n = state.get
-            out.append((key[0], s, e, n))
+            state.remove()
+            yield pd.DataFrame([(key[0], s, e, n)], columns=cols)
+            return
+        chunks = list(pdfs)
+        pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
+        tsm = np.sort(
+            pdf["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1000
+        )
+        have = state.exists
+        if have:
+            s0, e0, n0 = state.get
+        # Gap-chain breaks on the SORTED array: event i starts a new
+        # session iff tsm[i] - chain_max_before_i > gap. Within-chain max
+        # of an ascending array is tsm[i-1], except the state's e0 can
+        # exceed early events (an event OLDER than the stored session end
+        # can arrive across batches when input is not time-monotone;
+        # disorder is watermark-bounded to delay=1h < gap=6h, so merging
+        # it is correct — the r08 min/max fix). Using max(e0, tsm[i-1])
+        # UNCONDITIONALLY is still exact: after any break, tsm values
+        # already exceed e0 + gap, so the max degenerates to tsm[i-1].
+        prev = np.empty_like(tsm)
+        prev[0] = e0 if have else tsm[0]
+        prev[1:] = tsm[:-1]
+        if have:
+            np.maximum(prev, e0, out=prev)
+        brk = (tsm - prev) > gap_us
+        # Chain BOUNDARIES are breaks at i >= 1 only; brk[0] (the stored
+        # session closing before the first event) is handled by the head
+        # branch below, never as a boundary — including index 0 here would
+        # fabricate a degenerate [0, -1] chain.
+        bounds = np.flatnonzero(brk[1:]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [tsm.size])) - 1
+        cs = tsm[starts]
+        ce = tsm[ends]
+        cn = ends - starts + 1
+        head: list[tuple] = []
+        if have and bool(brk[0]):
+            # first event already breaks: the stored session closes alone
+            head.append((s0, e0, n0))
+        elif have:
+            cs, ce, cn = cs.copy(), ce.copy(), cn.copy()
+            cs[0] = min(s0, int(cs[0]))
+            ce[0] = max(e0, int(ce[0]))
+            cn[0] += n0
+        s, e, n = int(cs[-1]), int(ce[-1]), int(cn[-1])
+        # Close when the watermark passes session_end + gap. On input
+        # whose disorder EXCEEDS the watermark delay the natural timeout
+        # can already be BELOW the current watermark (arbitrary stateful
+        # ops do NOT auto-drop late rows — that is exactly how the k=5
+        # stress replica reached this call with a past timestamp); a timer
+        # there is unusable twice over — setTimeoutTimestamp throws
+        # INVALID_TIMEOUT_TIMESTAMP for timestamps below the watermark,
+        # and the r08 clamp to watermark+1 silently never fired when the
+        # watermark had already reached its FINAL value (timers fire
+        # strictly BELOW the watermark; ADVICE r08). So emit such sessions
+        # INLINE: the oracle's close condition (end+gap < final wm)
+        # already holds for them. Under the documented disorder<=delay
+        # contract this branch is provably dead (every event in a batch
+        # has ts >= wm, so timeout = end+gap >= wm+gap > wm) and the
+        # oracle match is exact; beyond the bound it degrades gracefully —
+        # session emitted now, a later beyond-bound event starts a fresh
+        # session — instead of crashing (pre-r08) or silently dropping the
+        # session (r08 clamp). Timers handle the timeout >= watermark
+        # case, where they are valid and do fire.
+        timeout_ms = e // 1000 + gap_us // 1000
+        if timeout_ms < state.getCurrentWatermarkMs():
+            tail: list[tuple] = [(s, e, n)]
             state.remove()
         else:
-            ev = pd.concat(list(pdfs), ignore_index=True)
-            ev = ev.sort_values(["ts", "event_id"])
-            tsm = (
-                ev["ts"].to_numpy(dtype="datetime64[ns]").astype("int64")
-                // 1000
-            )
-            if state.exists:
-                s, e, n = state.get
-                have = True
-            else:
-                have = False
-            for t in tsm:
-                t = int(t)
-                if have and t - e > gap_us:
-                    out.append((key[0], s, e, n))
-                    s, e, n = t, t, 1
-                elif have:
-                    # min/max (not plain e = t): an event OLDER than the
-                    # session end can arrive across batches when input is
-                    # not time-monotone (disorder is watermark-bounded to
-                    # delay=1h < gap=6h, so merging it is correct); plain
-                    # assignment regressed end below start. No-op on
-                    # monotone input, where t >= e always.
-                    s, e, n = min(s, t), max(e, t), n + 1
-                else:
-                    s, e, n, have = t, t, 1, True
-            # Close when the watermark passes session_end + gap. On input
-            # whose disorder EXCEEDS the watermark delay the natural
-            # timeout can already be BELOW the current watermark (arbitrary
-            # stateful ops do NOT auto-drop late rows — that is exactly how
-            # the k=5 stress replica reached this call with a past
-            # timestamp); a timer there is unusable twice over —
-            # setTimeoutTimestamp throws INVALID_TIMEOUT_TIMESTAMP for
-            # timestamps below the watermark, and the r08 clamp to
-            # watermark+1 silently never fired when the watermark had
-            # already reached its FINAL value (timers fire strictly BELOW
-            # the watermark; ADVICE r08). So emit such sessions INLINE:
-            # the oracle's close condition (end+gap < final wm) already
-            # holds for them. Under the documented disorder<=delay
-            # contract this branch is provably dead (every event in a
-            # batch has ts >= wm, so timeout = end+gap >= wm+gap > wm) and
-            # the oracle match is exact; beyond the bound it degrades
-            # gracefully — session emitted now, a later beyond-bound event
-            # starts a fresh session — instead of crashing (pre-r08) or
-            # silently dropping the session (r08 clamp). Timers handle the
-            # timeout >= watermark case, where they are valid and do fire.
-            timeout_ms = e // 1000 + gap_us // 1000
-            if timeout_ms < state.getCurrentWatermarkMs():
-                out.append((key[0], s, e, n))
-                state.remove()
-            else:
-                state.update((s, e, n))
-                state.setTimeoutTimestamp(timeout_ms)
-        yield pd.DataFrame(
-            out, columns=["user_id", "start_micro", "end_micro", "n_events"]
+            tail = []
+            state.update((s, e, n))
+            state.setTimeoutTimestamp(timeout_ms)
+        n_closed = len(cs) - 1
+        out = pd.DataFrame(
+            {
+                "user_id": np.full(
+                    len(head) + n_closed + len(tail), key[0], dtype="int64"
+                ),
+                "start_micro": np.concatenate(
+                    ([t[0] for t in head], cs[:-1], [t[0] for t in tail])
+                ).astype("int64"),
+                "end_micro": np.concatenate(
+                    ([t[1] for t in head], ce[:-1], [t[1] for t in tail])
+                ).astype("int64"),
+                "n_events": np.concatenate(
+                    ([t[2] for t in head], cn[:-1], [t[2] for t in tail])
+                ).astype("int64"),
+            }
         )
+        yield out
 
     import pyarrow.parquet as pq
 
@@ -1502,7 +1547,12 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     if n_rows <= _TTL_BIG_N:
         batch_rows = max(_TTL_MIN_BATCH, n_rows // _TTL_N_BATCHES)
     else:
-        batch_rows = n_rows // (_TTL_N_BATCHES // 8)
+        # The emitted set is batch-count-invariant on monotone input (the
+        # doc's final-watermark argument depends only on max ts), so above
+        # _TTL_BIG_N run the fewest batches that still exercise cross-batch
+        # session continuation: 3 (r09, was 5 — each micro-batch costs
+        # ~1.3s of fixed state-store/commit overhead at bench SFs).
+        batch_rows = n_rows // 3
     src = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
@@ -1655,10 +1705,13 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_ssj_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     path = f"{sf_dir}/events.parquet"
     n_rows = _parquet_num_rows(path)
-    # ~4 batches (r08, was 8): the emitted set is batching-invariant (see
-    # doc), and per-batch overhead of a two-leg stateful join (~2x the
-    # single-leg ~1.2 s) dominated — 16.3 s at 8 batches, 8.5 s at 4.
-    batch_rows = max(500, n_rows // 4)
+    # ~3 batches (r09; r08 was 4, before that 8): the emitted set is
+    # batching-invariant (see doc), and per-batch overhead of a two-leg
+    # stateful join (~2x the single-leg ~1.2 s) dominated — 16.3 s at 8
+    # batches, 8.5 s at 4, ~7 s at 3. Three keeps cross-batch join state
+    # (a left-leg row matching a right-leg row from an EARLIER batch)
+    # genuinely exercised, which 1-2 batches would not.
+    batch_rows = max(500, n_rows // 3)
 
     def leg():
         return (
@@ -5292,7 +5345,13 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LD_DELAY_US = 2 * 3600 * 1_000_000  # watermark delay: 2 hours
 _LD_WIN_US = 3600 * 1_000_000  # tumbling window: 1 hour
 _LD_MIN_BATCH = 200
-_LD_N_BATCHES = 10
+# 6 batches (r09, was 10): per-micro-batch overhead dominates wall at
+# bench SFs (~0.6s/batch), and the drop semantics only needs ENOUGH
+# batches for the lag-2 cummax watermark to pass some scrambled rows'
+# windows — verified after the change: drops nonzero and oracle-exact at
+# all three SFs (the oracle restates this same batch formula, so both
+# engines move together by construction).
+_LD_N_BATCHES = 6
 
 
 @register(
