@@ -241,3 +241,23 @@ def test_ttl_stream_head_break_with_multiple_chains_in_one_batch(spark, tmp_path
         (us(ts[300]), us(ts[398]), 99),  # C
         # D (1 event) stays open: timeout = end+6h > final wm = max_ts-1h
     ]
+
+
+def test_fingerprints_immune_to_warm_process_cache_state():
+    """r09 regression: catalog._NANOS_PROBE_CACHE (a per-session memo) sits
+    inside every query's static call closure via load(); computing
+    fingerprints IN-PROCESS after queries have run hashed the mutated cache
+    and spuriously drifted 288 queries. changed_queries must compute in a
+    fresh interpreter, so poking the cache here must not change its answer."""
+    from tools.fingerprints import changed_queries
+    from tools.regen_coverage import _all_checked
+    from uk_procurement_data_pipeline_spark import catalog
+
+    green = _all_checked()
+    before = changed_queries(green)
+    catalog._NANOS_PROBE_CACHE[("test-app", "/tmp/poked.parquet")] = True
+    try:
+        after = changed_queries(green)
+    finally:
+        catalog._NANOS_PROBE_CACHE.pop(("test-app", "/tmp/poked.parquet"))
+    assert before == after

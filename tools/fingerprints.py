@@ -22,6 +22,15 @@ read inside a fingerprinted function's source. Constants referenced by name
 from a fingerprinted function ARE included via repr when they are simple
 (str/int/float/tuple/dict/list of depth 1).
 
+IMPORTANT — fingerprints are defined over IMPORT-TIME state. A module-level
+mutable container referenced from a fingerprinted function (e.g.
+catalog._NANOS_PROBE_CACHE, a per-session memo) is repr'd into the payload,
+so computing fingerprints in a process that has already RUN queries hashes
+the mutated cache and spuriously drifts most of the registry (caught in r09:
+288 false "changed" queries inside the warm pytest process). changed_queries
+therefore computes current fingerprints in a FRESH subprocess; in-process
+computation is only safe immediately after import.
+
 Usage:
     python tools/fingerprints.py --snapshot [name ...]
         Rewrite QUERY_FINGERPRINTS.json entries for the named queries (all
@@ -162,16 +171,39 @@ def load_snapshot() -> dict[str, str]:
 
 def changed_queries(green: set[str]) -> list[str]:
     """Driver-green queries whose code differs from (or is absent in) the
-    snapshot — these must re-enter the driver window."""
+    snapshot — these must re-enter the driver window.
+
+    Runs the fingerprint computation in a FRESH interpreter so the result
+    reflects import-time (static) state: a warm process that has executed
+    queries mutates module-level memo caches that sit inside closures (see
+    module docstring), which would spuriously drift nearly every query.
+    """
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, str(Path(__file__).resolve()), "--current-json"],
+        input=json.dumps(sorted(green)),
+        capture_output=True,
+        text=True,
+        cwd=str(REPO),
+        check=True,
+    )
+    cur = json.loads(proc.stdout)
     snap = load_snapshot()
-    cur = current_fingerprints(sorted(green))
-    return [n for n in cur if snap.get(n) != cur[n]]
+    return [n for n in sorted(cur) if snap.get(n) != cur[n]]
 
 
 def main(argv: list[str]) -> int:
     from tools.regen_coverage import _all_checked
 
     green = _all_checked()
+    if "--current-json" in argv:
+        # Fresh-process worker for changed_queries(): names as a JSON list
+        # on stdin, {name: fingerprint} JSON on stdout. Nothing else may
+        # print to stdout in this mode.
+        names = json.loads(sys.stdin.read() or "null")
+        print(json.dumps(current_fingerprints(names), sort_keys=True))
+        return 0
     if "--snapshot" in argv:
         names = [a for a in argv if not a.startswith("--")] or sorted(green)
         snap = load_snapshot()
