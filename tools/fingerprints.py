@@ -186,24 +186,33 @@ def changed_queries(green: set[str]) -> list[str]:
         capture_output=True,
         text=True,
         cwd=str(REPO),
-        check=True,
+        check=False,
     )
+    if proc.returncode != 0:
+        # check=True would swallow the captured stderr (ADVICE r09); embed
+        # it so import/env failures in the worker are diagnosable.
+        raise RuntimeError(
+            f"fingerprint worker exited {proc.returncode}; "
+            f"stderr:\n{proc.stderr.strip()[-4000:]}"
+        )
     cur = json.loads(proc.stdout)
     snap = load_snapshot()
     return [n for n in sorted(cur) if snap.get(n) != cur[n]]
 
 
 def main(argv: list[str]) -> int:
-    from tools.regen_coverage import _all_checked
-
-    green = _all_checked()
     if "--current-json" in argv:
         # Fresh-process worker for changed_queries(): names as a JSON list
         # on stdin, {name: fingerprint} JSON on stdout. Nothing else may
-        # print to stdout in this mode.
+        # print to stdout in this mode. Worker mode never needs the
+        # CORRECTNESS_r*.json scan — keep it above _all_checked() so every
+        # changed_queries subprocess skips that startup cost (ADVICE r09).
         names = json.loads(sys.stdin.read() or "null")
         print(json.dumps(current_fingerprints(names), sort_keys=True))
         return 0
+    from tools.regen_coverage import _all_checked
+
+    green = _all_checked()
     if "--snapshot" in argv:
         names = [a for a in argv if not a.startswith("--")] or sorted(green)
         snap = load_snapshot()

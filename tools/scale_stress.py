@@ -180,9 +180,13 @@ def _perturb_text(col: str, i: int):
 
     Token value t -> 't~<i>' iff md5('t|<i>') mod 100 < _PERTURB_PCT.
     Pure JVM expressions (split / transform / md5 / conv) — no Python in
-    the replica build. Injective: '~<i>' is appended, never removed, so
-    two distinct tokens can't collide and within-replica set equalities
-    are preserved exactly.
+    the replica build. Injective FOR '~'-FREE CORPORA: '~<i>' is appended,
+    never removed, so two distinct '~'-free tokens can't collide and
+    within-replica set equalities are preserved exactly. If the corpus
+    itself contained a token like 't~1', a substituted 't' in replica 1
+    could collide with it (ADVICE r09) — so we assert the precondition at
+    build time (see the '~'-free check in build_replica) rather than
+    claim unconditional injectivity.
     """
     return F.expr(
         f"array_join(transform(split({col}, ' '), t -> "
@@ -199,6 +203,15 @@ def build_replica(spark, src: str, k: int, perturb: bool = False) -> str:
     out.mkdir(parents=True, exist_ok=True)
     for t in TABLES:
         df = spark.read.parquet(f"{src}/{t}.parquet")
+        if perturb and t == "documents":
+            # _perturb_text's injectivity needs a '~'-free corpus (its
+            # docstring); fail loudly if the fixture ever violates that.
+            n_tilde = df.filter(F.col("text").contains("~")).count()
+            if n_tilde:
+                raise ValueError(
+                    f"perturbation requires '~'-free documents.text; "
+                    f"found {n_tilde} rows containing '~'"
+                )
         if t in _FIXED_DIMS:
             big = df
         else:

@@ -1523,20 +1523,26 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
             state.update((s, e, n))
             state.setTimeoutTimestamp(timeout_ms)
         n_closed = len(cs) - 1
+        # head/tail parts as int64 ndarrays BEFORE concatenate: an empty
+        # Python list concatenates as float64, silently promoting the
+        # whole result (exact today only because micro epochs < 2^53;
+        # ADVICE r09).
+        head_a = np.array(head, dtype=np.int64).reshape(-1, 3)
+        tail_a = np.array(tail, dtype=np.int64).reshape(-1, 3)
         out = pd.DataFrame(
             {
                 "user_id": np.full(
                     len(head) + n_closed + len(tail), key[0], dtype="int64"
                 ),
                 "start_micro": np.concatenate(
-                    ([t[0] for t in head], cs[:-1], [t[0] for t in tail])
-                ).astype("int64"),
+                    (head_a[:, 0], cs[:-1], tail_a[:, 0])
+                ),
                 "end_micro": np.concatenate(
-                    ([t[1] for t in head], ce[:-1], [t[1] for t in tail])
-                ).astype("int64"),
+                    (head_a[:, 1], ce[:-1], tail_a[:, 1])
+                ),
                 "n_events": np.concatenate(
-                    ([t[2] for t in head], cn[:-1], [t[2] for t in tail])
-                ).astype("int64"),
+                    (head_a[:, 2], cn[:-1], tail_a[:, 2])
+                ),
             }
         )
         yield out

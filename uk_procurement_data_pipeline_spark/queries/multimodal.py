@@ -3,11 +3,14 @@
 Media assets are opaque ``binary`` columns plus a typed metadata struct —
 the pattern a 100 TB training-data pipeline needs: the bytes stay
 unparsed through shuffles and pruning; only explicitly-invoked Arrow
-stages touch them. The container has no image/audio codecs, so the
-*decode* step is stubbed (`decode_media` raises NotImplementedError; a
-deterministic fake is injectable for tests) while everything Spark-side —
-schema, batch shape, partitioning, UDF signatures — is real and tested
-(tests/test_multimodal.py).
+stages touch them. The container has no image/audio codec *libraries*,
+but PNG decode is REAL: ``functions/png.py`` is a pure-stdlib RFC-2083
+codec (zlib + the five filter types), exercised end-to-end by
+``png_decode_roundtrip_profile``. For every other format `decode_media`
+raises NotImplementedError (a deterministic fake is injectable for
+tests) while everything Spark-side — schema, batch shape, partitioning,
+UDF signatures — is real and tested (tests/test_multimodal.py,
+tests/test_r9_additions.py::test_png_*).
 
 ``documents.text`` stands in for the raw asset: payload = utf-8 bytes,
 so every derived value is reproducible in the oracle.
