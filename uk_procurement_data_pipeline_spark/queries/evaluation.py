@@ -2091,12 +2091,24 @@ def python_datasource_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame
         .start()
     )
     try:
+        # Drain poll on lastProgress offsets (r10; was a collect() of the
+        # memory table every 0.25 s — each poll a full Spark job). A
+        # progress row is published only AFTER its batch commits, so
+        # endOffset cursor >= n means the final page is already in the
+        # complete-mode table.
+        import re
+
         deadline = time.time() + 240
         while time.time() < deadline:
-            rows = spark.table(qname).agg(F.sum("n_notices")).collect()
-            if rows and rows[0][0] == n:
-                break
-            time.sleep(0.25)
+            lp = q.lastProgress
+            eo = lp["sources"][0].get("endOffset") if lp else None
+            if eo is not None:
+                cur = eo["cursor"] if isinstance(eo, dict) else int(
+                    re.search(r"-?\d+", str(eo)).group()
+                )
+                if int(cur) >= n:
+                    break
+            time.sleep(0.1)
         else:
             raise TimeoutError(
                 f"notice_feed stream did not drain {n} rows in 240s"

@@ -1340,15 +1340,16 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 # inter-event gap is ~7.3 h, so a 6 h session gap yields many sessions per
 # user; the 1 h watermark delay keeps a nonzero set of still-open final
 # sessions at stream end, which is exactly the state the TTL path must
-# NOT emit. Micro-batch size scales with the file: ~40 batches up to
-# 20k rows (max(200, N//40) — 14 timer-only closes at the driver's
-# sf0.01 gate), ~5 batches above (N//5; r08, was N//20 — the emitted
+# NOT emit. Micro-batch size scales with the file: ~12 batches up to
+# 20k rows (max(200, ceil(N/12)) — timer-only closes still occur at the
+# driver's sf0.01 gate), 2 batches above (ceil(N/2); r10 — the emitted
 # set is batch-count-INVARIANT because the oracle depends only on the
 # final watermark max(ts)-delay; sessions still span batches, timers
 # still fire mid-stream AND at the trailing no-data drain batch, and
-# per-batch overhead of ~2-3 s — Python-source prefetch + incremental
+# per-batch overhead of ~1.3-2 s — Python-source prefetch + incremental
 # replan + state commit — dominates everything else at local scale:
-# 38.6 s at 20 batches -> 13.3 s at 5, same 56,646-row sf0.1 output).
+# 38.6 s at 20 batches -> 13.3 s at 5 -> ~7 s at 2+remainder fix,
+# same 56,646-row sf0.1 output).
 _TTL_GAP_US = 6 * 3600 * 1_000_000
 _TTL_DELAY_US = 3600 * 1_000_000
 _TTL_MIN_BATCH = 200
@@ -1357,7 +1358,7 @@ _TTL_MIN_BATCH = 200
 # per-batch overhead. At sf0.001 the 200-row floor binds either way (same
 # 5 batches); sf0.01 drops 40 -> 12 batches.
 _TTL_N_BATCHES = 12
-_TTL_BIG_N = 20_000  # above this, ~3 batches (output is batch-count-invariant)
+_TTL_BIG_N = 20_000  # above this, 2 batches (output is batch-count-invariant)
 
 
 @register(
@@ -1551,14 +1552,19 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_rows = _parquet_num_rows(f"{sf_dir}/events.parquet")
     if n_rows <= _TTL_BIG_N:
-        batch_rows = max(_TTL_MIN_BATCH, n_rows // _TTL_N_BATCHES)
+        # CEIL division: floor left a 1-row remainder micro-batch that
+        # cost a full ~1.3 s trigger for nothing (r10).
+        batch_rows = max(_TTL_MIN_BATCH, -(-n_rows // _TTL_N_BATCHES))
     else:
         # The emitted set is batch-count-invariant on monotone input (the
         # doc's final-watermark argument depends only on max ts), so above
         # _TTL_BIG_N run the fewest batches that still exercise cross-batch
-        # session continuation: 3 (r09, was 5 — each micro-batch costs
-        # ~1.3s of fixed state-store/commit overhead at bench SFs).
-        batch_rows = n_rows // 3
+        # session continuation AND a mid-stream timer fire: 2 (r10, was 3 —
+        # a timer set in batch 0 fires in batch 1 once the batch-0
+        # watermark publishes; sessions still span the boundary; each
+        # micro-batch costs ~1.3-2 s of fixed state-store/commit overhead
+        # at bench SFs). Ceil, so there is no 1-row remainder batch.
+        batch_rows = -(-n_rows // 2)
     src = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
@@ -1584,8 +1590,8 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     import re
     import time
 
-    # ~40 micro-batches of a few-thousand rows each: 32 state-store
-    # shuffle partitions would be ~all task-launch overhead per batch.
+    # Small micro-batches (2-12 per run): 32 state-store shuffle
+    # partitions would be ~all task-launch overhead per batch.
     # 8 partitions still exercises multi-partition state sharding. The
     # checkpoint (offset/commit log + state snapshots, fsynced EVERY
     # batch) goes to tmpfs when available — per-batch latency is commit
@@ -1662,8 +1668,9 @@ def stream_session_ttl_close(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="TRUE stream-stream interval join executed AS A STREAM (the "
     "registered streaming form of events_interval_join_attribution's "
     "batch analog; state-eviction behavior itself is pinned in "
-    "tests/test_streaming.py): two watermarked legs of the "
-    "deterministic events_replay source (clicks, views of the same "
+    "tests/test_streaming.py): two watermarked legs filtered from ONE "
+    "shared deterministic events_replay source — read once per "
+    "micro-batch, self-joined (clicks, views of the same "
     "user within the preceding hour), inner join with the time bound "
     "as a join-level range condition, append-mode memory sink drained "
     "by offset polling. Because the fixture's event time is globally "
@@ -1711,31 +1718,35 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     qname = f"stream_ssj_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     path = f"{sf_dir}/events.parquet"
     n_rows = _parquet_num_rows(path)
-    # ~3 batches (r09; r08 was 4, before that 8): the emitted set is
-    # batching-invariant (see doc), and per-batch overhead of a two-leg
-    # stateful join (~2x the single-leg ~1.2 s) dominated — 16.3 s at 8
-    # batches, 8.5 s at 4, ~7 s at 3. Three keeps cross-batch join state
-    # (a left-leg row matching a right-leg row from an EARLIER batch)
-    # genuinely exercised, which 1-2 batches would not.
-    batch_rows = max(500, n_rows // 3)
+    # Exactly 3 batches (ceil; r10 — floor's 2-row remainder batch burned
+    # a full ~1 s trigger): the emitted set is batching-invariant (see
+    # doc), and per-batch overhead of a two-leg stateful join (~2x the
+    # single-leg ~1.2 s) dominated — 16.3 s at 8 batches, 8.5 s at 4,
+    # ~7 s at 3. Three keeps cross-batch join state (a left-leg row
+    # matching a right-leg row from an EARLIER batch) genuinely
+    # exercised, which 1-2 batches would not.
+    batch_rows = max(500, -(-n_rows // 3))
 
-    def leg():
-        return (
-            spark.readStream.format("events_replay")
-            .option("path", path)
-            .option("batch_rows", str(batch_rows))
-            .load()
-        )
+    # ONE source, self-joined (r10; was two independent reader instances):
+    # micro-batch execution reads the shared source once per batch and
+    # feeds both join legs, halving driver-side Python-source prefetch
+    # (the two-reader form paid ~0.4-1.1 s latestOffset per batch twice)
+    # while the join itself remains a true two-leg stateful stream-stream
+    # join — measured ~11-13 s -> ~7 s warm at sf0.1, same 370-row output.
+    src = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("batch_rows", str(batch_rows))
+        .load()
+    )
 
     clicks = (
-        leg()
-        .where("event_type = 'click'")
+        src.where("event_type = 'click'")
         .selectExpr("event_id AS click_id", "user_id", "ts AS click_ts")
         .withWatermark("click_ts", "1 hour")
     )
     views = (
-        leg()
-        .where("event_type = 'view'")
+        src.where("event_type = 'view'")
         .selectExpr("event_id AS view_id", "user_id AS v_user", "ts AS view_ts")
         .withWatermark("view_ts", "1 hour")
     )
@@ -1773,19 +1784,19 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         deadline = time.time() + 240
         while time.time() < deadline:
             lp = q.lastProgress
-            if lp and len(lp["sources"]) == 2:
+            if lp and lp["sources"]:
                 done = 0
                 for s in lp["sources"]:
                     eo = s.get("endOffset")
                     if eo is not None:
                         pos = int(re.search(r"-?\d+", str(eo)).group())
                         done += pos >= n_rows
-                if done == 2:
+                if done == len(lp["sources"]):
                     break
             time.sleep(0.1)
         else:
             raise TimeoutError(
-                f"stream-stream join did not drain 2x{n_rows} rows in 240s"
+                f"stream-stream join did not drain {n_rows} rows in 240s"
             )
     finally:
         q.stop()
@@ -5351,13 +5362,15 @@ def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LD_DELAY_US = 2 * 3600 * 1_000_000  # watermark delay: 2 hours
 _LD_WIN_US = 3600 * 1_000_000  # tumbling window: 1 hour
 _LD_MIN_BATCH = 200
-# 6 batches (r09, was 10): per-micro-batch overhead dominates wall at
-# bench SFs (~0.6s/batch), and the drop semantics only needs ENOUGH
-# batches for the lag-2 cummax watermark to pass some scrambled rows'
-# windows — verified after the change: drops nonzero and oracle-exact at
-# all three SFs (the oracle restates this same batch formula, so both
-# engines move together by construction).
-_LD_N_BATCHES = 6
+# 4 batches (r10, was 6, was 10) with CEIL division (floor's 4-row
+# remainder batch burned a full ~0.5s trigger): per-micro-batch overhead
+# dominates wall at bench SFs (~0.6s/batch), and the drop semantics only
+# needs ENOUGH batches for the lag-2 cummax watermark to pass some
+# scrambled rows' windows — verified after the change: ~50% of rows
+# still dropped and oracle-exact at all three SFs (the oracle restates
+# this same batch formula, so both engines move together by
+# construction).
+_LD_N_BATCHES = 4
 
 
 @register(
@@ -5378,8 +5391,8 @@ _LD_N_BATCHES = 6
     "empirically with exact per-window equality at all three SFs and "
     "stable across repeated runs; a window emits iff its end (ms) <= "
     "final watermark. Batching is the deterministic replay formula "
-    "(rows in md5 order, batch size max(200, n/10)) restated by the "
-    "oracle. The drain waits for the trailing no-data batch that "
+    "(rows in md5 order, batch size max(200, ceil(n/4))) restated by "
+    "the oracle. The drain waits for the trailing no-data batch that "
     "flushes the final windows to COMMIT before stop() — the same "
     "deterministic-drain contract as stream_session_ttl_close. State "
     "is one count per open window, sharded by the grouping shuffle.",
@@ -5392,7 +5405,9 @@ _LD_N_BATCHES = 6
             FROM events),
         b AS (
             SELECT tsu,
-                   rn // GREATEST({_LD_MIN_BATCH}, n // {_LD_N_BATCHES})
+                   rn // GREATEST({_LD_MIN_BATCH},
+                                  (n + {_LD_N_BATCHES} - 1)
+                                      // {_LD_N_BATCHES})
                        AS bid
             FROM e),
         bm AS (SELECT bid, max(tsu) AS bmax FROM b GROUP BY bid),
@@ -5443,7 +5458,7 @@ def stream_late_drop_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         pass
     qname = f"stream_ld_{zlib.crc32(sf_dir.encode()) & 0xFFFFFFFF:08x}"
     n_rows = _parquet_num_rows(f"{sf_dir}/events.parquet")
-    batch_rows = max(_LD_MIN_BATCH, n_rows // _LD_N_BATCHES)
+    batch_rows = max(_LD_MIN_BATCH, -(-n_rows // _LD_N_BATCHES))
     src = (
         spark.readStream.format("events_replay")
         .option("path", f"{sf_dir}/events.parquet")
