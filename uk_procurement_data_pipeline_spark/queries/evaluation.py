@@ -2083,13 +2083,26 @@ def python_datasource_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).cast("bigint").alias("n_notices"),
         F.sum("amount_cents").cast("bigint").alias("total_cents"),
     )
+    # 8 state partitions (not the session's 32 — two 1000-row pages would
+    # pay ~all task-launch overhead) and a tmpfs checkpoint, as in the
+    # other streaming specs (r10).
+    import os
+    import shutil
+    import tempfile
+
+    ckpt_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    ckpt = tempfile.mkdtemp(prefix=f"pyds_ckpt_{qname}_", dir=ckpt_root)
+    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
     q = (
         agg.writeStream.format("memory")
         .queryName(qname)
         .outputMode("complete")
+        .option("checkpointLocation", ckpt)
         .trigger(processingTime="0 seconds")
         .start()
     )
+    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
     try:
         # Drain poll on lastProgress offsets (r10; was a collect() of the
         # memory table every 0.25 s — each poll a full Spark job). A
@@ -2115,6 +2128,7 @@ def python_datasource_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame
             )
     finally:
         q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(qname).orderBy("region")
 
 

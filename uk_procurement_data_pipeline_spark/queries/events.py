@@ -62,6 +62,27 @@ def _progress_wm_ms(lp) -> int:
     return (dt - epoch) // _dt.timedelta(milliseconds=1)
 
 
+from contextlib import contextmanager  # noqa: E402
+
+
+@contextmanager
+def _stream_shuffle(spark, n: str = "8"):
+    """Scope the state-store shuffle width around a writeStream .start().
+
+    The streaming specs run 1-12 micro-batches of a few thousand rows:
+    the session's 32 shuffle partitions are ~all task-launch overhead per
+    batch, while 8 still exercises multi-partition state sharding. Only
+    query START reads the conf (the plan is fixed then), so restoring it
+    immediately after .start() cannot affect the running stream.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", n)
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
 @register(
     name="events_tumbling_window",
     survey="ST1 A7 F15",
@@ -188,13 +209,14 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "sum_value",
             )
         )
-        q = (
-            win.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _stream_shuffle(spark):
+            q = (
+                win.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         if prev is None:
@@ -775,13 +797,14 @@ def stream_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped = src.select("user_id", "event_type").dropDuplicates(
             ["user_id", "event_type"]
         )
-        q = (
-            deduped.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _stream_shuffle(spark):
+            q = (
+                deduped.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         if prev is None:
@@ -1313,13 +1336,14 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "update",
             GroupStateTimeout.NoTimeout,
         )
-        q = (
-            running.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _stream_shuffle(spark):
+            q = (
+                running.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         if prev is None:
@@ -2788,13 +2812,14 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             exact_sum("value", "sum_value"),
         )
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(qname)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
+        with _stream_shuffle(spark):
+            q = (
+                agg.writeStream.format("memory")
+                .queryName(qname)
+                .outputMode("complete")
+                .trigger(availableNow=True)
+                .start()
+            )
         q.awaitTermination()
     finally:
         if nanos:
