@@ -72,9 +72,12 @@ def _next_round() -> int:
     return best + 1
 
 
-def _previous_local_timings(current_round: int) -> dict[str, float]:
-    """Per-query map from the most recent BENCH_LOCAL_r*.json before this
-    round — the round-over-round drift reference."""
+def _previous_local_timings(
+    current_round: int,
+) -> tuple[dict[str, float], float | None]:
+    """(per-query map, calibration sec) from the most recent
+    BENCH_LOCAL_r*.json before this round — the round-over-round drift
+    reference. Calibration is None for pre-r10 artifacts."""
     here = Path(__file__).resolve().parent
     best: tuple[int, Path] | None = None
     for f in here.glob("BENCH_LOCAL_r*.json"):
@@ -87,11 +90,15 @@ def _previous_local_timings(current_round: int) -> dict[str, float]:
         ):
             best = (int(m.group(1)), f)
     if best is None:
-        return {}
+        return {}, None
     try:
-        return dict(json.loads(best[1].read_text()).get("queries", {}))
+        doc = json.loads(best[1].read_text())
+        return (
+            dict(doc.get("queries", {})),
+            (doc.get("calibration") or {}).get("sec"),
+        )
     except Exception:  # noqa: BLE001 — a corrupt artifact must not kill bench
-        return {}
+        return {}, None
 
 
 def _git_head() -> str:
@@ -148,6 +155,36 @@ def run_query(spark, spec, sf_dir: str, min_runs: int = 2, max_runs: int = 4) ->
     return best
 
 
+# Machine-speed calibration (VERDICT r09 item 4): three same-code bench
+# runs spread 265-305 s purely on machine-day drift, and the rr-drift
+# triage burned a session chasing 53 phantom flags. The fix: time a FIXED
+# synthetic workload (pure JVM — range -> hash agg -> window shuffle; no
+# files, no Python, SF-independent) and use its ratio to a recorded
+# reference to normalize the drift thresholds. Reference measured
+# 2026-08-16 (r10) on a quiet box: 0.50 s steady-state best-of-N.
+CALIB_REF_SEC = 0.50
+
+
+def run_calibration(spark, runs: int = 3) -> float:
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 20_000_000, 1, 32).selectExpr(
+        "id % 9973 AS k", "id"
+    )
+    agg = df.groupBy("k").agg(
+        F.sum("id").alias("s"), F.count("*").alias("c")
+    )
+    w = Window.partitionBy(F.col("k") % 31).orderBy("k")
+    out = agg.select("k", "s", "c", F.lag("s").over(w).alias("p"))
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        out.write.mode("overwrite").format("noop").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -155,6 +192,12 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
 
     reg = registry()
+    # Debug subset: SPARK_GRAFT_ONLY="q1,q2" times just those queries
+    # (artifact layout unchanged). Never set by the driver.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    if only:
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        reg = {n: reg[n] for n in names}
     # JVM/codegen warmup: one tiny end-to-end job, untimed.
     warm = next(iter(reg.values()))
     warm.fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
@@ -175,6 +218,9 @@ def main() -> int:
         if t > prev * 0.8:
             break
         prev = t
+
+    calib_start = run_calibration(spark)
+    print(f"  calibration (pre-sweep):  {calib_start:.3f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
@@ -199,6 +245,16 @@ def main() -> int:
     sf = _sf_of(sf_dir)
     rnd = _next_round()
 
+    # Calibration again after the sweep; the machine's best observed
+    # capability during this run is min(start, end). drift >= 1 means the
+    # box ran slower than the recorded reference — every drift threshold
+    # below scales by it so a slow machine-day doesn't masquerade as a
+    # plan regression (VERDICT r09 item 4).
+    calib_end = run_calibration(spark)
+    print(f"  calibration (post-sweep): {calib_end:.3f}s", file=sys.stderr)
+    calib = min(calib_start, calib_end)
+    drift = max(1.0, calib / CALIB_REF_SEC)
+
     # Settled re-timing pass: any query reading >1.5x its BASELINE.md row
     # gets re-measured once the full sweep's Python-worker churn has died
     # down, keeping the better reading. Sub-second queries scheduled right
@@ -213,17 +269,19 @@ def main() -> int:
     # neighbors routinely inflates readings 2-3x and has repeatedly
     # masqueraded as a plan regression (xml_namespace_dispatch r07:
     # 2.7x mid-sweep, 0.56s isolated). The section lands in the JSON so
-    # nobody has to diff two files by hand.
-    prev_local = _previous_local_timings(rnd)
+    # nobody has to diff two files by hand. The threshold is scaled by
+    # the calibration ratio between the two runs' machine-days.
+    prev_local, prev_calib = _previous_local_timings(rnd)
+    drift_rel = max(1.0, calib / prev_calib) if prev_calib else drift
     drift_suspects = {
         n: prev_local[n]
         for n, t in timings.items()
-        if prev_local.get(n) and t / prev_local[n] > 1.5
+        if prev_local.get(n) and t / prev_local[n] > 1.5 * drift_rel
     }
     suspects = [
         n
         for n, t in timings.items()
-        if (base_early.get(n) and t / base_early[n] > 1.5)
+        if (base_early.get(n) and t / base_early[n] > 1.5 * drift)
         or n in drift_suspects
     ]
     rr_drift: dict[str, dict[str, float]] = {}
@@ -265,6 +323,16 @@ def main() -> int:
         "measures_git_head": _git_head(),
         "round_note": "round = 1 + max driver artifact round at run time; "
         "trust measures_git_head for WHICH repo state was measured",
+        "calibration": {
+            "sec": round(calib, 3),
+            "start_sec": round(calib_start, 3),
+            "end_sec": round(calib_end, 3),
+            "ref_sec": CALIB_REF_SEC,
+            "drift_vs_ref": round(drift, 3),
+            "drift_vs_prev_local": round(drift_rel, 3),
+            "note": "fixed JVM-only workload (range->hashagg->window); "
+            "drift>=1 scales every noise threshold in this run",
+        },
     }
     if rr_drift:
         full["rr_drift"] = rr_drift
@@ -282,8 +350,12 @@ def main() -> int:
     # run loudly — eyeballing the total would let a 2x blowup in a
     # sub-second query hide behind the ~45s streaming constant. Readings
     # here already survived the settled re-timing pass above, so a breach
-    # is a real regression, not worker churn.
-    over_gate = {n: r for n, r in ratios.items() if r > 2.0}
+    # is a real regression, not worker churn. The gate compares the
+    # CALIBRATION-ADJUSTED ratio (raw / machine drift) so a slow
+    # machine-day alone can't breach it; raw ratios stay in the artifact.
+    over_gate = {
+        n: r for n, r in ratios.items() if r / drift > 2.0
+    }
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
     compact = {
         "metric": "total_query_wall",
@@ -301,13 +373,21 @@ def main() -> int:
             / max(sum(base[n] for n in timings if n in base), 1e-9),
             3,
         ),
+        "calibration_drift": round(drift, 3),
+        "sum_vs_baseline_calib_adj": round(
+            sum(t for n, t in timings.items() if n in base)
+            / max(sum(base[n] for n in timings if n in base), 1e-9)
+            / drift,
+            3,
+        ),
     }
     if rr_drift:
         # still-drifting = isolated re-time did NOT come back under 1.5x of
-        # the previous reading — a candidate real regression, not churn
+        # the previous reading (machine-drift-scaled) — a candidate real
+        # regression, not churn
         still = {
             n: d for n, d in rr_drift.items()
-            if d["isolated"] / d["prev"] > 1.5
+            if d["isolated"] / d["prev"] > 1.5 * drift_rel
         }
         compact["n_rr_drift"] = len(rr_drift)
         compact["rr_drift_unresolved"] = dict(
