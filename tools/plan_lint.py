@@ -183,6 +183,11 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ROW PER LIFETIME DAY (calendar-bounded) — input is already "
         "aggregate-sized",
     },
+    "opq_variance_balanced_pq": {
+        "GLOBALWIN": "dimension ranking over ONE ROW PER EMBEDDING DIM "
+        "(64 rows, bounded by the fixed vector width) — rows collapse "
+        "to per-dim variance stats before the window",
+    },
 }
 
 _SPEC = re.compile(r"windowspecdefinition\((.{0,120})")

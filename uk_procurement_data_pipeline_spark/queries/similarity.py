@@ -2864,3 +2864,408 @@ def two_stage_pq_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# r10 serving/IR depth: OPQ-style rotation before PQ, and an HNSW-style
+# navigable-graph ANN as a bounded unrolled variant.
+# ---------------------------------------------------------------------------
+
+_OPQ_M = 4  # subspaces (16 dims each over the 64-dim embeddings)
+
+
+@register(
+    name="opq_variance_balanced_pq",
+    survey="J9 UD4 A7 W1 F17",
+    doc="OPQ-style dimension permutation before product quantization "
+    "(Ge et al. 2014's non-parametric OPQ replaces the identity layout "
+    "with a learned orthogonal transform; the deterministic variant "
+    "here is its permutation-matrix subfamily — balanced allocation of "
+    "dimensions to subspaces, the same idea as OPQ's eigenvalue "
+    "allocation but on raw per-dimension variances so both engines "
+    "agree bit-for-bit): per-dim variance proxies from exact-decimal "
+    "sums (n*S2 - S1^2 in doubles on identically-rounded S1/S2), dims "
+    "ranked by (proxy DESC, dim), snake-dealt to 4 subspaces so "
+    "high-variance dims spread evenly, then the registered PQ trainer "
+    "(seed-4 / one exact-decimal Lloyd step / reassign with (d2, cid) "
+    "tiebreak) runs on the PERMUTED subvectors, reporting each "
+    "(subspace, code) cell's population and MSE — comparable row-for-"
+    "row against pq_codebook_train's identity-layout cells. At 100 TB "
+    "the ranking aggregates 64 rows, the permutation broadcasts, and "
+    "training stays one broadcast-assign map pass plus bounded-domain "
+    "centroid aggregations; the variance pass is one linear scan.",
+    oracle=f"""
+        WITH dims AS (SELECT CAST(unnest(range(1, 65)) AS INT) AS dim),
+        stats AS (
+            SELECT d.dim,
+                   {oracle_sum('CAST(embedding[d.dim] AS DOUBLE)')} AS s1,
+                   {oracle_sum('CAST(embedding[d.dim] AS DOUBLE)'
+                               ' * CAST(embedding[d.dim] AS DOUBLE)')} AS s2,
+                   CAST(count(*) AS DOUBLE) AS n
+            FROM embeddings, dims d
+            GROUP BY d.dim),
+        ranked AS (
+            SELECT dim,
+                   row_number() OVER (ORDER BY s2 * n - s1 * s1 DESC, dim)
+                       AS r
+            FROM stats),
+        alloc AS (
+            SELECT dim, r,
+                   CASE WHEN (r - 1) % {2 * _OPQ_M} < {_OPQ_M}
+                        THEN (r - 1) % {2 * _OPQ_M}
+                        ELSE {2 * _OPQ_M - 1} - ((r - 1) % {2 * _OPQ_M})
+                   END AS m
+            FROM ranked),
+        perm AS (
+            SELECT m,
+                   list_transform(
+                     list_sort(list(struct_pack(r := r, dim := dim))),
+                     t -> t.dim) AS pd
+            FROM alloc GROUP BY m),
+        sub AS (
+            SELECT e.vec_id, p.m,
+                   list_transform(p.pd,
+                                  d -> CAST(e.embedding[d] AS DOUBLE)) AS v
+            FROM embeddings e, perm p),
+        seeds AS (
+            SELECT m, vec_id AS cid, v AS cv FROM sub WHERE vec_id < 4),
+        a1 AS (
+            SELECT s.vec_id, s.m, s.v, t.cid
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid
+              FROM seeds c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        cent1 AS (
+            SELECT m, cid, d.dim,
+                   CAST(ROUND(SUM(CAST(v[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+            FROM a1, (SELECT unnest(range(1, 17)) AS dim) d
+            GROUP BY m, cid, d.dim),
+        cb AS (
+            SELECT m, cid,
+                   list_transform(
+                     list_sort(list(struct_pack(dim := dim, mu := mu))),
+                     x -> x.mu) AS cv
+            FROM cent1 GROUP BY m, cid),
+        a2 AS (
+            SELECT s.vec_id, s.m, t.cid, t.d2
+            FROM sub s
+            JOIN LATERAL (
+              SELECT c.cid, {_D_SQD.format(a='s.v', b='c.cv')} AS d2
+              FROM cb c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.v', b='c.cv')}, c.cid
+              LIMIT 1) t ON true)
+        SELECT CAST(m AS BIGINT) AS subspace, CAST(cid AS BIGINT) AS code,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(ROUND(SUM(CAST(d2 AS DECIMAL(38,8))), 4) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS mse
+        FROM a2
+        GROUP BY m, cid
+        ORDER BY subspace, code
+    """,
+)
+def opq_variance_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions.exact import (
+        exact_avg,
+        exact_sum,
+    )
+
+    from uk_procurement_data_pipeline_spark.catalog import spread
+
+    e = load(spark, sf_dir, "embeddings")
+    dims = spark.range(1, 65).select(F.col("id").cast("int").alias("dim"))
+    # spread(): the single-row-group fixture would otherwise run the
+    # 64-way dim explosion and the fold-heavy PQ assignment on one core.
+    vals = spread(e).crossJoin(F.broadcast(dims)).selectExpr(
+        "dim", "CAST(element_at(embedding, dim) AS DOUBLE) AS x"
+    )
+    stats = vals.groupBy("dim").agg(
+        exact_sum("x", "s1"),
+        exact_sum(F.expr("x * x"), "s2"),
+        F.count("x").cast("double").alias("n"),
+    )
+    # 64-row bounded domain: the ranking window sees one row per embedding
+    # dimension (plan_lint GLOBALWIN whitelisted on that justification).
+    wr = Window.orderBy(
+        (F.col("s2") * F.col("n") - F.col("s1") * F.col("s1")).desc(),
+        F.col("dim"),
+    )
+    twoM, M = 2 * _OPQ_M, _OPQ_M
+    alloc = stats.select(
+        "dim", F.row_number().over(wr).alias("r")
+    ).selectExpr(
+        "dim",
+        "r",
+        f"CAST(IF((r - 1) % {twoM} < {M}, (r - 1) % {twoM},"
+        f" {twoM - 1} - ((r - 1) % {twoM})) AS BIGINT) AS m",
+    )
+    perm = alloc.groupBy("m").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("r", "dim"))),
+            lambda t: t["dim"],
+        ).alias("pd")
+    )
+    sub = spread(e).crossJoin(F.broadcast(perm)).selectExpr(
+        "vec_id",
+        "m",
+        "transform(pd, d -> CAST(element_at(embedding, d) AS DOUBLE)) AS v",
+    )
+    seeds = sub.where(F.col("vec_id") < 4).selectExpr(
+        "m", "vec_id AS cid", "v AS cv"
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        cent_arr = cents.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
+        scored = (
+            f"aggregate(transform(cs, c -> named_struct("
+            f"'d2', {_SQD.format(a='v', b='c.cv')}, 'cid', c.cid)), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            "'cid', CAST(-1 AS BIGINT)), "
+            "(acc, s) -> IF(s.d2 < acc.d2"
+            " OR (s.d2 = acc.d2 AND s.cid < acc.cid), s, acc))"
+        )
+        return (
+            points.join(F.broadcast(cent_arr), "m")
+            .selectExpr("vec_id", "m", "v", f"{scored} AS best")
+            .selectExpr(
+                "vec_id", "m", "v", "best.cid AS cid", "best.d2 AS d2"
+            )
+        )
+
+    a1 = assign(sub, seeds)
+    cent1 = (
+        a1.selectExpr("m", "cid", "posexplode(v) AS (dim, val)")
+        .groupBy("m", "cid", "dim")
+        .agg(exact_avg("val", "mu"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cv")
+        )
+    )
+    a2 = assign(sub, cent1)
+    return (
+        a2.groupBy(
+            F.col("m").cast("bigint").alias("subspace"),
+            F.col("cid").cast("bigint").alias("code"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            (
+                F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mse"),
+        )
+        .orderBy("subspace", "code")
+    )
+
+
+_GB_M = 8  # graph out-degree (kNN edges per node)
+_GB_B = 8  # beam width
+_GB_HOPS = 4  # unrolled expansion rounds
+_GB_SEEDMOD = 23  # entry seeds: vec_id % 23 == 0 (~4% of the corpus)
+_GB_QMOD, _GB_QREM = 100, 7  # query set: vec_id % 100 == 7
+
+
+def _gb_hop_ctes() -> str:
+    """The unrolled beam-expansion CTE chain for the DuckDB oracle."""
+    out, prev = [], "b0"
+    for h in range(1, _GB_HOPS + 1):
+        out.append(f"""
+        c{h} AS (
+            SELECT DISTINCT query_id, node FROM (
+                SELECT query_id, node FROM {prev}
+                UNION ALL
+                SELECT p.query_id, nb.dst AS node
+                FROM {prev} p JOIN nb ON nb.src = p.node
+            ) WHERE node <> query_id),
+        s{h} AS (
+            SELECT c.query_id, c.node,
+                   {_D_SQD.format(a='q.qv', b='e.v')} AS d2
+            FROM c{h} c
+            JOIN q ON q.query_id = c.query_id
+            JOIN e ON e.vec_id = c.node),
+        b{h} AS (
+            SELECT query_id, node, d2 FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY d2, node) AS rn
+                FROM s{h})
+            WHERE rn <= {_GB_B})""")
+        prev = f"b{h}"
+    return ",".join(out)
+
+
+@register(
+    name="graph_ann_beam",
+    survey="J9 UD4 W1 O4",
+    eager=True,
+    doc="HNSW-style navigable-graph ANN as a bounded UNROLLED variant "
+    "(Malkov & Yashunin 2018's search loop, flattened: multi-seed entry "
+    "standing in for the hierarchy's upper layers, then a fixed number "
+    "of beam-expansion rounds over a kNN graph): the 8-NN digraph is "
+    "built brute-force and MATERIALIZED once (at 100 TB the graph is a "
+    "stored artifact built by NN-descent and reused by every query — "
+    "mirrored here by an eager write of the 8N-row edge list, the one "
+    "N^2 pass in the spec; the N^2 falls to cell-local pairs under the "
+    "registered IVF/LSH blocking at scale), queries (vec_id%100==7) "
+    "seed their beam with the top-8 of ~4% hash-spread entry points, "
+    "and 4 unrolled hops each expand beam ∪ out-neighbors, rescore "
+    "with the exact sequential-fold squared-L2, and keep the top-8 "
+    "with (d2, node) tiebreak. Output: the final beam per query, "
+    "ranked, with hit=1 on the row that IS the true nearest neighbor "
+    "(brute-force truth over the |Q|xN slice) — the per-query recall "
+    "readout. Measured recall@beam: 4/5 queries at sf0.01, 9/20 at "
+    "sf0.1 with ~19%% of the corpus scored per query at sf0.1 — the "
+    "honest small-corpus tradeoff of graph ANN on isotropic synthetic "
+    "vectors; every stage is keyed joins + keyed windows, no global "
+    "sort, no driver state.",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        pairs AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   {_D_SQD.format(a='a.v', b='b.v')} AS d2
+            FROM e a JOIN e b ON b.vec_id <> a.vec_id),
+        nb AS (
+            SELECT src, dst FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY d2, dst) AS rn
+                FROM pairs)
+            WHERE rn <= {_GB_M}),
+        q AS (
+            SELECT vec_id AS query_id, v AS qv
+            FROM e WHERE vec_id % {_GB_QMOD} = {_GB_QREM}),
+        s0 AS (
+            SELECT q.query_id, s.vec_id AS node,
+                   {_D_SQD.format(a='q.qv', b='s.v')} AS d2
+            FROM q, e s
+            WHERE s.vec_id % {_GB_SEEDMOD} = 0
+              AND s.vec_id <> q.query_id),
+        b0 AS (
+            SELECT query_id, node FROM (
+                SELECT query_id, node,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY d2, node) AS rn
+                FROM s0)
+            WHERE rn <= {_GB_B}),{_gb_hop_ctes()},
+        tr AS (
+            SELECT src AS query_id, dst AS true_nn FROM (
+                SELECT src, dst,
+                       row_number() OVER (PARTITION BY src
+                                          ORDER BY d2, dst) AS rn
+                FROM pairs WHERE src % {_GB_QMOD} = {_GB_QREM})
+            WHERE rn = 1)
+        SELECT f.query_id,
+               CAST(row_number() OVER (PARTITION BY f.query_id
+                                       ORDER BY f.d2, f.node) AS BIGINT)
+                   AS rank,
+               f.node AS node_id, f.d2,
+               CAST(CASE WHEN f.node = t.true_nn THEN 1 ELSE 0 END
+                    AS BIGINT) AS hit
+        FROM b{_GB_HOPS} f JOIN tr t USING (query_id)
+        ORDER BY query_id, rank
+    """,
+)
+def graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from uk_procurement_data_pipeline_spark.catalog import spread
+
+    e = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    )
+    ev = e.selectExpr("vec_id AS node", "v AS nv")
+    # spread() the stream side: the single-row-group fixture scans as ONE
+    # partition, which would serialize the N^2 fold onto one core.
+    pairs = (
+        spread(e).join(
+            F.broadcast(e.selectExpr("vec_id AS dst", "v AS bv")),
+            F.expr("dst <> vec_id"),
+        ).selectExpr(
+            "vec_id AS src", "dst", f"{_SQD.format(a='v', b='bv')} AS d2"
+        )
+    )
+    wnb = Window.partitionBy("src").orderBy("d2", "dst")
+    nb_built = (
+        pairs.withColumn("rn", F.row_number().over(wnb))
+        .where(F.col("rn") <= _GB_M)
+        .select("src", "dst")
+    )
+    # Materialize the graph ONCE (the production shape: a built index
+    # artifact served to every query). A lazy plan would recompute the
+    # N^2 construction pass for each of the 4 hop joins; the edge list is
+    # 8N rows (~200 KB at sf0.1), so the eager write is the cheap side of
+    # that trade. Fresh dir per call: bench re-pays construction per run.
+    gdir = tempfile.mkdtemp(prefix="graph_ann_nb_")
+    nb_built.write.mode("overwrite").parquet(gdir)
+    nb = spark.read.parquet(gdir)
+
+    q = e.where((F.col("vec_id") % _GB_QMOD) == _GB_QREM).selectExpr(
+        "vec_id AS query_id", "v AS qv"
+    )
+    seeds = e.where((F.col("vec_id") % _GB_SEEDMOD) == 0).selectExpr(
+        "vec_id AS node", "v AS nv"
+    )
+    wq = Window.partitionBy("query_id").orderBy("d2", "node")
+    s0 = q.join(F.broadcast(seeds), F.expr("node <> query_id")).selectExpr(
+        "query_id", "node", f"{_SQD.format(a='qv', b='nv')} AS d2"
+    )
+    beam = (
+        s0.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") <= _GB_B)
+        .select("query_id", "node")
+    )
+    qv = q.select("query_id", "qv")
+    for _ in range(_GB_HOPS):
+        expanded = beam.join(
+            F.broadcast(nb), beam["node"] == nb["src"]
+        ).select("query_id", F.col("dst").alias("node"))
+        cand = (
+            beam.select("query_id", "node")
+            .union(expanded)
+            .where("node <> query_id")
+            .distinct()
+        )
+        scored = (
+            cand.join(F.broadcast(qv), "query_id")
+            .join(F.broadcast(ev), "node")
+            .selectExpr(
+                "query_id", "node", f"{_SQD.format(a='qv', b='nv')} AS d2"
+            )
+        )
+        beam = (
+            scored.withColumn("rn", F.row_number().over(wq))
+            .where(F.col("rn") <= _GB_B)
+            .select("query_id", "node", "d2")
+        )
+    truth = (
+        q.join(F.broadcast(ev), F.expr("node <> query_id"))
+        .selectExpr(
+            "query_id", "node", f"{_SQD.format(a='qv', b='nv')} AS d2"
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .selectExpr("query_id", "node AS true_nn")
+    )
+    return (
+        beam.withColumn("rank", F.row_number().over(wq).cast("bigint"))
+        .join(F.broadcast(truth), "query_id")
+        .selectExpr(
+            "query_id",
+            "rank",
+            "node AS node_id",
+            "d2",
+            "CAST(IF(node = true_nn, 1, 0) AS BIGINT) AS hit",
+        )
+    )
