@@ -134,3 +134,43 @@ def test_ttl_sessionizer_emits_int64_not_float(spark, sf_dir):
         F.sum("start_micro").alias("s"), F.sum("n_events").alias("n")
     ).collect()[0]
     assert got["n"] > 0 and got["s"] > 0
+
+
+def test_png_palette_roundtrip_and_errors():
+    """Color type 3 (r10): indices filter as 1 byte/pixel, decode expands
+    through PLTE to RGB; missing PLTE / out-of-range indices / oversized
+    palettes keep the ValueError contract."""
+    import pytest
+
+    from uk_procurement_data_pipeline_spark.functions.png import (
+        decode_png,
+        encode_png,
+    )
+
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    w, h = 7, 6  # 6 rows cycle through all five filter types and wrap
+    rows = [bytes((x + y) % len(pal) for x in range(w)) for y in range(h)]
+    data = encode_png(rows, w, color_type=3, palette=pal)
+    gw, gh, ch, got = decode_png(data)
+    assert (gw, gh, ch) == (w, h, 3)
+    for y, row in enumerate(got):
+        for x in range(w):
+            assert tuple(row[x * 3 : x * 3 + 3]) == pal[(x + y) % len(pal)]
+
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(rows, w, color_type=3)  # no palette
+    with pytest.raises(ValueError, match="palette"):
+        encode_png(rows, w, color_type=3, palette=pal * 100)  # > 256
+    with pytest.raises(ValueError, match="index"):
+        encode_png([bytes([9] * w)] * 2, w, color_type=3, palette=pal)
+    with pytest.raises(ValueError, match="palette"):
+        encode_png([bytes(w)], w, color_type=0, palette=pal)  # wrong ctype
+    # strip the PLTE chunk -> decode must refuse
+    import struct as _struct
+
+    plte_at = data.index(b"PLTE") - 4
+
+    (plen,) = _struct.unpack(">I", data[plte_at : plte_at + 4])
+    stripped = data[:plte_at] + data[plte_at + 12 + plen :]
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(stripped)

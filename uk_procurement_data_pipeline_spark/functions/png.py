@@ -2,11 +2,13 @@
 the multimodal path (VERDICT r08 item 4): ``multimodal.real_decoder`` can
 now REALLY decode PNG payloads with no codec libraries in the container.
 
-Scope: non-interlaced, 8-bit-depth, grayscale (color type 0) and RGB
-(color type 2) — the uncompressed/zlib subset of the spec. Anything else
-(palette, alpha, 16-bit, Adam7 interlace) raises ValueError with the
-offending field named; a production deployment swaps in a C codec behind
-the same ``Decoder`` seam.
+Scope: non-interlaced, 8-bit-depth, grayscale (color type 0), RGB
+(color type 2), and palette (color type 3, the most common real-world
+variant — r10; decode expands indices through the PLTE chunk and returns
+3-channel rows like a real decoder). Anything else (alpha, 16-bit,
+Adam7 interlace) raises ValueError with the offending field named; a
+production deployment swaps in a C codec behind the same ``Decoder``
+seam.
 
 Both directions implement the five scanline filters (None/Sub/Up/Average/
 Paeth) so an encode->decode round trip exercises real unfiltering, not
@@ -22,7 +24,10 @@ import zlib
 
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-_CHANNELS = {0: 1, 2: 3}  # color type -> samples per pixel (8-bit only)
+# color type -> samples per pixel in the FILTERED stream (8-bit only).
+# Palette rows filter as 1 byte/pixel; decode expands them to RGB after
+# unfiltering (the spec's bpp for filtering is the pre-expansion width).
+_CHANNELS = {0: 1, 2: 3, 3: 1}
 
 
 def _chunk(tag: bytes, data: bytes) -> bytes:
@@ -43,10 +48,20 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 
 def encode_png(
-    rows: list[bytes], width: int, color_type: int = 0
+    rows: list[bytes],
+    width: int,
+    color_type: int = 0,
+    palette: list[tuple[int, int, int]] | None = None,
 ) -> bytes:
     """Encode raw 8-bit scanlines (len = width * channels each) as a PNG.
-    Filter type cycles row_index % 5 so every filter is exercised."""
+    Filter type cycles row_index % 5 so every filter is exercised. For
+    color type 3 the rows are palette INDICES (1 byte/pixel) and
+    ``palette`` (<= 256 RGB triples) becomes the PLTE chunk."""
+    if color_type == 3:
+        if not palette or len(palette) > 256:
+            raise ValueError("color type 3 needs a palette of 1..256 triples")
+    elif palette is not None:
+        raise ValueError(f"palette given but color type is {color_type}")
     ch = _CHANNELS[color_type]
     height = len(rows)
     raw = bytearray()
@@ -73,9 +88,24 @@ def encode_png(
             raw.append(v & 0xFF)
         prev = row
     ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    plte = b""
+    if color_type == 3:
+        assert palette is not None  # validated above
+        for idx, (r, g, b) in enumerate(palette):
+            if not all(0 <= v <= 255 for v in (r, g, b)):
+                raise ValueError(f"palette entry {idx} out of byte range")
+        max_idx = max((b for row in rows for b in row), default=0)
+        if max_idx >= len(palette):
+            raise ValueError(
+                f"pixel index {max_idx} >= palette size {len(palette)}"
+            )
+        plte = _chunk(
+            b"PLTE", b"".join(bytes(t) for t in palette)
+        )
     return (
         SIGNATURE
         + _chunk(b"IHDR", ihdr)
+        + plte
         + _chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + _chunk(b"IEND", b"")
     )
@@ -89,6 +119,8 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
         raise ValueError("not a PNG: bad signature")
     pos = 8
     width = height = channels = -1
+    ctype = -1
+    plte: bytes | None = None
     idat = bytearray()
     seen_end = False
     while pos < len(data):
@@ -111,13 +143,18 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
                 raise ValueError(f"unsupported bit depth {depth} (only 8)")
             if ctype not in _CHANNELS:
                 raise ValueError(
-                    f"unsupported color type {ctype} (only 0=gray, 2=rgb)"
+                    f"unsupported color type {ctype} "
+                    "(only 0=gray, 2=rgb, 3=palette)"
                 )
             if comp != 0 or filt != 0:
                 raise ValueError("unsupported compression/filter method")
             if inter != 0:
                 raise ValueError("Adam7 interlace not supported")
             channels = _CHANNELS[ctype]
+        elif tag == b"PLTE":
+            if length == 0 or length % 3 != 0 or length > 768:
+                raise ValueError(f"bad PLTE length {length}")
+            plte = bytes(body)
         elif tag == b"IDAT":
             idat.extend(body)
         elif tag == b"IEND":
@@ -162,4 +199,21 @@ def decode_png(data: bytes) -> tuple[int, int, int, list[bytes]]:
             raise ValueError(f"unknown filter type {ftype} on row {y}")
         rows.append(bytes(cur))
         prev = rows[-1]
+    if ctype == 3:
+        # Expand palette indices to RGB rows (what a real decoder hands
+        # back): every index must resolve inside the PLTE chunk.
+        if plte is None:
+            raise ValueError("color type 3 without a PLTE chunk")
+        n_entries = len(plte) // 3
+        out: list[bytes] = []
+        for y, row in enumerate(rows):
+            expanded = bytearray(width * 3)
+            for x, idx in enumerate(row):
+                if idx >= n_entries:
+                    raise ValueError(
+                        f"palette index {idx} >= {n_entries} at ({x},{y})"
+                    )
+                expanded[x * 3 : x * 3 + 3] = plte[idx * 3 : idx * 3 + 3]
+            out.append(bytes(expanded))
+        return width, height, 3, out
     return width, height, channels, rows
