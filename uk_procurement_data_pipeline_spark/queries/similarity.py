@@ -804,23 +804,34 @@ _JL_OUT = 8  # projected dimensionality
     """,
 )
 def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.catalog import spread
+
+    # The sign matrix is only JL_OUT x 64 values and depends on nothing
+    # but (i, j) — regenerate it ONCE in a broadcast 8-row table instead
+    # of re-hashing the same 512 md5s inside every row's fold (r10: the
+    # old per-row form computed ~1M md5s at sf0.1 on one core and was the
+    # registry's worst baseline ratio at 1.5x). The fold itself is the
+    # same ascending-j sequential sum of vd[j] * (+-1), so the projected
+    # doubles stay bit-identical to the oracle's.
+    signs = spark.range(0, _JL_OUT).selectExpr(
+        "CAST(id AS BIGINT) AS dim",
+        "transform(sequence(1, 64), j -> CAST("
+        "cast(conv(substr(md5(concat(cast(id AS string), ':',"
+        " cast(j - 1 AS string))), 1, 8), 16, 10) AS bigint)"
+        " % 2 * 2 - 1 AS DOUBLE)) AS sgn",
+    )
     return (
-        load(spark, sf_dir, "embeddings")
+        spread(load(spark, sf_dir, "embeddings"))
         .selectExpr(
             "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS vd"
         )
+        .crossJoin(F.broadcast(signs))
         .selectExpr(
             "vec_id",
-            # element_at is 1-based like the oracle's vd[j]; bare vd[j]
-            # would be 0-based in Spark SQL
-            f"posexplode(transform(sequence(0, {_JL_OUT - 1}),"
-            " i -> aggregate(sequence(1, size(vd)), 0D,"
-            " (acc, j) -> acc + element_at(vd, j) *"
-            " (cast(conv(substr(md5(concat(cast(i AS string), ':',"
-            " cast(j - 1 AS string))), 1, 8), 16, 10) AS bigint)"
-            " % 2 * 2 - 1)))) AS (dim, proj)",
+            "dim",
+            "aggregate(zip_with(vd, sgn, (x, s) -> x * s), 0D,"
+            " (acc, t) -> acc + t) AS proj",
         )
-        .selectExpr("vec_id", "CAST(dim AS BIGINT) AS dim", "proj")
     )
 
 
