@@ -287,9 +287,16 @@ def test_winnowing_heavy_work_stays_post_exchange(spark, sf_dir):
     assert "md5" not in scan_filter
 
 
-def test_jl_projection_is_pure_map(spark, sf_dir):
+def test_jl_projection_is_broadcast_map(spark, sf_dir):
+    # r10 shape: the 8-row sign matrix arrives by BROADCAST (computed
+    # once, not re-hashed per row) and the only data movement on the
+    # vector side is spread()'s round-robin repartition — no keyed
+    # shuffle, no sort, no window.
     plan = plan_of(spark, sf_dir, "jl_random_projection")
-    assert "Exchange" not in plan  # scan -> project, nothing else
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan  # round-robin only
 
 
 def test_zorder_stats_attach_without_collect_or_window(spark, sf_dir):
