@@ -69,6 +69,8 @@ def test_graph_ann_beam_is_a_beam(spark, sf_dir):
     the true brute-force NN — recomputed independently here in numpy."""
     import pyarrow.parquet as pq
 
+    from uk_procurement_data_pipeline_spark.queries.similarity import _GB_B
+
     rows = registry()["graph_ann_beam"].fn(spark, sf_dir).collect()
     by_q: dict[int, list] = {}
     for r in rows:
@@ -79,7 +81,7 @@ def test_graph_ann_beam_is_a_beam(spark, sf_dir):
     assert by_q and all(qid % 100 == 7 for qid in by_q)
     for qid, beam in by_q.items():
         beam.sort(key=lambda r: r["rank"])
-        assert [r["rank"] for r in beam] == list(range(1, 9))
+        assert [r["rank"] for r in beam] == list(range(1, _GB_B + 1))
         d2s = [r["d2"] for r in beam]
         assert d2s == sorted(d2s)
         assert sum(r["hit"] for r in beam) <= 1
@@ -91,24 +93,54 @@ def test_graph_ann_beam_is_a_beam(spark, sf_dir):
             assert r["hit"] == (1 if r["node_id"] == true_nn else 0)
 
 
+def _blocked_undirected_graph(ids, vecs):
+    """Independent numpy recomputation of the r11 BLOCKED graph build:
+    first-K coarse cells, P postings per vector, cell-local candidates,
+    per-src top-M by (d2, dst), then symmetrized."""
+    from uk_procurement_data_pipeline_spark.queries.similarity import (
+        _GB_K,
+        _GB_M,
+        _GB_P,
+    )
+
+    cent = vecs[np.argsort(ids)][:_GB_K]  # vec_id < K in id order
+    cd2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    postings: dict[int, list[int]] = {}
+    for i in range(len(ids)):
+        order = np.lexsort((np.arange(_GB_K), cd2[i]))
+        for cid in order[:_GB_P]:
+            postings.setdefault(int(cid), []).append(i)
+    nbrs: dict[int, set[int]] = {int(v): set() for v in ids}
+    cand: dict[int, set[int]] = {i: set() for i in range(len(ids))}
+    for members in postings.values():
+        for i in members:
+            cand[i].update(m for m in members if m != i)
+    for i, vid in enumerate(ids):
+        cs = sorted(cand[i])
+        if not cs:
+            continue
+        d2 = ((vecs[cs] - vecs[i]) ** 2).sum(axis=1)
+        order = np.lexsort((ids[cs], d2))
+        for j in order[:_GB_M]:
+            a, b = int(vid), int(ids[cs[j]])
+            nbrs[a].add(b)
+            nbrs[b].add(a)  # symmetrized
+    return nbrs
+
+
 def test_graph_ann_beam_nodes_reachable_or_seeded(spark, sf_dir):
     """Every beam member is either an entry seed (vec_id % 23 == 0) or a
     graph-reachable node — i.e. the search never fabricates candidates.
-    Reachability here is the loose 4-hop closure over the 8-NN digraph
-    from the seed set, recomputed independently in numpy."""
+    Reachability here is the loose 4-hop closure over the BLOCKED
+    undirected graph from the seed set, recomputed independently in
+    numpy with the same cell/posting/top-M semantics."""
     import pyarrow.parquet as pq
 
     rows = registry()["graph_ann_beam"].fn(spark, sf_dir).collect()
     t = pq.read_table(f"{sf_dir}/embeddings.parquet")
     ids = np.asarray(t["vec_id"])
     vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-    # 8-NN digraph
-    nbrs: dict[int, list[int]] = {}
-    for i, vid in enumerate(ids):
-        d2 = ((vecs - vecs[i]) ** 2).sum(axis=1)
-        d2[i] = np.inf
-        order = np.lexsort((ids, d2))
-        nbrs[int(vid)] = [int(x) for x in ids[order][:8]]
+    nbrs = _blocked_undirected_graph(ids, vecs)
     frontier = {int(v) for v in ids if v % 23 == 0}
     reach = set(frontier)
     for _ in range(4):
@@ -116,6 +148,18 @@ def test_graph_ann_beam_nodes_reachable_or_seeded(spark, sf_dir):
         reach |= frontier
     for r in rows:
         assert r["node_id"] in reach, (r["query_id"], r["node_id"])
+
+
+def test_graph_ann_beam_recall_sf01(spark):
+    """VERDICT r10 item 2's done-bar: recall@beam >= 15/20 at sf0.1 —
+    the blocked build + undirected expansion must not regress below the
+    bar that earned the HNSW-style label (measured 18/20 at r11)."""
+    df = registry()["graph_ann_beam"].fn(spark, "/root/testdata/sf0.1")
+    per_q = {}
+    for r in df.collect():
+        per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + r["hit"]
+    assert len(per_q) == 20
+    assert sum(per_q.values()) >= 15, per_q
 
 
 def test_ttl_sessionizer_emits_int64_not_float(spark, sf_dir):

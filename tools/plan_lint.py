@@ -4,6 +4,15 @@ registered query's plan, not just the sampled pins in tests/test_plans.py.
 Checks (each a 1000-executor killer if unintentional):
 
 - CARTESIAN:   CartesianProduct — O(n*m) row explosion.
+- ALLPAIRS:    a nested-loop join (BroadcastNestedLoopJoin/Cartesian)
+               whose condition is ONLY non-equality comparisons between
+               the two sides' columns (`a <> b`, `a < b`) — the all-pairs
+               candidate-generation shape that turns 100x data into
+               10,000x work (r10: graph_ann_beam's N^2 graph build sailed
+               through the other checks). A condition that also carries a
+               column equality is a blocked/equi join and is fine; an
+               UNconditioned BNLJ (broadcast of a 1-row/small aggregate)
+               is not flagged — CARTESIAN covers the true cross products.
 - GLOBALWIN:   a window function over an UNPARTITIONED windowspec — the
                whole input funnels through one task's sort. Detected
                lexically: in `windowspecdefinition(a, b ASC ...)` the
@@ -49,6 +58,8 @@ WHITELIST: dict[str, dict[str, str]] = {
         "(bounded by the price range) — the row population is histogrammed "
         "first; phase-2 window is keyed and runs on bounded cents-in-band "
         "cells",
+        "ALLPAIRS": "phase-2 selection compares against the broadcast "
+        "ONE-ROW k/before counters over $1000-band cells",
     },
     "lm_dirichlet_topk": {
         "GLOBALWIN": "rank annotation over the ALREADY-LIMITED top-10 rows "
@@ -91,6 +102,8 @@ WHITELIST: dict[str, dict[str, str]] = {
         "BAND (bounded by the value domain) — rows collapse to band cells "
         "before any window; the PAV triangle is a broadcast range join over "
         "those cells",
+        "ALLPAIRS": "k >= j PAV triangle over $10 value-band CELLS "
+        "(bounded domain; same argument as the GLOBALWIN entry)",
     },
     "markov_removal_attribution": {
         "GLOBALWIN": "credit normalization over ONE ROW PER CHANNEL "
@@ -111,10 +124,92 @@ WHITELIST: dict[str, dict[str, str]] = {
     "cosine_topk_bruteforce": {
         "CARTESIAN_OK_LABELED": "exactness baseline, documented; scale "
         "answers are the bucketed ANN variants",
+        "ALLPAIRS": "the exactness baseline itself — documented as the "
+        "oracle-truth form; scale answers are the bucketed ANN variants",
+    },
+    # --- ALLPAIRS whitelist (r11). Every entry is a nested-loop join whose
+    # non-equality condition compares against a BOUNDED side: a broadcast
+    # 1-row scalar, a value-domain-bounded cell table, or the |Q|=N/100
+    # recall-readout query set. None generates candidate pairs at scan
+    # cardinality. Verified per-site from the physical plans this round.
+    "graph_ann_beam": {
+        "ALLPAIRS": "seed scoring + brute-force truth broadcast the BOUNDED "
+        "query set (vec_id%100==7 readout); the graph BUILD is cell-blocked "
+        "equi-join since r11 — no all-pairs at corpus cardinality",
+    },
+    "ann_recall_report": {
+        "ALLPAIRS": "the exact side IS the recall oracle truth — "
+        "|Q|-bounded query set x corpus, a readout not a pipeline stage",
+    },
+    "ann_ndcg_report": {
+        "ALLPAIRS": "exact ranking truth for nDCG — |Q|-bounded query set "
+        "x corpus readout",
+    },
+    "pq_recall_report": {
+        "ALLPAIRS": "exact shortlist truth for the PQ recall audit — "
+        "|Q|-bounded query set x corpus readout",
+    },
+    "late_interaction_maxsim": {
+        "ALLPAIRS": "MaxSim rerank scores the |Q|-bounded query-token set "
+        "against candidate docs — bounded side broadcast",
+    },
+    "semdedup_prune": {
+        "ALLPAIRS": "vec_id < sem_k compares against a broadcast ONE-ROW "
+        "sample-cutoff scalar — a filter, not pair generation",
+    },
+    "kcore_peel_unrolled": {
+        "ALLPAIRS": "deg >= k compares against a broadcast ONE-ROW peel "
+        "threshold — a filter, not pair generation",
+    },
+    "q22_global_sales_opportunity": {
+        "ALLPAIRS": "c_acctbal > avg compares against the broadcast "
+        "ONE-ROW global average (TPC-H q22 shape)",
+    },
+    "equidepth_value_bins": {
+        "ALLPAIRS": "lband < band prefix-join over $-band CELLS (value-"
+        "domain-bounded both sides) — the no-global-sort ntile idiom",
+    },
+    "spearman_price_acctbal": {
+        "ALLPAIRS": "lband < band prefix-join over value-band CELLS — "
+        "midranks without a global sort",
+    },
+    "rfm_customer_segments": {
+        "ALLPAIRS": "lband < band prefix-joins over R/F/M band CELLS "
+        "(bounded domains) for the no-global-sort quantile cuts",
+    },
+    "compaction_bin_packing": {
+        "ALLPAIRS": "band < band prefix-join over file-size band CELLS "
+        "(bounded) for cumulative bin assignment",
+    },
+    "pareto_8020_users": {
+        "ALLPAIRS": "hc > c parallel-rank join over DISTINCT event-count "
+        "cells + one 1-row total comparison — both bounded",
+    },
+    "zipf_exponent_fit": {
+        "ALLPAIRS": "hc > c parallel-rank join over DISTINCT token-count "
+        "cells (value-domain-bounded)",
+    },
+    "vocab_coverage_curve": {
+        "ALLPAIRS": "hc > c parallel-rank join over DISTINCT token-count "
+        "cells (value-domain-bounded)",
+    },
+    "vocab_encode_docs": {
+        "ALLPAIRS": "hfreq > freq parallel-rank join over DISTINCT "
+        "frequency cells — the X44 parallel global rank, never row x row",
+    },
+    "ransac_line_fit": {
+        "ALLPAIRS": "x > x pairs over the FIXED 16-point deterministic "
+        "sample (120 candidate models), not the data",
+    },
+    "events_value_band_join": {
+        "ALLPAIRS": "value BETWEEN lo AND hi range-lookup into the "
+        "broadcast FIXED band-boundary table (bounded rows)",
     },
     "negative_sampling_table": {
         "GLOBALWIN": "cumulative-band windows over the 200-row "
         "vocabulary cut — input is already aggregate-sized",
+        "ALLPAIRS": "pos range-lookup into the 200-row cumulative vocab "
+        "band table (broadcast, fixed size)",
     },
     "ams_f2_sketch": {
         "GLOBALWIN": "median rank over the 16-row estimator domain — "
@@ -129,6 +224,8 @@ WHITELIST: dict[str, dict[str, str]] = {
         "GLOBALWIN": "global CDF cumsum over ONE ROW PER DISTINCT "
         "n_chars (value-domain-bounded) — input is already "
         "aggregate-sized",
+        "ALLPAIRS": "gc >= p_glob maps source quantiles onto the global "
+        "CDF over DISTINCT n_chars cells (bounded domain)",
     },
     "wasserstein_value_distance": {
         "GLOBALWIN": "grid-gap lead() over ONE ROW PER DISTINCT CENT "
@@ -190,13 +287,73 @@ WHITELIST: dict[str, dict[str, str]] = {
     },
 }
 
+def _check_whitelist_duplicates() -> None:
+    """A duplicate query key in the WHITELIST dict literal silently
+    overwrites the earlier entry (r11: four merged entries were lost this
+    way and their flags re-fired). Parse our own source and refuse to run
+    with duplicates."""
+    import ast
+    from collections import Counter
+
+    tree = ast.parse(Path(__file__).read_text())
+    for node in ast.walk(tree):
+        if (
+            isinstance(node, ast.Assign)
+            and any(
+                isinstance(t, ast.Name) and t.id == "WHITELIST"
+                for t in node.targets
+            )
+            and isinstance(node.value, ast.Dict)
+        ):
+            keys = [
+                k.value
+                for k in node.value.keys
+                if isinstance(k, ast.Constant)
+            ]
+            dupes = [k for k, n in Counter(keys).items() if n > 1]
+            if dupes:
+                raise SystemExit(
+                    f"duplicate WHITELIST keys (merge them): {dupes}"
+                )
+
+
+_check_whitelist_duplicates()
+
 _SPEC = re.compile(r"windowspecdefinition\((.{0,120})")
+
+# a plan-attribute reference: name#123 with an optional type suffix (L, …)
+_COL = r"[A-Za-z_]\w*#\d+[A-Za-z]*"
+# col-vs-col comparisons (literal comparisons like `x#1L % 100 = 7` have a
+# literal on one side and don't match)
+_NOTEQ_SPAN = rf"NOT \({_COL} = {_COL}\)"
+_NONEQ = re.compile(rf"{_NOTEQ_SPAN}|{_COL} [<>]=? {_COL}")
+_EQ = re.compile(rf"{_COL} = {_COL}")
+_NLJ_LINE = re.compile(
+    r"(?:BroadcastNestedLoopJoin|CartesianProduct)\b(.*)"
+)
+
+
+def _allpairs(text: str) -> bool:
+    """True if any nested-loop join's condition consists solely of
+    non-equality column-vs-column comparisons (see module doc)."""
+    for m in _NLJ_LINE.finditer(text):
+        cond = m.group(1)
+        if not _NONEQ.search(cond):
+            continue
+        # a col=col equality OUTSIDE the NOT(...) spans means the join is
+        # blocked on a key and merely carries a non-equality residual
+        residual = re.sub(_NOTEQ_SPAN, "", cond)
+        if not _EQ.search(residual):
+            return True
+    return False
 
 
 def lint_plan(text: str) -> list[str]:
     flags = []
     if "CartesianProduct" in text:
         flags.append("CARTESIAN")
+    if _allpairs(text):
+        flags.append("ALLPAIRS")
     if "BatchEvalPython" in text:
         flags.append("ROWPYTHON")
     for m in _SPEC.finditer(text):

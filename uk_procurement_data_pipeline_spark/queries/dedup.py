@@ -1444,3 +1444,131 @@ def minhash_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_permille"),
         )
     )
+
+
+@register(
+    name="minhash_index_probe_incremental",
+    survey="D3 J9-pattern E2",
+    eager=True,  # fn materializes the stored band index; time it honestly
+    doc="Incremental NEAR-dup via a STORED MinHash band index (VERDICT r10 "
+    "item 6): at 100 TB near-dedup is never a one-shot batch — the band "
+    "table is a maintained artifact, and each arriving batch (md5 "
+    "bucket of doc_id >= 80, the incremental_dedup_new_batch split) is "
+    "signed ONCE, probed against the index, and appended to it. Here "
+    "the history index is materialized to parquet (the stored-artifact "
+    "shape, tmpfs-rooted and atexit-reaped like graph_ann_beam's "
+    "edge list); probe time signs ONLY the new docs, equi-joins their "
+    "band keys against index ∪ new-bands (the append makes new-new "
+    "pairs surface through the same probe), and exact-Jaccard-refines "
+    "at 0.8 over a candidate-bounded shingle join. Because banding a "
+    "doc is independent of every other doc, the incremental result "
+    "EQUALS the full rebuild restricted to pairs touching the batch — "
+    "the oracle recomputes the union index from scratch, and "
+    "tests/test_r11_additions.py pins engine-incremental == "
+    "engine-full-rebuild.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_D_SHINGLES} AS sh,
+                   ({_D_NEW_BUCKET}) >= 80 AS is_new
+            FROM documents),
+        sg AS (
+            SELECT doc_id, is_new, sh, {_D_SIG} AS sig
+            FROM (SELECT doc_id, is_new, sh, {_D_HS} AS hs FROM d)),
+        b AS (
+            SELECT doc_id, is_new, t.i AS band_idx,
+                   md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
+                                       '|')) AS band_key
+            FROM sg, generate_series(0, {_BANDS - 1}) t(i)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, z.doc_id AS doc_b
+            FROM b a JOIN b z
+              ON a.band_idx = z.band_idx AND a.band_key = z.band_key
+             AND a.doc_id < z.doc_id
+            WHERE a.is_new OR z.is_new)
+        SELECT doc_a, doc_b, jaccard, pair_type FROM (
+            SELECT cand.doc_a, cand.doc_b,
+                   CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(da.sh, db.sh)))
+                              AS DOUBLE) AS jaccard,
+                   CASE WHEN da.is_new AND db.is_new THEN 'new_new'
+                        ELSE 'new_hist' END AS pair_type
+            FROM cand
+            JOIN d da ON cand.doc_a = da.doc_id
+            JOIN d db ON cand.doc_b = db.doc_id)
+        WHERE jaccard >= 0.8
+    """,
+)
+def minhash_index_probe_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    base = docs.selectExpr(
+        "doc_id",
+        f"({_NEW_BUCKET}) >= 80 AS is_new",
+        f"{_SHINGLES} AS sh",
+    ).localCheckpoint(eager=True)
+
+    def bands_of(side: DataFrame) -> DataFrame:
+        sg = side.selectExpr("doc_id", f"{_HS} AS hs").selectExpr(
+            "doc_id", f"{_SIG} AS sig"
+        )
+        return sg.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"""transform(sequence(0, {_BANDS - 1}),
+                          b -> struct(b AS band_idx,
+                                      md5(concat_ws('|', transform(
+                                          slice(sig, b*{_ROWS}+1, {_ROWS}),
+                                          x -> cast(x AS string)))) AS band_key))"""
+                )
+            ).alias("band"),
+        ).select("doc_id", "band.band_idx", "band.band_key")
+
+    # The STORED index: history band keys, materialized once. In
+    # production this parquet already exists from the last run; building
+    # it here (eagerly, timed) is the fixture stand-in for reading it.
+    iroot = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
+    idir = tempfile.mkdtemp(prefix="minhash_band_index_", dir=iroot)
+    atexit.register(shutil.rmtree, idir, True)
+    bands_of(base.where("NOT is_new")).write.mode("overwrite").parquet(idir)
+    index = spark.read.parquet(idir)
+
+    # Probe time: sign ONLY the new batch; the index side is a read.
+    nb = bands_of(base.where("is_new"))
+    probe_target = index.union(nb)  # append = index maintenance
+    cand = (
+        nb.selectExpr("doc_id AS nid", "band_idx", "band_key")
+        .join(
+            probe_target.selectExpr("doc_id AS oid", "band_idx", "band_key"),
+            ["band_idx", "band_key"],
+        )
+        .where(F.col("nid") != F.col("oid"))
+        .selectExpr(
+            "least(nid, oid) AS doc_a", "greatest(nid, oid) AS doc_b"
+        )
+        .distinct()
+    )
+    da = base.selectExpr("doc_id AS doc_a", "sh AS sh_a", "is_new AS new_a")
+    db = base.selectExpr("doc_id AS doc_b", "sh AS sh_b", "is_new AS new_b")
+    return (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")).cast("double")
+            ).alias("jaccard"),
+            F.when(F.col("new_a") & F.col("new_b"), "new_new")
+            .otherwise("new_hist")
+            .alias("pair_type"),
+        )
+        .where(F.col("jaccard") >= 0.8)
+    )

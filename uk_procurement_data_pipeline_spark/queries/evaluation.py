@@ -2092,17 +2092,20 @@ def python_datasource_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame
 
     ckpt_root = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
     ckpt = tempfile.mkdtemp(prefix=f"pyds_ckpt_{qname}_", dir=ckpt_root)
-    prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode("complete")
-        .option("checkpointLocation", ckpt)
-        .trigger(processingTime="0 seconds")
-        .start()
-    )
-    spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    # ADVICE r10: the inline set/restore here was not exception-safe — if
+    # .start() raised, the session kept shuffle.partitions=8. Reuse the
+    # events.py context manager, which restores in a finally.
+    from uk_procurement_data_pipeline_spark.queries.events import _stream_shuffle
+
+    with _stream_shuffle(spark, "8"):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
     try:
         # Drain poll on lastProgress offsets (r10; was a collect() of the
         # memory table every 0.25 s — each poll a full Spark job). A
@@ -2116,10 +2119,17 @@ def python_datasource_stream_feed(spark: SparkSession, sf_dir: str) -> DataFrame
             lp = q.lastProgress
             eo = lp["sources"][0].get("endOffset") if lp else None
             if eo is not None:
-                cur = eo["cursor"] if isinstance(eo, dict) else int(
-                    re.search(r"-?\d+", str(eo)).group()
-                )
-                if int(cur) >= n:
+                # ADVICE r10: guard the cursor extraction — an unexpected
+                # offset shape must fall through to the next poll (and
+                # ultimately the TimeoutError), not raise KeyError mid-poll.
+                cur = None
+                if isinstance(eo, dict):
+                    cur = eo.get("cursor")
+                else:
+                    m = re.search(r"-?\d+", str(eo))
+                    if m:
+                        cur = m.group()
+                if cur is not None and int(cur) >= n:
                     break
             time.sleep(0.1)
         else:

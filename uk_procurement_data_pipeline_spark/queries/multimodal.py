@@ -399,3 +399,181 @@ def png_decode_roundtrip_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id bigint, width bigint, height bigint, pix_sum bigint",
     )
+
+
+# --- image perceptual-hash near-dup (r11, VERDICT r10 item 4) -------------
+# Deterministic image corpus: ~1/7 of documents each render a grayscale
+# image whose ARCHETYPE (doc_id % 25) fixes dimensions and base pattern,
+# with a single per-doc perturbed pixel — so same-archetype images are
+# true near-duplicates (dHash Hamming <= 4) and cross-archetype images are
+# not. Both engines derive pixels from the same closed-form rule; the
+# ENGINE additionally round-trips every image through the real PNG codec
+# (functions/png.py), so the oracle also pins encode/decode correctness.
+_IDH_MOD = 7  # corpus sample: doc_id % 7 == 1
+_IDH_ARCHS = 25  # archetype count
+_IDH_HAM = 4  # near-dup refine threshold (bits of 64)
+
+
+def _idh_pixels(doc_id: int) -> tuple[int, int, list[int]]:
+    """(w, h, flat pixels) for a doc — the shared generation rule."""
+    arch = doc_id % _IDH_ARCHS
+    w, h = arch % 13 + 12, arch % 9 + 10
+    pp, delta = doc_id % (w * h), doc_id % 48
+    px = [
+        (arch * 37 + i * (11 + arch) + (delta if i == pp else 0)) % 256
+        for i in range(w * h)
+    ]
+    return w, h, px
+
+
+@register(
+    name="image_dhash_near_dup",
+    survey="D3 J9 UD4 A7",
+    eager=True,  # fn materializes the hash table (3 consumers)
+    doc="Image perceptual-hash near-duplicate pairs — the multimodal face "
+    "of the dedup story (text already dedups five ways; images none "
+    "until r11). Per sampled doc (doc_id%7==1) a grayscale image is "
+    "rendered from a deterministic archetype rule, ENCODED to a real "
+    "PNG and DECODED back through the pure-stdlib codec "
+    "(functions/png.py — the roundtrip is lossless, so the DuckDB "
+    "oracle recomputes identical integers straight from the rule, and "
+    "any codec bug hash-mismatches), then dHashed: 9x8 nearest-neighbor "
+    "downsample, 64 adjacent-pixel greater-than bits, split into FOUR "
+    "16-BIT LSH BANDS (functions/imagehash.py). Candidates are the "
+    "(band_idx, band_val) equi-join — the MinHash banding idiom, never "
+    "all-pairs — refined by exact popcount Hamming <= 4. Same-archetype "
+    "images differ in one perturbed pixel (<= 2 dHash bits each from "
+    "base, <= 4 pairwise) so they pair; cross-archetype patterns differ "
+    "everywhere and don't. At 100 TB: the hash stage is an Arrow "
+    "map-side pass (real decoders slot into the same seam), the join "
+    "shuffles on band keys, output is candidate-bounded.",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, doc_id % {_IDH_ARCHS} AS arch
+            FROM documents WHERE doc_id % {_IDH_MOD} = 1),
+        p AS (
+            SELECT doc_id, arch,
+                   arch % 13 + 12 AS w, arch % 9 + 10 AS h
+            FROM s),
+        cells AS (
+            SELECT doc_id, arch, w, h, gy.y AS gy, gx.x AS gx,
+                   (gy.y * h // 8) * w + (gx.x * w // 9) AS i
+            FROM p,
+                 LATERAL (SELECT unnest(range(8)) AS y) gy,
+                 LATERAL (SELECT unnest(range(9)) AS x) gx),
+        px AS (
+            SELECT doc_id, gy, gx,
+                   (arch * 37 + i * (11 + arch)
+                    + CASE WHEN i = doc_id % (w * h)
+                           THEN doc_id % 48 ELSE 0 END) % 256 AS pv
+            FROM cells),
+        bits AS (
+            SELECT a.doc_id, a.gy, a.gx,
+                   CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+            FROM px a JOIN px b
+              ON b.doc_id = a.doc_id AND b.gy = a.gy AND b.gx = a.gx + 1
+            WHERE a.gx < 8),
+        bands AS (
+            SELECT doc_id, gy // 2 AS band_idx,
+                   CAST(sum(bit << ((gy % 2) * 8 + gx)) AS BIGINT)
+                       AS band_val
+            FROM bits GROUP BY 1, 2),
+        wide AS (
+            SELECT doc_id,
+                   max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+                   max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+                   max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+                   max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+            FROM bands GROUP BY 1),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+             AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(bit_count(xor(wa.b0, wb.b0))
+                      + bit_count(xor(wa.b1, wb.b1))
+                      + bit_count(xor(wa.b2, wb.b2))
+                      + bit_count(xor(wa.b3, wb.b3)) AS BIGINT) AS hamming
+            FROM cand c
+            JOIN wide wa ON c.doc_a = wa.doc_id
+            JOIN wide wb ON c.doc_b = wb.doc_id)
+        WHERE hamming <= {_IDH_HAM}
+    """,
+)
+def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions import png
+    from uk_procurement_data_pipeline_spark.functions.imagehash import (
+        dhash_bands,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "b0": [], "b1": [], "b2": [], "b3": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h, px = _idh_pixels(doc_id)
+                rows = [bytes(px[y * w : (y + 1) * w]) for y in range(h)]
+                # REAL codec roundtrip: the hash is computed from the
+                # DECODED pixels, so the PNG path is on the oracle's hook
+                dw, dh, _ch, drows = png.decode_png(png.encode_png(rows, w))
+                flat = [b for r in drows for b in r]
+                bands = dhash_bands(flat, dw, dh)
+                out["doc_id"].append(doc_id)
+                for k, v in zip(("b0", "b1", "b2", "b3"), bands):
+                    out[k].append(v)
+            yield pd.DataFrame(out)
+
+    src = spread(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _IDH_MOD == 1)
+        .select("doc_id")
+    )
+    # three consumers (band explode + both refine sides): hash once
+    hashes = src.mapInPandas(
+        run, schema="doc_id bigint, b0 bigint, b1 bigint, b2 bigint, b3 bigint"
+    ).localCheckpoint(eager=True)
+    bands = hashes.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "array(named_struct('band_idx', 0L, 'band_val', b0),"
+                "      named_struct('band_idx', 1L, 'band_val', b1),"
+                "      named_struct('band_idx', 2L, 'band_val', b2),"
+                "      named_struct('band_idx', 3L, 'band_val', b3))"
+            )
+        ).alias("bd"),
+    ).select("doc_id", "bd.band_idx", "bd.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    wa = hashes.selectExpr(
+        "doc_id AS doc_a", "b0 AS a0", "b1 AS a1", "b2 AS a2", "b3 AS a3"
+    )
+    wb = hashes.selectExpr(
+        "doc_id AS doc_b", "b0 AS c0", "b1 AS c1", "b2 AS c2", "b3 AS c3"
+    )
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(bit_count(a0 ^ c0) + bit_count(a1 ^ c1)"
+            " + bit_count(a2 ^ c2) + bit_count(a3 ^ c3) AS BIGINT)"
+            " AS hamming",
+        )
+        .where(F.col("hamming") <= _IDH_HAM)
+        .select("doc_a", "doc_b", "hamming")
+    )
