@@ -5395,7 +5395,11 @@ _LD_MIN_BATCH = 200
 # still dropped and oracle-exact at all three SFs (the oracle restates
 # this same batch formula, so both engines move together by
 # construction).
-_LD_N_BATCHES = 4
+_LD_N_BATCHES = 3  # r11: was 4 (and 6 pre-r10); 3 is the minimum that still
+# exercises the drop — the watermark publishes with a one-batch lag
+# (cummax through batch N-2), so batch 2 is the first that can drop, and
+# the trailing no-data batch still flushes the final windows. The oracle's
+# batching formula moves in lockstep via this constant.
 
 
 @register(
