@@ -93,3 +93,26 @@ def test_minhash_incremental_probe_equals_full_rebuild(spark, sf_dir):
     key = lambda r: (r["doc_a"], r["doc_b"], round(r["jaccard"], 12))  # noqa: E731
     assert sorted(map(key, inc)) == sorted(map(key, full_touching))
     assert inc, "fixture must produce incremental pairs"
+
+
+def test_image_dhash_components_cluster_invariants(spark, sf_dir):
+    """Components are consistent with the pair graph: every doc in the
+    output appears in >= 1 pair, the component label is the min doc_id
+    of its members, exactly one canonical per component, and every
+    surfaced pair's endpoints share a component."""
+    comp_rows = registry()["image_dhash_components"].fn(spark, sf_dir).collect()
+    pair_rows = registry()["image_dhash_near_dup"].fn(spark, sf_dir).collect()
+    assert comp_rows and pair_rows
+    label = {r["doc_id"]: r["component"] for r in comp_rows}
+    by_comp: dict[int, list[int]] = {}
+    for r in comp_rows:
+        by_comp.setdefault(r["component"], []).append(r["doc_id"])
+        assert r["is_canonical"] == (r["doc_id"] == r["component"])
+    for c, members in by_comp.items():
+        assert c == min(members)
+        assert len(members) >= 2
+    paired = set()
+    for r in pair_rows:
+        assert label[r["doc_a"]] == label[r["doc_b"]]
+        paired.update((r["doc_a"], r["doc_b"]))
+    assert paired == set(label)

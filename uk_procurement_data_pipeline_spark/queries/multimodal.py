@@ -426,31 +426,10 @@ def _idh_pixels(doc_id: int) -> tuple[int, int, list[int]]:
     return w, h, px
 
 
-@register(
-    name="image_dhash_near_dup",
-    survey="D3 J9 UD4 A7",
-    eager=True,  # fn materializes the hash table (3 consumers)
-    doc="Image perceptual-hash near-duplicate pairs — the multimodal face "
-    "of the dedup story (text already dedups five ways; images none "
-    "until r11). Per sampled doc (doc_id%7==1) a grayscale image is "
-    "rendered from a deterministic archetype rule, ENCODED to a real "
-    "PNG and DECODED back through the pure-stdlib codec "
-    "(functions/png.py — the roundtrip is lossless, so the DuckDB "
-    "oracle recomputes identical integers straight from the rule, and "
-    "any codec bug hash-mismatches), then dHashed: 9x8 nearest-neighbor "
-    "downsample, 64 adjacent-pixel greater-than bits, split into FOUR "
-    "16-BIT LSH BANDS (functions/imagehash.py). Candidates are the "
-    "(band_idx, band_val) equi-join — the MinHash banding idiom, never "
-    "all-pairs — refined by exact popcount Hamming <= 4. Same-archetype "
-    "images differ in one perturbed pixel (<= 2 dHash bits each from "
-    "base, <= 4 pairwise) so they pair; cross-archetype patterns differ "
-    "everywhere and don't. At 100 TB: the hash stage is an Arrow "
-    "map-side pass (real decoders slot into the same seam), the join "
-    "shuffles on band keys, output is candidate-bounded.",
-    oracle=f"""
+_IDH_ORACLE = f"""
         WITH s AS (
-            SELECT doc_id, doc_id % {_IDH_ARCHS} AS arch
-            FROM documents WHERE doc_id % {_IDH_MOD} = 1),
+            SELECT doc_id, doc_id % {{ARCHS}} AS arch
+            FROM documents WHERE doc_id % {{MOD}} = 1),
         p AS (
             SELECT doc_id, arch,
                    arch % 13 + 12 AS w, arch % 9 + 10 AS h
@@ -499,8 +478,32 @@ def _idh_pixels(doc_id: int) -> tuple[int, int, list[int]]:
             FROM cand c
             JOIN wide wa ON c.doc_a = wa.doc_id
             JOIN wide wb ON c.doc_b = wb.doc_id)
-        WHERE hamming <= {_IDH_HAM}
-    """,
+        WHERE hamming <= {{HAM}}
+"""
+
+
+@register(
+    name="image_dhash_near_dup",
+    survey="D3 J9 UD4 A7",
+    eager=True,  # fn materializes the hash table (3 consumers)
+    doc="Image perceptual-hash near-duplicate pairs — the multimodal face "
+    "of the dedup story (text already dedups five ways; images none "
+    "until r11). Per sampled doc (doc_id%7==1) a grayscale image is "
+    "rendered from a deterministic archetype rule, ENCODED to a real "
+    "PNG and DECODED back through the pure-stdlib codec "
+    "(functions/png.py — the roundtrip is lossless, so the DuckDB "
+    "oracle recomputes identical integers straight from the rule, and "
+    "any codec bug hash-mismatches), then dHashed: 9x8 nearest-neighbor "
+    "downsample, 64 adjacent-pixel greater-than bits, split into FOUR "
+    "16-BIT LSH BANDS (functions/imagehash.py). Candidates are the "
+    "(band_idx, band_val) equi-join — the MinHash banding idiom, never "
+    "all-pairs — refined by exact popcount Hamming <= 4. Same-archetype "
+    "images differ in one perturbed pixel (<= 2 dHash bits each from "
+    "base, <= 4 pairwise) so they pair; cross-archetype patterns differ "
+    "everywhere and don't. At 100 TB: the hash stage is an Arrow "
+    "map-side pass (real decoders slot into the same seam), the join "
+    "shuffles on band keys, output is candidate-bounded.",
+    oracle=_IDH_ORACLE.format(ARCHS=_IDH_ARCHS, MOD=_IDH_MOD, HAM=_IDH_HAM),
 )
 def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from uk_procurement_data_pipeline_spark.functions import png
@@ -576,4 +579,57 @@ def image_dhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("hamming") <= _IDH_HAM)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@register(
+    name="image_dhash_components",
+    survey="D3 D1 A7 U1",
+    eager=True,  # runs the near-dup hash stage (localCheckpoint) inside fn
+    doc="Canonical-keep dedup CLUSTERS over the image dHash pair graph — "
+    "the multimodal analog of minhash_components: pairwise near-dup "
+    "hits (image_dhash_near_dup's banded-Hamming pairs) rarely form "
+    "clean cliques, so grouping needs connected components; min-label "
+    "propagation (functions/graph.py pointer-jumping union-find, "
+    "log-diameter rounds) assigns every image its component's smallest "
+    "doc_id, the canonical representative a curation pass keeps. "
+    "Output: every image in a >=2 cluster with its component, cluster "
+    "size, and is_canonical flag. Oracle: recursive CTE computing min "
+    "reachable id over the identical pair set.",
+    oracle=f"""
+        WITH RECURSIVE pairs AS (
+            {_IDH_ORACLE.format(ARCHS=_IDH_ARCHS, MOD=_IDH_MOD, HAM=_IDH_HAM)}
+        ),
+        e AS (SELECT doc_a AS s, doc_b AS t FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+        reach(s, r) AS (
+            SELECT s, s FROM (SELECT DISTINCT s FROM e)
+            UNION
+            SELECT e.s, reach.r FROM e JOIN reach ON e.t = reach.s),
+        comp AS (
+            SELECT s AS doc_id, MIN(r) AS component FROM reach GROUP BY s)
+        SELECT doc_id, component,
+               COUNT(*) OVER (PARTITION BY component) AS component_size,
+               CAST(doc_id = component AS BOOLEAN) AS is_canonical
+        FROM comp
+    """,
+)
+def image_dhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.functions.graph import (
+        connected_components,
+    )
+
+    pairs = image_dhash_near_dup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, src="doc_a", dst="doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("component")
+    )
+    return comp.select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("component"))
+        .alias("component_size"),
+        (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
