@@ -98,16 +98,17 @@ def _blocked_undirected_graph(ids, vecs):
     first-K coarse cells, P postings per vector, cell-local candidates,
     per-src top-M by (d2, dst), then symmetrized."""
     from uk_procurement_data_pipeline_spark.queries.similarity import (
-        _GB_K,
         _GB_M,
         _GB_P,
+        _gb_k,
     )
 
-    cent = vecs[np.argsort(ids)][:_GB_K]  # vec_id < K in id order
+    k_cells = _gb_k(len(ids))
+    cent = vecs[np.argsort(ids)][:k_cells]  # vec_id < K in id order
     cd2 = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     postings: dict[int, list[int]] = {}
     for i in range(len(ids)):
-        order = np.lexsort((np.arange(_GB_K), cd2[i]))
+        order = np.lexsort((np.arange(k_cells), cd2[i]))
         for cid in order[:_GB_P]:
             postings.setdefault(int(cid), []).append(i)
     nbrs: dict[int, set[int]] = {int(v): set() for v in ids}

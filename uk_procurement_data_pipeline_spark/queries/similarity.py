@@ -3087,7 +3087,18 @@ def opq_variance_balanced_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_GB_K = 16  # coarse cells for the BLOCKED graph build (production: ~sqrt(N))
+def _gb_k(n_vecs: int) -> int:
+    """Coarse-cell count for the BLOCKED graph build: ceil(sqrt(N)), the
+    IVF sizing rule, so candidate work is sum(|cell|^2) ~ P^2 * N^1.5 —
+    scale-adaptive, not a fixture constant (r11; a fixed K reads
+    quadratic under the k-fold scale-stress replica). Computed as
+    isqrt(n-1)+1 == ceil(sqrt(n)) exactly, matching the oracle's
+    CAST(ceil(sqrt(count(*))) AS BIGINT)."""
+    from math import isqrt
+
+    return isqrt(max(n_vecs - 1, 0)) + 1
+
+
 _GB_P = 3  # cells each vector posts to (build-recall knob)
 _GB_M = 16  # graph out-degree (kNN edges per node, before symmetrization)
 _GB_B = 12  # beam width
@@ -3137,9 +3148,10 @@ def _gb_hop_ctes() -> str:
     "standing in for the hierarchy's upper layers, then a fixed number "
     "of beam-expansion rounds over a kNN graph). The graph build is "
     f"BLOCKED (r11, was the repo's one N^2 join): every vector posts to "
-    f"its {_GB_P} nearest of {_GB_K} coarse cells (first-{_GB_K} "
-    "deterministic quantizer, the ann_ivf_probed idiom; production "
-    "sizes K ~ sqrt(N) so candidate work is N^1.5, never N^2), edge "
+    f"its {_GB_P} nearest of K = ceil(sqrt(N)) coarse cells (first-K "
+    "deterministic quantizer, the ann_ivf_probed idiom, K the IVF "
+    "sizing rule — SCALE-ADAPTIVE, so candidate work is P^2 * N^1.5 at "
+    "any corpus size, never N^2), edge "
     "candidates are cell-local ONLY — scored Arrow-vectorized (cell "
     "assignment in mapInPandas, within-cell pairwise in a per-cell "
     "applyInPandas; doubles accumulated DIM-SEQUENTIALLY so they stay "
@@ -3168,7 +3180,9 @@ def _gb_hop_ctes() -> str:
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
         cent AS (
-            SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_GB_K}),
+            SELECT vec_id AS cid, v AS cv FROM e
+            WHERE vec_id < (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT)
+                            FROM e)),
         post0 AS (
             SELECT e.vec_id, e.v, cent.cid,
                    {_D_SQD.format(a='e.v', b='cent.cv')} AS cd2
@@ -3288,7 +3302,12 @@ def graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cross-joined onto the scan (the pq_codebook_train idiom) — never a
     # driver .collect(); the UDF rebuilds the K x dim matrix per Arrow
     # batch (K rows, negligible).
-    cent1 = e.where(F.col("vec_id") < _GB_K).agg(
+    from uk_procurement_data_pipeline_spark.queries.events import (
+        _parquet_num_rows,
+    )
+
+    k_cells = _gb_k(_parquet_num_rows(f"{sf_dir}/embeddings.parquet"))
+    cent1 = e.where(F.col("vec_id") < k_cells).agg(
         F.array_sort(F.collect_list(F.struct("vec_id", "v"))).alias("cents")
     )
 
