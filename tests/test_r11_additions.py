@@ -116,3 +116,47 @@ def test_image_dhash_components_cluster_invariants(spark, sf_dir):
         assert label[r["doc_a"]] == label[r["doc_b"]]
         paired.update((r["doc_a"], r["doc_b"]))
     assert paired == set(label)
+
+
+def test_ivfpq_neighbors_come_only_from_probed_cells(spark, sf_dir):
+    """The IVFADC contract: every returned neighbor must live in one of
+    its query's probed coarse cells (shortlist boundedness — the whole
+    point of the IVF layer), ranks are 1..5 without gaps per query, and
+    ADC distances are nondecreasing in rank."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from uk_procurement_data_pipeline_spark.queries.similarity import (
+        _IVFPQ_CK,
+        _IVFPQ_PROBE,
+        _IVFPQ_QHI,
+        _IVFPQ_QLO,
+    )
+
+    rows = registry()["ann_ivfpq_adc_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t["vec_id"])
+    vecs = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    order = np.argsort(ids)
+    ids, vecs = ids[order], vecs[order]
+    cents = vecs[:_IVFPQ_CK]
+
+    def cells_of(v, k):
+        d2 = ((cents - v) ** 2).sum(axis=1)
+        return [int(c) for c in np.lexsort((np.arange(_IVFPQ_CK), d2))[:k]]
+
+    assign = {int(vid): cells_of(vecs[i], 1)[0] for i, vid in enumerate(ids)}
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, beam in by_q.items():
+        assert _IVFPQ_QLO <= qid < _IVFPQ_QHI
+        probed = set(cells_of(vecs[ids == qid][0], _IVFPQ_PROBE))
+        beam.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in beam] == list(range(1, len(beam) + 1))
+        adcs = [r["adc"] for r in beam]
+        assert adcs == sorted(adcs)
+        for r in beam:
+            assert assign[r["neighbor_id"]] in probed, (
+                qid, r["neighbor_id"], assign[r["neighbor_id"]], probed)

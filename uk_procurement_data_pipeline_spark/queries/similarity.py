@@ -3456,3 +3456,242 @@ def graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(IF(node = true_nn, 1, 0) AS BIGINT) AS hit",
         )
     )
+
+
+_IVFPQ_CK = 8  # coarse cells (first-K deterministic quantizer)
+_IVFPQ_PROBE = 2  # cells probed per query
+_IVFPQ_QLO, _IVFPQ_QHI = 12, 16  # query ids (outside both seed sets)
+
+
+@register(
+    name="ann_ivfpq_adc_topk",
+    survey="J9 J5 A7 W1 F17",
+    doc="IVF-PQ serving index (Jegou et al. 2011's IVFADC — the canonical "
+    "billion-scale layout, composing the registered IVF and PQ halves "
+    "into the architecture FAISS ships): vectors are assigned to their "
+    f"nearest of {_IVFPQ_CK} coarse cells, PQ encodes each vector's "
+    "RESIDUAL (v - coarse centroid; the residual trick is what makes "
+    "IVF-PQ beat flat PQ — residuals cluster tighter than raw vectors), "
+    "with a 4x16-dim subspace codebook (first-4 seeds + one "
+    "exact-decimal Lloyd step, the pq_codebook_train contract) trained "
+    "on ALL residuals; at query time each query probes its top-"
+    f"{_IVFPQ_PROBE} cells, builds one 16-entry LUT per probed cell "
+    "from its OWN residual against that cell's centroid, and ranks "
+    "only the probed cells' inverted lists by the 4-lookup ADC sum — "
+    "compressed distances over a shortlist, never a corpus scan. "
+    "Exact-decimal ADC fold + (adc, neighbor_id) tiebreak keep the "
+    "top-5 deterministic. Shuffles: bounded codebook aggs + one "
+    "(query, neighbor) agg linear in the probed lists; every join "
+    "broadcasts a bounded side (8 coarse rows, 16 codebook rows, "
+    f"{4 * _IVFPQ_PROBE * 16}-row LUT).",
+    oracle=f"""
+        WITH e AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+        cc AS (
+            SELECT vec_id AS ccid, v AS ccv FROM e
+            WHERE vec_id < {_IVFPQ_CK}),
+        ca0 AS (
+            SELECT e.vec_id, e.v, t.ccid
+            FROM e JOIN LATERAL (
+              SELECT c.ccid FROM cc c
+              ORDER BY {_D_SQD.format(a='e.v', b='c.ccv')}, c.ccid
+              LIMIT 1) t ON true),
+        ca AS (
+            SELECT a.vec_id, a.ccid,
+                   list_transform(generate_series(1, 64),
+                                  i -> a.v[i] - c.ccv[i]) AS r
+            FROM ca0 a JOIN cc c ON a.ccid = c.ccid),
+        sub AS (
+            SELECT vec_id, m.m, r[m.m * 16 + 1 : m.m * 16 + 16] AS rv
+            FROM ca, (SELECT unnest(range(0, 4)) AS m) m),
+        seeds AS (
+            SELECT m, vec_id AS cid, rv AS cv FROM sub WHERE vec_id < 4),
+        a1 AS (
+            SELECT s.vec_id, s.m, s.rv, t.cid
+            FROM sub s JOIN LATERAL (
+              SELECT c.cid FROM seeds c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.rv', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        cent1 AS (
+            SELECT m, cid, d.dim,
+                   CAST(ROUND(SUM(CAST(rv[d.dim] AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mu
+            FROM a1, (SELECT unnest(range(1, 17)) AS dim) d
+            GROUP BY m, cid, d.dim),
+        cb AS (
+            SELECT m, cid,
+                   list_transform(
+                     list_sort(list(struct_pack(dim := dim, mu := mu))),
+                     x -> x.mu) AS cv
+            FROM cent1 GROUP BY m, cid),
+        codes AS (
+            SELECT s.vec_id, s.m, t.cid
+            FROM sub s JOIN LATERAL (
+              SELECT c.cid FROM cb c WHERE c.m = s.m
+              ORDER BY {_D_SQD.format(a='s.rv', b='c.cv')}, c.cid
+              LIMIT 1) t ON true),
+        qp0 AS (
+            SELECT e.vec_id AS query_id, e.v, t.ccid
+            FROM e JOIN LATERAL (
+              SELECT c.ccid FROM cc c
+              ORDER BY {_D_SQD.format(a='e.v', b='c.ccv')}, c.ccid
+              LIMIT {_IVFPQ_PROBE}) t ON true
+            WHERE e.vec_id >= {_IVFPQ_QLO} AND e.vec_id < {_IVFPQ_QHI}),
+        qp AS (
+            SELECT q.query_id, q.ccid,
+                   list_transform(generate_series(1, 64),
+                                  i -> q.v[i] - c.ccv[i]) AS qr
+            FROM qp0 q JOIN cc c ON q.ccid = c.ccid),
+        qsub AS (
+            SELECT query_id, ccid, m.m,
+                   qr[m.m * 16 + 1 : m.m * 16 + 16] AS qv
+            FROM qp, (SELECT unnest(range(0, 4)) AS m) m),
+        lut AS (
+            SELECT s.query_id, s.ccid, s.m, c.cid,
+                   {_D_SQD.format(a='s.qv', b='c.cv')} AS d2
+            FROM qsub s JOIN cb c ON s.m = c.m),
+        adc AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS adc
+            FROM codes c
+            JOIN ca ON ca.vec_id = c.vec_id
+            JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                      AND l.ccid = ca.ccid
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rank
+            FROM adc)
+        WHERE rank <= 5
+    """,
+)
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.catalog import spread
+    from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
+
+    e = spread(
+        load(spark, sf_dir, "embeddings").selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        )
+    )
+    cc = e.where(F.col("vec_id") < _IVFPQ_CK).selectExpr(
+        "vec_id AS ccid", "v AS ccv"
+    )
+    # top-1 coarse assignment: bounded fold over the broadcast 8-cell
+    # codebook (the pq_adc_topk assign idiom, full-width vectors)
+    cc_arr = cc.groupBy().agg(F.collect_list(F.struct("ccid", "ccv")).alias("cs"))
+    best = (
+        f"aggregate(transform(cs, c -> named_struct("
+        f"'d2', {_SQD.format(a='v', b='c.ccv')}, 'ccid', c.ccid)), "
+        "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+        "'ccid', CAST(-1 AS BIGINT)), "
+        "(acc, s) -> IF(s.d2 < acc.d2"
+        " OR (s.d2 = acc.d2 AND s.ccid < acc.ccid), s, acc))"
+    )
+    ca = (
+        e.join(F.broadcast(cc_arr), F.lit(True))
+        .selectExpr("vec_id", "v", f"{best}.ccid AS ccid")
+        .join(F.broadcast(cc), "ccid")
+        .selectExpr(
+            "vec_id", "ccid", "zip_with(v, ccv, (x, c) -> x - c) AS r"
+        )
+    )
+    sub = ca.crossJoin(
+        F.broadcast(spark.range(0, 4).selectExpr("id AS m"))
+    ).selectExpr(
+        "vec_id", "m", "ccid",
+        "slice(r, CAST(m * 16 + 1 AS INT), 16) AS rv",
+    )
+    seeds = sub.where(F.col("vec_id") < 4).selectExpr(
+        "m", "vec_id AS cid", "rv AS cv"
+    )
+
+    def assign(points: DataFrame, cents: DataFrame) -> DataFrame:
+        cent_arr = cents.groupBy("m").agg(
+            F.collect_list(F.struct("cid", "cv")).alias("cs")
+        )
+        scored = (
+            f"aggregate(transform(cs, c -> named_struct("
+            f"'d2', {_SQD.format(a='rv', b='c.cv')}, 'cid', c.cid)), "
+            "named_struct('d2', CAST('Infinity' AS DOUBLE), "
+            "'cid', CAST(-1 AS BIGINT)), "
+            "(acc, s) -> IF(s.d2 < acc.d2"
+            " OR (s.d2 = acc.d2 AND s.cid < acc.cid), s, acc))"
+        )
+        return (
+            points.join(F.broadcast(cent_arr), "m")
+            .selectExpr("vec_id", "m", "ccid", "rv", f"{scored}.cid AS cid")
+        )
+
+    a1 = assign(sub, seeds)
+    cent1 = (
+        a1.selectExpr("m", "cid", "posexplode(rv) AS (dim, val)")
+        .groupBy("m", "cid", "dim")
+        .agg(exact_avg("val", "mu"))
+        .groupBy("m", "cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim", "mu"))),
+                lambda x: x["mu"],
+            ).alias("cv")
+        )
+    )
+    codes = assign(sub, cent1).select("vec_id", "m", "ccid", "cid")
+
+    # query probing: top-PROBE cells per query by exact coarse distance
+    wq = Window.partitionBy("query_id").orderBy("cd2", "ccid")
+    qp = (
+        e.where(
+            (F.col("vec_id") >= _IVFPQ_QLO) & (F.col("vec_id") < _IVFPQ_QHI)
+        )
+        .selectExpr("vec_id AS query_id", "v")
+        .join(F.broadcast(cc), F.lit(True))
+        .selectExpr(
+            "query_id", "v", "ccid", "ccv",
+            f"{_SQD.format(a='v', b='ccv')} AS cd2",
+        )
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= _IVFPQ_PROBE)
+        .selectExpr(
+            "query_id", "ccid", "zip_with(v, ccv, (x, c) -> x - c) AS qr"
+        )
+    )
+    qsub = qp.crossJoin(
+        F.broadcast(spark.range(0, 4).selectExpr("id AS m"))
+    ).selectExpr(
+        "query_id", "ccid", "m",
+        "slice(qr, CAST(m * 16 + 1 AS INT), 16) AS qv",
+    )
+    lut = qsub.join(
+        F.broadcast(cent1.withColumnRenamed("cv", "cbv")), "m"
+    ).selectExpr(
+        "query_id", "ccid", "m", "cid",
+        f"{_SQD.format(a='qv', b='cbv')} AS d2",
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid", "ccid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            "adc",
+        )
+    )
