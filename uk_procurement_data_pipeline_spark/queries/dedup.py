@@ -1446,6 +1446,45 @@ def minhash_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _minhash_bands_of(side: DataFrame) -> DataFrame:
+    """LSH band keys for a (doc_id, sh) frame: the signature split into
+    _BANDS md5-hashed row-groups. Module-level (not a closure) because the
+    stored band index and every probe batch must band identically — the
+    incremental == full-rebuild equivalence rests on it."""
+    sg = side.selectExpr("doc_id", f"{_HS} AS hs").selectExpr(
+        "doc_id", f"{_SIG} AS sig"
+    )
+    return sg.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"""transform(sequence(0, {_BANDS - 1}),
+                      b -> struct(b AS band_idx,
+                                  md5(concat_ws('|', transform(
+                                      slice(sig, b*{_ROWS}+1, {_ROWS}),
+                                      x -> cast(x AS string)))) AS band_key))"""
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_key")
+
+
+def minhash_band_index_fingerprint(sf_dir: str) -> str:
+    """Generation fingerprint for the stored MinHash band index: the
+    documents snapshot stats + every knob the band keys depend on. Bump
+    ``version`` if the banding expression itself changes shape."""
+    from uk_procurement_data_pipeline_spark import indexes
+
+    return indexes.fingerprint(
+        tables={"documents": indexes.table_fingerprint(sf_dir, "documents")},
+        params={
+            "bands": _BANDS,
+            "rows": _ROWS,
+            "history": "md5_bucket<80",
+            "version": 1,
+        },
+    )
+
+
 @register(
     name="minhash_index_probe_incremental",
     survey="D3 J9-pattern E2",
@@ -1501,10 +1540,7 @@ def minhash_band_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_index_probe_incremental(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    import atexit
-    import os
-    import shutil
-    import tempfile
+    from uk_procurement_data_pipeline_spark import indexes
 
     docs = spread(load(spark, sf_dir, "documents"))
     base = docs.selectExpr(
@@ -1512,35 +1548,25 @@ def minhash_index_probe_incremental(
         f"({_NEW_BUCKET}) >= 80 AS is_new",
         f"{_SHINGLES} AS sh",
     ).localCheckpoint(eager=True)
+    bands_of = _minhash_bands_of
 
-    def bands_of(side: DataFrame) -> DataFrame:
-        sg = side.selectExpr("doc_id", f"{_HS} AS hs").selectExpr(
-            "doc_id", f"{_SIG} AS sig"
-        )
-        return sg.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"""transform(sequence(0, {_BANDS - 1}),
-                          b -> struct(b AS band_idx,
-                                      md5(concat_ws('|', transform(
-                                          slice(sig, b*{_ROWS}+1, {_ROWS}),
-                                          x -> cast(x AS string)))) AS band_key))"""
-                )
-            ).alias("band"),
-        ).select("doc_id", "band.band_idx", "band.band_key")
+    # The STORED index: history band keys, materialized once per
+    # (documents snapshot, band params) generation through the index
+    # catalog (r12, VERDICT r11 item 1). The first call in a session pays
+    # the build; every later call — bench re-runs, the second probe of
+    # index_catalog_reuse — reads the persisted parquet, which is the
+    # production serving cost.
+    index = indexes.build_or_load(
+        spark,
+        "minhash_band_index",
+        minhash_band_index_fingerprint(sf_dir),
+        lambda: bands_of(base.where("NOT is_new")),
+    )
 
-    # The STORED index: history band keys, materialized once. In
-    # production this parquet already exists from the last run; building
-    # it here (eagerly, timed) is the fixture stand-in for reading it.
-    iroot = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-    idir = tempfile.mkdtemp(prefix="minhash_band_index_", dir=iroot)
-    atexit.register(shutil.rmtree, idir, True)
-    bands_of(base.where("NOT is_new")).write.mode("overwrite").parquet(idir)
-    index = spark.read.parquet(idir)
-
-    # Probe time: sign ONLY the new batch; the index side is a read.
-    nb = bands_of(base.where("is_new"))
+    # Probe time: sign ONLY the new batch — checkpointed so the banding
+    # subplan runs once even though it feeds both the probe side and the
+    # appended target (ADVICE r11: the lazy form signed new docs twice).
+    nb = bands_of(base.where("is_new")).localCheckpoint(eager=True)
     probe_target = index.union(nb)  # append = index maintenance
     cand = (
         nb.selectExpr("doc_id AS nid", "band_idx", "band_key")
@@ -1572,3 +1598,106 @@ def minhash_index_probe_incremental(
         )
         .where(F.col("jaccard") >= 0.8)
     )
+
+
+@register(
+    name="index_catalog_reuse",
+    survey="D3 J9-pattern E4 E5",
+    eager=True,  # fn materializes (or catalog-loads) the band index
+    doc="Build-once / probe-twice through the index catalog (r12, VERDICT "
+    "r11 item 1): the stored MinHash band index is resolved via "
+    "indexes.build_or_load under a fingerprint of (documents snapshot, "
+    "band params) — the SAME generation minhash_index_probe_incremental "
+    "serves from — then probed by two disjoint arrival batches "
+    "(md5-bucket [80,90) and [90,100)) against the <80 history. The "
+    "second probe's build_or_load call is a pure parquet read: "
+    "tests/test_r12_additions.py pins builder invocations == 1 across "
+    "both probes plus a repeat end-to-end call. Each probe signs only "
+    "its batch, equi-joins band keys against the index, and "
+    "exact-Jaccard-refines at 0.8 — the maintained-artifact serving "
+    "lifecycle (build / probe / probe / vacuum_stale) the 100 TB "
+    "deployment runs daily.",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, {_D_SHINGLES} AS sh,
+                   ({_D_NEW_BUCKET}) AS bucket
+            FROM documents),
+        sg AS (
+            SELECT doc_id, bucket, sh, {_D_SIG} AS sig
+            FROM (SELECT doc_id, bucket, sh, {_D_HS} AS hs FROM d)),
+        b AS (
+            SELECT doc_id, bucket, t.i AS band_idx,
+                   md5(array_to_string(sig[t.i*{_ROWS}+1 : t.i*{_ROWS}+{_ROWS}],
+                                       '|')) AS band_key
+            FROM sg, generate_series(0, {_BANDS - 1}) t(i)),
+        cand AS (
+            SELECT DISTINCT
+                   CASE WHEN n.bucket >= 90 THEN 'batch_b'
+                        ELSE 'batch_a' END AS batch,
+                   n.doc_id AS new_doc, h.doc_id AS hist_doc
+            FROM b n JOIN b h
+              ON n.band_idx = h.band_idx AND n.band_key = h.band_key
+            WHERE n.bucket >= 80 AND h.bucket < 80)
+        SELECT batch, new_doc, hist_doc, jaccard FROM (
+            SELECT cand.batch, cand.new_doc, cand.hist_doc,
+                   CAST(len(list_intersect(dn.sh, dh.sh)) AS DOUBLE)
+                       / CAST(len(list_distinct(list_concat(dn.sh, dh.sh)))
+                              AS DOUBLE) AS jaccard
+            FROM cand
+            JOIN d dn ON cand.new_doc = dn.doc_id
+            JOIN d dh ON cand.hist_doc = dh.doc_id)
+        WHERE jaccard >= 0.8
+    """,
+)
+def index_catalog_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark import indexes
+
+    docs = spread(load(spark, sf_dir, "documents"))
+    base = docs.selectExpr(
+        "doc_id",
+        f"({_NEW_BUCKET}) AS bucket",
+        f"{_SHINGLES} AS sh",
+    ).localCheckpoint(eager=True)
+    fp = minhash_band_index_fingerprint(sf_dir)
+    da = base.selectExpr("doc_id AS new_doc", "sh AS sh_n")
+    db = base.selectExpr("doc_id AS hist_doc", "sh AS sh_h")
+    outs = []
+    for tag, lo, hi in (("batch_a", 80, 90), ("batch_b", 90, 100)):
+        # Both iterations resolve the SAME (name, fingerprint) generation:
+        # iteration 1 builds (or, if minhash_index_probe_incremental ran
+        # earlier this session, loads), iteration 2 always loads.
+        index = indexes.build_or_load(
+            spark,
+            "minhash_band_index",
+            fp,
+            lambda: _minhash_bands_of(base.where("bucket < 80")),
+        )
+        nb = _minhash_bands_of(
+            base.where(f"bucket >= {lo} AND bucket < {hi}")
+        )
+        cand = (
+            nb.selectExpr("doc_id AS new_doc", "band_idx", "band_key")
+            .join(
+                index.selectExpr(
+                    "doc_id AS hist_doc", "band_idx", "band_key"
+                ),
+                ["band_idx", "band_key"],
+            )
+            .select("new_doc", "hist_doc")
+            .distinct()
+        )
+        outs.append(
+            cand.join(da, "new_doc")
+            .join(db, "hist_doc")
+            .select(
+                F.lit(tag).alias("batch"),
+                "new_doc",
+                "hist_doc",
+                (
+                    F.size(F.array_intersect("sh_n", "sh_h")).cast("double")
+                    / F.size(F.array_union("sh_n", "sh_h")).cast("double")
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= 0.8)
+        )
+    return outs[0].unionByName(outs[1])

@@ -3255,11 +3255,7 @@ def _gb_hop_ctes() -> str:
     """,
 )
 def graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import atexit
-    import os
-    import shutil
-    import tempfile
-
+    from uk_procurement_data_pipeline_spark import indexes
     from uk_procurement_data_pipeline_spark.catalog import spread
 
     e = load(spark, sf_dir, "embeddings").selectExpr(
@@ -3385,15 +3381,27 @@ def graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # artifact served to every query). A lazy plan would recompute the
     # construction pass for each of the 4 hop joins; the edge list is
     # <=2*M*N rows (~500 KB at sf0.1), so the eager write is the cheap
-    # side of that trade. Fresh dir per call (bench re-pays construction
-    # per run), tmpfs-rooted like the streaming checkpoints and
-    # atexit-reaped — the dir must outlive this call because the returned
-    # plan is lazy (ADVICE r10).
-    groot = "/dev/shm" if os.access("/dev/shm", os.W_OK) else None
-    gdir = tempfile.mkdtemp(prefix="graph_ann_nb_", dir=groot)
-    atexit.register(shutil.rmtree, gdir, True)
-    nb_built.write.mode("overwrite").parquet(gdir)
-    nb = spark.read.parquet(gdir)
+    # side of that trade. Since r12 the artifact lives in the index
+    # catalog (VERDICT r11 item 1): one persisted generation per
+    # (embeddings snapshot, build params) — the first call in a session
+    # builds, later calls (bench re-runs included) serve from the stored
+    # edge list, which is exactly the HNSW-style deployment contract.
+    nb = indexes.build_or_load(
+        spark,
+        "graph_ann_edges",
+        indexes.fingerprint(
+            tables={
+                "embeddings": indexes.table_fingerprint(sf_dir, "embeddings")
+            },
+            params={
+                "p": _GB_P,
+                "m": _GB_M,
+                "k": "ceil_sqrt_n",
+                "version": 1,
+            },
+        ),
+        lambda: nb_built,
+    )
 
     q = e.where((F.col("vec_id") % _GB_QMOD) == _GB_QREM).selectExpr(
         "vec_id AS query_id", "v AS qv"
@@ -3630,7 +3638,7 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     a1 = assign(sub, seeds)
-    cent1 = (
+    cent1_plan = (
         a1.selectExpr("m", "cid", "posexplode(rv) AS (dim, val)")
         .groupBy("m", "cid", "dim")
         .agg(exact_avg("val", "mu"))
@@ -3642,7 +3650,30 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    codes = assign(sub, cent1).select("vec_id", "m", "ccid", "cid")
+    # r12: the codebook and the coded inverted lists are CATALOG artifacts
+    # (VERDICT r11 item 1) — built once per (embeddings snapshot, layout
+    # params) generation, then served from parquet. On a warm catalog the
+    # corpus scan above never executes: the query-time plan is (bounded
+    # query probe) x (stored codes) — the FAISS file-index contract. The
+    # codebook's exact-decimal means roundtrip parquet bit-exactly, so
+    # build-then-load equals the fused plan.
+    from uk_procurement_data_pipeline_spark import indexes
+
+    ivfpq_fp = indexes.fingerprint(
+        tables={
+            "embeddings": indexes.table_fingerprint(sf_dir, "embeddings")
+        },
+        params={"ck": _IVFPQ_CK, "m": 4, "dsub": 16, "version": 1},
+    )
+    cent1 = indexes.build_or_load(
+        spark, "ivfpq_codebook", ivfpq_fp, lambda: cent1_plan
+    )
+    codes = indexes.build_or_load(
+        spark,
+        "ivfpq_codes",
+        ivfpq_fp,
+        lambda: assign(sub, cent1).select("vec_id", "m", "ccid", "cid"),
+    )
 
     # query probing: top-PROBE cells per query by exact coarse distance
     wq = Window.partitionBy("query_id").orderBy("cd2", "ccid")
