@@ -102,3 +102,27 @@ def test_incremental_probe_shares_catalog_generation(
     reg["minhash_index_probe_incremental"].fn(spark, sf_dir).collect()
     assert len(indexes.BUILD_COUNTS) == 1
     assert sum(indexes.BUILD_COUNTS.values()) == 1
+
+
+def test_ivfpq_recall_monotone_in_nprobe(spark, sf_dir):
+    """VERDICT r11 item 3's done-bar: recall@5 must be monotone
+    non-decreasing in nprobe for every query — probing more inverted
+    lists can only widen the candidate set, and with ADC scores fixed
+    per (query, neighbor) a wider set's top-5 hit count never drops
+    below a narrower set's."""
+    rows = (
+        registry()["ivfpq_nprobe_recall"].fn(spark, sf_dir).collect()
+    )
+    assert rows, "recall readout must be non-empty"
+    by_q: dict[int, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(
+            (r.nprobe, r.recall_permille)
+        )
+    for q, series in by_q.items():
+        series.sort()
+        assert len(series) == 3, f"query {q}: expected 3 nprobe points"
+        vals = [v for _, v in series]
+        assert vals == sorted(vals), (
+            f"query {q}: recall not monotone in nprobe: {series}"
+        )

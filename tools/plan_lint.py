@@ -149,6 +149,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ALLPAIRS": "exact shortlist truth for the PQ recall audit — "
         "|Q|-bounded query set x corpus readout",
     },
+    # r12
+    "ivfpq_nprobe_recall": {
+        "ALLPAIRS": "exact top-5 truth (|Q|-bounded query set x corpus "
+        "readout, the pq_recall_report shape) + the cell_prn <= nprobe "
+        "theta-join against a broadcast THREE-ROW nprobe table — neither "
+        "generates pairs at corpus cardinality",
+    },
     "late_interaction_maxsim": {
         "ALLPAIRS": "MaxSim rerank scores the |Q|-bounded query-token set "
         "against candidate docs — bounded side broadcast",

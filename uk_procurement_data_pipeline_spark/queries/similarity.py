@@ -3466,34 +3466,18 @@ def graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
 _IVFPQ_CK = 8  # coarse cells (first-K deterministic quantizer)
 _IVFPQ_PROBE = 2  # cells probed per query
 _IVFPQ_QLO, _IVFPQ_QHI = 12, 16  # query ids (outside both seed sets)
 
-
-@register(
-    name="ann_ivfpq_adc_topk",
-    survey="J9 J5 A7 W1 F17",
-    doc="IVF-PQ serving index (Jegou et al. 2011's IVFADC — the canonical "
-    "billion-scale layout, composing the registered IVF and PQ halves "
-    "into the architecture FAISS ships): vectors are assigned to their "
-    f"nearest of {_IVFPQ_CK} coarse cells, PQ encodes each vector's "
-    "RESIDUAL (v - coarse centroid; the residual trick is what makes "
-    "IVF-PQ beat flat PQ — residuals cluster tighter than raw vectors), "
-    "with a 4x16-dim subspace codebook (first-4 seeds + one "
-    "exact-decimal Lloyd step, the pq_codebook_train contract) trained "
-    "on ALL residuals; at query time each query probes its top-"
-    f"{_IVFPQ_PROBE} cells, builds one 16-entry LUT per probed cell "
-    "from its OWN residual against that cell's centroid, and ranks "
-    "only the probed cells' inverted lists by the 4-lookup ADC sum — "
-    "compressed distances over a shortlist, never a corpus scan. "
-    "Exact-decimal ADC fold + (adc, neighbor_id) tiebreak keep the "
-    "top-5 deterministic. Shuffles: bounded codebook aggs + one "
-    "(query, neighbor) agg linear in the probed lists; every join "
-    "broadcasts a bounded side (8 coarse rows, 16 codebook rows, "
-    f"{4 * _IVFPQ_PROBE * 16}-row LUT).",
-    oracle=f"""
-        WITH e AS (
+# Shared CTE prefix for the IVFADC oracles: corpus coarse assignment,
+# residual split, codebook training, and the coded inverted lists. Used
+# by ann_ivfpq_adc_topk (fixed nprobe) and ivfpq_nprobe_recall (the
+# recall-vs-probes tuning curve) so both DuckDB programs train the
+# IDENTICAL index the Spark side serves from the catalog.
+_IVFPQ_ORACLE_CTES = f"""        e AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
@@ -3539,47 +3523,23 @@ _IVFPQ_QLO, _IVFPQ_QHI = 12, 16  # query ids (outside both seed sets)
             FROM sub s JOIN LATERAL (
               SELECT c.cid FROM cb c WHERE c.m = s.m
               ORDER BY {_D_SQD.format(a='s.rv', b='c.cv')}, c.cid
-              LIMIT 1) t ON true),
-        qp0 AS (
-            SELECT e.vec_id AS query_id, e.v, t.ccid
-            FROM e JOIN LATERAL (
-              SELECT c.ccid FROM cc c
-              ORDER BY {_D_SQD.format(a='e.v', b='c.ccv')}, c.ccid
-              LIMIT {_IVFPQ_PROBE}) t ON true
-            WHERE e.vec_id >= {_IVFPQ_QLO} AND e.vec_id < {_IVFPQ_QHI}),
-        qp AS (
-            SELECT q.query_id, q.ccid,
-                   list_transform(generate_series(1, 64),
-                                  i -> q.v[i] - c.ccv[i]) AS qr
-            FROM qp0 q JOIN cc c ON q.ccid = c.ccid),
-        qsub AS (
-            SELECT query_id, ccid, m.m,
-                   qr[m.m * 16 + 1 : m.m * 16 + 16] AS qv
-            FROM qp, (SELECT unnest(range(0, 4)) AS m) m),
-        lut AS (
-            SELECT s.query_id, s.ccid, s.m, c.cid,
-                   {_D_SQD.format(a='s.qv', b='c.cv')} AS d2
-            FROM qsub s JOIN cb c ON s.m = c.m),
-        adc AS (
-            SELECT l.query_id, c.vec_id AS neighbor_id,
-                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
-                        AS DOUBLE) AS adc
-            FROM codes c
-            JOIN ca ON ca.vec_id = c.vec_id
-            JOIN lut l ON l.m = c.m AND l.cid = c.cid
-                      AND l.ccid = ca.ccid
-            WHERE c.vec_id <> l.query_id
-            GROUP BY 1, 2)
-        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
-        FROM (
-            SELECT query_id, neighbor_id, adc,
-                   row_number() OVER (PARTITION BY query_id
-                                      ORDER BY adc, neighbor_id) AS rank
-            FROM adc)
-        WHERE rank <= 5
-    """,
-)
-def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+              LIMIT 1) t ON true)"""
+
+
+def _ivfpq_artifacts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """Resolve the IVFADC serving artifacts — returns (e, cc, cent1,
+    codes), with the residual-PQ codebook and the coded inverted lists
+    served through the index catalog (r12, VERDICT r11 item 1): built
+    once per (embeddings snapshot, layout params) generation, loaded from
+    parquet thereafter. Shared by ann_ivfpq_adc_topk (the fixed-nprobe
+    serving query) and ivfpq_nprobe_recall (the recall-vs-probes tuning
+    readout) — one stored index, many consumers. On a warm catalog the
+    corpus build scan never executes: the query-time plan is (bounded
+    query probe) x (stored codes), the FAISS file-index contract. The
+    codebook's exact-decimal means roundtrip parquet bit-exactly, so
+    build-then-load equals the fused plan."""
     from uk_procurement_data_pipeline_spark.catalog import spread
     from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
 
@@ -3650,13 +3610,6 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cv")
         )
     )
-    # r12: the codebook and the coded inverted lists are CATALOG artifacts
-    # (VERDICT r11 item 1) — built once per (embeddings snapshot, layout
-    # params) generation, then served from parquet. On a warm catalog the
-    # corpus scan above never executes: the query-time plan is (bounded
-    # query probe) x (stored codes) — the FAISS file-index contract. The
-    # codebook's exact-decimal means roundtrip parquet bit-exactly, so
-    # build-then-load equals the fused plan.
     from uk_procurement_data_pipeline_spark import indexes
 
     ivfpq_fp = indexes.fingerprint(
@@ -3674,6 +3627,75 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ivfpq_fp,
         lambda: assign(sub, cent1).select("vec_id", "m", "ccid", "cid"),
     )
+    return e, cc, cent1, codes
+
+
+@register(
+    name="ann_ivfpq_adc_topk",
+    survey="J9 J5 A7 W1 F17",
+    doc="IVF-PQ serving index (Jegou et al. 2011's IVFADC — the canonical "
+    "billion-scale layout, composing the registered IVF and PQ halves "
+    "into the architecture FAISS ships): vectors are assigned to their "
+    f"nearest of {_IVFPQ_CK} coarse cells, PQ encodes each vector's "
+    "RESIDUAL (v - coarse centroid; the residual trick is what makes "
+    "IVF-PQ beat flat PQ — residuals cluster tighter than raw vectors), "
+    "with a 4x16-dim subspace codebook (first-4 seeds + one "
+    "exact-decimal Lloyd step, the pq_codebook_train contract) trained "
+    "on ALL residuals; at query time each query probes its top-"
+    f"{_IVFPQ_PROBE} cells, builds one 16-entry LUT per probed cell "
+    "from its OWN residual against that cell's centroid, and ranks "
+    "only the probed cells' inverted lists by the 4-lookup ADC sum — "
+    "compressed distances over a shortlist, never a corpus scan. "
+    "Exact-decimal ADC fold + (adc, neighbor_id) tiebreak keep the "
+    "top-5 deterministic. Shuffles: bounded codebook aggs + one "
+    "(query, neighbor) agg linear in the probed lists; every join "
+    "broadcasts a bounded side (8 coarse rows, 16 codebook rows, "
+    f"{4 * _IVFPQ_PROBE * 16}-row LUT).",
+    oracle=f"""
+        WITH {_IVFPQ_ORACLE_CTES},
+        qp0 AS (
+            SELECT e.vec_id AS query_id, e.v, t.ccid
+            FROM e JOIN LATERAL (
+              SELECT c.ccid FROM cc c
+              ORDER BY {_D_SQD.format(a='e.v', b='c.ccv')}, c.ccid
+              LIMIT {_IVFPQ_PROBE}) t ON true
+            WHERE e.vec_id >= {_IVFPQ_QLO} AND e.vec_id < {_IVFPQ_QHI}),
+        qp AS (
+            SELECT q.query_id, q.ccid,
+                   list_transform(generate_series(1, 64),
+                                  i -> q.v[i] - c.ccv[i]) AS qr
+            FROM qp0 q JOIN cc c ON q.ccid = c.ccid),
+        qsub AS (
+            SELECT query_id, ccid, m.m,
+                   qr[m.m * 16 + 1 : m.m * 16 + 16] AS qv
+            FROM qp, (SELECT unnest(range(0, 4)) AS m) m),
+        lut AS (
+            SELECT s.query_id, s.ccid, s.m, c.cid,
+                   {_D_SQD.format(a='s.qv', b='c.cv')} AS d2
+            FROM qsub s JOIN cb c ON s.m = c.m),
+        adc AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS adc
+            FROM codes c
+            JOIN ca ON ca.vec_id = c.vec_id
+            JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                      AND l.ccid = ca.ccid
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rank
+            FROM adc)
+        WHERE rank <= 5
+    """,
+)
+
+
+def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, cc, cent1, codes = _ivfpq_artifacts(spark, sf_dir)
 
     # query probing: top-PROBE cells per query by exact coarse distance
     wq = Window.partitionBy("query_id").orderBy("cd2", "ccid")
@@ -3724,5 +3746,190 @@ def ann_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
             "neighbor_id",
             "adc",
+        )
+    )
+
+
+_IVFPQ_NPROBES = (1, 2, 4)
+
+
+@register(
+    name="ivfpq_nprobe_recall",
+    survey="J9 J5 A7 W1 E5",
+    doc="IVF-PQ recall-vs-nprobe tuning curve (VERDICT r11 item 3) — THE "
+    "serving decision at scale: how many inverted lists must a query "
+    "probe before the ADC top-5 covers the exact top-5? Serves from the "
+    "SAME catalog generation as ann_ivfpq_adc_topk (_ivfpq_artifacts: "
+    "stored codebook + coded lists; on a warm catalog this query never "
+    "touches the corpus build path), scores every query against its "
+    f"top-{max(_IVFPQ_NPROBES)} cells ONCE carrying the cell's probe "
+    "rank, then derives each nprobe's ranking by filtering cell_rank <= "
+    "nprobe — one ADC pass, not len(nprobes) reruns. Output per (query, "
+    "nprobe in {1,2,4}): exact-top-5 coverage of the ADC top-5. "
+    "tests/test_r12_additions.py pins recall monotone non-decreasing in "
+    "nprobe (more probed lists can only add candidates; a fixed-k "
+    "ranking over a superset can still drop a hit, so the pin is on the "
+    "HIT-SET union property via the aggregated permille).",
+    oracle=f"""
+        WITH {_IVFPQ_ORACLE_CTES},
+        qc AS (
+            SELECT q.vec_id AS query_id, q.v, c.ccid, c.ccv,
+                   {_D_SQD.format(a='q.v', b='c.ccv')} AS cd2
+            FROM e q, cc c
+            WHERE q.vec_id >= {_IVFPQ_QLO} AND q.vec_id < {_IVFPQ_QHI}),
+        qp0 AS (
+            SELECT query_id, v, ccid, ccv,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cd2, ccid) AS prn
+            FROM qc),
+        qp AS (
+            SELECT query_id, ccid, prn,
+                   list_transform(generate_series(1, 64),
+                                  i -> v[i] - ccv[i]) AS qr
+            FROM qp0 WHERE prn <= {max(_IVFPQ_NPROBES)}),
+        qsub AS (
+            SELECT query_id, ccid, prn, m.m,
+                   qr[m.m * 16 + 1 : m.m * 16 + 16] AS qv
+            FROM qp, (SELECT unnest(range(0, 4)) AS m) m),
+        lut AS (
+            SELECT s.query_id, s.ccid, s.prn, s.m, c.cid,
+                   {_D_SQD.format(a='s.qv', b='c.cv')} AS d2
+            FROM qsub s JOIN cb c ON s.m = c.m),
+        adc AS (
+            SELECT l.query_id, l.prn AS cell_prn, c.vec_id AS neighbor_id,
+                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS adc
+            FROM codes c
+            JOIN ca ON ca.vec_id = c.vec_id
+            JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                      AND l.ccid = ca.ccid
+            WHERE c.vec_id <> l.query_id
+            GROUP BY 1, 2, 3),
+        np AS (SELECT unnest([{", ".join(map(str, _IVFPQ_NPROBES))}])
+                      AS nprobe),
+        ranked AS (
+            SELECT a.query_id, n.nprobe, a.neighbor_id,
+                   row_number() OVER (PARTITION BY a.query_id, n.nprobe
+                                      ORDER BY a.adc, a.neighbor_id)
+                       AS rank
+            FROM adc a JOIN np n ON a.cell_prn <= n.nprobe),
+        exact AS (
+            SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                       ORDER BY {_D_SQD.format(a='q.v', b='x.v')}, x.vec_id)
+                       AS rank
+            FROM e q JOIN e x ON q.vec_id <> x.vec_id
+            WHERE q.vec_id >= {_IVFPQ_QLO} AND q.vec_id < {_IVFPQ_QHI})
+        SELECT t.query_id, CAST(n.nprobe AS BIGINT) AS nprobe,
+               CAST(count(*) AS BIGINT) AS k,
+               CAST(SUM(CASE WHEN r.neighbor_id IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(1000 * SUM(CASE WHEN r.neighbor_id IS NOT NULL
+                                    THEN 1 ELSE 0 END) // count(*)
+                    AS BIGINT) AS recall_permille
+        FROM exact t
+        CROSS JOIN np n
+        LEFT JOIN ranked r
+          ON r.query_id = t.query_id AND r.nprobe = n.nprobe
+         AND r.neighbor_id = t.neighbor_id AND r.rank <= 5
+        WHERE t.rank <= 5
+        GROUP BY 1, 2
+    """,
+)
+def ivfpq_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, cc, cent1, codes = _ivfpq_artifacts(spark, sf_dir)
+    maxp = max(_IVFPQ_NPROBES)
+    wq = Window.partitionBy("query_id").orderBy("cd2", "ccid")
+    qp = (
+        e.where(
+            (F.col("vec_id") >= _IVFPQ_QLO) & (F.col("vec_id") < _IVFPQ_QHI)
+        )
+        .selectExpr("vec_id AS query_id", "v")
+        .join(F.broadcast(cc), F.lit(True))
+        .selectExpr(
+            "query_id", "v", "ccid", "ccv",
+            f"{_SQD.format(a='v', b='ccv')} AS cd2",
+        )
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= maxp)
+        .selectExpr(
+            "query_id", "ccid", "prn",
+            "zip_with(v, ccv, (x, c) -> x - c) AS qr",
+        )
+    )
+    qsub = qp.crossJoin(
+        F.broadcast(spark.range(0, 4).selectExpr("id AS m"))
+    ).selectExpr(
+        "query_id", "ccid", "prn", "m",
+        "slice(qr, CAST(m * 16 + 1 AS INT), 16) AS qv",
+    )
+    lut = qsub.join(
+        F.broadcast(cent1.withColumnRenamed("cv", "cbv")), "m"
+    ).selectExpr(
+        "query_id", "ccid", "prn", "m", "cid",
+        f"{_SQD.format(a='qv', b='cbv')} AS d2",
+    )
+    # ONE ADC pass at the widest probe depth, carrying each probed
+    # cell's rank; every narrower nprobe is a filter over it.
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid", "ccid"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy(
+            "query_id",
+            F.col("prn").alias("cell_prn"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    nps = spark.createDataFrame(
+        [(n,) for n in _IVFPQ_NPROBES], "nprobe int"
+    )
+    wr = Window.partitionBy("query_id", "nprobe").orderBy(
+        "adc", "neighbor_id"
+    )
+    ranked = (
+        adc.join(F.broadcast(nps), F.col("cell_prn") <= F.col("nprobe"))
+        .withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "nprobe", "neighbor_id", F.lit(1).alias("is_hit"))
+    )
+    q = e.where(
+        (F.col("vec_id") >= _IVFPQ_QLO) & (F.col("vec_id") < _IVFPQ_QHI)
+    ).selectExpr("vec_id AS query_id", "v AS qv")
+    we = Window.partitionBy("query_id").orderBy("d2", "neighbor_id")
+    exact = (
+        e.crossJoin(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"{_SQD.format(a='qv', b='v')} AS d2",
+        )
+        .withColumn("rank", F.row_number().over(we))
+        .where(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id")
+    )
+    return (
+        exact.crossJoin(F.broadcast(nps))
+        .join(ranked, ["query_id", "nprobe", "neighbor_id"], "left")
+        .groupBy("query_id", "nprobe")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k"),
+            F.sum(F.coalesce("is_hit", F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            "k",
+            "n_hit",
+            F.floor(1000 * F.col("n_hit") / F.col("k"))
+            .cast("bigint")
+            .alias("recall_permille"),
         )
     )
