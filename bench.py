@@ -314,8 +314,12 @@ def main() -> int:
         drift_rel_parts.append(calib / prev_calib)
     if prev_calib_py and calib_py:
         drift_rel_parts.append(calib_py / prev_calib_py)
+    # ADVICE r11: gate on EITHER probe being present — a prev artifact
+    # carrying only the Python probe (or a 0.0 jvm_sec) must not silently
+    # discard the Python-churn ratio and fall back to the vs-ref drift.
+    have_prev_probe = bool(prev_calib) or bool(prev_calib_py and calib_py)
     drift_rel = (
-        min(max(drift_rel_parts), DRIFT_CAP) if prev_calib else drift
+        min(max(drift_rel_parts), DRIFT_CAP) if have_prev_probe else drift
     )
     drift_suspects = {
         n: prev_local[n]

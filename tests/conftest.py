@@ -15,6 +15,10 @@ sys.path.insert(0, str(REPO))
 from uk_procurement_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = "/root/testdata/sf0.001"
+# Larger SF for the few recall/scale pins that need real data volume —
+# derived from the same root as SF_DIR so a relocated fixture tree moves
+# both together (ADVICE r11); tests using it must skip when absent.
+SF01_DIR = str(Path(SF_DIR).parent / "sf0.1")
 FIXTURES = Path(__file__).parent / "fixtures"
 
 

@@ -155,7 +155,15 @@ def test_graph_ann_beam_recall_sf01(spark):
     """VERDICT r10 item 2's done-bar: recall@beam >= 15/20 at sf0.1 —
     the blocked build + undirected expansion must not regress below the
     bar that earned the HNSW-style label (measured 18/20 at r11)."""
-    df = registry()["graph_ann_beam"].fn(spark, "/root/testdata/sf0.1")
+    import pathlib
+
+    import pytest as _pytest
+
+    from tests.conftest import SF01_DIR
+
+    if not pathlib.Path(SF01_DIR).is_dir():
+        _pytest.skip(f"sf0.1 fixtures absent at {SF01_DIR}")
+    df = registry()["graph_ann_beam"].fn(spark, SF01_DIR)
     per_q = {}
     for r in df.collect():
         per_q[r["query_id"]] = per_q.get(r["query_id"], 0) + r["hit"]

@@ -348,9 +348,18 @@ def _allpairs(text: str) -> bool:
         if not _NONEQ.search(cond):
             continue
         # a col=col equality OUTSIDE the NOT(...) spans means the join is
-        # blocked on a key and merely carries a non-equality residual
+        # blocked on a key and merely carries a non-equality residual —
+        # but ONLY when the equality is a top-level AND conjunct. An
+        # equality under an OR (`a < b OR a = b`, i.e. <= spelled as a
+        # disjunction) does not block anything (ADVICE r11). Textual
+        # conjunct split; an AND nested inside an OR branch can still
+        # exempt falsely — accepted, documented limitation.
         residual = re.sub(_NOTEQ_SPAN, "", cond)
-        if not _EQ.search(residual):
+        exempt = any(
+            _EQ.search(part) and " OR " not in part
+            for part in residual.split(" AND ")
+        )
+        if not exempt:
             return True
     return False
 

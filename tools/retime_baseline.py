@@ -43,9 +43,12 @@ def one_pass(names: list[str], sf_dir: str, tag: str) -> None:
 
 
 if __name__ == "__main__":
+    import os
+
     names = sys.argv[1:]
     if not names:
         raise SystemExit("usage: retime_baseline.py query [query ...]")
-    sf_dir = "/root/testdata/sf0.1"
+    # same env override as bench.py so relocated fixtures move everything
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     one_pass(names, sf_dir, "pass1")
     one_pass(list(reversed(names)), sf_dir, "pass2")

@@ -633,3 +633,248 @@ def image_dhash_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("component_size"),
         (F.col("doc_id") == F.col("component")).alias("is_canonical"),
     )
+
+
+# --- audio as a real multimodal column (r12, VERDICT r11 item 6) ----------
+# Deterministic audio corpus: ~1/9 of documents each carry a 16-bit PCM
+# clip whose ARCHETYPE (doc_id % 17) fixes length and base waveform, with
+# one per-doc perturbed sample — so same-archetype clips are true near
+# duplicates (feature diff confined to one analysis window) and
+# cross-archetype clips differ everywhere. Both engines derive samples
+# from the same closed-form integer rule; the ENGINE additionally
+# round-trips every clip through the real RIFF/PCM codec
+# (functions/wav.py), so the oracle also pins encode/decode correctness —
+# the exact contract the PNG/dHash family established for images.
+_AUD_MOD, _AUD_REM = 9, 2  # corpus sample: doc_id % 9 == 2
+_AUD_ARCHS = 17  # archetype count
+_AUD_WIN = 64  # feature window (samples)
+_AUD_NDIFF = 2  # near-dup refine: max differing windows per pair
+
+
+def _aud_samples(doc_id: int) -> list[int]:
+    """Int16 sample stream for a doc — the shared generation rule."""
+    arch = doc_id % _AUD_ARCHS
+    n = 256 + (arch % 4) * 64
+    pp, delta = doc_id % n, doc_id % 97
+    return [
+        ((arch * 7 + 3) * i * i + (arch + 1) * i * 31 + arch * 17) % 4096
+        - 2048
+        + (delta if i == pp else 0)
+        for i in range(n)
+    ]
+
+
+_AUD_ORACLE_FEAT = f"""
+        s AS (
+            SELECT doc_id, doc_id % {_AUD_ARCHS} AS arch
+            FROM documents WHERE doc_id % {_AUD_MOD} = {_AUD_REM}),
+        p AS (
+            SELECT doc_id, arch, 256 + (arch % 4) * 64 AS n FROM s),
+        samp AS (
+            SELECT doc_id, n, t.i AS i,
+                   ((arch * 7 + 3) * t.i * t.i + (arch + 1) * t.i * 31
+                    + arch * 17) % 4096 - 2048
+                   + CASE WHEN t.i = doc_id % n THEN doc_id % 97
+                          ELSE 0 END AS sv
+            FROM p, LATERAL (SELECT unnest(range(n)) AS i) t),
+        feat AS (
+            SELECT doc_id, i // {_AUD_WIN} AS window_idx,
+                   CAST(SUM(sv * sv) AS BIGINT) AS energy,
+                   CAST(SUM(CASE WHEN i % {_AUD_WIN} > 0 AND sv * prev < 0
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS zcross
+            FROM (SELECT doc_id, i, sv,
+                         lag(sv) OVER (PARTITION BY doc_id ORDER BY i)
+                             AS prev
+                  FROM samp)
+            GROUP BY 1, 2)"""
+
+
+def _audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, window_idx, energy, zcross) for every sampled doc,
+    computed from samples that went THROUGH the real WAV codec — encode
+    to RIFF bytes, decode back, featurize the decoded stream. A codec
+    bug (dropped frame, sign flip, misread chunk) changes the integers
+    and hash-mismatches the rule-recomputing oracle."""
+    from uk_procurement_data_pipeline_spark.functions import wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [],
+                "window_idx": [],
+                "energy": [],
+                "zcross": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                payload = wav.encode_wav(_aud_samples(doc_id))
+                _rate, _ch, back = wav.decode_wav(payload)
+                for widx, energy, zc in wav.window_features(back, _AUD_WIN):
+                    out["doc_id"].append(doc_id)
+                    out["window_idx"].append(widx)
+                    out["energy"].append(energy)
+                    out["zcross"].append(zc)
+            yield pd.DataFrame(out)
+
+    src = spread(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _AUD_MOD == _AUD_REM)
+        .select("doc_id")
+    )
+    return src.mapInPandas(
+        run,
+        schema="doc_id bigint, window_idx bigint, energy bigint,"
+        " zcross bigint",
+    )
+
+
+@register(
+    name="audio_window_features",
+    survey="UD4 A7 F17",
+    doc="Per-window audio feature extraction over the binary-column seam "
+    "— the audio analog of png_decode_roundtrip_profile: each sampled "
+    "doc's deterministic PCM clip is ENCODED to a real RIFF/WAVE file "
+    "and DECODED back through the pure-stdlib codec (functions/wav.py: "
+    "chunk-walking parser, strict PCM error contract), then featurized "
+    f"in {_AUD_WIN}-sample windows as exact-integer energy (sum of "
+    "squares) and zero-crossing counts — the standard cheap acoustic "
+    "profile a curation pass runs before any model-based scoring. At "
+    "100 TB: a map-side Arrow stage over the payload column, no "
+    "shuffle; the oracle recomputes the identical integers from the "
+    "generation rule, so the codec roundtrip is value-pinned.",
+    oracle=f"""
+        WITH {_AUD_ORACLE_FEAT}
+        SELECT doc_id, window_idx, energy, zcross FROM feat
+    """,
+)
+def audio_window_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _audio_features(spark, sf_dir)
+
+
+@register(
+    name="audio_feature_near_dup",
+    survey="D3 J9 UD4 A7",
+    eager=True,  # fn materializes the feature table (3 consumers)
+    doc="Audio near-duplicate pairs via banded feature signatures — the "
+    "audio face of the dedup story (text dedups six ways, images two; "
+    "audio none until r12). Windowed integer features "
+    "(audio_window_features' energy/zcross through the REAL WAV codec) "
+    "are grouped into 4 contiguous bands per clip; the band signature "
+    "is the md5 of the band's ordered feature string, candidates are "
+    "the (band_idx, band_key) equi-join — the MinHash banding idiom, "
+    "never all-pairs: a one-sample perturbation changes at most ONE "
+    "window, hence at most one band, so same-archetype clips collide "
+    "on >= 3 of 4 bands while cross-archetype clips share none. Refine "
+    "= exact per-window comparison over candidates only: pairs with "
+    f"equal window counts and <= {_AUD_NDIFF} differing windows. At "
+    "100 TB the feature pass is map-side Arrow, the join shuffles on "
+    "band keys, and the refine is candidate-bounded.",
+    oracle=f"""
+        WITH {_AUD_ORACLE_FEAT},
+        nwt AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS nw
+            FROM feat GROUP BY 1),
+        bf AS (
+            SELECT f.doc_id, f.window_idx, f.energy, f.zcross,
+                   f.window_idx * 4 // w.nw AS band_idx
+            FROM feat f JOIN nwt w USING (doc_id)),
+        bands AS (
+            SELECT doc_id, band_idx,
+                   md5(string_agg(
+                       CAST(energy AS VARCHAR) || ':'
+                           || CAST(zcross AS VARCHAR),
+                       '|' ORDER BY window_idx)) AS band_key
+            FROM bf GROUP BY 1, 2),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id)
+        SELECT doc_a, doc_b, n_diff FROM (
+            SELECT c.doc_a, c.doc_b,
+                   CAST(SUM(CASE WHEN fa.energy <> fb.energy
+                                   OR fa.zcross <> fb.zcross
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_diff
+            FROM cand c
+            JOIN nwt na ON na.doc_id = c.doc_a
+            JOIN nwt nb ON nb.doc_id = c.doc_b AND nb.nw = na.nw
+            JOIN feat fa ON fa.doc_id = c.doc_a
+            JOIN feat fb ON fb.doc_id = c.doc_b
+                        AND fb.window_idx = fa.window_idx
+            GROUP BY 1, 2)
+        WHERE n_diff <= {_AUD_NDIFF}
+    """,
+)
+def audio_feature_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # three consumers (band build + both refine sides): featurize once
+    feat = _audio_features(spark, sf_dir).localCheckpoint(eager=True)
+    nwt = feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw")
+    )
+    bf = feat.join(nwt, "doc_id").selectExpr(
+        "doc_id",
+        "window_idx",
+        "energy",
+        "zcross",
+        "(window_idx * 4) div nw AS band_idx",
+    )
+    bands = bf.groupBy("doc_id", "band_idx").agg(
+        F.md5(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("window_idx", "energy", "zcross")
+                        )
+                    ),
+                    lambda x: F.concat(
+                        x["energy"].cast("string"),
+                        F.lit(":"),
+                        x["zcross"].cast("string"),
+                    ),
+                ),
+            )
+        ).alias("band_key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    na = nwt.selectExpr("doc_id AS doc_a", "nw AS nw_a")
+    nb = nwt.selectExpr("doc_id AS doc_b", "nw AS nw_b")
+    fa = feat.selectExpr(
+        "doc_id AS doc_a", "window_idx", "energy AS ea", "zcross AS za"
+    )
+    fb = feat.selectExpr(
+        "doc_id AS doc_b", "window_idx", "energy AS eb", "zcross AS zb"
+    )
+    return (
+        cand.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .where(F.col("nw_a") == F.col("nw_b"))
+        .join(fa, "doc_a")
+        .join(fb, ["doc_b", "window_idx"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("ea") != F.col("eb"))
+                    | (F.col("za") != F.col("zb")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_diff")
+        )
+        .where(F.col("n_diff") <= _AUD_NDIFF)
+    )

@@ -3424,6 +3424,12 @@ def graph_ann_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     # beam.union(beam.join(nb)) form inlined the beam subplan TWICE per
     # hop — 2^HOPS copies of the seed scan by the last hop, and the
     # stage-launch overhead of those replays dominated the search wall.
+    # ADVICE r11 scale note: nbx = the full edge list + one self-loop per
+    # corpus vector (~2MN+N rows) and is broadcast below — a FIXTURE-scale
+    # choice (~500 KB at sf0.1) that kills the 2^hops plan-inlining, not
+    # the 100 TB shape. At corpus scale the hops shuffle-join against the
+    # STORED edge parquet (already catalog-persisted above) and only the
+    # |Q|-bounded beam side broadcasts.
     nbx = nb.union(e.selectExpr("vec_id AS src", "vec_id AS dst"))
     for _ in range(_GB_HOPS):
         cand = (

@@ -229,3 +229,173 @@ def read_excel_merged(
     distributed scan instead of a driver-side concat, with per-file
     lineage already attached."""
     return read_excel_stdlib(spark, path_glob, columns)
+
+
+# ---------------------------------------------------------------------------
+# Jar-free .xlsx WRITER (S7 fidelity: the reference WRITES daily workbooks
+# via to_excel — 2a:654, 2b:498). Minimal SpreadsheetML: one sheet, every
+# cell an inline string (the exact subset read_excel_stdlib parses, so the
+# sink round-trips through the engine's own reader). Deterministic bytes:
+# fixed zip timestamps, cells emitted in column order — same input, same
+# file, which makes the sink idempotent-overwrite safe to re-run.
+# ---------------------------------------------------------------------------
+
+_XLSX_CONTENT_TYPES = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="rels" ContentType="application/vnd.'
+    'openxmlformats-package.relationships+xml"/>'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    '<Override PartName="/xl/worksheets/sheet1.xml" ContentType='
+    '"application/vnd.openxmlformats-officedocument.spreadsheetml.'
+    'worksheet+xml"/>'
+    "</Types>"
+)
+_XLSX_ROOT_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/officeDocument" '
+    'Target="xl/workbook.xml"/>'
+    "</Relationships>"
+)
+_XLSX_WORKBOOK = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/'
+    '2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/'
+    '2006/relationships">'
+    '<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>'
+    "</workbook>"
+)
+_XLSX_WORKBOOK_RELS = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+    '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'relationships">'
+    '<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/'
+    'officeDocument/2006/relationships/worksheet" '
+    'Target="worksheets/sheet1.xml"/>'
+    "</Relationships>"
+)
+
+
+def _col_letters(idx: int) -> str:
+    """0 -> 'A', 25 -> 'Z', 26 -> 'AA' (inverse of _col_index)."""
+    if idx < 0:
+        raise ValueError(f"negative column index {idx}")
+    out = ""
+    idx += 1
+    while idx:
+        idx, rem = divmod(idx - 1, 26)
+        out = chr(ord("A") + rem) + out
+    return out
+
+
+def write_xlsx_bytes(
+    header: list[str], rows: list[list[str | None]]
+) -> bytes:
+    """Serialize header + string rows into a minimal valid .xlsx workbook
+    (pure stdlib). None cells are omitted (the reader surfaces them as
+    null); everything else must already be a string — the engine's
+    schema-at-the-edges stance puts casting on the caller, mirroring the
+    all-strings contract of read_excel_stdlib."""
+    from xml.sax.saxutils import escape
+
+    def row_xml(rix: int, cells: list[str | None]) -> str:
+        parts = [f'<row r="{rix}">']
+        for cix, val in enumerate(cells):
+            if val is None:
+                continue
+            if not isinstance(val, str):
+                raise TypeError(
+                    f"cell ({rix},{cix}) is {type(val).__name__}, not str — "
+                    "cast before writing"
+                )
+            ref = f"{_col_letters(cix)}{rix}"
+            parts.append(
+                f'<c r="{ref}" t="inlineStr"><is><t xml:space="preserve">'
+                f"{escape(val)}</t></is></c>"
+            )
+        parts.append("</row>")
+        return "".join(parts)
+
+    body = [row_xml(1, list(header))]
+    body.extend(row_xml(i + 2, r) for i, r in enumerate(rows))
+    sheet = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>\n'
+        '<worksheet xmlns="http://schemas.openxmlformats.org/'
+        'spreadsheetml/2006/main"><sheetData>'
+        + "".join(body)
+        + "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in (
+            ("[Content_Types].xml", _XLSX_CONTENT_TYPES),
+            ("_rels/.rels", _XLSX_ROOT_RELS),
+            ("xl/workbook.xml", _XLSX_WORKBOOK),
+            ("xl/_rels/workbook.xml.rels", _XLSX_WORKBOOK_RELS),
+            ("xl/worksheets/sheet1.xml", sheet),
+        ):
+            # fixed timestamp -> byte-deterministic output per input
+            info = zipfile.ZipInfo(name, date_time=(1980, 1, 1, 0, 0, 0))
+            info.compress_type = zipfile.ZIP_DEFLATED
+            zf.writestr(info, data)
+    return buf.getvalue()
+
+
+def write_daily_xlsx(
+    df: DataFrame, out_dir: str, day_col: str = "day"
+) -> None:
+    """S7: the reference's daily Excel sink (one workbook per day,
+    overwritten on re-run — 2a:654's to_excel loop), executor-side.
+
+    Scale shape: repartition on the day key co-locates each day's rows in
+    one task (a day is one NON-SPLITTABLE zip, exactly like the read
+    side), days write in parallel across executors, and the
+    sortWithinPartitions makes file bytes a pure function of the data so
+    re-runs are idempotent. Write protocol: tmp file + atomic rename —
+    a concurrent reader never sees a torn workbook. Day values come from
+    data and are used as file names, so path-escaping days (separators,
+    '..') fail the task loudly rather than escaping the landing zone
+    (the write_binary_files zip-slip contract)."""
+    import os
+    from pathlib import Path
+
+    cols = [c for c in df.columns if c != day_col]
+    out = str(out_dir)
+
+    def write_partition(rows) -> None:
+        by_day: dict[str, list[list[str | None]]] = {}
+        for row in rows:
+            day = str(row[day_col])
+            vals = [
+                None if row[c] is None else str(row[c]) for c in cols
+            ]
+            by_day.setdefault(day, []).append(vals)
+        if not by_day:
+            return
+        base = Path(out).resolve()
+        base.mkdir(parents=True, exist_ok=True)
+        for day, recs in by_day.items():
+            target = (base / f"{day}.xlsx").resolve()
+            if (
+                "/" in day
+                or "\\" in day
+                or day in (".", "..")
+                or not target.is_relative_to(base)
+            ):
+                raise ValueError(f"day value escapes the sink dir: {day!r}")
+            data = write_xlsx_bytes(cols, recs)
+            tmp = base / f".{day}.xlsx.tmp.{os.getpid()}"
+            tmp.write_bytes(data)
+            tmp.replace(target)
+
+    (
+        df.repartition(F.col(day_col))
+        .sortWithinPartitions(day_col, *cols)
+        .foreachPartition(write_partition)
+    )
