@@ -221,3 +221,55 @@ def test_audio_perturbation_confined_to_one_window():
     assert len(fa) == len(fb)
     ndiff = sum(1 for x, y in zip(fa, fb) if x != y)
     assert ndiff <= 2, f"perturbations must stay window-local: {ndiff}"
+
+
+def test_video_perturbation_confined_to_one_frame_hash():
+    """The clip-level agreement threshold's load-bearing property: a
+    doc's single perturbed pixel lives in exactly one frame, so two
+    same-archetype clips agree on all but at most 2 frame hashes."""
+    from uk_procurement_data_pipeline_spark.functions.imagehash import (
+        dhash_bands,
+    )
+    from uk_procurement_data_pipeline_spark.queries.multimodal import (
+        _VID_ARCHS,
+        _vid_frame_pixels,
+    )
+
+    a, b = 4, 4 + 13 * _VID_ARCHS  # same archetype, both % 13 == 4
+    assert a % _VID_ARCHS == b % _VID_ARCHS
+    nframes = 4 + (a % _VID_ARCHS) % 3
+    diff = 0
+    for f in range(nframes):
+        wa, ha, pa = _vid_frame_pixels(a, f)
+        wb, hb, pb = _vid_frame_pixels(b, f)
+        assert (wa, ha) == (wb, hb)
+        if dhash_bands(pa, wa, ha) != dhash_bands(pb, wb, hb):
+            diff += 1
+    assert diff <= 2, f"frame-hash diffs must be <= 2, got {diff}"
+
+
+def test_ivfpq_incremental_uses_distinct_catalog_generation(
+    spark, sf_dir, fresh_catalog
+):
+    """The history-trained index is its OWN catalog generation (train tag
+    in the fingerprint): running the all-corpus serving query and the
+    incremental-append query must produce two codebook + two codes
+    generations, not clobber one another."""
+    reg = registry()
+    reg["ann_ivfpq_adc_topk"].fn(spark, sf_dir).collect()
+    reg["ivfpq_incremental_append"].fn(spark, sf_dir).collect()
+    names = sorted(indexes.BUILD_COUNTS)
+    books = [n for n in names if n.startswith("ivfpq_codebook__")]
+    codes = [n for n in names if n.startswith("ivfpq_codes__")]
+    assert len(books) == 2 and len(codes) == 2, names
+    assert all(v == 1 for v in indexes.BUILD_COUNTS.values())
+
+
+def test_ivfpq_incremental_neighbors_are_history_only(spark, sf_dir):
+    """Arrival vectors must never surface as neighbors: the stored lists
+    were trained before they existed."""
+    rows = registry()["ivfpq_incremental_append"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.query_id % 10 == 9
+        assert r.neighbor_id % 10 != 9, r

@@ -878,3 +878,175 @@ def audio_feature_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_diff") <= _AUD_NDIFF)
     )
+
+
+# --- video as a frame-sampled multimodal column (r12) ----------------------
+# Deterministic video corpus: ~1/13 of documents each carry a short clip
+# whose ARCHETYPE (doc_id % 21) fixes frame count, dimensions and the
+# per-frame base pattern, with ONE per-doc perturbed pixel in ONE frame —
+# so same-archetype clips are true near-duplicates (they agree on all but
+# at most two sampled frames pairwise) and cross-archetype clips share no
+# frame. The engine renders every sampled frame, round-trips it through
+# the REAL PNG codec, and dHashes the decoded pixels; the oracle
+# recomputes the dHash band integers straight from the generation rule at
+# the 9x8 grid points only — content-based copy detection (CBCD) the way
+# production systems do it: per-frame perceptual hash, frame-level
+# equi-join, clip-level agreement count. Never all-pairs.
+_VID_MOD, _VID_REM = 13, 4  # corpus sample: doc_id % 13 == 4
+_VID_ARCHS = 21  # archetype count
+_VID_MAXF = 6  # nframes = 4 + arch % 3 in {4, 5, 6}
+
+
+def _vid_frame_pixels(doc_id: int, f: int) -> tuple[int, int, list[int]]:
+    """(w, h, flat pixels) of frame f — the shared generation rule."""
+    arch = doc_id % _VID_ARCHS
+    w, h = arch % 11 + 12, arch % 7 + 10
+    nframes = 4 + arch % 3
+    pf, pp, delta = doc_id % nframes, doc_id % (w * h), doc_id % 29
+    px = [
+        (arch * 31 + f * 53 + i * (7 + arch)
+         + (delta if (f == pf and i == pp) else 0)) % 256
+        for i in range(w * h)
+    ]
+    return w, h, px
+
+
+@register(
+    name="video_frame_hash_near_dup",
+    survey="D3 J9 UD4 A7",
+    doc="Video near-duplicate pairs via frame-sampled perceptual hashes — "
+    "the video face of the dedup story, completing the image/audio/"
+    "video multimodal triple. Each sampled doc's clip (4-6 deterministic "
+    "frames) has every frame ENCODED+DECODED through the real stdlib "
+    "PNG codec and dHashed (functions/imagehash.py, four 16-bit bands "
+    "= the exact 64-bit hash); candidates are the (frame_slot, b0..b3) "
+    "equi-join — exact frame-hash matching at aligned slots, the CBCD "
+    "shape — and a pair is a near-dup when the clips have equal frame "
+    "counts and agree on all but at most 2 frames (each doc perturbs "
+    "one pixel of one frame, which can flip at most that frame's "
+    "hash). At 100 TB: hashing is one map-side Arrow pass over the "
+    "payload column, the join shuffles on 64-bit frame keys, output "
+    "is candidate-bounded; cross-archetype clips share zero frames so "
+    "the join never approaches pair cardinality.",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id, doc_id % {_VID_ARCHS} AS arch
+            FROM documents WHERE doc_id % {_VID_MOD} = {_VID_REM}),
+        p AS (
+            SELECT doc_id, arch, arch % 11 + 12 AS w, arch % 7 + 10 AS h,
+                   4 + arch % 3 AS nframes
+            FROM s),
+        frames AS (
+            SELECT doc_id, arch, w, h, nframes, fr.f AS f
+            FROM p, LATERAL (SELECT unnest(range(nframes)) AS f) fr),
+        cells AS (
+            SELECT doc_id, arch, w, h, nframes, f,
+                   gy.y AS gy, gx.x AS gx,
+                   (gy.y * h // 8) * w + (gx.x * w // 9) AS i
+            FROM frames,
+                 LATERAL (SELECT unnest(range(8)) AS y) gy,
+                 LATERAL (SELECT unnest(range(9)) AS x) gx),
+        px AS (
+            SELECT doc_id, nframes, f, gy, gx,
+                   (arch * 31 + f * 53 + i * (7 + arch)
+                    + CASE WHEN f = doc_id % nframes
+                            AND i = doc_id % (w * h)
+                           THEN doc_id % 29 ELSE 0 END) % 256 AS pv
+            FROM cells),
+        bits AS (
+            SELECT a.doc_id, a.nframes, a.f, a.gy, a.gx,
+                   CASE WHEN b.pv > a.pv THEN 1 ELSE 0 END AS bit
+            FROM px a JOIN px b
+              ON b.doc_id = a.doc_id AND b.f = a.f
+             AND b.gy = a.gy AND b.gx = a.gx + 1
+            WHERE a.gx < 8),
+        bands AS (
+            SELECT doc_id, nframes, f, gy // 2 AS band_idx,
+                   CAST(sum(bit << ((gy % 2) * 8 + gx)) AS BIGINT)
+                       AS band_val
+            FROM bits GROUP BY 1, 2, 3, 4),
+        fh AS (
+            SELECT doc_id, nframes, f,
+                   max(CASE WHEN band_idx = 0 THEN band_val END) AS b0,
+                   max(CASE WHEN band_idx = 1 THEN band_val END) AS b1,
+                   max(CASE WHEN band_idx = 2 THEN band_val END) AS b2,
+                   max(CASE WHEN band_idx = 3 THEN band_val END) AS b3
+            FROM bands GROUP BY 1, 2, 3)
+        SELECT doc_a, doc_b, n_frames, n_shared FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(a.nframes AS BIGINT) AS n_frames,
+                   CAST(count(*) AS BIGINT) AS n_shared
+            FROM fh a JOIN fh b
+              ON a.f = b.f AND a.nframes = b.nframes
+             AND a.b0 = b.b0 AND a.b1 = b.b1
+             AND a.b2 = b.b2 AND a.b3 = b.b3
+             AND a.doc_id < b.doc_id
+            GROUP BY 1, 2, 3)
+        WHERE n_shared >= n_frames - 2
+    """,
+)
+def video_frame_hash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark.functions import png
+    from uk_procurement_data_pipeline_spark.functions.imagehash import (
+        dhash_bands,
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "doc_id": [], "nframes": [], "f": [],
+                "b0": [], "b1": [], "b2": [], "b3": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                nframes = 4 + (doc_id % _VID_ARCHS) % 3
+                for f in range(nframes):
+                    w, h, px = _vid_frame_pixels(doc_id, f)
+                    rows = [
+                        bytes(px[y * w : (y + 1) * w]) for y in range(h)
+                    ]
+                    # REAL codec roundtrip per frame: the hash is computed
+                    # from DECODED pixels, so PNG is on the oracle's hook
+                    dw, dh, _ch, drows = png.decode_png(
+                        png.encode_png(rows, w)
+                    )
+                    flat = [b for r in drows for b in r]
+                    bands = dhash_bands(flat, dw, dh)
+                    out["doc_id"].append(doc_id)
+                    out["nframes"].append(nframes)
+                    out["f"].append(f)
+                    for k, v in zip(("b0", "b1", "b2", "b3"), bands):
+                        out[k].append(v)
+            yield pd.DataFrame(out)
+
+    src = spread(
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % _VID_MOD == _VID_REM)
+        .select("doc_id")
+    )
+    fh = src.mapInPandas(
+        run,
+        schema="doc_id bigint, nframes bigint, f bigint,"
+        " b0 bigint, b1 bigint, b2 bigint, b3 bigint",
+    )
+    a, b = fh.alias("a"), fh.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.f") == F.col("b.f"))
+            & (F.col("a.nframes") == F.col("b.nframes"))
+            & (F.col("a.b0") == F.col("b.b0"))
+            & (F.col("a.b1") == F.col("b.b1"))
+            & (F.col("a.b2") == F.col("b.b2"))
+            & (F.col("a.b3") == F.col("b.b3"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.nframes").cast("bigint").alias("n_frames"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+        .where(F.col("n_shared") >= F.col("n_frames") - 2)
+        .select("doc_a", "doc_b", "n_frames", "n_shared")
+    )

@@ -3483,18 +3483,23 @@ _IVFPQ_QLO, _IVFPQ_QHI = 12, 16  # query ids (outside both seed sets)
 # by ann_ivfpq_adc_topk (fixed nprobe) and ivfpq_nprobe_recall (the
 # recall-vs-probes tuning curve) so both DuckDB programs train the
 # IDENTICAL index the Spark side serves from the catalog.
-_IVFPQ_ORACLE_CTES = f"""        e AS (
+def _ivfpq_oracle_ctes(train_where: str = "") -> str:
+    """IVFADC training CTEs; ``train_where`` restricts the INDEXED corpus
+    (tr) while e stays the full table so query vectors outside the index
+    can still probe it — the incremental-append split."""
+    return f"""        e AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings),
+        tr AS (SELECT * FROM e {train_where}),
         cc AS (
-            SELECT vec_id AS ccid, v AS ccv FROM e
+            SELECT vec_id AS ccid, v AS ccv FROM tr
             WHERE vec_id < {_IVFPQ_CK}),
         ca0 AS (
-            SELECT e.vec_id, e.v, t.ccid
-            FROM e JOIN LATERAL (
+            SELECT tr.vec_id, tr.v, t.ccid
+            FROM tr JOIN LATERAL (
               SELECT c.ccid FROM cc c
-              ORDER BY {_D_SQD.format(a='e.v', b='c.ccv')}, c.ccid
+              ORDER BY {_D_SQD.format(a='tr.v', b='c.ccv')}, c.ccid
               LIMIT 1) t ON true),
         ca AS (
             SELECT a.vec_id, a.ccid,
@@ -3532,20 +3537,32 @@ _IVFPQ_ORACLE_CTES = f"""        e AS (
               LIMIT 1) t ON true)"""
 
 
+_IVFPQ_ORACLE_CTES = _ivfpq_oracle_ctes()
+
+
 def _ivfpq_artifacts(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    train_where: str | None = None,
+    tag: str = "all",
 ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
     """Resolve the IVFADC serving artifacts — returns (e, cc, cent1,
     codes), with the residual-PQ codebook and the coded inverted lists
     served through the index catalog (r12, VERDICT r11 item 1): built
     once per (embeddings snapshot, layout params) generation, loaded from
     parquet thereafter. Shared by ann_ivfpq_adc_topk (the fixed-nprobe
-    serving query) and ivfpq_nprobe_recall (the recall-vs-probes tuning
-    readout) — one stored index, many consumers. On a warm catalog the
-    corpus build scan never executes: the query-time plan is (bounded
+    serving query), ivfpq_nprobe_recall (the recall-vs-probes tuning
+    readout) and ivfpq_incremental_append (history-trained index probed
+    by arrivals) — one stored index, many consumers. On a warm catalog
+    the corpus build scan never executes: the query-time plan is (bounded
     query probe) x (stored codes), the FAISS file-index contract. The
     codebook's exact-decimal means roundtrip parquet bit-exactly, so
-    build-then-load equals the fused plan."""
+    build-then-load equals the fused plan.
+
+    ``train_where`` restricts the INDEXED corpus (coarse cells, codebook
+    training, coded lists); e stays the full table so vectors outside
+    the index can still probe it. ``tag`` keys the catalog generation —
+    a different split is a different stored index."""
     from uk_procurement_data_pipeline_spark.catalog import spread
     from uk_procurement_data_pipeline_spark.functions.exact import exact_avg
 
@@ -3554,7 +3571,8 @@ def _ivfpq_artifacts(
             "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         )
     )
-    cc = e.where(F.col("vec_id") < _IVFPQ_CK).selectExpr(
+    tr = e.where(train_where) if train_where else e
+    cc = tr.where(F.col("vec_id") < _IVFPQ_CK).selectExpr(
         "vec_id AS ccid", "v AS ccv"
     )
     # top-1 coarse assignment: bounded fold over the broadcast 8-cell
@@ -3569,7 +3587,7 @@ def _ivfpq_artifacts(
         " OR (s.d2 = acc.d2 AND s.ccid < acc.ccid), s, acc))"
     )
     ca = (
-        e.join(F.broadcast(cc_arr), F.lit(True))
+        tr.join(F.broadcast(cc_arr), F.lit(True))
         .selectExpr("vec_id", "v", f"{best}.ccid AS ccid")
         .join(F.broadcast(cc), "ccid")
         .selectExpr(
@@ -3622,7 +3640,13 @@ def _ivfpq_artifacts(
         tables={
             "embeddings": indexes.table_fingerprint(sf_dir, "embeddings")
         },
-        params={"ck": _IVFPQ_CK, "m": 4, "dsub": 16, "version": 1},
+        params={
+            "ck": _IVFPQ_CK,
+            "m": 4,
+            "dsub": 16,
+            "train": tag,
+            "version": 1,
+        },
     )
     cent1 = indexes.build_or_load(
         spark, "ivfpq_codebook", ivfpq_fp, lambda: cent1_plan
@@ -3937,5 +3961,125 @@ def ivfpq_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(1000 * F.col("n_hit") / F.col("k"))
             .cast("bigint")
             .alias("recall_permille"),
+        )
+    )
+
+
+_IVFPQ_NEW_MOD, _IVFPQ_NEW_REM = 10, 9  # arrival batch: vec_id % 10 == 9
+
+
+@register(
+    name="ivfpq_incremental_append",
+    survey="J9 J5 A7 W1 E2",
+    doc="Incremental ANN index maintenance — the IVFADC counterpart of "
+    "minhash_index_probe_incremental, and the shape a 100 TB vector "
+    "store actually runs: the coarse quantizer, residual-PQ codebook "
+    "and coded inverted lists are trained on the HISTORY corpus only "
+    f"(vec_id % {_IVFPQ_NEW_MOD} != {_IVFPQ_NEW_REM}) and served from "
+    "their own catalog generation (train tag in the fingerprint — a "
+    "different split IS a different stored index); the arrival batch "
+    "is never retrained against, only ENCODED with the stored codebook "
+    "at probe time. Each arriving vector probes its top-"
+    f"{_IVFPQ_PROBE} history cells, builds its query-residual LUT from "
+    "the stored codebook, ADC-ranks ONLY the probed inverted lists, "
+    "and reports its top-3 nearest history vectors — attach-on-arrival "
+    "(dedup, recommendation, routing) without touching the index "
+    "build. Shuffles: one (query, neighbor) agg linear in probed "
+    "lists; every join broadcasts a bounded side.",
+    oracle=f"""
+        WITH {_ivfpq_oracle_ctes(f"WHERE vec_id % {_IVFPQ_NEW_MOD} <> {_IVFPQ_NEW_REM}")},
+        qp0 AS (
+            SELECT e.vec_id AS query_id, e.v, t.ccid
+            FROM e JOIN LATERAL (
+              SELECT c.ccid FROM cc c
+              ORDER BY {_D_SQD.format(a='e.v', b='c.ccv')}, c.ccid
+              LIMIT {_IVFPQ_PROBE}) t ON true
+            WHERE e.vec_id % {_IVFPQ_NEW_MOD} = {_IVFPQ_NEW_REM}),
+        qp AS (
+            SELECT q.query_id, q.ccid,
+                   list_transform(generate_series(1, 64),
+                                  i -> q.v[i] - c.ccv[i]) AS qr
+            FROM qp0 q JOIN cc c ON q.ccid = c.ccid),
+        qsub AS (
+            SELECT query_id, ccid, m.m,
+                   qr[m.m * 16 + 1 : m.m * 16 + 16] AS qv
+            FROM qp, (SELECT unnest(range(0, 4)) AS m) m),
+        lut AS (
+            SELECT s.query_id, s.ccid, s.m, c.cid,
+                   {_D_SQD.format(a='s.qv', b='c.cv')} AS d2
+            FROM qsub s JOIN cb c ON s.m = c.m),
+        adc AS (
+            SELECT l.query_id, c.vec_id AS neighbor_id,
+                   CAST(ROUND(SUM(CAST(l.d2 AS DECIMAL(38,8))), 4)
+                        AS DOUBLE) AS adc
+            FROM codes c
+            JOIN ca ON ca.vec_id = c.vec_id
+            JOIN lut l ON l.m = c.m AND l.cid = c.cid
+                      AND l.ccid = ca.ccid
+            GROUP BY 1, 2)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id, adc
+        FROM (
+            SELECT query_id, neighbor_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, neighbor_id) AS rank
+            FROM adc)
+        WHERE rank <= 3
+    """,
+)
+def ivfpq_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e, cc, cent1, codes = _ivfpq_artifacts(
+        spark,
+        sf_dir,
+        train_where=f"vec_id % {_IVFPQ_NEW_MOD} != {_IVFPQ_NEW_REM}",
+        tag=f"hist_mod{_IVFPQ_NEW_MOD}ne{_IVFPQ_NEW_REM}",
+    )
+    wq = Window.partitionBy("query_id").orderBy("cd2", "ccid")
+    qp = (
+        e.where(
+            F.col("vec_id") % _IVFPQ_NEW_MOD == _IVFPQ_NEW_REM
+        )
+        .selectExpr("vec_id AS query_id", "v")
+        .join(F.broadcast(cc), F.lit(True))
+        .selectExpr(
+            "query_id", "v", "ccid", "ccv",
+            f"{_SQD.format(a='v', b='ccv')} AS cd2",
+        )
+        .withColumn("prn", F.row_number().over(wq))
+        .where(F.col("prn") <= _IVFPQ_PROBE)
+        .selectExpr(
+            "query_id", "ccid", "zip_with(v, ccv, (x, c) -> x - c) AS qr"
+        )
+    )
+    qsub = qp.crossJoin(
+        F.broadcast(spark.range(0, 4).selectExpr("id AS m"))
+    ).selectExpr(
+        "query_id", "ccid", "m",
+        "slice(qr, CAST(m * 16 + 1 AS INT), 16) AS qv",
+    )
+    lut = qsub.join(
+        F.broadcast(cent1.withColumnRenamed("cv", "cbv")), "m"
+    ).selectExpr(
+        "query_id", "ccid", "m", "cid",
+        f"{_SQD.format(a='qv', b='cbv')} AS d2",
+    )
+    # no self-exclusion filter: queries are OUTSIDE the indexed corpus
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "cid", "ccid"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(
+            F.round(F.sum(F.col("d2").cast("decimal(38,8)")), 4)
+            .cast("double")
+            .alias("adc")
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("adc", "neighbor_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= 3)
+        .select(
+            "query_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            "neighbor_id",
+            "adc",
         )
     )
