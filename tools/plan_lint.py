@@ -180,6 +180,12 @@ WHITELIST: dict[str, dict[str, str]] = {
         "ALLPAIRS": "lband < band prefix-join over value-band CELLS — "
         "midranks without a global sort",
     },
+    "kendall_tau_b_cells": {
+        "ALLPAIRS": "lexicographic (x,y)-cell self-join spelled as an OR "
+        "— surfaced by the r12 OR-aware check; both sides are the "
+        "<= 5x24-cell contingency table (value-domain-bounded), never "
+        "row cardinality",
+    },
     "rfm_customer_segments": {
         "ALLPAIRS": "lband < band prefix-joins over R/F/M band CELLS "
         "(bounded domains) for the no-global-sort quantile cuts",
