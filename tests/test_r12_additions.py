@@ -273,3 +273,31 @@ def test_ivfpq_incremental_neighbors_are_history_only(spark, sf_dir):
     for r in rows:
         assert r.query_id % 10 == 9
         assert r.neighbor_id % 10 != 9, r
+
+
+def test_catalog_env_root_is_durable_across_sessions(
+    spark, tmp_path, monkeypatch
+):
+    """The production contract: with SPARK_GRAFT_INDEX_ROOT set to shared
+    storage, a generation built by one session is a pure load for every
+    later session (simulated here by resetting the module's root cache
+    and build counters — the on-disk state is what must carry over)."""
+    root = tmp_path / "shared_catalog"
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_ROOT", str(root))
+    monkeypatch.setattr(indexes, "_ROOT", None)
+    monkeypatch.setattr(indexes, "BUILD_COUNTS", {})
+    fp = indexes.fingerprint(tables={}, params={"v": "env"})
+    indexes.build_or_load(spark, "t_env", fp, lambda: spark.range(4))
+    assert indexes.BUILD_COUNTS == {indexes.generation_key("t_env", fp): 1}
+    assert (root / indexes.generation_key("t_env", fp) / "_SUCCESS").exists()
+
+    # "next session": fresh module-level state, same env root
+    monkeypatch.setattr(indexes, "_ROOT", None)
+    monkeypatch.setattr(indexes, "BUILD_COUNTS", {})
+    df = indexes.build_or_load(
+        spark, "t_env", fp, lambda: (_ for _ in ()).throw(
+            AssertionError("builder must not run on a warm shared catalog")
+        )
+    )
+    assert indexes.BUILD_COUNTS == {}
+    assert df.count() == 4

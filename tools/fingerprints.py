@@ -139,6 +139,58 @@ def closure_sources(fn) -> dict[str, str]:
                 stack.append(tgt)
             elif _const_repr(tgt) is not None:
                 out.setdefault(f"{obj.__module__}.{n}", _const_repr(tgt))
+        # FUNCTION-LOCAL package imports (r12 fix): `from pkg import
+        # indexes` inside a query fn binds a LOCAL name, so the
+        # module-globals resolution above never sees it — before this
+        # fix, edits to indexes.py did not drift the fingerprints of the
+        # catalog-routed queries (a behavior change could have shipped
+        # on a stale green row). Parse the source for in-package import
+        # statements and resolve referenced attributes through them.
+        if inspect.isfunction(obj):
+            import ast
+            import textwrap
+
+            try:
+                tree = ast.parse(textwrap.dedent(out[key]))
+            except SyntaxError:
+                tree = None
+            for node in ast.walk(tree) if tree else ():
+                if not (
+                    isinstance(node, ast.ImportFrom)
+                    and node.module
+                    and node.module.startswith(
+                        "uk_procurement_data_pipeline_spark"
+                    )
+                ):
+                    continue
+                import importlib
+
+                try:
+                    src_mod = importlib.import_module(node.module)
+                except ImportError:
+                    src_mod = None
+                for alias in node.names:
+                    tgt = getattr(src_mod, alias.name, None) if src_mod else None
+                    if tgt is None and src_mod is not None:
+                        # submodule not yet imported (lazy in-function
+                        # import) — import it for the walk
+                        try:
+                            tgt = importlib.import_module(
+                                f"{node.module}.{alias.name}"
+                            )
+                        except ImportError:
+                            tgt = None
+                    if inspect.isfunction(tgt) or inspect.isclass(tgt):
+                        stack.append(tgt)
+                    elif inspect.ismodule(tgt) and tgt.__name__.startswith(
+                        "uk_procurement_data_pipeline_spark"
+                    ):
+                        # module alias: pull the attributes the code
+                        # actually references (co_names carries them)
+                        for n in sorted(names):
+                            t2 = getattr(tgt, n, None)
+                            if inspect.isfunction(t2) or inspect.isclass(t2):
+                                stack.append(t2)
     return out
 
 
