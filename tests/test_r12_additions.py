@@ -301,3 +301,17 @@ def test_catalog_env_root_is_durable_across_sessions(
     )
     assert indexes.BUILD_COUNTS == {}
     assert df.count() == 4
+
+
+def test_bm25_catalog_serves_from_stored_postings(
+    spark, sf_dir, fresh_catalog
+):
+    """The retrieval index is build-once too: a repeat invocation of the
+    catalog-served BM25 query must issue zero further builds of the
+    postings or the corpus-stats generation."""
+    spec = registry()["bm25_index_catalog_topk"]
+    first = spec.fn(spark, sf_dir).collect()
+    assert sorted(indexes.BUILD_COUNTS.values()) == [1, 1]
+    second = spec.fn(spark, sf_dir).collect()
+    assert sorted(indexes.BUILD_COUNTS.values()) == [1, 1]
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
