@@ -315,3 +315,172 @@ def test_bm25_catalog_serves_from_stored_postings(
     second = spec.fn(spark, sf_dir).collect()
     assert sorted(indexes.BUILD_COUNTS.values()) == [1, 1]
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_bm25_incremental_builds_once_and_is_stable(
+    spark, sf_dir, fresh_catalog
+):
+    """The incremental entry's three stored artifacts (normalized
+    postings, per-term df, integer corpus totals) build exactly once;
+    a repeat invocation is probe-only and value-identical."""
+    spec = registry()["bm25_incremental_append"]
+    first = spec.fn(spark, sf_dir).collect()
+    assert sorted(indexes.BUILD_COUNTS.values()) == [1, 1, 1], (
+        indexes.BUILD_COUNTS
+    )
+    second = spec.fn(spark, sf_dir).collect()
+    assert sorted(indexes.BUILD_COUNTS.values()) == [1, 1, 1]
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_bm25_incremental_layout_is_its_own_generation(
+    spark, sf_dir, fresh_catalog
+):
+    """The normalized incremental layout must not collide with the
+    denormalized serving layout of bm25_index_catalog_topk: running both
+    yields disjoint catalog generations (different artifact names), and
+    no artifact builds twice."""
+    reg = registry()
+    reg["bm25_index_catalog_topk"].fn(spark, sf_dir).collect()
+    reg["bm25_incremental_append"].fn(spark, sf_dir).collect()
+    names = sorted(indexes.BUILD_COUNTS)
+    inc = [n for n in names if n.startswith("bm25inc_")]
+    cat = [n for n in names if n.startswith("bm25_")]
+    assert len(inc) == 3 and len(cat) == 2, names
+    assert all(v == 1 for v in indexes.BUILD_COUNTS.values())
+
+
+def test_hll_merge_is_registerwise_max(spark, sf_dir):
+    """HLL's defining property: the '__ALL__' sketch must equal the
+    register-wise max of the per-day sketches — checked on the scaled
+    sums' decomposition: every per-day scaled sum >= the merged one
+    (merging can only raise ranks, shrinking 2^(27-m) terms), and the
+    merged estimate >= every per-day estimate on this fixture."""
+    rows = registry()["hll_register_sketch"].fn(spark, sf_dir).collect()
+    by_scope = {r.scope: r for r in rows}
+    merged = by_scope.pop("__ALL__")
+    assert by_scope, "expected per-day rows"
+    for r in by_scope.values():
+        assert r.s_scaled >= merged.s_scaled, (r.scope, r.s_scaled)
+        assert r.true_distinct <= merged.true_distinct
+    # estimate quality: within 25% of truth at every scope (m=64 gives
+    # ~13% standard error; 25% bounds the fixture without flakiness)
+    for r in rows:
+        assert abs(r.est_distinct - r.true_distinct) <= max(
+            0.25 * r.true_distinct, 8
+        ), (r.scope, r.est_distinct, r.true_distinct)
+
+
+def test_modularity_is_bounded_and_consistent(spark, sf_dir):
+    """Q is bounded in [-0.5, 1] by construction; per-community scaled
+    contributions must be consistent with the emitted integers."""
+    rows = registry()["modularity_communities"].fn(spark, sf_dir).collect()
+    assert rows
+    q = rows[0].q_micro / 1e6
+    assert -0.5 <= q <= 1.0, q
+    for r in rows:
+        assert r.q_micro == rows[0].q_micro  # constant column
+        assert r.in_edges >= 0 and r.degree_sum >= r.in_edges
+        # contrib_scaled = two_m*in_edges - degree_sum^2 with two_m
+        # unknown here, but its sign pattern is pinned: a community
+        # whose in_edges is 0 must contribute negatively.
+        if r.in_edges == 0:
+            assert r.contrib_scaled < 0
+
+
+def test_audio_islands_respect_window_counts(spark, sf_dir):
+    """Per-clip island geometry must be internally consistent: islands
+    cover exactly n_low windows, the longest run fits inside n_low, and
+    trim boundaries sit inside [0, n_windows) or are the -1 sentinel."""
+    rows = registry()["audio_silence_islands"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_low <= r.n_windows
+        assert r.longest_low_run <= r.n_low
+        if r.n_islands:
+            assert r.longest_low_run >= 1
+            # islands partition the low windows into >= n_islands runs
+            assert r.n_islands <= r.n_low
+            assert r.longest_low_run + (r.n_islands - 1) <= r.n_low + (
+                r.n_islands - 1
+            )
+        else:
+            assert r.n_low == 0 and r.longest_low_run == 0
+        if r.n_low < r.n_windows:
+            assert 0 <= r.first_active <= r.last_active < r.n_windows
+        else:
+            assert r.first_active == -1 and r.last_active == -1
+
+
+def test_kneser_ney_discount_mass_conservation(spark, sf_dir):
+    """For every emitted bigram, the smoothed probability must exceed
+    the pure discounted MLE term (the continuation mass is strictly
+    positive) and stay <= 1; and the KN backoff must use CONTINUATION
+    counts: n1b <= c1-ish raw frequency is not required, but n1b >= 1
+    and n1f >= 1 always."""
+    rows = registry()["kneser_ney_bigram_probs"].fn(spark, sf_dir).collect()
+    assert len(rows) == 30
+    for r in rows:
+        assert r.c12 >= 1 and r.c1 >= r.c12
+        assert r.n1f >= 1 and r.n1b >= 1
+        mle_disc = (r.c12 - 0.75) / r.c1
+        p = r.p_kn_nano / 1e9
+        assert p > mle_disc
+        assert p <= 1.0 + 1e-9
+
+
+def test_snm_window_bounds_candidates(spark, sf_dir):
+    """SNM candidate counts are bounded by w*n per pass (each record
+    pairs with at most w successors), the union is sub-additive, and
+    the intersection is contained in both passes."""
+    rows = registry()["sorted_neighborhood_pairs"].fn(spark, sf_dir).collect()
+    by = {r["pass"]: r for r in rows}
+    assert set(by) == {
+        "pass_seg_nation", "pass_bal_band", "union", "intersection"
+    }
+    from uk_procurement_data_pipeline_spark.queries.dedup import _SNM_W
+
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    for p in ("pass_seg_nation", "pass_bal_band"):
+        assert 0 < by[p].n_candidates <= _SNM_W * n_cust
+        assert 0 <= by[p].n_weak_agree <= by[p].n_candidates
+    assert by["union"].n_candidates <= (
+        by["pass_seg_nation"].n_candidates + by["pass_bal_band"].n_candidates
+    )
+    assert by["intersection"].n_candidates <= min(
+        by["pass_seg_nation"].n_candidates, by["pass_bal_band"].n_candidates
+    )
+    # reduction ratio ~1 (linear candidates vs quadratic total)
+    assert by["union"].reduction_ratio_micro > 900_000
+
+
+def test_mrr_eval_consistency(spark, sf_dir):
+    """Per-query IR-eval fields must be mutually consistent: rr matches
+    1/first_rel_rank, precision@5 numerator <= min(5, n_relevant), and
+    a query with relevants has a positive first rank."""
+    rows = registry()["mrr_retrieval_eval"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.n_relevant == 0:
+            assert r.first_rel_rank == -1 and r.rr_nano == 0
+            assert r.rel_in_top5 == 0
+        else:
+            assert r.first_rel_rank >= 1
+            assert r.rr_nano == round(1e9 / r.first_rel_rank)
+            assert 0 <= r.rel_in_top5 <= min(5, r.n_relevant)
+            if r.first_rel_rank <= 5:
+                assert r.rel_in_top5 >= 1
+
+
+def test_t_closeness_bounds(spark, sf_dir):
+    """EMD is a [0,1] metric under the normalized ordered-distance
+    definition; t is the max over classes; the constant column is
+    actually constant."""
+    rows = registry()["t_closeness_report"].fn(spark, sf_dir).collect()
+    assert rows
+    t = rows[0].t_micro
+    assert t == max(r.emd_micro for r in rows)
+    for r in rows:
+        assert r.t_micro == t
+        assert 0 <= r.emd_micro <= 1_000_000
+        assert r.emd_num >= 0 and r.n_g >= 1

@@ -156,6 +156,13 @@ WHITELIST: dict[str, dict[str, str]] = {
         "theta-join against a broadcast THREE-ROW nprobe table — neither "
         "generates pairs at corpus cardinality",
     },
+    "t_closeness_report": {
+        "ALLPAIRS": "the per-class band spine is QI-class-domain x "
+        "band-domain (both value-bounded: <=125 nation|segment classes x "
+        "<=7 balance bands) and every other nested-loop is a broadcast "
+        "ONE-ROW scalar (N, m, max_band, t_max) — nothing at row "
+        "cardinality",
+    },
     "late_interaction_maxsim": {
         "ALLPAIRS": "MaxSim rerank scores the |Q|-bounded query-token set "
         "against candidate docs — bounded side broadcast",

@@ -1701,3 +1701,200 @@ def index_catalog_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("jaccard") >= 0.8)
         )
     return outs[0].unionByName(outs[1])
+
+
+# --- multi-pass sorted-neighborhood blocking (r12) -------------------------
+_SNM_W = 3  # neighborhood window: pairs within 3 positions of sort order
+# Pass keys: zero-padded so string sort order is identical in both
+# engines (ASCII digits), and bounded-domain so the scale-safe rank
+# offsets broadcast.
+_SNM_KEYS = {
+    "seg_nation": (
+        "concat(c_mktsegment, '|', lpad(CAST(c_nationkey AS STRING), 3, '0'))",
+        "c_mktsegment || '|' || lpad(CAST(c_nationkey AS VARCHAR), 3, '0')",
+    ),
+    "bal_band": (
+        "lpad(CAST(CAST(floor(c_acctbal / 100) AS BIGINT) + 100 AS STRING),"
+        " 5, '0')",
+        "lpad(CAST(CAST(floor(c_acctbal / 100) AS BIGINT) + 100 AS VARCHAR),"
+        " 5, '0')",
+    ),
+}
+
+
+@register(
+    name="sorted_neighborhood_pairs",
+    survey="D3 J6 W1 A7 O2",
+    doc="Multi-pass sorted-neighborhood candidate generation (Hernandez & "
+    "Stolfo 1995) — the third blocking family in the ER toolkit beside "
+    "banded keys (minhash/simhash) and equality blocks "
+    "(blocking_quality_report): sort the table by a pass key, slide a "
+    f"width-{_SNM_W} window over the SORT ORDER, and emit every pair "
+    "within the window — catching near-boundary pairs that equality "
+    "blocks split. Two passes (segment|nation key; account-balance "
+    "band key) plus their union and intersection, each audited with "
+    "candidate count, weak-label agreement (same nation AND segment), "
+    "and the reduction ratio against the closed-form n(n-1)/2 — "
+    "nothing quadratic materializes. The global sort rank is computed "
+    "SCALE-SAFELY: rank within each key class (partitioned window), "
+    "then offset by the broadcast count of strictly-smaller keys — "
+    "the vocab_encode_docs idiom, no unpartitioned WindowExec; the "
+    "window join is the rank + d equi-join for d in 1..w. Pair order "
+    "is normalized (ca < cb) so multi-pass set algebra is exact.",
+    oracle=f"""
+        WITH cust AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   {_SNM_KEYS["seg_nation"][1]} AS k1,
+                   {_SNM_KEYS["bal_band"][1]} AS k2
+            FROM customer),
+        tot AS (
+            SELECT CAST(count(*) AS BIGINT) AS n FROM cust),
+        r1 AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   row_number() OVER (ORDER BY k1, c_custkey) AS rn
+            FROM cust),
+        r2 AS (
+            SELECT c_custkey, c_nationkey, c_mktsegment,
+                   row_number() OVER (ORDER BY k2, c_custkey) AS rn
+            FROM cust),
+        p1 AS (
+            SELECT LEAST(a.c_custkey, b.c_custkey) AS ca,
+                   GREATEST(a.c_custkey, b.c_custkey) AS cb,
+                   CASE WHEN a.c_nationkey = b.c_nationkey
+                         AND a.c_mktsegment = b.c_mktsegment
+                        THEN 1 ELSE 0 END AS weak
+            FROM r1 a
+            JOIN (SELECT unnest(range(1, {_SNM_W + 1})) AS d) o ON true
+            JOIN r1 b ON b.rn = a.rn + o.d),
+        p2 AS (
+            SELECT LEAST(a.c_custkey, b.c_custkey) AS ca,
+                   GREATEST(a.c_custkey, b.c_custkey) AS cb,
+                   CASE WHEN a.c_nationkey = b.c_nationkey
+                         AND a.c_mktsegment = b.c_mktsegment
+                        THEN 1 ELSE 0 END AS weak
+            FROM r2 a
+            JOIN (SELECT unnest(range(1, {_SNM_W + 1})) AS d) o ON true
+            JOIN r2 b ON b.rn = a.rn + o.d),
+        u AS (
+            SELECT ca, cb, MAX(weak) AS weak
+            FROM (SELECT * FROM p1 UNION ALL SELECT * FROM p2)
+            GROUP BY 1, 2),
+        i AS (
+            SELECT p1.ca, p1.cb, p1.weak
+            FROM (SELECT DISTINCT ca, cb, weak FROM p1) p1
+            JOIN (SELECT DISTINCT ca, cb FROM p2) q
+              ON q.ca = p1.ca AND q.cb = p1.cb),
+        stats AS (
+            SELECT 'pass_seg_nation' AS pass,
+                   CAST(count(*) AS BIGINT) AS n_candidates,
+                   CAST(SUM(weak) AS BIGINT) AS n_weak_agree
+            FROM (SELECT DISTINCT ca, cb, weak FROM p1)
+            UNION ALL
+            SELECT 'pass_bal_band', CAST(count(*) AS BIGINT),
+                   CAST(SUM(weak) AS BIGINT)
+            FROM (SELECT DISTINCT ca, cb, weak FROM p2)
+            UNION ALL
+            SELECT 'union', CAST(count(*) AS BIGINT),
+                   CAST(SUM(weak) AS BIGINT) FROM u
+            UNION ALL
+            SELECT 'intersection', CAST(count(*) AS BIGINT),
+                   CAST(SUM(weak) AS BIGINT) FROM i)
+        SELECT s.pass, s.n_candidates, s.n_weak_agree,
+               CAST(floor((1.0 - CAST(s.n_candidates AS DOUBLE)
+                           / (CAST(t.n AS DOUBLE) * (CAST(t.n AS DOUBLE)
+                              - 1.0) / 2.0)) * 1000000 + 0.5) AS BIGINT)
+                   AS reduction_ratio_micro
+        FROM stats s CROSS JOIN tot t
+    """,
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load(spark, sf_dir, "customer").selectExpr(
+        "c_custkey",
+        "c_nationkey",
+        "c_mktsegment",
+        f"{_SNM_KEYS['seg_nation'][0]} AS k1",
+        f"{_SNM_KEYS['bal_band'][0]} AS k2",
+    ).localCheckpoint(eager=True)  # 2 rank passes + total count
+    tot = cust.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+    def ranked(kcol: str) -> DataFrame:
+        # Scale-safe global rank by (key, custkey): partitioned rank
+        # within each key class + broadcast offset of smaller classes.
+        rk = cust.withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy(kcol).orderBy("c_custkey")
+            ),
+        )
+        sizes = cust.groupBy(kcol).agg(F.count(F.lit(1)).alias("kn"))
+        hi = sizes.select(
+            F.col(kcol).alias("hk"), F.col("kn").alias("hn")
+        )
+        offsets = (
+            sizes.join(F.broadcast(hi), F.col("hk") < F.col(kcol), "left")
+            .groupBy(kcol)
+            .agg(F.coalesce(F.sum("hn"), F.lit(0)).alias("off"))
+        )
+        return rk.join(F.broadcast(offsets), kcol).select(
+            "c_custkey",
+            "c_nationkey",
+            "c_mktsegment",
+            (F.col("off") + F.col("rk")).alias("rn"),
+        )
+
+    def pairs(r: DataFrame) -> DataFrame:
+        a = r.selectExpr(
+            "c_custkey AS a_key",
+            "c_nationkey AS a_nat",
+            "c_mktsegment AS a_seg",
+            f"explode(sequence(1, {_SNM_W})) AS d",
+            "rn",
+        ).selectExpr("a_key", "a_nat", "a_seg", "rn + d AS rn2")
+        b = r.selectExpr(
+            "c_custkey AS b_key",
+            "c_nationkey AS b_nat",
+            "c_mktsegment AS b_seg",
+            "rn AS rn2",
+        )
+        return (
+            a.join(b, "rn2")
+            .selectExpr(
+                "LEAST(a_key, b_key) AS ca",
+                "GREATEST(a_key, b_key) AS cb",
+                "CASE WHEN a_nat = b_nat AND a_seg = b_seg"
+                " THEN 1 ELSE 0 END AS weak",
+            )
+            .distinct()
+        )
+
+    p1 = pairs(ranked("k1")).localCheckpoint(eager=True)  # stats + set ops
+    p2 = pairs(ranked("k2")).localCheckpoint(eager=True)
+    u = (
+        p1.unionByName(p2)
+        .groupBy("ca", "cb")
+        .agg(F.max("weak").alias("weak"))
+    )
+    i = p1.join(p2.select("ca", "cb"), ["ca", "cb"])
+
+    def stat(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum("weak").cast("bigint").alias("n_weak_agree"),
+        ).selectExpr(f"'{name}' AS pass", "n_candidates", "n_weak_agree")
+
+    stats = (
+        stat(p1, "pass_seg_nation")
+        .unionByName(stat(p2, "pass_bal_band"))
+        .unionByName(stat(u, "union"))
+        .unionByName(stat(i, "intersection"))
+    )
+    return stats.crossJoin(F.broadcast(tot)).selectExpr(
+        "pass",
+        "n_candidates",
+        "n_weak_agree",
+        "CAST(floor((1.0 - CAST(n_candidates AS DOUBLE)"
+        " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0))"
+        " * 1000000 + 0.5) AS BIGINT) AS reduction_ratio_micro",
+    )

@@ -783,3 +783,172 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("authority_score").desc(), "l_partkey")
         .limit(10)
     )
+
+
+@register(
+    name="modularity_communities",
+    survey="J6 A7 W1 A10",
+    doc="Newman modularity readout of the label-propagation partition — "
+    "the quality score that turns label_propagation_communities from "
+    "'a partition' into 'a measured partition' (Newman & Girvan 2004; "
+    "the objective Louvain greedily climbs). The 2-round deterministic "
+    "LPA labels are recomputed (same plurality/tiebreak contract), "
+    "then Q = sum_c [ in_c/(2m) - (d_c/(2m))^2 ] is evaluated "
+    "ENTIRELY in scaled integers: over the symmetric directed edge "
+    "list (2m = directed edge count, in_c = directed within-community "
+    "edges, d_c = community degree sum), Q*(2m)^2 = "
+    "sum_c (2m*in_c - d_c^2) is exact BIGINT per community; the only "
+    "float is the one final micro-floored division. Emits the top-20 "
+    "communities (size tiebreak contract shared with the LPA entry) "
+    "with their exact in_edges/degree_sum/scaled contribution plus "
+    "the global q_micro as a constant column. At 100 TB: two label "
+    "joins onto the edge list (shuffle on node id), bounded output.",
+    oracle="""
+        WITH op AS (
+            SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e AS (
+            SELECT DISTINCT a.p AS src, b.p AS dst
+            FROM op a JOIN op b ON a.o = b.o AND a.p <> b.p),
+        l1 AS (
+            SELECT src AS v, lab FROM (
+              SELECT e.src, e.dst AS lab,
+                     row_number() OVER (
+                       PARTITION BY e.src
+                       ORDER BY count(*) DESC, e.dst) AS rn
+              FROM e GROUP BY e.src, e.dst) t
+            WHERE rn = 1),
+        votes2 AS (
+            SELECT e.src AS v, l.lab, CAST(count(*) AS BIGINT) AS cnt
+            FROM e JOIN l1 l ON e.dst = l.v
+            GROUP BY e.src, l.lab),
+        l2 AS (
+            SELECT v, lab FROM (
+              SELECT v, lab,
+                     row_number() OVER (PARTITION BY v
+                                        ORDER BY cnt DESC, lab) AS rn
+              FROM votes2) t
+            WHERE rn = 1),
+        twom AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM e),
+        deg AS (
+            SELECT src AS v, CAST(count(*) AS BIGINT) AS d FROM e
+            GROUP BY src),
+        cdeg AS (
+            SELECT l.lab AS community,
+                   CAST(count(*) AS BIGINT) AS size,
+                   CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+            FROM l2 l JOIN deg ON deg.v = l.v
+            GROUP BY l.lab),
+        cin AS (
+            SELECT ls.lab AS community, CAST(count(*) AS BIGINT) AS in_edges
+            FROM e
+            JOIN l2 ls ON ls.v = e.src
+            JOIN l2 ld ON ld.v = e.dst AND ld.lab = ls.lab
+            GROUP BY ls.lab),
+        contrib AS (
+            SELECT c.community, c.size, COALESCE(i.in_edges, 0) AS in_edges,
+                   c.degree_sum,
+                   CAST(t.two_m * COALESCE(i.in_edges, 0)
+                        - c.degree_sum * c.degree_sum AS BIGINT)
+                       AS contrib_scaled,
+                   t.two_m
+            FROM cdeg c LEFT JOIN cin i ON i.community = c.community
+            CROSS JOIN twom t),
+        globalq AS (
+            SELECT CAST(floor(CAST(SUM(contrib_scaled) AS DOUBLE)
+                              / CAST(MAX(two_m) AS DOUBLE)
+                              / CAST(MAX(two_m) AS DOUBLE)
+                              * 1000000 + 0.5) AS BIGINT) AS q_micro
+            FROM contrib)
+        SELECT community, size, in_edges, degree_sum, contrib_scaled,
+               g.q_micro
+        FROM contrib CROSS JOIN globalq g
+        ORDER BY size DESC, community
+        LIMIT 20
+    """,
+)
+def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    op = (
+        load(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = op.alias("a")
+    b = op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+        # 4 consumers below (two label joins, 2m count, degrees): pin the
+        # symmetric edge list once instead of re-deriving the basket
+        # self-join per branch.
+        .localCheckpoint(eager=True)
+    )
+    w1 = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
+    l1 = (
+        e.groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w1))
+        .where(F.col("rn") == 1)
+        .select(F.col("src").alias("v"), F.col("dst").alias("lab"))
+    )
+    votes2 = (
+        e.join(l1, e.dst == l1.v)
+        .groupBy(F.col("src").alias("v2"), "lab")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w2 = Window.partitionBy("v2").orderBy(F.col("cnt").desc(), "lab")
+    l2 = (
+        votes2.withColumn("rn", F.row_number().over(w2))
+        .where(F.col("rn") == 1)
+        .select(F.col("v2").alias("v"), "lab")
+        .localCheckpoint(eager=True)  # labels feed 3 joins
+    )
+    twom = e.agg(F.count(F.lit(1)).cast("bigint").alias("two_m"))
+    deg = e.groupBy(F.col("src").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    cdeg = (
+        l2.join(deg, "v")
+        .groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("size"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    ls = l2.selectExpr("v AS sv", "lab AS lab_s")
+    ld = l2.selectExpr("v AS dv", "lab AS lab_d")
+    cin = (
+        e.join(ls, F.col("src") == F.col("sv"))
+        .join(ld, (F.col("dst") == F.col("dv")) & (F.col("lab_d") == F.col("lab_s")))
+        .groupBy(F.col("lab_s").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+    )
+    contrib = (
+        cdeg.join(cin, "community", "left")
+        .withColumn("in_edges", F.expr("COALESCE(in_edges, CAST(0 AS BIGINT))"))
+        .crossJoin(F.broadcast(twom))
+        .withColumn(
+            "contrib_scaled",
+            F.expr(
+                "CAST(two_m * in_edges - degree_sum * degree_sum AS BIGINT)"
+            ),
+        )
+    )
+    glob = contrib.agg(
+        F.expr(
+            "CAST(floor(CAST(SUM(contrib_scaled) AS DOUBLE)"
+            " / CAST(MAX(two_m) AS DOUBLE) / CAST(MAX(two_m) AS DOUBLE)"
+            " * 1000000 + 0.5) AS BIGINT)"
+        ).alias("q_micro")
+    )
+    return (
+        contrib.crossJoin(F.broadcast(glob))
+        .select(
+            "community", "size", "in_edges", "degree_sum", "contrib_scaled",
+            "q_micro",
+        )
+        .orderBy(F.col("size").desc(), "community")
+        .limit(20)
+    )

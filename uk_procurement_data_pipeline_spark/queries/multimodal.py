@@ -1050,3 +1050,110 @@ def video_frame_hash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_shared") >= F.col("n_frames") - 2)
         .select("doc_a", "doc_b", "n_frames", "n_shared")
     )
+
+
+@register(
+    name="audio_silence_islands",
+    survey="UD4 A7 W1 W2 F17",
+    doc="Silence segmentation over the decoded audio feature stream — "
+    "the VAD-shaped trim/segment pass a speech-data curation pipeline "
+    "runs before transcription or training-clip extraction: a window "
+    "is 'low' iff energy * n_windows < total_energy (the strictly-"
+    "integer spelling of below-doc-mean, no float threshold), runs of "
+    "consecutive low windows become islands via the gaps-and-islands "
+    "idiom (window_idx minus per-doc row_number over low windows), "
+    "and the emitted per-clip profile is the curation contract: "
+    "island count, longest low run, and the first/last ACTIVE window "
+    "(-1 sentinel when none) — exactly the leading/trailing trim "
+    "boundaries. Features come through the real RIFF/PCM codec "
+    "(functions/wav.py) like every audio entry, so the oracle's "
+    "rule-recomputed integers keep pinning the decode path. At "
+    "100 TB: map-side Arrow featurization, one per-doc window pass, "
+    "output one row per clip.",
+    oracle=f"""
+        WITH {_AUD_ORACLE_FEAT},
+        tot AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS nw,
+                   CAST(SUM(energy) AS BIGINT) AS se
+            FROM feat GROUP BY 1),
+        fl AS (
+            SELECT f.doc_id, f.window_idx,
+                   CASE WHEN f.energy * t.nw < t.se THEN 1 ELSE 0 END AS low
+            FROM feat f JOIN tot t USING (doc_id)),
+        isl AS (
+            SELECT doc_id, window_idx,
+                   window_idx - row_number() OVER (
+                       PARTITION BY doc_id ORDER BY window_idx) AS grp
+            FROM fl WHERE low = 1),
+        seg AS (
+            SELECT doc_id, grp, CAST(count(*) AS BIGINT) AS run_len
+            FROM isl GROUP BY 1, 2),
+        segagg AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_islands,
+                   MAX(run_len) AS longest_low_run
+            FROM seg GROUP BY 1),
+        act AS (
+            SELECT doc_id,
+                   MIN(CASE WHEN low = 0 THEN window_idx END) AS first_active,
+                   MAX(CASE WHEN low = 0 THEN window_idx END) AS last_active,
+                   CAST(SUM(low) AS BIGINT) AS n_low
+            FROM fl GROUP BY 1)
+        SELECT t.doc_id, t.nw AS n_windows, a.n_low,
+               CAST(COALESCE(s.n_islands, 0) AS BIGINT) AS n_islands,
+               CAST(COALESCE(s.longest_low_run, 0) AS BIGINT)
+                   AS longest_low_run,
+               CAST(COALESCE(a.first_active, -1) AS BIGINT) AS first_active,
+               CAST(COALESCE(a.last_active, -1) AS BIGINT) AS last_active
+        FROM tot t
+        JOIN act a USING (doc_id)
+        LEFT JOIN segagg s USING (doc_id)
+    """,
+)
+def audio_silence_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    feat = _audio_features(spark, sf_dir).localCheckpoint(eager=True)
+    tot = feat.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("nw"),
+        F.sum("energy").cast("bigint").alias("se"),
+    )
+    fl = feat.join(tot, "doc_id").selectExpr(
+        "doc_id",
+        "window_idx",
+        "nw",
+        "CASE WHEN energy * nw < se THEN 1 ELSE 0 END AS low",
+    )
+    wi = Window.partitionBy("doc_id").orderBy("window_idx")
+    seg = (
+        fl.where("low = 1")
+        .withColumn("grp", F.col("window_idx") - F.row_number().over(wi))
+        .groupBy("doc_id", "grp")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("run_len"))
+    )
+    segagg = seg.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.max("run_len").alias("longest_low_run"),
+    )
+    act = fl.groupBy("doc_id").agg(
+        F.expr("MIN(CASE WHEN low = 0 THEN window_idx END)").alias(
+            "first_active"
+        ),
+        F.expr("MAX(CASE WHEN low = 0 THEN window_idx END)").alias(
+            "last_active"
+        ),
+        F.sum("low").cast("bigint").alias("n_low"),
+    )
+    return (
+        tot.join(act, "doc_id")
+        .join(segagg, "doc_id", "left")
+        .selectExpr(
+            "doc_id",
+            "nw AS n_windows",
+            "n_low",
+            "CAST(COALESCE(n_islands, 0) AS BIGINT) AS n_islands",
+            "CAST(COALESCE(longest_low_run, 0) AS BIGINT)"
+            " AS longest_low_run",
+            "CAST(COALESCE(first_active, -1) AS BIGINT) AS first_active",
+            "CAST(COALESCE(last_active, -1) AS BIGINT) AS last_active",
+        )
+    )

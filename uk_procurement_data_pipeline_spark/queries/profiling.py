@@ -933,3 +933,147 @@ def consistent_hash_shard_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("max_load")
     )
+
+
+@register(
+    name="t_closeness_report",
+    survey="A7 A8 W3 J5 F28",
+    doc="t-closeness audit (Li, Li & Venkatasubramanian 2007) — the "
+    "third rung of the privacy-release ladder after k_anonymity_report "
+    "and l_diversity_report: for every quasi-identifier class "
+    "(nation+segment, the k-anonymity level-2 QI), the Earth Mover's "
+    "Distance between the class's distribution over the ORDERED "
+    "sensitive attribute (account-balance band, floor(acctbal/2000)) "
+    "and the global distribution; the release is t-close iff "
+    "max EMD <= t. For an ordered attribute with unit ground "
+    "distances EMD = (1/(m-1)) * sum_i |cumP_i - cumQ_i|, computed "
+    "here with the X144 Wasserstein integer trick: the numerator "
+    "sum_i |cum_g_i*N - cum_all_i*n_g| is an EXACT BIGINT (band "
+    "spine per class so cumulative sums align over missing bands), "
+    "and the single float division is micro-floored. Emits per-class "
+    "n, the exact numerator, emd_micro, and the global t_micro = max "
+    "over classes as a constant column. At 100 TB: one keyed count "
+    "agg + bounded-domain spine joins + per-class windows over <= m "
+    "rows.",
+    oracle="""
+        WITH c AS (
+            SELECT CAST(c_nationkey AS VARCHAR) || '|' || c_mktsegment
+                       AS quasi_id,
+                   CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+            FROM customer),
+        bands AS (SELECT DISTINCT band FROM c),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM bands),
+        n_all AS (SELECT CAST(count(*) AS BIGINT) AS n FROM c),
+        gtot AS (
+            SELECT quasi_id, CAST(count(*) AS BIGINT) AS n_g
+            FROM c GROUP BY 1),
+        gband AS (
+            SELECT quasi_id, band, CAST(count(*) AS BIGINT) AS cnt
+            FROM c GROUP BY 1, 2),
+        aband AS (
+            SELECT band, CAST(count(*) AS BIGINT) AS cnt
+            FROM c GROUP BY 1),
+        spine AS (
+            SELECT g.quasi_id, b.band FROM gtot g CROSS JOIN bands b),
+        cums AS (
+            SELECT s.quasi_id, s.band,
+                   SUM(COALESCE(gb.cnt, 0)) OVER (
+                       PARTITION BY s.quasi_id ORDER BY s.band) AS cum_g,
+                   SUM(ab.cnt) OVER (
+                       PARTITION BY s.quasi_id ORDER BY s.band) AS cum_all
+            FROM spine s
+            LEFT JOIN gband gb
+              ON gb.quasi_id = s.quasi_id AND gb.band = s.band
+            JOIN aband ab ON ab.band = s.band),
+        nums AS (
+            SELECT cu.quasi_id,
+                   CAST(SUM(abs(cu.cum_g * na.n - cu.cum_all * gt.n_g))
+                        AS BIGINT) AS emd_num
+            FROM cums cu
+            JOIN gtot gt ON gt.quasi_id = cu.quasi_id
+            CROSS JOIN n_all na
+            CROSS JOIN m
+            WHERE cu.band < (SELECT MAX(band) FROM bands)
+            GROUP BY cu.quasi_id),
+        scored AS (
+            SELECT g.quasi_id, g.n_g, COALESCE(nm.emd_num, 0) AS emd_num,
+                   CAST(floor(CAST(COALESCE(nm.emd_num, 0) AS DOUBLE)
+                              / (CAST(g.n_g AS DOUBLE) * CAST(na.n AS DOUBLE)
+                                 * (CAST(m.m AS DOUBLE) - 1.0))
+                              * 1000000 + 0.5) AS BIGINT) AS emd_micro
+            FROM gtot g
+            LEFT JOIN nums nm ON nm.quasi_id = g.quasi_id
+            CROSS JOIN n_all na
+            CROSS JOIN m)
+        SELECT s.quasi_id, s.n_g, s.emd_num, s.emd_micro, t.t_micro
+        FROM scored s
+        CROSS JOIN (SELECT MAX(emd_micro) AS t_micro FROM scored) t
+    """,
+)
+def t_closeness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer").selectExpr(
+        "CAST(c_nationkey AS STRING) || '|' || c_mktsegment AS quasi_id",
+        "CAST(floor(c_acctbal / 2000) AS BIGINT) AS band",
+    )
+    bands = c.select("band").distinct()
+    m = bands.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    n_all = c.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    maxband = bands.agg(F.max("band").alias("max_band"))
+    gtot = c.groupBy("quasi_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g")
+    )
+    gband = c.groupBy("quasi_id", "band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    aband = c.groupBy("band").agg(
+        F.count(F.lit(1)).cast("bigint").alias("acnt")
+    )
+    spine = gtot.select("quasi_id").crossJoin(F.broadcast(bands))
+    wb = (
+        Window.partitionBy("quasi_id")
+        .orderBy("band")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cums = (
+        spine.join(gband, ["quasi_id", "band"], "left")
+        .join(F.broadcast(aband), "band")
+        .withColumn("cum_g", F.sum(F.coalesce("cnt", F.lit(0))).over(wb))
+        .withColumn("cum_all", F.sum("acnt").over(wb))
+    )
+    nums = (
+        cums.join(gtot, "quasi_id")
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(maxband))
+        .where(F.col("band") < F.col("max_band"))
+        .groupBy("quasi_id")
+        .agg(
+            F.sum(
+                F.abs(
+                    F.col("cum_g") * F.col("n")
+                    - F.col("cum_all") * F.col("n_g")
+                )
+            )
+            .cast("bigint")
+            .alias("emd_num")
+        )
+    )
+    scored = (
+        gtot.join(nums, "quasi_id", "left")
+        .crossJoin(F.broadcast(n_all))
+        .crossJoin(F.broadcast(m))
+        .selectExpr(
+            "quasi_id",
+            "n_g",
+            "CAST(COALESCE(emd_num, 0) AS BIGINT) AS emd_num",
+            "CAST(floor(CAST(COALESCE(emd_num, 0) AS DOUBLE)"
+            " / (CAST(n_g AS DOUBLE) * CAST(n AS DOUBLE)"
+            " * (CAST(m AS DOUBLE) - 1.0)) * 1000000 + 0.5) AS BIGINT)"
+            " AS emd_micro",
+        )
+    )
+    tmax = scored.agg(F.max("emd_micro").alias("t_micro"))
+    return scored.crossJoin(F.broadcast(tmax)).select(
+        "quasi_id", "n_g", "emd_num", "emd_micro", "t_micro"
+    )

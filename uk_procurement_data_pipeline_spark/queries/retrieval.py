@@ -2141,3 +2141,427 @@ def bm25_index_catalog_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rnk", F.row_number().over(w)).where(
         F.col("rnk") <= _TOP_K
     )
+
+
+# --- incremental BM25 postings maintenance (r12) ---------------------------
+# A third query mix again, over terms the other two don't touch.
+_QUERIES_INC: tuple[tuple[str, str], ...] = (
+    ("q_join", "join"),
+    ("q_join", "hash"),
+    ("q_join", "scan"),
+    ("q_filter", "filter"),
+    ("q_filter", "window"),
+    ("q_filter", "stream"),
+    ("q_vec", "spark"),
+    ("q_vec", "vector"),
+    ("q_vec", "batch"),
+)
+_QUERY_VALUES_INC = ", ".join(f"('{q}', '{t}')" for q, t in _QUERIES_INC)
+_BM25_INC_MOD = 5  # arrivals: doc_id % 5 == 0 (~20% of the corpus)
+
+
+def bm25_inc_fingerprint(sf_dir: str) -> str:
+    """Generation fingerprint for the INCREMENTAL postings layout. Unlike
+    bm25_index_catalog_topk's denormalized rows (df folded into each
+    posting — cheap to serve, stale the moment a doc arrives), this
+    generation stores NORMALIZED postings + a separate per-term df table
+    + integer corpus totals, the layout that admits append-only
+    maintenance."""
+    from uk_procurement_data_pipeline_spark import indexes
+
+    return indexes.fingerprint(
+        tables={"documents": indexes.table_fingerprint(sf_dir, "documents")},
+        params={
+            "layout": "norm_postings",
+            "split_mod": _BM25_INC_MOD,
+            "version": 1,
+        },
+    )
+
+
+@register(
+    name="bm25_incremental_append",
+    survey="A7 W1 J5 U1 F17 F18 E4",
+    eager=True,  # fn materializes (or catalog-loads) the stored index
+    doc="Append-only maintenance of the stored BM25 index — the retrieval "
+    "twin of minhash_index_probe_incremental and "
+    "ivfpq_incremental_append, closing the maintained-index trilogy: "
+    "the catalog generation holds NORMALIZED postings (term, doc_id, "
+    "tf, dl), a separate per-term df table, and integer corpus totals "
+    "(n_docs, sum_dl) for the history docs (doc_id % 5 != 0) — the "
+    "layout chosen BECAUSE the denormalized serving rows of "
+    "bm25_index_catalog_topk go stale on the first arrival (df/avgdl "
+    "are corpus-global). The arrival batch (doc_id % 5 == 0) is "
+    "tokenized ALONE; its delta postings union onto the stored ones, "
+    "per-term df merges by one sum over (stored ∪ delta) term rows, "
+    "and the corpus totals add two integers — no history re-scan, no "
+    "stored-row rewrites. Serving then broadcasts the query terms "
+    "onto the merged postings and scores the exact micro-quantized "
+    "BM25 (same _BM25_MICRO text as every other BM25 entry; avgdl "
+    "spelled sum_dl/n_docs in BOTH engines), windowed top-5. The "
+    "oracle recomputes full-corpus BM25 from scratch, so the checked "
+    "claim is incremental-equals-rebuild. At 100 TB: the delta pass "
+    "is proportional to the arrival batch, the df merge shuffles "
+    "only the delta's terms, and the postings stay sharded by term.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, term),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+            FROM tf GROUP BY doc_id),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df_docs
+            FROM tf GROUP BY term),
+        post AS (
+            SELECT tf.term, tf.doc_id, tf.tf, dfreq.df_docs, dl.dl
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)),
+        corpus AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+            FROM dl),
+        qt AS (
+            SELECT * FROM (VALUES {_QUERY_VALUES_INC}) AS v(query_id, term)),
+        scored AS (
+            SELECT qt.query_id, post.doc_id,
+                   CAST(SUM({_BM25_MICRO}) AS BIGINT) AS score_micro,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms_hit
+            FROM post
+            JOIN qt USING (term)
+            CROSS JOIN corpus
+            GROUP BY qt.query_id, post.doc_id)
+        SELECT query_id, doc_id, score_micro, n_terms_hit, rnk
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY query_id
+                  ORDER BY score_micro DESC, doc_id) AS rnk
+              FROM scored)
+        WHERE rnk <= {_TOP_K}
+    """,
+)
+def bm25_incremental_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from uk_procurement_data_pipeline_spark import indexes
+
+    fp = bm25_inc_fingerprint(sf_dir)
+
+    def _postings_of(docs: DataFrame) -> DataFrame:
+        tok = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("term")
+        )
+        tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+        return tf.join(dl, "doc_id").select("term", "doc_id", "tf", "dl")
+
+    def hist() -> DataFrame:
+        return load(spark, sf_dir, "documents").where(
+            F.col("doc_id") % _BM25_INC_MOD != 0
+        )
+
+    post_h = indexes.build_or_load(
+        spark, "bm25inc_postings", fp, lambda: _postings_of(hist())
+    )
+    termdf_h = indexes.build_or_load(
+        spark,
+        "bm25inc_termdf",
+        fp,
+        lambda: _postings_of(hist())
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df_docs")),
+    )
+    corpus_h = indexes.build_or_load(
+        spark,
+        "bm25inc_corpus",
+        fp,
+        lambda: _postings_of(hist())
+        .select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        ),
+    )
+
+    # Delta pass: tokenizes ONLY the arrival batch.
+    post_n = _postings_of(
+        load(spark, sf_dir, "documents").where(
+            F.col("doc_id") % _BM25_INC_MOD == 0
+        )
+    ).localCheckpoint(eager=True)  # 3 consumers; arrivals signed once
+    termdf_n = post_n.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df_docs")
+    )
+    corpus_n = (
+        post_n.select("doc_id", "dl")
+        .distinct()
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+
+    # Merge: union postings; df sums over (stored ∪ delta) term rows;
+    # corpus totals add two integers, avgdl is the one float division
+    # (identical sum_dl/n_docs spelling in the oracle).
+    post = post_h.unionByName(post_n)
+    termdf = (
+        termdf_h.unionByName(termdf_n)
+        .groupBy("term")
+        .agg(F.sum("df_docs").cast("bigint").alias("df_docs"))
+    )
+    corpus = (
+        corpus_h.unionByName(corpus_n)
+        .agg(
+            F.sum("n_docs").cast("bigint").alias("n_docs"),
+            F.sum("sum_dl").cast("bigint").alias("sum_dl"),
+        )
+        .selectExpr(
+            "n_docs",
+            "CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE) AS avgdl",
+        )
+    )
+
+    qt = spark.createDataFrame(
+        list(_QUERIES_INC), "query_id string, term string"
+    )
+    qdf = termdf.join(F.broadcast(qt), "term")  # df for query terms only
+    scored = (
+        post.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr(_BM25_MICRO)).alias("score_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_terms_hit"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    return scored.withColumn("rnk", F.row_number().over(w)).where(
+        F.col("rnk") <= _TOP_K
+    )
+
+
+# Kneser-Ney interpolated bigram probability in nano units: absolute
+# discount D=0.75 off every seen bigram, mass redistributed through the
+# CONTINUATION unigram (in how many distinct contexts does w2 appear)
+# rather than the raw unigram — identical literal arithmetic both engines,
+# one +0.5-floored quantization.
+_KN_NANO = (
+    "CAST(floor(((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE)"
+    " + 0.75 * CAST(n1f AS DOUBLE) / CAST(c1 AS DOUBLE)"
+    " * CAST(n1b AS DOUBLE) / CAST(t AS DOUBLE))"
+    " * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@register(
+    name="kneser_ney_bigram_probs",
+    survey="A7 A8 J5 O4 F17",
+    doc="Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen & "
+    "Goodman 1999's baseline for every n-gram LM since, and the "
+    "smoothing inside KenLM's data-quality filters): p(w2|w1) = "
+    "max(c(w1,w2)-D, 0)/c(w1) + D*N1+(w1,.)/c(w1) * N1+(.,w2)/T with "
+    "D=0.75 — the continuation count N1+(.,w2) (distinct LEFT "
+    "contexts) replacing the raw unigram is what distinguishes KN "
+    "from the additive/Katz smoothing in bigram_surprisal_quality's "
+    "plain MLE model. Every model statistic is an exact integer "
+    "(bigram counts, context totals, forward/backward distinct-"
+    "continuation counts, bigram-type total); the probability is one "
+    "nano-quantized float expression shared verbatim with the oracle. "
+    "Emits the top-30 bigrams by smoothed probability (full tiebreak) "
+    "with all four underlying counts, so the checked result pins the "
+    "entire sufficient statistic, not just the ranking. At 100 TB: "
+    "two hash aggs over one bigram explode + two distinct-count aggs, "
+    "all linear; top-30 is TakeOrderedAndProject.",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), big AS (
+          SELECT d.tk[s.i] AS w1, d.tk[s.i + 1] AS w2
+          FROM toks d, LATERAL (SELECT unnest(range(1, len(d.tk))) AS i) s
+        ), c12t AS (
+          SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+          FROM big GROUP BY w1, w2
+        ), ctx AS (
+          SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+                 CAST(count(*) AS BIGINT) AS n1f
+          FROM c12t GROUP BY w1
+        ), back AS (
+          SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+          FROM c12t GROUP BY w2
+        ), tt AS (
+          SELECT CAST(count(*) AS BIGINT) AS t FROM c12t
+        )
+        SELECT w1, w2, c12, c1, n1f, n1b, {_KN_NANO} AS p_kn_nano
+        FROM c12t JOIN ctx USING (w1) JOIN back USING (w2) CROSS JOIN tt
+        ORDER BY p_kn_nano DESC, w1, w2
+        LIMIT 30
+    """,
+)
+def kneser_ney_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    big = docs.where("size(split(text, ' ')) >= 2").selectExpr(
+        "explode(transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> struct(element_at(split(text, ' '), i) AS w1,"
+        "             element_at(split(text, ' '), i + 1) AS w2))) AS b"
+    ).select("b.w1", "b.w2")
+    c12t = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
+        .localCheckpoint(eager=True)  # 4 consumers: ctx, back, tt, rows
+    )
+    ctx = c12t.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    back = c12t.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b")
+    )
+    tt = c12t.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    return (
+        c12t.join(ctx, "w1")
+        .join(back, "w2")
+        .crossJoin(F.broadcast(tt))
+        .selectExpr(
+            "w1", "w2", "c12", "c1", "n1f", "n1b", f"{_KN_NANO} AS p_kn_nano"
+        )
+        .orderBy(F.col("p_kn_nano").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+@register(
+    name="mrr_retrieval_eval",
+    survey="A7 W1 J5 A8 F18",
+    doc="Reciprocal-rank / precision@5 evaluation of the BM25 ranker "
+    "against a deterministic boolean-AND relevance oracle (a doc is "
+    "relevant to a query iff it contains EVERY query term) — the MRR "
+    "face of the IR-eval family (recall: ann_recall_report / "
+    "pq_recall_report, nDCG: ann_ndcg_report, hitrate: "
+    "recommender_hitrate_backtest). Scoring reuses the exact "
+    "micro-quantized BM25 contract (_BM25_MICRO verbatim, _QUERIES "
+    "mix), ranking is the (score DESC, doc_id) row_number per query, "
+    "relevance is an integer distinct-matched-terms == n_terms test "
+    "(a contains-all doc always matches every term, so it is always "
+    "in the scored set — no lost relevants). Emits per query: "
+    "n_relevant, the first relevant rank (-1 when none), nano-"
+    "quantized reciprocal rank, and precision@5 numerator — every "
+    "column integer except the one rr division. At 100 TB: postings "
+    "equi-join + per-query windows over the matched subset only.",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term
+            FROM documents),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf
+            FROM tok GROUP BY doc_id, term),
+        dl AS (
+            SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+            FROM tf GROUP BY doc_id),
+        dfreq AS (
+            SELECT term, COUNT(*) AS df_docs FROM tf GROUP BY term),
+        corpus AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                       AS avgdl
+            FROM dl),
+        qt AS (
+            SELECT * FROM (VALUES {_QUERY_VALUES}) AS v(query_id, term)),
+        qn AS (
+            SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM qt GROUP BY 1),
+        hits AS (
+            SELECT qt.query_id, tf.doc_id,
+                   CAST(SUM({_BM25_MICRO}) AS BIGINT)
+                       AS score_micro,
+                   CAST(COUNT(DISTINCT tf.term) AS BIGINT) AS n_matched
+            FROM tf
+            JOIN qt USING (term)
+            JOIN dfreq ON dfreq.term = tf.term
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN corpus
+            GROUP BY qt.query_id, tf.doc_id),
+        ranked AS (
+            SELECT h.query_id, h.doc_id, h.n_matched, q.n_terms,
+                   row_number() OVER (PARTITION BY h.query_id
+                                      ORDER BY h.score_micro DESC, h.doc_id)
+                       AS rnk
+            FROM hits h JOIN qn q USING (query_id))
+        SELECT query_id,
+               CAST(SUM(CASE WHEN n_matched = n_terms THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_relevant,
+               CAST(COALESCE(MIN(CASE WHEN n_matched = n_terms
+                                      THEN rnk END), -1) AS BIGINT)
+                   AS first_rel_rank,
+               CAST(CASE WHEN MIN(CASE WHEN n_matched = n_terms
+                                       THEN rnk END) IS NULL THEN 0
+                    ELSE floor(1000000000.0
+                         / CAST(MIN(CASE WHEN n_matched = n_terms
+                                         THEN rnk END) AS DOUBLE) + 0.5)
+                    END AS BIGINT) AS rr_nano,
+               CAST(SUM(CASE WHEN n_matched = n_terms AND rnk <= 5
+                             THEN 1 ELSE 0 END) AS BIGINT) AS rel_in_top5
+        FROM ranked
+        GROUP BY query_id
+    """,
+)
+def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.sum("dl").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("avgdl"),
+    )
+    qt = spark.createDataFrame(list(_QUERIES), "query_id string, term string")
+    qn = qt.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms")
+    )
+    hits = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dfreq, "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(corpus))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr(_BM25_MICRO)).cast("bigint").alias("score_micro"),
+            F.count_distinct("term").cast("bigint").alias("n_matched"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id")
+    )
+    ranked = (
+        hits.join(F.broadcast(qn), "query_id")
+        .withColumn("rnk", F.row_number().over(w))
+    )
+    return ranked.groupBy("query_id").agg(
+        F.expr(
+            "CAST(SUM(CASE WHEN n_matched = n_terms THEN 1 ELSE 0 END)"
+            " AS BIGINT)"
+        ).alias("n_relevant"),
+        F.expr(
+            "CAST(COALESCE(MIN(CASE WHEN n_matched = n_terms THEN rnk END),"
+            " -1) AS BIGINT)"
+        ).alias("first_rel_rank"),
+        F.expr(
+            "CAST(CASE WHEN MIN(CASE WHEN n_matched = n_terms THEN rnk END)"
+            " IS NULL THEN 0"
+            " ELSE floor(1000000000.0"
+            " / CAST(MIN(CASE WHEN n_matched = n_terms THEN rnk END)"
+            " AS DOUBLE) + 0.5) END AS BIGINT)"
+        ).alias("rr_nano"),
+        F.expr(
+            "CAST(SUM(CASE WHEN n_matched = n_terms AND rnk <= 5"
+            " THEN 1 ELSE 0 END) AS BIGINT)"
+        ).alias("rel_in_top5"),
+    )

@@ -674,3 +674,173 @@ def heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_occurrences") * (_HH_K + 1) > F.col("n"))
         .select("term", "n_occurrences")
     )
+
+
+# --- explicit HyperLogLog registers (r12) ---------------------------------
+# Unlike approx_count_distinct (whose HLL register layout is engine-
+# internal and only tolerance-testable), these registers are built from
+# the repo's cross-engine md5 hash family, so the SKETCH ITSELF sits
+# under the differential oracle: both engines must agree on all 64
+# register values, the scaled harmonic sum, and the estimate.
+_HLL_M = 64  # registers (p = 6 prefix bits)
+_HLL_SUFFIX_BITS = 26  # 32-bit hash minus the 6 register bits
+_HLL_SUFFIX_MOD = 1 << _HLL_SUFFIX_BITS  # 67108864
+_HLL_RMAX = _HLL_SUFFIX_BITS + 1  # rank when the suffix is all zeros
+# alpha_m * m^2 * 2^27 spelled as the same literal arithmetic in both
+# engines (IEEE-754 left-to-right, so the folded constants are
+# bit-identical): 0.7213 / (1.0 + 1.079/64.0) * 64.0 * 64.0 * 2^27.
+_HLL_EST_NUM = (
+    "0.7213 / (1.0 + 1.079 / 64.0) * 64.0 * 64.0 * 134217728.0"
+)
+# Small-range (linear-counting) gate: E_raw <= 2.5 * m, any empty register.
+_HLL_LC_BOUND = 2.5 * 64
+
+
+def _hll_est_sql(v_empty: str, s_scaled: str) -> str:
+    """Shared estimator expression (identical text both engines):
+    linear counting m*ln(m/V) when the raw estimate is small and empty
+    registers remain, else the raw harmonic-mean estimate; +0.5-floored
+    to a BIGINT so the one float expression is micro-robust."""
+    raw = f"{_HLL_EST_NUM} / CAST({s_scaled} AS DOUBLE)"
+    return (
+        f"CAST(CASE WHEN {v_empty} > 0 AND {raw} <= {_HLL_LC_BOUND!r} "
+        f"THEN floor(64.0 * ln(64.0 / CAST({v_empty} AS DOUBLE)) + 0.5) "
+        f"ELSE floor({raw} + 0.5) END AS BIGINT)"
+    )
+
+
+@register(
+    name="hll_register_sketch",
+    survey="A8 A7 J6 F15",
+    doc="Explicit HyperLogLog (Flajolet et al. 2007) daily-active-users "
+    "sketch with the registers THEMSELVES under the oracle: 32-bit "
+    "md5 hash -> 6-bit register index + leading-zero rank of the "
+    "26-bit suffix (string-free length(bin(x)) arithmetic, exact in "
+    "both engines); per-day register table = one (day, register) "
+    "max-agg over a generated full spine so empty registers carry "
+    "rank 0; the harmonic sum is kept EXACT as the bigint "
+    "sum(1 << (27 - rank)) — every term a dyadic integer — so the "
+    "only float op is the final estimate division, +0.5-floored. "
+    "Emits per-day rows AND the '__ALL__' row obtained by register-"
+    "wise MAX across days — the mergeability that makes HLL the "
+    "100 TB distinct-count shape (per-partition sketches union by "
+    "max, never re-scanning), beside the exact per-day truth and "
+    "absolute error so estimate quality is part of the checked "
+    "result. Small-range linear counting (m*ln(m/V)) engages "
+    "per-branch deterministically; the three fixture SFs land in all "
+    "three regimes (sparse / boundary / raw).",
+    oracle=f"""
+        WITH ev AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS scope, user_id,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)
+                        AS BIGINT) AS hv
+            FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        hr AS (
+            SELECT scope, user_id, hv >> {_HLL_SUFFIX_BITS} AS reg,
+                   CASE WHEN hv % {_HLL_SUFFIX_MOD} = 0 THEN {_HLL_RMAX}
+                        ELSE {_HLL_RMAX} - length(bin(hv % {_HLL_SUFFIX_MOD}))
+                   END AS rnk
+            FROM ev),
+        mx AS (SELECT scope, reg, MAX(rnk) AS m FROM hr GROUP BY 1, 2),
+        spine AS (
+            SELECT s.scope, t.r AS reg
+            FROM (SELECT DISTINCT scope FROM hr) s,
+                 LATERAL (SELECT unnest(range({_HLL_M})) AS r) t),
+        regs AS (
+            SELECT s.scope, s.reg, COALESCE(mx.m, 0) AS m
+            FROM spine s
+            LEFT JOIN mx ON mx.scope = s.scope AND mx.reg = s.reg),
+        allregs AS (
+            SELECT '__ALL__' AS scope, reg, MAX(m) AS m
+            FROM regs GROUP BY 2),
+        everyregs AS (
+            SELECT scope, reg, m FROM regs
+            UNION ALL SELECT scope, reg, m FROM allregs),
+        sums AS (
+            SELECT scope,
+                   CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS v_empty,
+                   CAST(SUM(CAST(1 AS BIGINT) << ({_HLL_RMAX} - m))
+                        AS BIGINT) AS s_scaled
+            FROM everyregs GROUP BY 1),
+        tru AS (
+            SELECT scope, CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                       AS true_distinct
+            FROM hr GROUP BY 1
+            UNION ALL
+            SELECT '__ALL__', CAST(COUNT(DISTINCT user_id) AS BIGINT)
+            FROM hr)
+        SELECT s.scope, s.v_empty, s.s_scaled,
+               {_hll_est_sql('s.v_empty', 's.s_scaled')} AS est_distinct,
+               t.true_distinct,
+               abs({_hll_est_sql('s.v_empty', 's.s_scaled')}
+                   - t.true_distinct) AS abs_err
+        FROM sums s JOIN tru t ON t.scope = s.scope
+    """,
+)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load(spark, sf_dir, "events")
+        .where("user_id IS NOT NULL AND ts IS NOT NULL")
+        .selectExpr(
+            "date_format(ts, 'yyyy-MM-dd') AS scope",
+            "user_id",
+            "CAST(conv(substr(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT) AS hv",
+        )
+    )
+    hr = ev.selectExpr(
+        "scope",
+        "user_id",
+        f"shiftright(hv, {_HLL_SUFFIX_BITS}) AS reg",
+        f"CASE WHEN hv % {_HLL_SUFFIX_MOD} = 0 THEN {_HLL_RMAX} "
+        f"ELSE {_HLL_RMAX} - length(bin(hv % {_HLL_SUFFIX_MOD})) "
+        "END AS rnk",
+    )
+    mx = hr.groupBy("scope", "reg").agg(F.max("rnk").alias("m"))
+    # Full register spine so never-hit registers carry rank 0 (they
+    # contribute 2^RMAX to the scaled sum and count toward V).
+    spine = (
+        hr.select("scope")
+        .distinct()
+        .selectExpr("scope", f"explode(sequence(0, {_HLL_M - 1})) AS reg")
+    )
+    regs = spine.join(mx, ["scope", "reg"], "left").selectExpr(
+        "scope", "reg", "COALESCE(m, 0) AS m"
+    )
+    # Register-wise MAX across days == the sketch of the union: HLL's
+    # merge operator, demonstrated rather than assumed.
+    allregs = regs.groupBy("reg").agg(F.max("m").alias("m")).selectExpr(
+        "'__ALL__' AS scope", "reg", "m"
+    )
+    sums = (
+        regs.unionByName(allregs)
+        .groupBy("scope")
+        .agg(
+            F.expr(
+                "CAST(SUM(CASE WHEN m = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("v_empty"),
+            F.expr(
+                f"CAST(SUM(shiftleft(CAST(1 AS BIGINT), {_HLL_RMAX} - m))"
+                " AS BIGINT)"
+            ).alias("s_scaled"),
+        )
+    )
+    tru = hr.groupBy("scope").agg(
+        F.count_distinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    tru_all = hr.agg(
+        F.count_distinct("user_id").cast("bigint").alias("true_distinct")
+    ).selectExpr("'__ALL__' AS scope", "true_distinct")
+    est = _hll_est_sql("v_empty", "s_scaled")
+    return (
+        sums.join(tru.unionByName(tru_all), "scope")
+        .selectExpr(
+            "scope",
+            "v_empty",
+            "s_scaled",
+            f"{est} AS est_distinct",
+            "true_distinct",
+            f"abs({est} - true_distinct) AS abs_err",
+        )
+    )
