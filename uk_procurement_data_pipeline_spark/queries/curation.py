@@ -380,20 +380,29 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("vec_id") < F.col("sem_k"))
         .selectExpr("vec_id AS cid", "v AS cv")
     )
-    d2 = F.expr(_SQD.format(a="v", b="cv"))
-    from pyspark.sql import Window
-
-    wv = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    # r12 optimization (guide §2.4 remove shuffles): nearest-centroid
+    # assignment was a k-way broadcast-join row explosion (N*k rows) +
+    # row_number window (a full shuffle+sort keyed on vec_id), and the
+    # whole subplan re-executed for each of its three consumers. The
+    # argmin over k centroids is a pure per-row function of v, so fold it
+    # map-side: collect the k centroids into ONE broadcast array row and
+    # take array_min over (d2, cid) structs — struct ordering (d2 ASC,
+    # cid ASC) is exactly the old window's ORDER BY d2, cid with rn=1,
+    # computed from the identical zip_with/aggregate d2 expression.
+    # Zero exchanges, zero row fan-out, and each re-execution is one
+    # projection pass.
+    cents = c0.agg(
+        F.expr("collect_list(struct(cid, cv))").alias("cents")
+    )
+    d2_fold = _SQD.format(a="v", b="c.cv")
     asg = (
-        e.join(F.broadcast(c0))
-        .select("vec_id", "v", F.col("cid"), d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(wv))
-        .where(F.col("rn") == 1)
+        e.crossJoin(F.broadcast(cents))
         .selectExpr(
             "vec_id",
             "v",
             f"sqrt({_DOT.format(a='v', b='v')}) AS nrm",
-            "cid AS cluster",
+            f"array_min(transform(cents,"
+            f" c -> struct({d2_fold} AS d2, c.cid AS cid))).cid AS cluster",
         )
     )
     a = asg.select(

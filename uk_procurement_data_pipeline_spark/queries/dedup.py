@@ -33,11 +33,18 @@ _D_PFX = "array_to_string(string_split(text, ' ')[1:10], ' ')"
 # sequence(1, n-2) would DESCEND ([1,0] — Spark steps -1 when start>stop)
 # and element_at(arr, 0) then throws INVALID_ARRAY_INDEX; the guard yields
 # an empty shingle set instead, matching DuckDB's generate_series(1, n-2).
+# r12 (guide §4.1/§2.3): element_at(split(text), i) inside a lambda
+# re-evaluates the SPLIT per element (Catalyst does no subexpression
+# elimination across lambda boundaries) — O(len^2) per document, measured
+# 12x slower than the arrays_zip(slice(...)) form, which splits O(1) times
+# per ROW and zips three shifted slices into the same shingle structs.
 _SHINGLES = (
     "array_distinct(if(size(split(text,' ')) >= 3,"
-    " transform(sequence(1, size(split(text,' ')) - 2),"
-    " i -> concat_ws(' ', element_at(split(text,' '), i),"
-    " element_at(split(text,' '), i+1), element_at(split(text,' '), i+2))),"
+    " transform(arrays_zip("
+    "   slice(split(text,' '), 1, size(split(text,' ')) - 2),"
+    "   slice(split(text,' '), 2, size(split(text,' ')) - 2),"
+    "   slice(split(text,' '), 3, size(split(text,' ')) - 2)),"
+    " s -> concat_ws(' ', s['0'], s['1'], s['2'])),"
     " cast(array() as array<string>)))"
 )
 _D_SHINGLES = (
@@ -160,6 +167,7 @@ _MINHASH_ORACLE = f"""
 @register(
     name="minhash_near_dup",
     survey="D3 J9-pattern F17 F18 A5",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="MinHash+LSH near-duplicate pairs: 3-token shingles, one md5 per "
     "shingle lowered to int, K=12 affine minhashes, 4 banded keys, candidate "
     "equi-join on (band, key) — never all-pairs — then exact-Jaccard refine "
@@ -486,6 +494,7 @@ _CONTAIN_THRESHOLD = 0.6
 @register(
     name="containment_dedup",
     survey="D3 J9-pattern F17 A5",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Containment (partial-duplicate) pairs: 3-token shingle sets "
     "hashed to int32, candidates blocked on the global min shingle-hash "
     "(never all-pairs), refined by |small ∩ big| / |small| >= 0.6 with "
@@ -1035,6 +1044,7 @@ def dedup_methods_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="blocking_quality_report",
     survey="D3 J9-pattern A7 A8",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Entity-resolution blocking-quality audit of the MinHash LSH "
     "scheme (the two numbers every blocking key is judged by - "
     "Christen's reduction ratio and pair completeness): candidate "
@@ -1295,6 +1305,7 @@ _TUNE_CFGS = [(0, 2, 6), (1, 3, 4), (2, 4, 3), (3, 6, 2)]
 @register(
     name="minhash_band_tuning_report",
     survey="D3 J9-pattern A7 A8 F17",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="LSH banding-parameter tuning report — the measurement that "
     "picks (bands, rows) before a production MinHash dedup run: for "
     "four (b, r) splits of the same K=12 signature (2x6, 3x4, 4x3, "
@@ -1725,6 +1736,7 @@ _SNM_KEYS = {
 @register(
     name="sorted_neighborhood_pairs",
     survey="D3 J6 W1 A7 O2",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Multi-pass sorted-neighborhood candidate generation (Hernandez & "
     "Stolfo 1995) — the third blocking family in the ER toolkit beside "
     "banded keys (minhash/simhash) and equality blocks "

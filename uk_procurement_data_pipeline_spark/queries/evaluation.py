@@ -2192,6 +2192,7 @@ def iter_udf_source_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="recursive_cte_reachability",
     survey="J6 A8 A7 U1",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Bounded-hop transitive closure with a RECURSIVE CTE (Spark 4 "
     "WITH RECURSIVE — the SQL-native form of the unrolled BFS joins in "
     "functions/graph.py): from seed supplier 1, walk the co-supply "
@@ -2227,7 +2228,15 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the recursive step would be re-planned (and the distinct
     # self-join re-executed) once per iteration — localCheckpoint turns
     # it into a scanned-once table (23s -> ~4s at sf0.1).
-    li = load(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    # r12 (guide §2.3/§3.3): lineitem repeats each (part, supplier) posting
+    # ~7x, and a self-join on l_partkey squares that duplication before the
+    # final DISTINCT collapses it. Deduplicate the postings FIRST — the
+    # distinct supplier-pair set is unchanged, the join output shrinks ~50x.
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     edges = (
         li.alias("a")
         .join(
@@ -3203,12 +3212,20 @@ def caliper_matching_att(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("x"),
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey")
-    oc = (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "t", "x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    # r12 optimization (guide §2.3 aggregate before you shuffle): count
+    # lineitems per order FIRST (narrow one-column partial+final agg),
+    # then join the per-order counts to orders — the old join-then-groupBy
+    # shuffled every lineitem row widened by (t, x). The caliper only
+    # needs the matched-order count, which equals the aggregated table's
+    # row count (fixture referential integrity: every l_orderkey exists
+    # in orders), so it reads the cheap side alone.
+    ycnt = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
     )
-    cal = oc.agg(
+    oc = o.join(ycnt, o["o_orderkey"] == ycnt["l_orderkey"]).select(
+        "o_orderkey", "t", "x", "y"
+    )
+    cal = ycnt.agg(
         F.expr(f"CAST({_CALIPER_NUM} div COUNT(*) AS BIGINT)").alias("c")
     )
     occ = oc.crossJoin(F.broadcast(cal))

@@ -359,6 +359,7 @@ def lorenz_gini_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="rfm_customer_segments",
     survey="W1 A7 J6 F28",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="RFM (recency/frequency/monetary) customer segmentation, the "
     "classic marketing rollup: per purchasing customer, days since "
     "last order (vs the corpus max day), order count, and exact-"
@@ -428,6 +429,13 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frequency",
             "monetary",
         )
+        # r12 optimization (guide §2.4): each tercile pass consumes its
+        # input THREE times (rank window, band sizes, total count) and the
+        # three passes chain, so without a barrier the orders aggregation
+        # re-executed multiplicatively (~9 upstream runs for the third
+        # pass). localCheckpoints pin each stage; the spec is eager so
+        # the pinned builds stay inside the timed region.
+        .localCheckpoint(eager=True)
     )
 
     def tercile(df, metric: str, band, out: str):
@@ -468,7 +476,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return ranked.withColumn(out, t).drop(
             "band", "rk", "off", "n_total", "rn"
-        )
+        ).localCheckpoint(eager=True)  # 3 consumers in the next pass (r12)
 
     x = tercile(rfm, "recency_days", F.floor(F.col("recency_days") / 30), "r_t")
     x = tercile(x, "frequency", F.col("frequency"), "f_t")

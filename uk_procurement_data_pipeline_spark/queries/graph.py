@@ -167,7 +167,9 @@ def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "k")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
+        # r12 (guide §2.3): the sample predicate is a pure function of
+        # (a, b), so it commutes with DISTINCT — filtering FIRST keeps
+        # 15/16 of the raw wedge pairs out of the dedup shuffle.
         .where(
             F.expr(
                 "cast(conv(substr(md5(concat(cast(a AS string), ':',"
@@ -175,6 +177,7 @@ def triangle_count_doulion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" % {_TRI_MOD} = 0"
             )
         )
+        .distinct()
         .localCheckpoint(eager=True)  # reused three times in the wedge plan
     )
     e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
@@ -265,13 +268,15 @@ def kcore_peel_unrolled(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, "k")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
+        # r12 (guide §2.3): sample filter commutes with DISTINCT — filter
+        # first so the dedup shuffle sees 1/16 of the raw wedge pairs.
         .where(
             F.expr(
                 f"CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10)"
                 f" AS BIGINT) % {_TRI_MOD} = 0"
             )
         )
+        .distinct()
     )
     und = e.selectExpr("a AS n", "b AS m").unionAll(
         e.selectExpr("b AS n", "a AS m")
@@ -377,13 +382,15 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa.join(pb, "k")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
+        # r12 (guide §2.3): sample filter commutes with DISTINCT — filter
+        # first so the dedup shuffle sees 1/16 of the raw wedge pairs.
         .where(
             F.expr(
                 f"CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10)"
                 f" AS BIGINT) % {_TRI_MOD} = 0"
             )
         )
+        .distinct()
     )
     e = e.localCheckpoint(eager=True)  # reused by und, anti-join
     und = e.selectExpr("a AS n", "b AS m").unionAll(
@@ -479,13 +486,15 @@ def clustering_coefficient_local(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa.join(pb, "k")
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
-        .distinct()
+        # r12 (guide §2.3): sample filter commutes with DISTINCT — filter
+        # first so the dedup shuffle sees 1/16 of the raw wedge pairs.
         .where(
             F.expr(
                 f"CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10)"
                 f" AS BIGINT) % {_TRI_MOD} = 0"
             )
         )
+        .distinct()
     )
     e = e.localCheckpoint(eager=True)  # reused by deg and three joins
     und = e.selectExpr("a AS n", "b AS m").unionAll(
@@ -629,6 +638,7 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="label_propagation_communities",
     survey="J6 A7 W1 U1",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Community detection by synchronous label propagation "
     "(Raghavan et al. 2007) on the part co-purchase graph: two "
     "unrolled sync rounds where each node adopts its neighbors' "
@@ -675,8 +685,6 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     op = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -688,28 +696,34 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
         a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
         .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
         .distinct()
+        # r12: e feeds round 1 AND round 2 — materialize the basket
+        # self-join once instead of deriving it per consumer (the
+        # supplier_pagerank/hits localCheckpoint discipline; the spec is
+        # eager so the build is inside the timed region).
+        .localCheckpoint(eager=True)
     )
     # Round 1: every node starts labeled with itself, so the neighbor
-    # plurality vote is just the most frequent neighbor id.
-    w1 = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
-    l1 = (
-        e.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") == 1)
-        .select(F.col("src").alias("v"), F.col("dst").alias("lab"))
+    # plurality vote is just the most frequent neighbor id. r12
+    # optimization (guide §2.4): e is DISTINCT, so the old per-(src,dst)
+    # count was always 1 and the (count DESC, dst ASC) row_number argmax
+    # collapses to plain min(dst) — one hash aggregate, no window
+    # shuffle+sort.
+    l1 = e.groupBy("src").agg(F.min("dst").alias("lab")).selectExpr(
+        "src AS v", "lab"
     )
     votes2 = (
         e.join(l1, e.dst == l1.v)
         .groupBy(F.col("src").alias("v2"), "lab")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    w2 = Window.partitionBy("v2").orderBy(F.col("cnt").desc(), "lab")
-    l2 = (
-        votes2.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") == 1)
-        .select(F.col("v2").alias("v"), "lab")
-    )
+    # r12 optimization: plurality argmax via min_by over (-cnt, lab)
+    # structs — identical to the old row_number window's ORDER BY
+    # cnt DESC, lab ASC with rn=1 (the struct key is unique per group, so
+    # min_by is deterministic), but a single-pass partial+final aggregate
+    # instead of a full shuffle+sort window.
+    l2 = votes2.groupBy("v2").agg(
+        F.expr("min_by(lab, struct(-cnt AS nc, lab AS lb))").alias("lab")
+    ).selectExpr("v2 AS v", "lab")
     return (
         l2.groupBy(F.col("lab").alias("community"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
@@ -788,6 +802,7 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="modularity_communities",
     survey="J6 A7 W1 A10",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Newman modularity readout of the label-propagation partition — "
     "the quality score that turns label_propagation_communities from "
     "'a partition' into 'a measured partition' (Newman & Girvan 2004; "
@@ -867,8 +882,6 @@ def hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     op = (
         load(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
@@ -882,52 +895,54 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # 4 consumers below (two label joins, 2m count, degrees): pin the
         # symmetric edge list once instead of re-deriving the basket
-        # self-join per branch.
+        # self-join per branch (spec is eager: the build is timed).
         .localCheckpoint(eager=True)
     )
-    w1 = Window.partitionBy("src").orderBy(F.col("cnt").desc(), "dst")
-    l1 = (
-        e.groupBy("src", "dst")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w1))
-        .where(F.col("rn") == 1)
-        .select(F.col("src").alias("v"), F.col("dst").alias("lab"))
+    # r12 optimization (guide §2.4, shared with label_propagation_
+    # communities): e is DISTINCT so round-1 plurality = min(dst) — one
+    # hash agg, no window; round-2 plurality = min_by over (-cnt, lab)
+    # structs — one partial+final agg, no window shuffle+sort.
+    l1 = e.groupBy("src").agg(F.min("dst").alias("lab")).selectExpr(
+        "src AS v", "lab"
     )
     votes2 = (
         e.join(l1, e.dst == l1.v)
         .groupBy(F.col("src").alias("v2"), "lab")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    w2 = Window.partitionBy("v2").orderBy(F.col("cnt").desc(), "lab")
     l2 = (
-        votes2.withColumn("rn", F.row_number().over(w2))
-        .where(F.col("rn") == 1)
-        .select(F.col("v2").alias("v"), "lab")
+        votes2.groupBy("v2")
+        .agg(F.expr("min_by(lab, struct(-cnt AS nc, lab AS lb))").alias("lab"))
+        .selectExpr("v2 AS v", "lab")
         .localCheckpoint(eager=True)  # labels feed 3 joins
     )
     twom = e.agg(F.count(F.lit(1)).cast("bigint").alias("two_m"))
-    deg = e.groupBy(F.col("src").alias("v")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    cdeg = (
-        l2.join(deg, "v")
-        .groupBy(F.col("lab").alias("community"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("size"),
-            F.sum("d").cast("bigint").alias("degree_sum"),
-        )
-    )
+    # r12 optimization (guide §2.3 aggregate before you shuffle): the old
+    # plan ran TWO edge-scale label-join passes — cdeg (per-node degree agg
+    # joined to labels) and cin (two label joins + same-label filter).
+    # One pass suffices: label both endpoints of every directed edge, then
+    # per source-community count ALL edges (= community degree sum, since
+    # every directed edge contributes exactly 1 to its src's degree) and
+    # the same-label edges (= in-community edges). Community sizes come
+    # from the tiny label table alone.
     ls = l2.selectExpr("v AS sv", "lab AS lab_s")
     ld = l2.selectExpr("v AS dv", "lab AS lab_d")
-    cin = (
+    stats = (
         e.join(ls, F.col("src") == F.col("sv"))
-        .join(ld, (F.col("dst") == F.col("dv")) & (F.col("lab_d") == F.col("lab_s")))
+        .join(ld, F.col("dst") == F.col("dv"))
         .groupBy(F.col("lab_s").alias("community"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("in_edges"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("degree_sum"),
+            F.sum(F.expr("CASE WHEN lab_d = lab_s THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("in_edges"),
+        )
+    )
+    sizes = l2.groupBy(F.col("lab").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("size")
     )
     contrib = (
-        cdeg.join(cin, "community", "left")
-        .withColumn("in_edges", F.expr("COALESCE(in_edges, CAST(0 AS BIGINT))"))
+        sizes.join(stats, "community")
         .crossJoin(F.broadcast(twom))
         .withColumn(
             "contrib_scaled",
@@ -935,6 +950,10 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CAST(two_m * in_edges - degree_sum * degree_sum AS BIGINT)"
             ),
         )
+        # contrib is community-bounded (tiny) but feeds BOTH the global-Q
+        # agg and the final projection — pin it so the edge-scale label
+        # join above runs once, not twice (spec is eager: still timed).
+        .localCheckpoint(eager=True)
     )
     glob = contrib.agg(
         F.expr(

@@ -1055,6 +1055,7 @@ def video_frame_hash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="audio_silence_islands",
     survey="UD4 A7 W1 W2 F17",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Silence segmentation over the decoded audio feature stream — "
     "the VAD-shaped trim/segment pass a speech-data curation pipeline "
     "runs before transcription or training-clip extraction: a window "

@@ -543,11 +543,15 @@ _HC_BUCKETS = 4096
 _HC_KNUTH = 2654435761
 _HC_SPAN = 8192  # weights in [-4096, 4095]
 
+# r12: arrays_zip(slice(...)) bigrams — element_at(split, i) inside the
+# lambda re-split the text per element (O(len^2) per doc, see dedup.py
+# _SHINGLES note); the zip form splits O(1) times per row.
 _HC_FEATS = (
     f"CASE WHEN size({_TOKS}) >= 2 THEN "
-    f"concat({_TOKS}, transform(sequence(0, size({_TOKS}) - 2),"
-    f" i -> concat(element_at({_TOKS}, i + 1), '_',"
-    f" element_at({_TOKS}, i + 2))))"
+    f"concat({_TOKS}, transform(arrays_zip("
+    f" slice({_TOKS}, 1, size({_TOKS}) - 1),"
+    f" slice({_TOKS}, 2, size({_TOKS}) - 1)),"
+    f" s -> concat(s['0'], '_', s['1'])))"
     f" ELSE {_TOKS} END"
 )
 _D_HC_FEATS = (
@@ -597,6 +601,15 @@ _D_HC_FEATS = (
 )
 def hashed_ngram_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # r12 note: a map-side aggregate() fold over the feature array was
+    # tried here (removes the explode + groupBy) and measured SLOWER
+    # (4.35s vs 3.21s at sf0.1): higher-order-function lambdas are
+    # interpreted, so the per-feature md5 lost whole-stage codegen. The
+    # explode keeps md5 inside codegen; the (doc_id, source) groupBy is
+    # cheap because partial aggregation collapses each task to <= n_docs
+    # rows before the exchange. The real win was the bigram build:
+    # _HC_FEATS now uses arrays_zip(slice(...)) instead of re-splitting
+    # the text per element.
     feats = docs.select(
         "doc_id", "source", F.explode(F.expr(_HC_FEATS)).alias("feat")
     )

@@ -371,18 +371,39 @@ def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    orders = load(spark, sf_dir, "orders")
-    customer = load(spark, sf_dir, "customer")
+    from uk_procurement_data_pipeline_spark.functions.exact import dec
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
     nation = load(spark, sf_dir, "nation")
     region = load(spark, sf_dir, "region")
+    # r12 optimization (guide §2.3 aggregate before you shuffle, project
+    # before the exchange): the old plan shuffled every WIDE lineitem row
+    # through three joins and ran the 3x rollup Expand over 600k rows.
+    # exact_sum's decimal accumulation is associative and only rounds at
+    # the END, so pre-summing per order (unrounded decimal) is exactly
+    # equal — the joins then move one (orderkey, decimal) row per order
+    # and the rollup expands 150k narrow rows. One final ROUND(, 4) keeps
+    # the exact_sum contract bit-identical.
+    rev_by_order = li.groupBy("l_orderkey").agg(
+        F.sum(dec(_rev())).alias("rd")
+    )
     joined = (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        rev_by_order.join(
+            orders, rev_by_order.l_orderkey == orders.o_orderkey
+        )
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
     )
-    return joined.rollup("r_name", "n_name").agg(exact_sum(_rev(), "revenue"))
+    return joined.rollup("r_name", "n_name").agg(
+        F.round(F.sum("rd"), 4).cast("double").alias("revenue")
+    )
 
 
 @register(

@@ -1188,6 +1188,7 @@ def distinct_ngram_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="recommender_hitrate_backtest",
     survey="J6 J7 W1 A7 F15",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Item-based collaborative-filtering backtest: split orders at "
     "the 3/4 point of the order-date range, build an item-item "
     "co-purchase matrix from the train window (same-order part pairs), "
@@ -1300,11 +1301,15 @@ def recommender_hitrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderkey", "o_custkey", "is_train", F.col("l_partkey").alias("part"))
         .agg(F.lit(1).alias("_one"))
         .drop("_one")
+        # r12 (guide §2.4): basket feeds FOUR consumers (train/test
+        # profiles + both pair-join sides); materialize it once. An
+        # earlier round had measured checkpoint-vs-recompute as 6.7s vs
+        # 5.1s END-TO-END, but that wall included fn-time work the bench
+        # did not time; with the spec now eager (fn+action timed
+        # together) the checkpointed form measures faster — see
+        # OPTIMIZATION_r12.md for the before/after numbers.
+        .localCheckpoint(eager=True)
     )
-    # basket feeds three consumers (train/test profiles + the pair
-    # self-join). Recomputing the cheap scan+join per consumer measured
-    # FASTER here than localCheckpoint materialization (5.1s vs 6.7s at
-    # sf0.1); on a cluster with an expensive upstream, cache() it.
     cust_train = (
         basket.where(F.col("is_train") == 1)
         .select(F.col("o_custkey").alias("cust"), "part")
@@ -1574,6 +1579,7 @@ def vocab_chao1_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="loso_source_influence",
     survey="A7 J5 J6 W1 F28",
+    eager=True,  # fn materializes the tf table; time fn+action together (r12)
     doc="Leave-one-source-out data valuation (the Shapley-lite "
     "influence probe an LLM curation pipeline runs to find "
     "distinctive vs redundant sources): for every source s, classify "
@@ -1686,6 +1692,11 @@ def loso_source_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("bigint").alias("tfc"))
+        # r12 (guide §2.4): tf feeds FOUR consumers (global counts,
+        # per-source counts, vocabulary size, the scoring join) — without
+        # a pin the tokenize+aggregate prefix re-executed per consumer.
+        # Spec flipped eager so the materialization stays timed.
+        .localCheckpoint(eager=True)
     )
     truth = docs.select("doc_id", "source", "lang")
     cg = (
@@ -1953,49 +1964,48 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def phrase_search_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
-    toks = docs.selectExpr(
-        "doc_id", "posexplode(split(text, ' ')) AS (pos, term)"
-    )
-    # top phrase: direct trigram occurrence count (NOT distinct — every
-    # position counts), no positional join needed on the counting side.
+    # r12 optimization (guide §2.4 remove shuffles / §2.3 shuffle fewer
+    # bytes): a trigram occurrence at 0-based position p IS the positional
+    # postings 3-way join's (doc, p) row — toks[p]=w1, toks[p+1]=w2,
+    # toks[p+2]=w3 — so locating the top phrase needs no positional
+    # self-join at all. The old plan tokenized documents 4x and shuffled
+    # the FULL (doc, pos, term) postings through two sort-merge joins
+    # (term_b/term_c only filterable inside the join); this plan explodes
+    # positioned trigrams twice (count pass + locate pass) and attaches
+    # the 1-row top phrase by broadcast — zero exchanges carry postings.
     # The size>=3 filter guards the unguarded sequence(1, n-2), which for a
     # <3-token doc DESCENDS ([1,0]) and crashes element_at at index 0.
+    # posexplode index i0 = (1-based trigram start i) - 1 = the 0-based
+    # token position of w1, exactly the old plan's pos_a.
+    # arrays_zip(slice(...)) builds the positioned trigrams with O(1)
+    # splits per ROW — element_at(split, i) inside the lambda re-split the
+    # text per element (O(len^2) per doc; measured 12x slower).
     tri = docs.where("size(split(text, ' ')) >= 3").selectExpr(
-        "explode(transform(sequence(1, size(split(text,' ')) - 2),"
-        " i -> struct(element_at(split(text,' '), i) AS w1,"
-        "             element_at(split(text,' '), i+1) AS w2,"
-        "             element_at(split(text,' '), i+2) AS w3))) AS t"
-    ).select("t.w1", "t.w2", "t.w3")
+        "doc_id",
+        "posexplode(arrays_zip("
+        " slice(split(text,' '), 1, size(split(text,' ')) - 2),"
+        " slice(split(text,' '), 2, size(split(text,' ')) - 2),"
+        " slice(split(text,' '), 3, size(split(text,' ')) - 2))) AS (pos, t)",
+    ).selectExpr("doc_id", "pos", "t['0'] AS w1", "t['1'] AS w2", "t['2'] AS w3")
+    # top phrase: direct trigram occurrence count (NOT distinct — every
+    # position counts).
     top1 = (
         tri.groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.desc("n"), "w1", "w2", "w3")
         .limit(1)
-        .select("w1", "w2", "w3")
+        .selectExpr("w1 AS t1", "w2 AS t2", "w3 AS t3")
     )
-    a = (
-        toks.crossJoin(F.broadcast(top1))
-        .where(F.col("term") == F.col("w1"))
-        .selectExpr("doc_id AS doc_a", "pos AS pos_a", "w1", "w2", "w3")
-    )
-    b = toks.selectExpr("doc_id AS doc_b", "pos AS pos_b", "term AS term_b")
-    c = toks.selectExpr("doc_id AS doc_c", "pos AS pos_c", "term AS term_c")
     return (
-        a.join(
-            b,
-            (F.col("doc_b") == F.col("doc_a"))
-            & (F.col("pos_b") == F.col("pos_a") + 1)
-            & (F.col("term_b") == F.col("w2")),
-        )
-        .join(
-            c,
-            (F.col("doc_c") == F.col("doc_a"))
-            & (F.col("pos_c") == F.col("pos_a") + 2)
-            & (F.col("term_c") == F.col("w3")),
+        tri.join(
+            F.broadcast(top1),
+            (F.col("w1") == F.col("t1"))
+            & (F.col("w2") == F.col("t2"))
+            & (F.col("w3") == F.col("t3")),
         )
         .select(
-            F.col("doc_a").alias("doc_id"),
-            F.col("pos_a").cast("bigint").alias("pos"),
+            "doc_id",
+            F.col("pos").cast("bigint").alias("pos"),
             F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
         )
     )
@@ -2360,6 +2370,7 @@ _KN_NANO = (
 @register(
     name="kneser_ney_bigram_probs",
     survey="A7 A8 J5 O4 F17",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Interpolated Kneser-Ney bigram model (Kneser & Ney 1995; Chen & "
     "Goodman 1999's baseline for every n-gram LM since, and the "
     "smoothing inside KenLM's data-quality filters): p(w2|w1) = "
@@ -2403,11 +2414,13 @@ _KN_NANO = (
 )
 def kneser_ney_bigram_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
+    # arrays_zip(slice(...)): O(1) splits per row (see _SHINGLES note in
+    # dedup.py — the lambda form re-split the text per element).
     big = docs.where("size(split(text, ' ')) >= 2").selectExpr(
-        "explode(transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> struct(element_at(split(text, ' '), i) AS w1,"
-        "             element_at(split(text, ' '), i + 1) AS w2))) AS b"
-    ).select("b.w1", "b.w2")
+        "explode(arrays_zip("
+        " slice(split(text,' '), 1, size(split(text,' ')) - 1),"
+        " slice(split(text,' '), 2, size(split(text,' ')) - 1))) AS b"
+    ).selectExpr("b['0'] AS w1", "b['1'] AS w2")
     c12t = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c12"))
@@ -2512,10 +2525,18 @@ def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").cast("bigint").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
+    # r12 optimization (guide §2.3 aggregate/filter before you shuffle):
+    # the old plan built the FULL (doc, term) tf table three times (tf,
+    # dl-from-tf, full-vocabulary dfreq) when only the query terms' rows
+    # ever reach the scorer. dl = SUM(tf) over all terms = the doc's token
+    # count = size(split(text)) — one narrow projection, no explode, no
+    # agg; tf/df are filtered to the ~9 query terms by a broadcast
+    # semi-filter BEFORE their aggregations, so the only (doc, term)
+    # aggregation left runs on matching tokens only and dfreq becomes a
+    # 9-row broadcast instead of a vocabulary-wide shuffle join.
+    dl = docs.selectExpr(
+        "doc_id", "CAST(size(split(text, ' ')) AS BIGINT) AS dl"
+    )
     corpus = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (
@@ -2526,9 +2547,17 @@ def mrr_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     qn = qt.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_terms")
     )
+    qterms = qt.select("term").distinct()
+    ftf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+        .join(F.broadcast(qterms), "term")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = ftf.groupBy("term").agg(F.count(F.lit(1)).alias("df_docs"))
     hits = (
-        tf.join(F.broadcast(qt), "term")
-        .join(dfreq, "term")
+        ftf.join(F.broadcast(qt), "term")
+        .join(F.broadcast(dfreq), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(corpus))
         .groupBy("query_id", "doc_id")

@@ -1669,13 +1669,14 @@ def embedding_mmd_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="mmr_diversified_rerank",
     survey="J9 UD4 W1 J7",
+    eager=True,  # fn materializes via localCheckpoint; time fn+action together (r12 honest-timing fix)
     doc="Maximal-marginal-relevance re-ranking (Carbonell & Goldstein "
     "1998) — the diversified retrieval stage a RAG pipeline runs after "
     "ANN recall: take the query's top-12 cosine candidates, then pick "
     "4 results greedily where round r maximizes 0.7*relevance - "
     "0.3*max-similarity-to-already-picked. The candidate pool and its "
-    "12x12 similarity matrix are computed ONCE (Spark: lazy "
-    "localCheckpoint so the greedy rounds never re-scan the embedding "
+    "12x12 similarity matrix are computed ONCE (Spark: localCheckpoint "
+    "so the greedy rounds never re-scan the embedding "
     "table; oracle: MATERIALIZED CTEs — the sanctioned pattern for "
     "multi-referenced iterative stages). All cosines are "
     "sequential-fold dot products (bit-identical across engines, see "
@@ -1778,7 +1779,7 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(12)
         # 12-row pool feeds the pair matrix and all four greedy rounds;
         # checkpoint so the rounds never re-run the candidate scan.
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     a = cand.alias("a")
     b = cand.alias("b")
@@ -1786,7 +1787,7 @@ def mmr_diversified_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a.vec_id AS ca",
         "b.vec_id AS cb",
         f"{_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm) AS sim",
-    ).localCheckpoint(eager=False)
+    ).localCheckpoint(eager=True)
 
     def pick_first(df: DataFrame, order_col: str) -> DataFrame:
         w = Window.orderBy(F.col(order_col).desc(), "vec_id")
@@ -2204,6 +2205,7 @@ def geometric_median_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     name="pq_adc_topk",
     survey="J9 J5 A7 W1 F17",
+    eager=True,  # fn materializes the trained codebook; time fn+action together (r12)
     doc="PQ asymmetric-distance top-k search (Jegou et al. 2011, ADC) — "
     "the serving-side half of product quantization that completes the "
     "registered ANN family (brute-force, LSH, IVF, PQ codebook): the "
@@ -2327,6 +2329,11 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x["mu"],
             ).alias("cv")
         )
+        # r12 (guide §2.4): the trained codebook is 64 tiny rows but its
+        # Lloyd-step lineage is the plan's most expensive stage, and BOTH
+        # the corpus encoder (codes) and the query LUTs consume it --
+        # materialize once (spec flipped eager so this stays timed).
+        .localCheckpoint(eager=True)
     )
     codes = assign(sub, cent1).select("vec_id", "m", "cid")
     lut = (
@@ -2362,6 +2369,7 @@ _PQR_SLS = [20, 100, 500]  # ADC shortlist sizes probed
 @register(
     name="pq_recall_report",
     survey="J9 J5 A7 W1 F17",
+    eager=True,  # fn materializes the trained codebook; time fn+action together (r12)
     doc="PQ shortlist recall audit — the measurement behind every "
     "ADC-then-rerank deployment: with a serving-grade 16-centroid-per-"
     "subspace codebook (seeded + one exact-decimal Lloyd step, same "
@@ -2501,6 +2509,11 @@ def pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x["mu"],
             ).alias("cv")
         )
+        # r12 (guide §2.4): the trained codebook is tiny but its Lloyd-step
+        # lineage is the plan's most expensive stage, and both the corpus
+        # encoder and the query LUT consume it -- materialize once (spec is
+        # eager so the build stays inside the timed region).
+        .localCheckpoint(eager=True)
     )
     codes = assign(sub, cent1).select("vec_id", "m", "cid")
     lut = (
@@ -2662,6 +2675,7 @@ _TS_SL = 10  # per-query-token ADC shortlist depth before the exact rerank
 @register(
     name="two_stage_pq_maxsim",
     survey="J9 J5 A7 W1 F17",
+    eager=True,  # fn materializes codebook + candidate set; time fn+action together (r12)
     doc="The standard ColBERT serving shape, composed end-to-end as ONE "
     "plan (Khattab & Zaharia 2020 §3.4; Santhanam et al. PLAID): "
     "stage 1 retrieves a candidate set with the CHEAP index — every "
@@ -2819,6 +2833,11 @@ def two_stage_pq_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda x: x["mu"],
             ).alias("cv")
         )
+        # r12 (guide §2.4): the trained codebook is tiny but its Lloyd-step
+        # lineage is the plan's most expensive stage, and both the corpus
+        # encoder and the query LUT consume it -- materialize once (spec is
+        # eager so the build stays inside the timed region).
+        .localCheckpoint(eager=True)
     )
     codes = assign(sub, cent1).select("vec_id", "m", "cid")
     lut = (
@@ -2845,7 +2864,7 @@ def two_stage_pq_maxsim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cands = shortlist.selectExpr(
         "query_id", "neighbor_tok div 4 AS doc_id"
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)  # 2 consumers: ncand + rerank (r12).localCheckpoint(eager=True)  # 2 consumers: ncand + rerank (r12)
     ncand = cands.groupBy("query_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_candidates")
     )
