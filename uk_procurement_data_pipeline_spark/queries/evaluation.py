@@ -2228,33 +2228,41 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside the recursive step would be re-planned (and the distinct
     # self-join re-executed) once per iteration — localCheckpoint turns
     # it into a scanned-once table (23s -> ~4s at sf0.1).
-    # r12 (guide §2.3/§3.3): lineitem repeats each (part, supplier) posting
-    # ~7x, and a self-join on l_partkey squares that duplication before the
-    # final DISTINCT collapses it. Deduplicate the postings FIRST — the
-    # distinct supplier-pair set is unchanged, the join output shrinks ~50x.
-    li = (
+    # r12 batch 2 (guide §2.3/§2.4): replace the postings self-join with a
+    # per-part collect_set + map-side canonical (s1 < s2) pair explode.
+    # The old plan shuffled the distinct postings twice for a sort-merge
+    # self-join, emitted ~17M directed pair rows at sf0.1, and pushed all
+    # of them through the DISTINCT exchange. The new plan shuffles raw
+    # postings ONCE (groupBy part), generates only the s1 < s2 half of
+    # each part's pair square map-side (~8.7M rows), dedups that half, and
+    # reconstructs both directions AFTER the checkpoint with a 2-row
+    # inline per pair. Same distinct edge set; measured 5.9s -> 3.8s for
+    # the build at sf0.1.
+    canon = (
         load(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
-    edges = (
-        li.alias("a")
-        .join(
-            li.alias("b"),
-            (F.col("a.l_partkey") == F.col("b.l_partkey"))
-            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
-        )
-        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+        .groupBy("l_partkey")
+        .agg(F.collect_set("l_suppkey").alias("ss"))
+        .select(F.explode("ss").alias("s1"), "ss")
+        .select("s1", F.explode("ss").alias("s2"))
+        .where(F.col("s1") < F.col("s2"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    edges = canon.selectExpr(
+        "inline(array(struct(s1 AS src, s2 AS dst),"
+        " struct(s2 AS src, s1 AS dst)))"
+    )
     edges.createOrReplaceTempView("edges_rcte")
+    # BROADCAST(w): the frontier is at most the node set (tiny next to the
+    # edge list), so each UnionLoop iteration joins broadcast-frontier
+    # against a local scan of the pinned edges — the per-iteration shuffle
+    # of the full edge list is gone (guide §3.1; recursion 3.4s -> 1.6s).
     return spark.sql(
         """
         WITH RECURSIVE walk(node, hop) AS (
           SELECT CAST(1 AS BIGINT) AS node, 0 AS hop
           UNION ALL
-          SELECT e.dst, w.hop + 1
+          SELECT /*+ BROADCAST(w) */ e.dst, w.hop + 1
           FROM walk w JOIN edges_rcte e ON e.src = w.node
           WHERE w.hop < 2
         ), best AS (

@@ -3845,20 +3845,17 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load(spark, sf_dir, "events")
+    # r12 batch 2 (guide §2.4): ONE window ordering. The old plan computed
+    # is_last with a SECOND row_number window ordered DESC, forcing a
+    # second full sort of every user partition; lead(event_id) over the
+    # same ASC window is NULL exactly at the last row (event_id is
+    # non-null), so both columns now come out of one exchange + one sort.
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
     seq = ev.select(
         "user_id",
         "event_type",
-        F.lag("event_type")
-        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
-        .alias("prev"),
-        (
-            F.row_number().over(
-                Window.partitionBy("user_id").orderBy(
-                    F.col("ts").desc(), F.col("event_id").desc()
-                )
-            )
-            == 1
-        ).alias("is_last"),
+        F.lag("event_type").over(w_seq).alias("prev"),
+        F.lead("event_id").over(w_seq).isNull().alias("is_last"),
     )
     raw_t = (
         seq.where(F.col("prev").isNotNull() & (F.col("prev") != "purchase"))
@@ -3877,22 +3874,31 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nstart = starts.agg(F.sum("n").cast("bigint").alias("tot"))
 
-    # ALL scenarios ride one DataFrame via a scenario column, so the
-    # 12-step value iteration runs ONCE over a (scenario x prev x next)
-    # bounded table instead of once per scenario (5x fewer tiny jobs).
+    # r12 batch 2 (guide §2.3 aggregate before you shuffle): aggregate the
+    # row-scale transitions to the bounded (prev, next) table FIRST, then
+    # fan the <=36-row table out to the 5 scenarios. The old plan joined
+    # every transition row against the 6-row scenario table (6x the
+    # events-scale rows through the redirect projection) before
+    # aggregating.
+    base_t = raw_t.groupBy("prev", "next").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
     scen = spark.createDataFrame(
         [("base", None)] + [(c, c) for c in _MRE_CHANNELS],
         "scenario string, removed string",
     )
-    redirected = raw_t.join(F.broadcast(scen)).select(
-        "scenario",
-        "prev",
-        F.when(F.col("next") == F.col("removed"), F.lit("END"))
-        .otherwise(F.col("next"))
-        .alias("next"),
-    )
-    t = redirected.groupBy("scenario", "prev", "next").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+    t = (
+        base_t.join(F.broadcast(scen))
+        .select(
+            "scenario",
+            "prev",
+            F.when(F.col("next") == F.col("removed"), F.lit("END"))
+            .otherwise(F.col("next"))
+            .alias("next"),
+            "n",
+        )
+        .groupBy("scenario", "prev", "next")
+        .agg(F.sum("n").cast("bigint").alias("n"))
     )
     # bounded (<=5 x 6 x 6) domain: the per-(scenario, prev) window is
     # aggregate-sized
@@ -3903,34 +3909,46 @@ def markov_removal_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "(n * 1000000) div SUM(n) OVER (PARTITION BY scenario, prev)"
         ).alias("p_micro"),
-    ).localCheckpoint(eager=True)
-    v = (
-        p.select("scenario", F.col("prev").alias("s"))
-        .distinct()
-        .select("scenario", "s", F.lit(0).cast("bigint").alias("v"))
     )
-    for _ in range(_MRE_STEPS):
-        v = (
-            p.join(
-                F.broadcast(
-                    v.select(
-                        F.col("scenario").alias("vscen"), F.col("s").alias("vs"), "v"
+
+    # r12 batch 2 (guide §4.2): the 12-step value iteration used to run as
+    # 12 chained broadcast-join + aggregate jobs — pure scheduler overhead
+    # on a <=5x6x6 table. One applyInPandas over the 5 scenario groups
+    # runs the identical integer recurrence (products div 1e6 on exact
+    # Python ints; SQL `div` == Python `//` on the non-negative domain)
+    # in a single job; ~180 rows cross the Python boundary once.
+    def _mre_value_iteration(pdf):
+        import pandas as pd
+
+        rows = []
+        for scen_name, g in pdf.groupby("scenario"):
+            trans = [
+                (str(pv), str(nx), int(pm))
+                for pv, nx, pm in zip(g["prev"], g["next"], g["p_micro"])
+            ]
+            states = sorted({pv for pv, _, _ in trans})
+            v = {s: 0 for s in states}
+            for _ in range(_MRE_STEPS):
+                v = {
+                    s: sum(
+                        pm
+                        * (
+                            1000000
+                            if nx == "purchase"
+                            else 0 if nx == "END" else v.get(nx, 0)
+                        )
+                        for pv, nx, pm in trans
+                        if pv == s
                     )
-                ),
-                (F.col("scenario") == F.col("vscen"))
-                & (F.col("next") == F.col("vs")),
-                "left",
-            )
-            .groupBy("scenario", "prev")
-            .agg(
-                F.expr(
-                    "CAST(SUM(p_micro * (CASE WHEN next = 'purchase'"
-                    " THEN 1000000 WHEN next = 'END' THEN 0"
-                    " ELSE COALESCE(v, 0) END)) div 1000000 AS BIGINT)"
-                ).alias("v")
-            )
-            .select("scenario", F.col("prev").alias("s"), "v")
-        )
+                    // 1000000
+                    for s in states
+                }
+            rows += [(scen_name, s, v[s]) for s in states]
+        return pd.DataFrame(rows, columns=["scenario", "s", "v"])
+
+    v = p.groupBy("scenario").applyInPandas(
+        _mre_value_iteration, "scenario string, s string, v long"
+    )
     conv = (
         scen.select("scenario")
         .join(starts)

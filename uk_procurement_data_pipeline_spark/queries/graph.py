@@ -78,11 +78,18 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # reads the small distinct pair set (same lineage-reuse lesson as
     # dedup.py's shingle table; without this each iteration re-runs the
     # whole prefix, and each added iteration re-runs it again).
+    # r12 batch 2 (guide §2.3 narrower types): node ids stay BIGINT all the
+    # way through the iteration — customer k maps to 2k, supplier k to
+    # 2k+1 — instead of the 'c'/'s'-prefixed strings the output schema
+    # wants. Every exchange (the pair distinct, the degree/iteration
+    # shuffles) moves and hashes 8-byte longs instead of short strings;
+    # the output strings are built once from the 1k-row result. Same
+    # distinct pair set, same groupings, same exact-decimal sums.
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("cnode"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("snode"),
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
         .localCheckpoint(eager=True)
@@ -117,7 +124,12 @@ def supplier_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(0.15) + F.lit(_DAMP) * F.col("s")).alias("mass"),
         )
     )
-    return r2.where(F.col("node").startswith("s")).select("node", "mass")
+    return r2.where(F.col("node") % 2 == 1).select(
+        F.concat(F.lit("s"), ((F.col("node") - 1) / 2).cast("bigint")).alias(
+            "node"
+        ),
+        "mass",
+    )
 
 
 _TRI_MOD = 16  # DOULION edge-sampling: keep edges with hash % 16 == 0 (p=1/16)

@@ -1176,39 +1176,57 @@ def power_iteration_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dim_j").alias("dim_i"), F.col("dim_i").alias("dim_j"), "cov"
     )
     cells = cov0.unionByName(mirror).localCheckpoint(eager=True)
-    v = cells.select(F.col("dim_i").alias("dim")).distinct().select(
-        "dim", F.lit(1.0).alias("v")
+
+    # r12 batch 2 (guide §4.2): the eight matvec steps used to run as
+    # eight broadcast-join + hash-agg + unpartitioned-window stages — all
+    # scheduler overhead on the dims^2-bounded (64x64) cell table. One
+    # applyInPandas task over the whole bounded table runs the identical
+    # quantized recurrence: floor(cov * v * 1e12) terms summed as exact
+    # Python ints per row-dim (order-free integer addition), L1 as the
+    # integer sum of magnitudes, v as the IEEE s_q/l1 double ratio —
+    # bit-identical to the JVM expressions ((cov*v)*scale association,
+    # floor-toward--inf, int->double round-to-nearest). The cell table is
+    # dims^2 rows REGARDLESS of corpus size, so the single-group stage is
+    # bounded at any scale.
+    n_iters, scale_f = _PI_ITERS, float(_PI_SCALE)
+
+    def _pi_iterate(pdf):
+        import math
+
+        import pandas as pd
+
+        trips = [
+            (int(i), int(j), float(c))
+            for i, j, c in zip(pdf["dim_i"], pdf["dim_j"], pdf["cov"])
+        ]
+        dims = sorted({i for i, _, _ in trips})
+        v = {d: 1.0 for d in dims}
+        l1 = 0
+        for _ in range(n_iters):
+            s_q = {d: 0 for d in dims}
+            for i, j, c in trips:
+                if j in v:
+                    s_q[i] += int(math.floor(c * v[j] * scale_f))
+            l1 = sum(abs(x) for x in s_q.values())
+            # float() both sides first: the JVM casts each bigint to
+            # double BEFORE dividing (two roundings), while Python's
+            # int/int divides the exact values (one rounding).
+            v = {d: float(s_q[d]) / float(l1) for d in dims}
+        return pd.DataFrame(
+            {
+                "dim": dims,
+                "pc1_component": [v[d] for d in dims],
+                "lambda_l1": [float(l1) / scale_f] * len(dims),
+            }
+        )
+
+    return (
+        cells.groupBy(F.lit(1).alias("_g"))
+        .applyInPandas(
+            _pi_iterate, "dim bigint, pc1_component double, lambda_l1 double"
+        )
+        .orderBy("dim")
     )
-    scale = F.lit(float(_PI_SCALE))
-    # The L1 norm is an unpartitioned window over the 64-row bounded dim
-    # domain (the event_type_value_chi2 precedent), so each iteration
-    # references its predecessor exactly once and the lineage stays
-    # LINEAR — no per-round checkpoint, no 2^k logical-plan blowup.
-    wall = Window.partitionBy()
-    for _ in range(_PI_ITERS):
-        s = (
-            cells.join(
-                F.broadcast(v.select(F.col("dim").alias("jdim"), "v")),
-                F.col("dim_j") == F.col("jdim"),
-            )
-            .groupBy("dim_i")
-            .agg(
-                F.sum(F.floor(F.col("cov") * F.col("v") * scale).cast("bigint")).alias(
-                    "s_q"
-                )
-            )
-        )
-        l1 = F.sum(F.abs(F.col("s_q"))).over(wall)
-        v = s.select(
-            F.col("dim_i").alias("dim"),
-            (F.col("s_q").cast("double") / l1.cast("double")).alias("v"),
-            l1.alias("l1_q"),
-        )
-    return v.select(
-        "dim",
-        F.col("v").alias("pc1_component"),
-        (F.col("l1_q").cast("double") / scale).alias("lambda_l1"),
-    ).orderBy("dim")
 
 
 @register(
