@@ -95,3 +95,170 @@ def test_power_iteration_l1_invariants(spark):
     assert len(lambdas) == 1 and next(iter(lambdas)) > 0
     l1 = sum(abs(r["pc1_component"]) for r in rows)
     assert abs(l1 - 1.0) < 1e-9
+
+
+def test_markov_stationary_python_recurrence_matches_join_chain(spark):
+    """markov_stationary_distribution r12 rewrite: the single
+    applyInPandas power iteration must reproduce the old ten chained
+    join + aggregate rounds EXACTLY (integer micro arithmetic, inner-join
+    state-domain semantics)."""
+    from pyspark.sql import Window
+
+    from uk_procurement_data_pipeline_spark.queries import registry
+
+    ev = load(spark, SF_DIR, "events").select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("u"),
+    )
+    w = Window.partitionBy("user_id").orderBy("u", "event_id")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w))
+    c = (
+        seq.where(F.col("prev").isNotNull())
+        .groupBy("prev", F.col("event_type").alias("next"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    rowtot = c.groupBy("prev").agg(F.sum("n").cast("bigint").alias("tot"))
+    p = c.join(rowtot, "prev").select(
+        "prev", "next", F.expr("(n * 1000000) div tot").alias("p_micro")
+    )
+    # the OLD unrolled join-chain recurrence, verbatim
+    pi = p.select(F.col("prev").alias("st")).distinct().withColumn(
+        "pi_micro", F.lit(200000).cast("bigint")
+    )
+    for _ in range(10):
+        pi = (
+            p.join(pi, p.prev == pi.st)
+            .groupBy(F.col("next").alias("st2"))
+            .agg(
+                F.expr(
+                    "CAST(SUM(pi_micro * p_micro) div 1000000 AS BIGINT)"
+                ).alias("pi_micro")
+            )
+            .select(F.col("st2").alias("st"), "pi_micro")
+        )
+    old = {r["st"]: r["pi_micro"] for r in pi.collect()}
+    new = {
+        r["event_type"]: r["stationary_micro"]
+        for r in registry()["markov_stationary_distribution"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    # the query output inner-joins pi with the empirical state table, so
+    # compare on the intersection and require every reported state match
+    assert new
+    for st, v in new.items():
+        assert old.get(st) == v, (st, old.get(st), v)
+
+
+def test_recommender_canonical_pair_mirror_equivalence(spark):
+    """recommender_hitrate_backtest r12 rewrite: counting unordered
+    basket pairs once (part_a < part_b) and mirroring the aggregated row
+    with inline() must reproduce the old directed (a.part != b.part)
+    co-purchase table exactly."""
+    basket = (
+        load(spark, SF_DIR, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("part"))
+        .distinct()
+    )
+    a, b = basket.alias("a"), basket.alias("b")
+    old = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.part") != F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("p1"), F.col("b.part").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+    )
+    new = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o"))
+            & (F.col("a.part") < F.col("b.part")),
+        )
+        .groupBy(F.col("a.part").alias("p1"), F.col("b.part").alias("p2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .selectExpr(
+            "inline(array(struct(p1, p2), struct(p2 AS p1, p1 AS p2)))",
+            "co",
+        )
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_adamic_adar_neighbor_list_wedges_match_self_join(spark):
+    """adamic_adar_link_prediction r12 rewrite: the per-center sorted
+    neighbor-list pair explosion (weight = 1/ln(size(ms))) must produce
+    the same weighted wedge multiset as the old und x und self-join with
+    the separate degree table."""
+    li = load(spark, SF_DIR, "lineitem").select("l_orderkey", "l_suppkey")
+    pa = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("a"))
+    pb = li.select(F.col("l_orderkey").alias("k"), F.col("l_suppkey").alias("b"))
+    e = (
+        pa.join(pb, "k")
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .where(
+            F.expr(
+                "CAST(conv(substring(md5(concat(a, ':', b)), 1, 8), 16, 10)"
+                " AS BIGINT) % 16 = 0"
+            )
+        )
+        .distinct()
+    )
+    und = e.selectExpr("a AS n", "b AS m").unionAll(
+        e.selectExpr("b AS n", "a AS m")
+    )
+    deg = (
+        und.groupBy("n")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .where(F.col("d") > 1)
+        .selectExpr(
+            "n",
+            "CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)"
+            " AS w_micro",
+        )
+    )
+    e1 = und.selectExpr("n AS a", "m AS b")
+    e2 = und.selectExpr("n AS b", "m AS c")
+    old = (
+        e1.join(e2, "b")
+        .where(F.col("a") < F.col("c"))
+        .join(deg, deg.n == F.col("b"))
+        .select("a", "c", "w_micro")
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("n_w"), F.sum("w_micro").alias("s_w"))
+    )
+    nbr = und.groupBy("n").agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    new = (
+        nbr.where(F.size("ms") > 1)
+        .selectExpr(
+            "CAST(floor(1000000.0 / ln(CAST(size(ms) AS DOUBLE)) + 0.5)"
+            " AS BIGINT) AS w_micro",
+            "ms",
+            "posexplode(ms) AS (pos, a)",
+        )
+        .selectExpr("w_micro", "a", "explode(slice(ms, pos + 2, size(ms))) AS c")
+        .groupBy("a", "c")
+        .agg(F.count(F.lit(1)).alias("n_w"), F.sum("w_micro").alias("s_w"))
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
+def test_customer_order_spans_vectorized_dates_exact():
+    """customer_order_spans r12 rewrite: numpy datetime_as_string must
+    emit byte-identical YYYY-MM-DD text to the old per-row strftime."""
+    import numpy as np
+    import pandas as pd
+
+    days = pd.Series([0, 1, 31, 365, 8035, 10957, 12784, 20000])
+    vec = np.datetime_as_string(days.values.astype("datetime64[D]"), unit="D")
+    epoch = pd.Timestamp("1970-01-01")
+    loop = [
+        (epoch + pd.Timedelta(days=int(d))).strftime("%Y-%m-%d") for d in days
+    ]
+    assert list(vec) == loop

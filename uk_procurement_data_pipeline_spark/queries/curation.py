@@ -323,6 +323,7 @@ _D_SQD = (
 @register(
     name="semdedup_prune",
     survey="J9 D3 UD4 J7",
+    eager=True,  # fn materializes the assignment table; time it honestly
     doc="SemDeDup semantic pruning (Abbas et al. 2023): assign every "
     "vector to its nearest of k deterministic centroids (broadcast "
     "join, sequential-fold squared-L2, tiebreak on centroid id), then "
@@ -404,6 +405,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"array_min(transform(cents,"
             f" c -> struct({d2_fold} AS d2, c.cid AS cid))).cid AS cluster",
         )
+        # r12 (guide §5 cut lineage / §2.4): asg feeds THREE consumers —
+        # both sides of the within-cell verify join and the final keep
+        # readout. The N x k argmin scan is the dominant per-row work here
+        # (k grows as N/256), and without materialization the physical
+        # plan re-evaluated it for every consumer the exchange-reuse rule
+        # could not collapse. Pin it once; the spec is now eager so the
+        # bench times this build honestly.
+        .localCheckpoint(eager=True)
     )
     a = asg.select(
         F.col("vec_id").alias("ia"), F.col("v").alias("va"),

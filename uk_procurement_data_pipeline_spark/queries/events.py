@@ -4748,20 +4748,40 @@ def markov_stationary_distribution(spark: SparkSession, sf_dir: str) -> DataFram
     p = c.join(rowtot, "prev").select(
         "prev", "next", F.expr("(n * 1000000) div tot").alias("p_micro")
     )
-    pi = p.select(F.col("prev").alias("st")).distinct().withColumn(
-        "pi_micro", F.lit(200000).cast("bigint")
-    )
-    for _ in range(10):
-        pi = (
-            p.join(pi, p.prev == pi.st)
-            .groupBy(F.col("next").alias("st2"))
-            .agg(
-                F.expr("CAST(SUM(pi_micro * p_micro) div 1000000 AS BIGINT)").alias(
-                    "pi_micro"
-                )
-            )
-            .select(F.col("st2").alias("st"), "pi_micro")
+    # r12 (guide §4.2): the ten power-iteration rounds used to run as ten
+    # chained join + aggregate jobs over the <=6x6 (prev, next, p_micro)
+    # table — a 2,200-line physical plan of pure scheduler/plan-compile
+    # overhead (plans/r12/markov_stationary_distribution_before.txt). One
+    # applyInPandas task over that bounded table runs the identical
+    # integer recurrence: per round, pi'(next) = SUM(pi(prev) * p_micro)
+    # div 1e6 over the rows whose prev is in the current pi — exact
+    # Python ints, `//` == SQL `div` on this non-negative domain, and the
+    # inner-join semantics (states appear next round iff >= 1 matching
+    # row) are reproduced by the membership guard. The transition table
+    # is |event_type|^2-bounded REGARDLESS of corpus size, so the
+    # single-group stage cannot grow with data (same argument as
+    # power_iteration_top_pc / markov_removal_attribution).
+    def _stationary_iterate(pdf):
+        import pandas as pd
+
+        trans = [
+            (str(pv), str(nx), int(pm))
+            for pv, nx, pm in zip(pdf["prev"], pdf["next"], pdf["p_micro"])
+        ]
+        pi = {pv: 200000 for pv, _, _ in trans}
+        for _ in range(10):
+            acc: dict = {}
+            for pv, nx, pm in trans:
+                if pv in pi:
+                    acc[nx] = acc.get(nx, 0) + pi[pv] * pm
+            pi = {s: v // 1000000 for s, v in acc.items()}
+        return pd.DataFrame(
+            {"st": list(pi.keys()), "pi_micro": list(pi.values())}
         )
+
+    pi = p.groupBy(F.lit(1).alias("_g")).applyInPandas(
+        _stationary_iterate, "st string, pi_micro bigint"
+    )
     emp = load(spark, sf_dir, "events").groupBy(
         F.col("event_type").alias("st")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

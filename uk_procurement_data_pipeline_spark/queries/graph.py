@@ -408,27 +408,37 @@ def adamic_adar_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = e.selectExpr("a AS n", "b AS m").unionAll(
         e.selectExpr("b AS n", "a AS m")
     )
-    # Degree-1 nodes cannot be common neighbors; dropping them BEFORE the
-    # weight projection also keeps ln(1)=0 out of the ANSI division.
-    deg = (
-        und.groupBy("n")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .where(F.col("d") > 1)
+    # r12 (guide §2.4 remove shuffles): wedges used to come from an
+    # und ⋈ und self-join (exchanges on BOTH join projections) followed by
+    # a broadcast join attaching deg's 1/ln(deg) weight to every wedge
+    # row. One groupBy(n) over und instead collects each center's sorted
+    # distinct-neighbor list; the wedge (a < c neighbor pairs) explodes
+    # map-side via posexplode + a slice of the tail (two generators, so
+    # no deg^2-sized array is ever materialized in one row), and the
+    # center's degree IS size(ms) — the separate degree pass and its join
+    # disappear. Degree-1 centers cannot host a wedge (size(ms) > 1
+    # filter), which also keeps ln(1)=0 out of the ANSI division — the
+    # same guarantee the old deg-table filter gave.
+    nbr = und.groupBy("n").agg(F.sort_array(F.collect_list("m")).alias("ms"))
+    wed = (
+        nbr.where(F.size("ms") > 1)
         .selectExpr(
-            "n",
-            "CAST(floor(1000000.0 / ln(CAST(d AS DOUBLE)) + 0.5) AS BIGINT)"
-            " AS w_micro",
+            "CAST(floor(1000000.0 / ln(CAST(size(ms) AS DOUBLE)) + 0.5)"
+            " AS BIGINT) AS w_micro",
+            "ms",
+            "posexplode(ms) AS (pos, a)",
+        )
+        .selectExpr(
+            "w_micro",
+            "a",
+            "explode(slice(ms, pos + 2, size(ms))) AS c",
         )
     )
-    e1 = und.selectExpr("n AS a", "m AS b")
-    e2 = und.selectExpr("n AS b", "m AS c")
-    wedges = e1.join(e2, "b").where(F.col("a") < F.col("c"))
-    open_wedges = wedges.join(
+    open_wedges = wed.join(
         e.selectExpr("a", "b AS c"), ["a", "c"], "left_anti"
     )
     scored = (
-        open_wedges.join(deg, deg.n == open_wedges.b)
-        .groupBy("a", "c")
+        open_wedges.groupBy("a", "c")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_common"),
             F.sum("w_micro").cast("bigint").alias("aa_micro"),

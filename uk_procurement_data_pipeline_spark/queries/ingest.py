@@ -96,19 +96,24 @@ def _order_spans(pdf: pd.DataFrame) -> pd.DataFrame:
         last_day=("_day", "max"),
         max_gap_days=("_gap", "max"),
     )
-    epoch = pd.Timestamp("1970-01-01")
+    # r12 (guide §4.2 vectorize inside the UDF): the date strings used to
+    # come from a per-customer Python loop (Timestamp + Timedelta +
+    # strftime, 2x once per customer); numpy's datetime_as_string over the
+    # epoch-day vectors emits the identical 'YYYY-MM-DD' text in one
+    # vectorized call per column.
+    import numpy as np
+
+    def _iso(days: pd.Series) -> "np.ndarray":
+        return np.datetime_as_string(
+            days.values.astype("datetime64[D]"), unit="D"
+        )
+
     return pd.DataFrame(
         {
             "o_custkey": agg.index.values,
             "n_orders": agg["n_orders"].values,
-            "first_date": [
-                (epoch + pd.Timedelta(days=int(d))).strftime("%Y-%m-%d")
-                for d in agg["first_day"]
-            ],
-            "last_date": [
-                (epoch + pd.Timedelta(days=int(d))).strftime("%Y-%m-%d")
-                for d in agg["last_day"]
-            ],
+            "first_date": _iso(agg["first_day"]),
+            "last_date": _iso(agg["last_day"]),
             "max_gap_days": agg["max_gap_days"].fillna(0).astype("int64").values,
         }
     )

@@ -1323,15 +1323,32 @@ def recommender_hitrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     train_b = basket.where(F.col("is_train") == 1).select("o_orderkey", "part")
     a = train_b.alias("a")
     b = train_b.alias("b")
+    # r12 (guide §2.3 shuffle fewer bytes): co-purchase counts are
+    # symmetric — co(x, y) == co(y, x) == |train orders containing both| —
+    # so count each UNORDERED pair once (a.part < b.part halves the
+    # self-join output and the (p1, p2) aggregation shuffle) and mirror
+    # the aggregated row into both directions with one inline() after the
+    # count. The directed (p1, p2, co) table the top-20 prune consumes is
+    # row-for-row identical to the old a.part != b.part build.
     pairs = (
         a.join(
             b,
             (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
-            & (F.col("a.part") != F.col("b.part")),
+            & (F.col("a.part") < F.col("b.part")),
         )
         .groupBy(F.col("a.part").alias("p1"), F.col("b.part").alias("p2"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
+        .selectExpr(
+            "inline(array(struct(p1, p2), struct(p2 AS p1, p1 AS p2)))",
+            "co",
+        )
     )
+    # Top-20 prune stays a row_number window: an aggregate-sliced top-k
+    # (collect_list + array_sort + slice) was measured as a wash end-to-end
+    # (3.81 vs 3.87 s interleaved best-of-4 at sf0.1) — ObjectHashAggregate
+    # falls back to sort-based past 128 groups per partition, so the
+    # "avoid the sort" rationale does not materialize. Negative result
+    # kept per OPTIMIZATION_r12.md.
     wp = Window.partitionBy("p1").orderBy(F.col("co").desc(), "p2")
     pruned = pairs.withColumn("rn", F.row_number().over(wp)).where(
         F.col("rn") <= 20
@@ -1339,15 +1356,24 @@ def recommender_hitrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = (
         cust_train.join(pruned, cust_train.part == pruned.p1)
         .select("cust", F.col("p2").alias("cpart"), "co")
-        # novelty filter: drop items the customer already bought in train
-        .join(
-            cust_train.select("cust", F.col("part").alias("cpart")),
-            ["cust", "cpart"],
-            "left_anti",
-        )
+        # r12 (guide §2.3 aggregate before you shuffle): sum per
+        # (cust, cpart) BEFORE the novelty anti-join — dropping whole
+        # groups commutes with the per-group sum, so the anti-join probes
+        # one row per candidate instead of every contributing pair, and
+        # its join keys reuse the aggregation's partitioning.
         .groupBy("cust", F.col("cpart").alias("part"))
         .agg(F.sum("co").cast("bigint").alias("score"))
+        # novelty filter: drop items the customer already bought in train
+        .join(
+            cust_train,
+            ["cust", "part"],
+            "left_anti",
+        )
     )
+    # Top-3 recs and the hit-rate eval keep their window + join form: the
+    # aggregate-sliced recs array + arrays_overlap eval measured 0.5 s
+    # SLOWER (3.37 vs 2.87 s) — same ObjectHashAggregate sort-based
+    # fallback as the prune. Negative result kept per OPTIMIZATION_r12.md.
     wc = Window.partitionBy("cust").orderBy(F.col("score").desc(), "part")
     recs = (
         cand.withColumn("rn", F.row_number().over(wc))
