@@ -126,8 +126,14 @@ def test_driver_window_is_exact_registry_prefix():
 
     names = list(registry())
     assert list(_DRIVER_WINDOW) == names[: len(_DRIVER_WINDOW)]
-    assert len(_DRIVER_WINDOW) == 50
-    assert len(set(_DRIVER_WINDOW)) == 50  # no duplicates
+    # The driver checks the first ~50; the window may EXCEED 50 only when
+    # the priority list (never-certified new ops + fingerprint-changed
+    # queries, neither of which the rotation may drop) overflows the slot
+    # budget — entries past the driver's cut stay fingerprint-flagged and
+    # mechanically re-enter every round until certified (r12: 15 new ops
+    # + 36 changed = 51).
+    assert 50 <= len(_DRIVER_WINDOW) <= 55
+    assert len(set(_DRIVER_WINDOW)) == len(_DRIVER_WINDOW)  # no duplicates
 
 
 def test_driver_window_matches_generator():

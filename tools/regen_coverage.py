@@ -72,9 +72,19 @@ def compute_window(
         changed = changed_queries(set(last_checked))
     priority = [n for n in getattr(_base, "_ROUND_PRIORITY", ()) if n in reg]
     priority += [n for n in changed if n in reg and n not in priority]
-    window = list(priority)[:size]
+    # Changed queries lead the window UNCONDITIONALLY — when priority
+    # overflows the slot budget the window GROWS past `size` instead of
+    # silently trimming the tail (r12: a 51-name priority list dropped
+    # `two_stage_pq_maxsim`, the one thing this rotation must never do;
+    # caught by test_changed_green_queries_reenter_window).
+    window = list(priority)
+    if len(window) > size:
+        print(
+            f"window: {len(window)} priority names exceed the {size}-slot "
+            "budget; keeping all (changed queries are never dropped)"
+        )
     never = [n for n in reg if n not in last_checked and n not in window]
-    window += never[: size - len(window)]
+    window += never[: max(0, size - len(window))]
     if len(window) < size:
         order = {n: i for i, n in enumerate(reg)}
         stale = sorted(

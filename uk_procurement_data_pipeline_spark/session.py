@@ -37,6 +37,23 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # r12 (guide §3.1/§9): let the planner pick a shuffled-hash join
+        # when its size conditions fit instead of always preferring
+        # sort-merge, and let AQE rewrite SMJ -> SHJ at runtime when every
+        # post-shuffle partition is under 64 MB (runtime-measured, so the
+        # rewrite cannot pick a build side that does not fit in a task).
+        # Interleaved best-of-3 A/B over the 12 hottest join queries at
+        # sf0.1: 46.6 -> 41.7 s (-10%), worst single regression +0.25 s
+        # (OPTIMIZATION_r12.md). Join strategy never changes results.
+        # Both knobs are env-overridable for cluster-specific tuning.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            os.environ.get("SPARK_GRAFT_SHJ_LOCALMAP", "64m"),
+        )
         .config("spark.sql.parquet.filterPushdown", "true")
         # NOTE: driver memory only takes effect if THIS process starts the
         # JVM; under getOrCreate against a live session it is silently
