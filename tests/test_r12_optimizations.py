@@ -249,6 +249,41 @@ def test_adamic_adar_neighbor_list_wedges_match_self_join(spark):
     assert new.exceptAll(old).count() == 0
 
 
+def test_lpa_canonical_edge_mirror_equivalence(spark):
+    """label_propagation_communities / modularity_communities r12 batch-5
+    rewrite: deduping only the canonical x < y half of the symmetric
+    co-purchase edge set and mirroring with inline() must reproduce the
+    old full a.p != b.p DISTINCT edge list exactly."""
+    op = (
+        load(spark, SF_DIR, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a, b = op.alias("a"), op.alias("b")
+    old = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+        .distinct()
+    )
+    new = (
+        a.join(
+            b,
+            (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")),
+        )
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
+        .distinct()
+        .selectExpr(
+            "inline(array(struct(x AS src, y AS dst),"
+            " struct(y AS src, x AS dst)))"
+        )
+    )
+    assert old.exceptAll(new).count() == 0
+    assert new.exceptAll(old).count() == 0
+
+
 def test_customer_order_spans_vectorized_dates_exact():
     """customer_order_spans r12 rewrite: numpy datetime_as_string must
     emit byte-identical YYYY-MM-DD text to the old per-row strftime."""

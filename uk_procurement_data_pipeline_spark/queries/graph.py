@@ -714,15 +714,22 @@ def label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     a = op.alias("a")
     b = op.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    # r12 batch 5 (guide §2.3): the co-purchase edge set is symmetric by
+    # construction, so build and DEDUP only the canonical a.p < b.p half
+    # (half the distinct-exchange bytes, half the checkpointed rows) and
+    # reconstruct both directions map-side with one inline() at each
+    # consumer. e still feeds round 1 AND round 2 from one materialized
+    # build (the supplier_pagerank/hits localCheckpoint discipline; the
+    # spec is eager so the build is inside the timed region).
+    # Interleaved A/B best-of-3 at sf0.1: 4.06 -> 2.69 s end-to-end.
+    ec = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
         .distinct()
-        # r12: e feeds round 1 AND round 2 — materialize the basket
-        # self-join once instead of deriving it per consumer (the
-        # supplier_pagerank/hits localCheckpoint discipline; the spec is
-        # eager so the build is inside the timed region).
         .localCheckpoint(eager=True)
+    )
+    e = ec.selectExpr(
+        "inline(array(struct(x AS src, y AS dst), struct(y AS src, x AS dst)))"
     )
     # Round 1: every node starts labeled with itself, so the neighbor
     # plurality vote is just the most frequent neighbor id. r12
@@ -911,14 +918,20 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = op.alias("a")
     b = op.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") != F.col("b.p")))
-        .select(F.col("a.p").alias("src"), F.col("b.p").alias("dst"))
+    # r12 batch 5 (guide §2.3, shared with label_propagation_communities):
+    # dedup only the canonical a.p < b.p half and inline-mirror at the
+    # consumers — 4 consumers below (two label joins, 2m count, degrees)
+    # read half the checkpointed bytes each. Interleaved A/B best-of-3 at
+    # sf0.1: 4.20 -> 4.05 s end-to-end (the stats joins dominate here, but
+    # the build is strictly smaller and the shape matches the LPA sibling).
+    ec = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .select(F.col("a.p").alias("x"), F.col("b.p").alias("y"))
         .distinct()
-        # 4 consumers below (two label joins, 2m count, degrees): pin the
-        # symmetric edge list once instead of re-deriving the basket
-        # self-join per branch (spec is eager: the build is timed).
         .localCheckpoint(eager=True)
+    )
+    e = ec.selectExpr(
+        "inline(array(struct(x AS src, y AS dst), struct(y AS src, x AS dst)))"
     )
     # r12 optimization (guide §2.4, shared with label_propagation_
     # communities): e is DISTINCT so round-1 plurality = min(dst) — one
