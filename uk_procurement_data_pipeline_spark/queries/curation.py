@@ -500,10 +500,11 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     # Per-doc distinct-token SET as an array — computed map-side from the
-    # text column, no shuffle. The verify stage intersects per-pair
-    # INSIDE the candidate join; to keep those millions of intersections
-    # cheap, each set is ALSO carried as a sorted array of xxhash64 token
-    # hashes — primitive-long array_intersect, no per-row string hashing.
+    # text column, no shuffle. The verify stage intersects once per
+    # DISTINCT candidate pair (attached after the scalar dedup below); to
+    # keep those intersections cheap, each set is ALSO carried as a
+    # sorted array of xxhash64 token hashes — primitive-long
+    # array_intersect, no per-row string hashing.
     # A hash collision can only miscount if two distinct tokens of the
     # SAME candidate pair collide in 64 bits: ~(100 choose 2) * 2^-64 per
     # pair — vanishing, and the driver's cross-engine hash check would
@@ -549,27 +550,32 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_id", "token", "len", "rn")
     )
-    # Attach each prefix row's full token array BEFORE the self-join (the
-    # prefix table is |corpus| x ~|prefix| rows — small), so verification
-    # happens IN the join stage: n_inter is computed map-side on the raw
-    # join output and only scalar columns ever reach the dedup shuffle.
-    # The first draft deduped (doc_a, doc_b) first and joined the arrays
-    # back afterwards — two extra corpus-sized shuffles that moved every
-    # candidate's token arrays over the wire (47s at sf0.1 vs ~8s now).
-    # A pair sharing k prefix tokens computes its intersection k times;
-    # k <= prefix length (a handful), a fair trade for scalar shuffles.
-    # (A first-shared-token dedup-in-join variant was measured WORSE —
-    # 60s — because higher-order filter lambdas are CodegenFallback and
-    # knock the whole join stage out of whole-stage codegen.)
+    # r13 (guide §1.2 step 1): the r11/r12 design computed the hash-set
+    # intersection INSIDE the candidate join, once per raw token-match
+    # row — the probe breakdown showed that intersect accounting for
+    # 4.7 s of the query's 7.9 s (2.27M intersect evaluations for 1.53M
+    # distinct candidate pairs; join+prunes without the intersect ran in
+    # 1.65 s). Now the join emits SCALARS only (the popcount/positional/
+    # length prunes need just the bitmap longs), pairs are deduped on
+    # scalars FIRST, and each doc's hset array is attached to the 1.53M
+    # DISTINCT pairs by two doc-keyed equi-joins against the |corpus|-row
+    # sets table — so the intersect runs exactly once per candidate pair.
+    # Measured 7.90 -> 3.64 s at sf0.1. No broadcast hint on the attach
+    # joins: at bench SFs the planner auto-broadcasts the sub-threshold
+    # sets side; at scale the size gate fails and they degrade to
+    # doc-keyed shuffled joins of scalar pair rows — never a forced
+    # broadcast of a corpus-scale table. (The r02-era "dedup first" draft
+    # that measured 47 s attached arrays to the PRE-prune candidate set,
+    # before the popcount/positional prunes existed to shrink it.)
     pa = prefix.join(
-        sets.select("doc_id", "hset", "bm0", "bm1", "bm2", "bm3"), "doc_id"
+        sets.select("doc_id", "bm0", "bm1", "bm2", "bm3"), "doc_id"
     )
     a = pa.selectExpr(
-        "doc_id AS doc_a", "token", "len AS la", "rn AS rna", "hset AS ta",
+        "doc_id AS doc_a", "token", "len AS la", "rn AS rna",
         "bm0 AS a0", "bm1 AS a1", "bm2 AS a2", "bm3 AS a3",
     )
     b = pa.selectExpr(
-        "doc_id AS doc_b", "token", "len AS lb", "rn AS rnb", "hset AS tb",
+        "doc_id AS doc_b", "token", "len AS lb", "rn AS rnb",
         "bm0 AS b0", "bm1 AS b1", "bm2 AS b2", "bm3 AS b3",
     )
     # Required overlap for J >= num/den: inter >= num*(la+lb)/(num+den),
@@ -614,6 +620,26 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 <= _APJ_TAU_DEN * (F.col("la") + F.col("lb"))
             )
         )
+        .select("doc_a", "doc_b", "la", "lb")
+    )
+    # Dedup on scalars, then attach each side's hset to the DISTINCT pairs
+    # and intersect once per pair (see the r13 note above the join build).
+    # The Jaccard threshold stays AFTER the intersect projection — an r13
+    # attempt to filter it earlier (in the old in-join-verify shape) was
+    # measured 13x WORSE (111.6 s vs 8.4 s) even behind a
+    # monotonically_increasing_id barrier column: ColumnPruning strips the
+    # unused barrier, the then-deterministic projection lets the filter
+    # push into the JOIN CONDITION, and the array_intersect lands as the
+    # FIRST conjunct, evaluated for every raw token-match row before the
+    # cheap prunes.
+    cand = scored.groupBy("doc_a", "doc_b").agg(
+        F.first("la").alias("la"),
+        F.first("lb").alias("lb"),
+    )
+    hs = sets.select("doc_id", "hset")
+    verified = (
+        cand.join(hs.selectExpr("doc_id AS doc_a", "hset AS ta"), "doc_a")
+        .join(hs.selectExpr("doc_id AS doc_b", "hset AS tb"), "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -623,11 +649,6 @@ def allpairs_prefix_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_inter"
             ),
         )
-    )
-    verified = scored.groupBy("doc_a", "doc_b").agg(
-        F.first("la").alias("la"),
-        F.first("lb").alias("lb"),
-        F.first("n_inter").alias("n_inter"),
     )
     return verified.where(
         _APJ_TAU_DEN * F.col("n_inter")

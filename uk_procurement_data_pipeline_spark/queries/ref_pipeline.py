@@ -379,6 +379,14 @@ _REGION_CASE = (
     "CASE l_linenumber % 3 WHEN 0 THEN 'London' "
     "WHEN 1 THEN 'Wales' ELSE 'Scotland' END"
 )
+# Same expressions over the post-aggregation slim item triple `t`
+# (t.part = l_partkey, t.item_id = l_linenumber) — used to build cls/addrs
+# AFTER the collect_list shuffle instead of per source lineitem row.
+_CPV_ID_T = "CAST(45000000 + t.part % 100000 AS STRING)"
+_REGION_CASE_T = (
+    "CASE t.item_id % 3 WHEN 0 THEN 'London' "
+    "WHEN 1 THEN 'Wales' ELSE 'Scotland' END"
+)
 
 _SUPPLIER_PARTY_S = f"""transform(array_sort(collect_set(CAST(l_suppkey AS BIGINT))),
     sid -> struct(
@@ -714,29 +722,62 @@ def ocds_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load(spark, sf_dir, "customer")
     nation = load(spark, sf_dir, "nation")
 
-    li_g = li.groupBy("l_orderkey").agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col("l_linenumber").alias("item_id"),
-                    F.col("l_partkey").alias("part"),
-                    F.col("l_quantity").alias("qty"),
-                    F.expr(
-                        f"""struct('CPV' AS scheme,
-                           {_CPV_ID_S} AS id,
-                           concat('CPV ', {_CPV_ID_S}) AS description)"""
-                    ).alias("cls"),
-                    F.expr(
-                        f"""array(struct(
-                               concat('PC', CAST(l_linenumber AS STRING)) AS postalCode,
-                               {_REGION_CASE} AS region,
-                               'United Kingdom' AS countryName))"""
-                    ).alias("addrs"),
+    # r13 (guide §2.3 shuffle fewer bytes): collect only the three numeric
+    # lineitem fields through the aggregation shuffle and build the
+    # string-heavy cls/addrs structs AFTER the aggregate with one
+    # transform (the old form constructed and shuffled ~100 bytes of CPV/
+    # address strings per lineitem and sorted the full structs).
+    # l_linenumber is unique within an order, so sorting the slim triples
+    # orders identically to sorting the full structs.
+    li_g = (
+        li.groupBy("l_orderkey")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("item_id"),
+                        F.col("l_partkey").alias("part"),
+                        F.col("l_quantity").alias("qty"),
+                    )
                 )
-            )
-        ).alias("items"),
-        F.expr(_SUPPLIER_PARTY_S).alias("supp_parties"),
+            ).alias("items0"),
+            F.expr(_SUPPLIER_PARTY_S).alias("supp_parties"),
+        )
+        .withColumn(
+            "items",
+            F.expr(
+                f"""transform(items0, t -> struct(
+                    t.item_id AS item_id, t.part AS part, t.qty AS qty,
+                    struct('CPV' AS scheme,
+                           {_CPV_ID_T} AS id,
+                           concat('CPV ', {_CPV_ID_T}) AS description) AS cls,
+                    array(struct(
+                        concat('PC', CAST(t.item_id AS STRING)) AS postalCode,
+                        {_REGION_CASE_T} AS region,
+                        'United Kingdom' AS countryName)) AS addrs))"""
+            ),
+        )
+        .drop("items0")
     )
+
+    # r13 (guide §7.2 duplicated subtrees): the flatten re-evaluated the
+    # shared array probes per output column — the supplier role filter 17x,
+    # the buyer first-match 14x, the two-level address flatten 8x, the
+    # first-award pluck 23x. Hoist each ONCE into the barrier projection
+    # (nondeterministic, so CollapseProject can neither inline them into
+    # the 144 expressions below nor merge the release build into this
+    # projection) and rewrite the flatten expressions to reference the
+    # hoisted columns. Pure plan restructuring: same expressions, same
+    # results, each shared probe evaluated once per row.
+    _HOIST: list[tuple[str, str]] = [
+        (BP.s, "_bp"),
+        (TN.s, "_tn"),
+        (AN.s, "_an"),
+        (ITEM1.s, "_item1"),
+        (ADDRS.s, "_addrs"),
+        (SUP.s, "_sup"),
+        (AW.s, "_aw"),
+    ]
 
     rel = (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
@@ -747,7 +788,16 @@ def ocds_flatten_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
         # struct construction into EVERY one of the 144 flatten
         # expressions below (nondeterministic projections don't collapse;
         # measured ~2x on this query's wall time)
-        .select("release", F.monotonically_increasing_id().alias("_barrier"))
+        .select(
+            "release",
+            *[F.expr(src).alias(alias) for src, alias in _HOIST],
+            F.monotonically_increasing_id().alias("_barrier"),
+        )
     )
 
-    return rel.selectExpr(*[f"{p.s} AS {alias}" for alias, p in _FLAT])
+    def _sub(expr: str) -> str:
+        for src, alias in _HOIST:
+            expr = expr.replace(src, alias)
+        return expr
+
+    return rel.selectExpr(*[f"{_sub(p.s)} AS {alias}" for alias, p in _FLAT])

@@ -2072,48 +2072,41 @@ def shipping_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date"))
         .cast("bigint")
         .alias("delay"),
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("uid"),
     )
-    # 64-day-wide bands: the fixture's delay domain spans ~4900 distinct
-    # days, and per-DAY bands made the lower-band offsets self-join
-    # quadratic in the band count (measured 10.5s at sf0.1; 64-day bands
-    # cut it to ~80 bands while each in-band sort stays tiny).
-    banded = d.withColumn("band", F.expr("delay div 64"))
-    in_band = F.row_number().over(
-        Window.partitionBy("priority", "band").orderBy("delay", "uid")
+    # r13 (guide §2.3 aggregate before you shuffle): delays are integer
+    # days over a ~4,900-value domain, so the exact rank construction
+    # collapses to counts per (priority, delay) — a map-side partial
+    # aggregate shrinks the row-scale join output to <= |priorities| x
+    # |distinct delays| (~25k) rows BEFORE any shuffle, and every sort/
+    # window/offset-join runs on that tiny table. The delay at global
+    # rank r (ordered by delay, then any tiebreak) is min{v : cum(v) >= r}
+    # — tie rows share the same delay value, so the old per-row
+    # row_number + banded offsets machinery (which shuffled and sorted
+    # every lineitem row) computes the identical percentiles.
+    cnt = d.groupBy("priority", "delay").agg(F.count(F.lit(1)).alias("c"))
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    sizes = banded.groupBy("priority", "band").agg(F.count(F.lit(1)).alias("bn"))
-    lo = sizes.select(
-        F.col("priority").alias("lp"), F.col("band").alias("lband"),
-        F.col("bn").alias("ln"),
-    )
-    offsets = (
-        sizes.join(
-            F.broadcast(lo),
-            (F.col("lp") == F.col("priority")) & (F.col("lband") < F.col("band")),
-            "left",
-        )
-        .groupBy("priority", "band")
-        .agg(F.coalesce(F.sum("ln"), F.lit(0)).alias("off"))
-    )
-    n = banded.groupBy("priority").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    ranked = (
-        banded.withColumn("rk", in_band)
-        .join(F.broadcast(offsets), ["priority", "band"])
-        .join(F.broadcast(n), "priority")
-        .withColumn("rn", F.col("off") + F.col("rk"))
+    wall = Window.partitionBy("priority")
+    cum = cnt.select(
+        "priority",
+        "delay",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).cast("bigint").alias("n"),
     )
     return (
-        ranked.groupBy("priority", "n")
+        cum.groupBy("priority", "n")
         .agg(
-            F.max(
-                F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("delay"))
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n + 1) div 2"), F.col("delay"))
             ).alias("p50_days"),
-            F.max(
-                F.when(F.col("rn") == F.expr("(9 * n + 9) div 10"), F.col("delay"))
+            F.min(
+                F.when(F.col("cum") >= F.expr("(9 * n + 9) div 10"), F.col("delay"))
             ).alias("p90_days"),
-            F.max(
-                F.when(F.col("rn") == F.expr("(99 * n + 99) div 100"), F.col("delay"))
+            F.min(
+                F.when(F.col("cum") >= F.expr("(99 * n + 99) div 100"), F.col("delay"))
             ).alias("p99_days"),
         )
         .select("priority", "n", "p50_days", "p90_days", "p99_days")

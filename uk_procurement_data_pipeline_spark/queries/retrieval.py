@@ -1321,22 +1321,29 @@ def recommender_hitrate_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     train_b = basket.where(F.col("is_train") == 1).select("o_orderkey", "part")
-    a = train_b.alias("a")
-    b = train_b.alias("b")
     # r12 (guide §2.3 shuffle fewer bytes): co-purchase counts are
     # symmetric — co(x, y) == co(y, x) == |train orders containing both| —
-    # so count each UNORDERED pair once (a.part < b.part halves the
-    # self-join output and the (p1, p2) aggregation shuffle) and mirror
-    # the aggregated row into both directions with one inline() after the
-    # count. The directed (p1, p2, co) table the top-20 prune consumes is
-    # row-for-row identical to the old a.part != b.part build.
+    # so count each UNORDERED pair once and mirror the aggregated row into
+    # both directions with one inline() after the count. The directed
+    # (p1, p2, co) table the top-20 prune consumes is row-for-row
+    # identical to the old a.part != b.part build.
+    # r13 (guide §2.4 remove shuffles outright): the canonical pairs come
+    # from per-order sorted part ARRAYS (one groupBy exchange + a map-side
+    # two-generator explode) instead of the train_b self-join — the join
+    # shuffled both sides by o_orderkey and probed them against each
+    # other; the array form pays one exchange and no join. Baskets are
+    # <= 7 distinct lines, so no per-row array can grow with SF, and the
+    # sorted-array i < j enumeration emits exactly the a.part < b.part
+    # pair multiset (basket rows are distinct per (order, part)).
     pairs = (
-        a.join(
-            b,
-            (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
-            & (F.col("a.part") < F.col("b.part")),
+        train_b.groupBy("o_orderkey")
+        .agg(F.array_sort(F.collect_list("part")).alias("ps"))
+        .select("ps", F.posexplode("ps").alias("i", "p1"))
+        .select(
+            "p1",
+            F.explode(F.expr("slice(ps, i + 2, size(ps))")).alias("p2"),
         )
-        .groupBy(F.col("a.part").alias("p1"), F.col("b.part").alias("p2"))
+        .groupBy("p1", "p2")
         .agg(F.count(F.lit(1)).cast("bigint").alias("co"))
         .selectExpr(
             "inline(array(struct(p1, p2), struct(p2 AS p1, p1 AS p2)))",

@@ -672,13 +672,33 @@ def hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "negative_label",
         f"{_DOT.format(a='av', b='zv')} / (an * zn) AS cosine",
     )
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("cosine").desc(), F.col("negative_id")
-    )
+    # r13 (guide §2.4): the top-1-per-anchor reduction was a row_number
+    # window — a full exchange + sort of every candidate pair. One
+    # min(struct(-cosine, negative_id, ...)) aggregate picks the same row
+    # ((cosine DESC, negative_id ASC) == ascending (-cosine, negative_id);
+    # struct comparison is field-lexicographic with Double.compare
+    # semantics, the same ordering the window sort used), and the partial
+    # aggregate reduces each map partition to one candidate per anchor
+    # BEFORE the shuffle.
     return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("anchor_id", "label", "negative_id", "negative_label", "cosine")
+        pairs.groupBy("anchor_id", "label")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cosine")).alias("nc"),
+                    F.col("negative_id").alias("nid"),
+                    F.col("negative_label").alias("nlb"),
+                    F.col("cosine").alias("cos"),
+                )
+            ).alias("s")
+        )
+        .select(
+            "anchor_id",
+            "label",
+            F.col("s.nid").alias("negative_id"),
+            F.col("s.nlb").alias("negative_label"),
+            F.col("s.cos").alias("cosine"),
+        )
     )
 
 
