@@ -1795,6 +1795,26 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = tempfile.mkdtemp(prefix=f"ssj_ckpt_{qname}_", dir=ckpt_root)
     prev_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+    # r13 (guide §1/VERDICT r12 item 4): RocksDB state store for THIS query
+    # only. Interleaved best-of-3 A/B over the 4 streaming queries:
+    # RocksDB was a wash on the single-store queries (session_ttl +0.03,
+    # late_drop +0.11, datasource_feed -0.03) but -0.82 s (6.88 -> 6.06)
+    # on this two-leg stream-stream join, which keeps four state stores
+    # (two per join side) per partition per batch — RocksDB's native
+    # commit path beats HDFSBackedStateStore's JVM map snapshot+fsync
+    # exactly where store count x state size is highest. Conf is read at
+    # .start(), scoped like the shuffle width, env-overridable.
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        os.environ.get(
+            "SPARK_GRAFT_SSJ_STATESTORE",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ),
+    )
     q = (
         pairs.writeStream.format("memory")
         .queryName(qname)
@@ -1804,6 +1824,12 @@ def stream_interval_join_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     spark.conf.set("spark.sql.shuffle.partitions", prev_shuffle)
+    if prev_provider is None:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    else:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", prev_provider
+        )
     try:
         deadline = time.time() + 240
         while time.time() < deadline:
